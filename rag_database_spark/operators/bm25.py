@@ -1,0 +1,142 @@
+"""BM25 as DataFrame algebra (reference operator A3, src/storage/bm25_store.py).
+
+The reference keeps parallel in-memory lists and rebuilds a ``BM25Okapi``
+object on every add (bm25_store.py:134-188 — "good for < 1M documents").
+The Spark formulation replaces that with three derived tables that scale
+horizontally and update incrementally:
+
+    postings(doc_id, term, tf)        — explode + groupBy (map-side combine)
+    doclens(doc_id, dl)               — array size per doc, no shuffle
+    termstats(term, df, idf)          — groupBy term
+
+Scoring a *batch* of queries is a join pipeline: query terms (tiny,
+broadcast) ⋈ termstats ⋈ postings ⋈ doclens → per-(query, doc) sum. The
+only large shuffle is the final groupBy(query_id, doc_id), proportional to
+candidate matches, not the corpus.
+
+IDF variant: Lucene/Elasticsearch BM25 — ``ln(1 + (N - df + .5)/(df + .5))``
+— i.e. the formula the reference's Elasticsearch backend uses
+(bm25_store.py:337-476). The pickle backend delegates to ``rank_bm25``'s
+Okapi with an epsilon floor for negative IDFs; the Lucene form is strictly
+positive so needs no floor, and we adopt it as the engine-defined scoring.
+k1 = 1.5, b = 0.75 from the reference config (src/config.py:32-33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.text import tokenize
+
+K1 = 1.5
+B = 0.75
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """postings(doc_id, term, tf). groupBy gives map-side partial
+    aggregation; the shuffle key (doc_id, term) is high-cardinality and
+    uniform, so no skew handling is needed."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    return tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def build_doclens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doclens(doc_id, dl) — computed as array size, shuffle-free. Includes
+    zero-length docs (they still count toward N and avgdl)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("dl"),
+    )
+
+
+def build_termstats(postings: DataFrame, n_docs_df: DataFrame) -> DataFrame:
+    """termstats(term, df, idf). ``n_docs_df`` is a 1-row (n_docs) frame so
+    the whole computation stays one lazy plan (no driver-side collect)."""
+    df_counts = postings.groupBy("term").agg(F.count("*").alias("df"))
+    return df_counts.crossJoin(F.broadcast(n_docs_df)).select(
+        "term",
+        "df",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+
+
+def corpus_stats(doclens: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl) frame, broadcast into the scoring join."""
+    return doclens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def score_queries(
+    queries: DataFrame,
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 score for every (query, matching doc) pair.
+
+    Returns (query_id, doc_id, score). Query terms keep multiplicity via a
+    qtf multiplier (rank_bm25 iterates duplicate query tokens,
+    bm25_store.py:217). The queries side is broadcast — postings never
+    shuffles for the join, only for the final (query_id, doc_id) rollup.
+    """
+    stats = corpus_stats(doclens)
+    termstats = build_termstats(postings, stats.select("n_docs"))
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokenize(F.col(query_text_col))).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(termstats), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+    )
+    term_score = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return matched.groupBy("query_id", "doc_id").agg(
+        F.sum(term_score).alias("score")
+    )
+
+
+def topk(
+    scored: DataFrame,
+    k: int,
+    partition_col: str = "query_id",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-query top-k: rank by (score DESC, id ASC) — the
+    explicit tie-break SURVEY §7 requires (the reference relies on Python
+    sort stability, hybrid_search.py:117-124)."""
+    w = Window.partitionBy(partition_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,89 @@
+"""Q1 — hybrid search, the flagship composite
+(reference: HybridSearcher.search, src/retrieval/hybrid_search.py:219-430).
+
+Pipeline (SURVEY §3.1 Spark re-expression):
+
+    BM25 leg   : documents → tokenize → postings/stats → score → rank (W1)
+    dense leg  : embeddings → exact cosine top-k (J11) → rank
+    fusion     : union(legs) → weighted RRF k=60 (A1) → top-k (T2)
+
+Per-method over-fetch is 3 × limit before fusion (hybrid_search.py:256);
+default weights bm25 .3 / dense .5 (colpali .2 when a multi-vector leg is
+present; absent legs contribute 0 — hybrid_search.py:185-189).
+
+Output columns (aliased identically in the DuckDB oracle):
+    query_id, id, rrf_score (rounded 6), bm25_rank, dense_rank, rank
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rag_database_spark.operators import bm25 as bm25_ops
+from rag_database_spark.operators import similarity
+from rag_database_spark.operators.fusion import (
+    DEFAULT_WEIGHTS,
+    FETCH_MULTIPLIER,
+    RRF_K,
+)
+
+
+def hybrid_search(
+    queries: DataFrame,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    limit: int = 10,
+    weights: dict[str, float] | None = None,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """queries(query_id, query_text, query_vec_id) — the dense query
+    vector is looked up from ``embeddings`` by query_vec_id (broadcast
+    join; at serving scale this would be an embedder Pandas UDF, M1/M2)."""
+    weights = weights or DEFAULT_WEIGHTS
+    fetch = FETCH_MULTIPLIER * limit
+
+    # --- BM25 leg (A3 + W1 + T4) ---
+    postings = bm25_ops.build_postings(documents)
+    doclens = bm25_ops.build_doclens(documents)
+    scored = bm25_ops.score_queries(queries, postings, doclens)
+    bm25_ranked = (
+        bm25_ops.topk(scored, fetch)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("id"),
+            F.lit("bm25").alias("method"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+    # --- dense leg (J11 + W1 + T4) ---
+    qvecs = queries.join(
+        embeddings, queries["query_vec_id"] == embeddings["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    dense_ranked = similarity.cosine_topk(
+        qvecs, embeddings, fetch, id_col="vec_id", vec_col="embedding"
+    ).select(
+        "query_id",
+        "id",
+        F.lit("dense").alias("method"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+    # --- weighted RRF fusion (J1 + A1 + T2) ---
+    legs = bm25_ranked.unionByName(dense_ranked)
+    wexpr = F.lit(None).cast("double")
+    for m, wt in weights.items():
+        wexpr = F.when(F.col("method") == m, F.lit(float(wt))).otherwise(wexpr)
+    fused = legs.groupBy("query_id", "id").agg(
+        F.round(F.sum(wexpr / (F.lit(float(rrf_k)) + F.col("rank"))), 6).alias(
+            "rrf_score"
+        ),
+        F.max(F.when(F.col("method") == "bm25", F.col("rank"))).alias("bm25_rank"),
+        F.max(F.when(F.col("method") == "dense", F.col("rank"))).alias("dense_rank"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= limit)
+    )

@@ -1,0 +1,218 @@
+"""Batch vector similarity — the engine's exact replacement for the
+reference's Qdrant ANN leg (operator J11, src/storage/vector_store.py:230-273).
+
+The reference answers one query at a time through HNSW (approximate).
+The batch engine answers a *set* of queries exactly:
+
+    queries(query_id, qvec)  ×  corpus(id, vec)   →   top-k per query
+
+Physical strategy (scale story):
+- the query side is small → ``broadcast`` it; the corpus never moves.
+  The "join" is then an embarrassingly parallel map over corpus
+  partitions — no shuffle until the per-query top-k rollup, which is
+  bounded by |queries| × |corpus_partition| candidates after the
+  partial top-k below.
+- JVM path (`cosine_topk`): zip_with/aggregate column exprs inside
+  codegen. Arrow path (`cosine_topk_blocked`): one numpy GEMM
+  (Q @ V.T) per partition via mapInPandas — wins when |queries| is
+  large and dims are wide.
+- top-k uses a per-partition partial top-k before the global window, so
+  the shuffle carries O(k × partitions) rows per query, not the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.vector import cosine, dot, to_double_array
+
+
+def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine per query → (query_id, id, score, rank).
+
+    ``assume_normalized=True`` skips norm division (the reference
+    normalizes embeddings at encode time, dense_embedder.py:59-65, so
+    cosine reduces to dot).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    sim = (
+        dot(F.col("qvec"), F.col("vec"))
+        if assume_normalized
+        else cosine(F.col("qvec"), F.col("vec"))
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "id", sim.alias("score")
+    )
+    # partial top-k per corpus partition bounds the shuffle: only
+    # k rows per (query, partition) reach the global window.
+    partial = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    pruned = scored.withColumn("pr", F.row_number().over(partial)).filter(
+        F.col("pr") <= k
+    ).drop("pr")
+    return _ranked(pruned, k)
+
+
+def cosine_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Arrow/numpy GEMM variant of ``cosine_topk`` — one ``Q @ V.T`` per
+    Arrow batch (SURVEY §2 J11 "blocked numpy matmul" scale path). Exact;
+    per-batch partial top-k, then the same global window."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, id long, score double, rank int")
+    qids = [r["query_id"] for r in q_rows]
+    Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    bq = spark.sparkContext.broadcast((qids, Qn))
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("vec")
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, Qn_l = bq.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            S = Qn_l @ Vn.T  # (n_queries, batch)
+            kk = min(k, S.shape[1])
+            # partial top-k inside the batch
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            out = {
+                "query_id": np.repeat(qids_l, kk),
+                "id": pdf["id"].to_numpy()[idx].ravel(),
+                "score": np.take_along_axis(S, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    scored = c.mapInPandas(
+        score_batches, schema="query_id long, id long, score double"
+    )
+    return _ranked(scored, k)
+
+
+def embedding_near_dupes(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — embedding-space
+    near-duplicate detection (training-data pipeline extension).
+
+    ``block_col`` (e.g. a cluster label or LSH bucket) turns the O(N²)
+    self-join into a per-block join — the scale path; without it this is
+    exact brute force, fine for correctness runs."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        to_double_array(F.col(vec_col)).alias("vec_a"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        to_double_array(F.col(vec_col)).alias("vec_b"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    join_cond = F.col("id_a") < F.col("id_b")
+    pairs = a.join(b, on=(["blk"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
+    return (
+        pairs.filter(join_cond)
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def maxsim_scores(
+    query_patches: DataFrame,
+    page_patches: DataFrame,
+    query_id_col: str = "query_id",
+    page_id_col: str = "page_id",
+) -> DataFrame:
+    """ColPali-style MaxSim late interaction (J12,
+    src/embeddings/colpali_embedder.py:136-169):
+
+        score(q, p) = Σ_{token t ∈ q} max_{patch r ∈ p} <t, r>
+
+    Inputs carry ``patches array<array<double>>``. Queries are broadcast;
+    computation is one numpy matmul per (page-batch) in a Pandas UDF —
+    the array-of-array columns never shuffle."""
+    import numpy as np
+
+    spark = query_patches.sparkSession
+    q_rows = query_patches.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("patches").cast("array<array<double>>").alias("patches"),
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, page_id long, score double")
+    qdata = [(r["query_id"], np.array(r["patches"], dtype=np.float64)) for r in q_rows]
+    bq = spark.sparkContext.broadcast(qdata)
+
+    pages = page_patches.select(
+        F.col(page_id_col).alias("page_id"),
+        F.col("patches").cast("array<array<double>>").alias("patches"),
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qs = bq.value
+        for pdf in it:
+            rows = []
+            for pid, patches in zip(pdf["page_id"], pdf["patches"]):
+                P = np.array([np.asarray(p) for p in patches], dtype=np.float64)
+                for qid, Q in qs:
+                    s = float(np.dot(Q, P.T).max(axis=1).sum())
+                    rows.append((qid, pid, s))
+            yield pd.DataFrame(rows, columns=["query_id", "page_id", "score"])
+
+    return pages.mapInPandas(
+        score_batches, schema="query_id long, page_id long, score double"
+    )

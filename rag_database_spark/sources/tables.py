@@ -1,0 +1,72 @@
+"""Parquet table sources and tenant-partitioned sinks.
+
+The driver materializes ten deterministic tables per scale factor
+(TESTDATA.md). Loading is a plain columnar scan: Catalyst pushes filters
+and prunes columns into the Parquet reader, so callers should express
+predicates on the returned DataFrame rather than pre-collecting.
+
+Reference parity: the reference's stores (pickle BM25, Qdrant, Postgres —
+src/storage/{bm25_store,vector_store,metadata_store}.py) become Parquet
+tables; its per-document delete+reinsert upsert (metadata_store.py:799-847)
+maps to dynamic partition overwrite in ``write_partitioned``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Column pruning / predicate pushdown apply."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for spark.sql access."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("organization_id",),
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Tenant-partitioned Parquet sink.
+
+    ``dynamic=True`` + mode=overwrite replaces only the partitions present
+    in ``df`` — the Spark-native form of the reference's per-document
+    delete-then-insert re-ingest (metadata_store.py:799-847), idempotent
+    under replay.
+    """
+    writer = df.write.mode(mode)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
