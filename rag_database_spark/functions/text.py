@@ -28,8 +28,13 @@ STOPWORDS: tuple[str, ...] = (
     "what", "when", "which", "who", "will", "with", "you", "your",
 )
 
+# Explicit whitespace class: Java regex \s includes \x0B but RE2
+# (DuckDB) \s does not — spelling the class out keeps the Spark plan and
+# the DuckDB oracle tokenizing identically on control whitespace.
+WS_CLASS = " \\t\\n\\x0B\\f\\r"
 # strip anything that is not word char or whitespace (bm25_store.py:63)
-PUNCT_RE = r"[^\w\s]"
+PUNCT_RE = rf"[^\w{WS_CLASS}]"
+SPLIT_RE = rf"[{WS_CLASS}]+"
 MIN_TOKEN_LEN = 2
 
 # quality tier thresholds (reference document_quality.py:356-365)
@@ -41,7 +46,7 @@ QUALITY_LOW = 0.2
 def raw_tokens(text_col: Column) -> Column:
     """lowercase → punctuation→space → whitespace split (keeps stopwords)."""
     cleaned = F.regexp_replace(F.lower(text_col), PUNCT_RE, " ")
-    return F.filter(F.split(cleaned, r"\s+"), lambda t: F.length(t) > 0)
+    return F.filter(F.split(cleaned, SPLIT_RE), lambda t: F.length(t) > 0)
 
 
 def tokenize(text_col: Column) -> Column:
@@ -58,7 +63,9 @@ def tokenize(text_col: Column) -> Column:
 def token_count_ws(text_col: Column) -> Column:
     """Whitespace token count (reference token_count proxy,
     unified_chunk.py token_count field)."""
-    return F.size(F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: F.length(t) > 0))
+    return F.size(
+        F.filter(F.split(F.trim(text_col), SPLIT_RE), lambda t: F.length(t) > 0)
+    )
 
 
 def token_count_bpe_ish(text_col: Column) -> Column:
@@ -165,9 +172,16 @@ def detect_language(text_col: Column, min_ratio: float = 0.05) -> Column:
             for lang in sorted(LANG_MARKERS)
         ]
     )
-    # array_max on struct: compares ratio first, then lang DESC would win ties;
-    # sort by (ratio DESC, lang ASC) explicitly for a pinned tie-break.
-    best = F.sort_array(scored, asc=False)[0]
+    # comparator implements (ratio DESC, lang ASC) — sort_array on the
+    # struct would break ratio ties by lang DESC, the wrong direction.
+    best = F.array_sort(
+        scored,
+        lambda l, r: F.when(l["ratio"] > r["ratio"], F.lit(-1))
+        .when(l["ratio"] < r["ratio"], F.lit(1))
+        .when(l["lang"] < r["lang"], F.lit(-1))
+        .when(l["lang"] > r["lang"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )[0]
     return F.when(best["ratio"] >= min_ratio, best["lang"]).otherwise(F.lit("unknown"))
 
 

@@ -95,7 +95,6 @@ def score_queries(
     shuffles for the join, only for the final (query_id, doc_id) rollup.
     """
     stats = corpus_stats(doclens)
-    termstats = build_termstats(postings, stats.select("n_docs"))
 
     qterms = (
         queries.select(
@@ -106,8 +105,17 @@ def score_queries(
         .agg(F.count("*").alias("qtf"))
     )
 
+    # Semi-join postings down to query terms FIRST (broadcast the tiny
+    # term set), then derive df/idf from the survivors only. The full
+    # vocabulary is never aggregated or broadcast — at 100 TB the
+    # vocabulary is 10^8+ terms, but a query workload touches a few
+    # hundred, so termstats here is a few hundred rows.
+    qterm_set = qterms.select("term").distinct()
+    matched_postings = postings.join(F.broadcast(qterm_set), "term")
+    termstats = build_termstats(matched_postings, stats.select("n_docs"))
+
     matched = (
-        postings.join(F.broadcast(qterms), "term")
+        matched_postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(termstats), "term")
         .join(doclens, "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))

@@ -12,12 +12,12 @@ Physical strategy (scale story):
   partitions — no shuffle until the per-query top-k rollup, which is
   bounded by |queries| × |corpus_partition| candidates after the
   partial top-k below.
-- JVM path (`cosine_topk`): zip_with/aggregate column exprs inside
-  codegen. Arrow path (`cosine_topk_blocked`): one numpy GEMM
-  (Q @ V.T) per partition via mapInPandas — wins when |queries| is
-  large and dims are wide.
-- top-k uses a per-partition partial top-k before the global window, so
-  the shuffle carries O(k × partitions) rows per query, not the corpus.
+- default path (`cosine_topk_blocked`): one numpy GEMM (Q @ V.T) per
+  Arrow batch via mapInPandas with a map-side partial top-k, so the
+  shuffle carries O(k × batches) rows per query — never the corpus.
+- JVM path (`impl='jvm'`): zip_with/aggregate column exprs inside
+  codegen; right for tiny corpora where the Python worker round-trip
+  costs more than the one window exchange it avoids.
 """
 
 from __future__ import annotations
@@ -48,13 +48,24 @@ def cosine_topk(
     id_col: str = "id",
     vec_col: str = "vec",
     assume_normalized: bool = False,
+    impl: str = "gemm",
 ) -> DataFrame:
     """Exact top-k cosine per query → (query_id, id, score, rank).
+
+    Default ``impl='gemm'`` is the scale path: map-side numpy GEMM with a
+    per-batch partial top-k, so only O(k × batches) rows per query ever
+    shuffle (``cosine_topk_blocked``). ``impl='jvm'`` keeps scoring inside
+    whole-stage codegen — right for tiny corpora where a Python worker
+    round-trip costs more than the single window exchange it saves.
 
     ``assume_normalized=True`` skips norm division (the reference
     normalizes embeddings at encode time, dense_embedder.py:59-65, so
     cosine reduces to dot).
     """
+    if impl == "gemm":
+        return cosine_topk_blocked(
+            queries, corpus, k, query_id_col, query_vec_col, id_col, vec_col
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(query_vec_col)).alias("qvec"),
@@ -70,15 +81,7 @@ def cosine_topk(
     scored = c.join(F.broadcast(q)).select(
         "query_id", "id", sim.alias("score")
     )
-    # partial top-k per corpus partition bounds the shuffle: only
-    # k rows per (query, partition) reach the global window.
-    partial = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
-        F.desc("score"), F.asc("id")
-    )
-    pruned = scored.withColumn("pr", F.row_number().over(partial)).filter(
-        F.col("pr") <= k
-    ).drop("pr")
-    return _ranked(pruned, k)
+    return _ranked(scored, k)
 
 
 def cosine_topk_blocked(
@@ -90,9 +93,11 @@ def cosine_topk_blocked(
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """Arrow/numpy GEMM variant of ``cosine_topk`` — one ``Q @ V.T`` per
-    Arrow batch (SURVEY §2 J11 "blocked numpy matmul" scale path). Exact;
-    per-batch partial top-k, then the same global window."""
+    """Arrow/numpy GEMM form of ``cosine_topk`` — one ``Q @ V.T`` per
+    Arrow batch (SURVEY §2 J11 "blocked numpy matmul" scale path). Exact:
+    the per-batch partial top-k keeps the best k by the same
+    (score DESC, id ASC) order the global window uses, so score ties at
+    the k boundary resolve identically to the unblocked computation."""
     import numpy as np
 
     spark = queries.sparkSession
@@ -101,7 +106,9 @@ def cosine_topk_blocked(
         to_double_array(F.col(query_vec_col)).alias("qvec"),
     ).collect()
     if not q_rows:
-        return spark.createDataFrame([], "query_id long, id long, score double, rank int")
+        return spark.createDataFrame(
+            [], "query_id long, id long, score double, rank int"
+        )
     qids = [r["query_id"] for r in q_rows]
     Q = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
@@ -116,18 +123,25 @@ def cosine_topk_blocked(
         for pdf in it:
             if pdf.empty:
                 continue
+            ids = pdf["id"].to_numpy()
             V = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
             S = Qn_l @ Vn.T  # (n_queries, batch)
             kk = min(k, S.shape[1])
-            # partial top-k inside the batch
-            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            out = {
-                "query_id": np.repeat(qids_l, kk),
-                "id": pdf["id"].to_numpy()[idx].ravel(),
-                "score": np.take_along_axis(S, idx, axis=1).ravel(),
-            }
-            yield pd.DataFrame(out)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(S.shape[0]):
+                # (score DESC, id ASC): lexsort's last key is primary
+                order = np.lexsort((ids, -S[qi]))[:kk]
+                out_q.append(np.full(kk, qids_l[qi]))
+                out_i.append(ids[order])
+                out_s.append(S[qi][order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "score": np.concatenate(out_s),
+                }
+            )
 
     scored = c.mapInPandas(
         score_batches, schema="query_id long, id long, score double"

@@ -11,7 +11,12 @@ column name). All float outputs are rounded to 6 decimals on BOTH sides.
 
 from __future__ import annotations
 
-from rag_database_spark.functions.text import MIN_TOKEN_LEN, STOPWORDS
+from rag_database_spark.functions.text import (
+    MIN_TOKEN_LEN,
+    PUNCT_RE,
+    SPLIT_RE,
+    STOPWORDS,
+)
 from rag_database_spark.operators.bm25 import B, K1
 from rag_database_spark.operators.fusion import (
     DEFAULT_WEIGHTS,
@@ -22,11 +27,13 @@ from rag_database_spark.workload import HYBRID_LIMIT, queries_values_sql
 
 _STOPLIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 
-# tokenizer: lower → punctuation→space → split \s+ → len>=2, not stopword.
-# Mirrors functions/text.py::tokenize (reference bm25_store.py:38-100).
+# tokenizer: lower → punctuation→space → whitespace split → len>=2, not
+# stopword. Mirrors functions/text.py::tokenize (bm25_store.py:38-100);
+# the regexes are interpolated from the SAME constants the Spark plan
+# uses (explicit whitespace class — Java and RE2 disagree on \s).
 _TOKENIZE = (
     "unnest(regexp_split_to_array("
-    "regexp_replace(lower({text}), '[^\\w\\s]', ' ', 'g'), '\\s+'))"
+    f"regexp_replace(lower({{text}}), '{PUNCT_RE}', ' ', 'g'), '{SPLIT_RE}'))"
 )
 
 

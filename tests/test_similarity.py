@@ -1,0 +1,91 @@
+"""Exact cosine top-k (J11): GEMM default vs JVM path equality,
+deterministic tie-breaks at the k boundary, MaxSim (J12/M6) vs a plain
+numpy loop, and near-dup pair detection."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from rag_database_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dupes,
+    maxsim_scores,
+)
+
+
+def _vecs(seed, n, d):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, d)).round(3).tolist()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    vs = _vecs(7, 40, 8)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "id long, vec array<double>"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    vs = _vecs(13, 3, 8)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "query_id long, qvec array<double>"
+    )
+
+
+def test_gemm_matches_jvm(spark, corpus, queries):
+    gemm = cosine_topk(queries, corpus, 5).collect()
+    jvm = cosine_topk(queries, corpus, 5, impl="jvm").collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    g = {key(r): (r["id"], r["score"]) for r in gemm}
+    j = {key(r): (r["id"], r["score"]) for r in jvm}
+    assert set(g) == set(j) and len(g) == 15
+    for k in g:
+        assert g[k][0] == j[k][0]
+        assert g[k][1] == pytest.approx(j[k][1], rel=1e-9)
+
+
+def test_tie_break_prefers_smaller_id(spark):
+    # duplicate vectors ⇒ exactly tied scores; id ASC must win in BOTH paths
+    v = [1.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(9, v), (2, v), (5, v), (1, [0.0, 1.0])], "id long, vec array<double>"
+    )
+    queries = spark.createDataFrame([(0, v)], "query_id long, qvec array<double>")
+    for impl in ("gemm", "jvm"):
+        rows = cosine_topk(queries, corpus, 2, impl=impl).orderBy("rank").collect()
+        assert [r["id"] for r in rows] == [2, 5], impl
+
+
+def test_maxsim_matches_numpy_loop(spark):
+    rng = np.random.default_rng(3)
+    qp = rng.normal(size=(4, 6)).round(3)
+    pages = {pid: rng.normal(size=(5, 6)).round(3) for pid in (0, 1)}
+    qdf = spark.createDataFrame(
+        [(0, qp.tolist())], "query_id long, patches array<array<double>>"
+    )
+    pdf = spark.createDataFrame(
+        [(pid, p.tolist()) for pid, p in pages.items()],
+        "page_id long, patches array<array<double>>",
+    )
+    got = {r["page_id"]: r["score"] for r in maxsim_scores(qdf, pdf).collect()}
+    for pid, P in pages.items():
+        exp = sum(max(float(np.dot(t, p)) for p in P) for t in qp)
+        assert got[pid] == pytest.approx(exp, rel=1e-12)
+
+
+def test_near_dupes_brute_force(spark):
+    a = [1.0, 0.0, 0.0]
+    b = [0.9999, 0.01, 0.0]
+    c = [0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "id long, vec array<double>"
+    )
+    rows = embedding_near_dupes(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    exp = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert rows[0]["cos_sim"] == pytest.approx(float(exp))

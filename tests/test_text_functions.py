@@ -1,0 +1,70 @@
+"""Text-analysis column functions: quality tiers (F15 thresholds
+.8/.5/.2, document_quality.py:356-365), language ID tie-break, document
+fingerprints, shingles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.text import (
+    detect_language,
+    doc_fingerprint,
+    quality_tier,
+    shingles,
+    unique_token_ratio,
+)
+
+
+def test_quality_tier_thresholds(spark):
+    df = spark.createDataFrame(
+        [(0.85,), (0.8,), (0.79,), (0.5,), (0.2,), (0.19,)], "s double"
+    )
+    got = [r[0] for r in df.select(quality_tier(F.col("s"))).collect()]
+    assert got == ["high", "high", "medium", "medium", "low", "garbage"]
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house that is big",),
+            ("el perro y la casa de los gatos en la calle",),
+            ("zz qq xx yy ww",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(detect_language(F.col("text"))).collect()]
+    assert got == ["en", "es", "unknown"]
+
+
+def test_detect_language_tie_break_ascending(spark):
+    # "de la" hits exactly one marker in es ('la'), fr ('la'? no — fr has
+    # 'la' too) — craft a true tie: 'de' ∈ es, fr; ratio ties → 'es' < 'fr'
+    df = spark.createDataFrame([("de de de de de de de de de de",)], "text string")
+    got = df.select(detect_language(F.col("text"))).first()[0]
+    assert got == "es"  # es/fr tie on ratio 1.0 → language name ascending
+
+
+def test_fingerprint_normalizes_case_and_punct(spark):
+    df = spark.createDataFrame(
+        [("Fast Hash-Join!",), ("fast hash join",), ("other text",)],
+        "text string",
+    )
+    fps = [r[0] for r in df.select(doc_fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    # shorter than k → whole text as one shingle
+    df2 = spark.createDataFrame([("a b",)], "text string")
+    assert df2.select(shingles(F.col("text"), 3).alias("s")).first()["s"] == ["a b"]
+
+
+def test_unique_token_ratio(spark):
+    df = spark.createDataFrame([("x x y y",), ("",)], "text string")
+    got = [r[0] for r in df.select(unique_token_ratio(F.col("text"))).collect()]
+    assert got[0] == pytest.approx(0.5)
+    assert got[1] == 0.0
