@@ -22,10 +22,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from rag_database_spark import oracles, workload
 from rag_database_spark.operators import bm25 as bm25_ops
+from rag_database_spark.operators import filters as filter_ops
+from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
+from rag_database_spark.operators import text_analytics
 from rag_database_spark.operators.fusion import FETCH_MULTIPLIER
 from rag_database_spark.operators.hybrid import hybrid_search
-from rag_database_spark.sources.tables import load_table
+from rag_database_spark.sources.tables import TABLES, load_table, load_tables
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -80,11 +83,120 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search(queries, docs, emb, limit=workload.HYBRID_LIMIT)
 
 
+def _db_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: row counts per table + doc-lang / event-type breakdowns."""
+    return relational.db_stats(load_tables(spark, sf_dir))
+
+
+def _customer_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/J9/A12: parent ⋈ children rollup (init.sql:628-647 analog)."""
+    return relational.customer_overview(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _org_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: per-nation entity counts (init.sql:650-664 analog)."""
+    return relational.org_stats(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _list_documents_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/T7: filtered, ordered, offset/limit paging."""
+    return relational.list_documents(
+        load_table(spark, sf_dir, "documents"), lang="en", offset=20, limit=10
+    )
+
+
+TENANT_ORG = "org1"
+TENANT_ACCESS = ("public", "internal")
+TENANT_NCHARS = {"gte": 100, "lte": 400}
+TENANT_LIMIT = 10
+
+
+def _tenant_scoped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3/P7: BM25 scored on the full corpus, results restricted
+    to the tenant scope + user range filter (the reference injects the
+    tenant conjunct into every search, api/main.py:407-410)."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = workload.queries_df(spark)
+    scored = bm25_ops.score_queries(
+        queries, bm25_ops.build_postings(docs), bm25_ops.build_doclens(docs)
+    )
+    ctx = filter_ops.TenantContext(TENANT_ORG, access_levels=TENANT_ACCESS)
+    eligible = filter_ops.scoped(
+        filter_ops.derive_tenant(docs), ctx, {"n_chars": TENANT_NCHARS}
+    ).select("doc_id", "organization_id")
+    return (
+        bm25_ops.topk(scored.join(eligible, "doc_id"), TENANT_LIMIT)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+            "organization_id",
+        )
+    )
+
+
+def _events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: JSON-map containment/range filter over events.props."""
+    events = load_table(spark, sf_dir, "events")
+    k = filter_ops.json_filter(F.col("props"), "k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .filter((F.col("k") >= 50) & (F.col("k") <= 80))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (training-data pipeline surface)."""
+    return text_analytics.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish + chars + avg word length."""
+    return text_analytics.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 quality metrics + F15 tier routing."""
+    return text_analytics.doc_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (md5 of normalized tokens)."""
+    return text_analytics.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _bm25_topk,
         "dense_topk": _dense_topk,
         "hybrid_rrf": _hybrid_rrf,
+        "db_stats": _db_stats,
+        "customer_overview": _customer_overview,
+        "org_stats": _org_stats,
+        "list_documents_page": _list_documents_page,
+        "tenant_scoped_search": _tenant_scoped_search,
+        "events_json_filter": _events_json_filter,
+        "lang_id": _lang_id,
+        "token_stats": _token_stats,
+        "doc_quality": _doc_quality,
+        "exact_dedup": _exact_dedup,
     }
 
 
@@ -93,4 +205,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracles.bm25_topk_sql(),
         "dense_topk": oracles.dense_topk_sql(),
         "hybrid_rrf": oracles.hybrid_rrf_sql(),
+        "db_stats": oracles.db_stats_sql(),
+        "customer_overview": oracles.customer_overview_sql(),
+        "org_stats": oracles.org_stats_sql(),
+        "list_documents_page": oracles.list_documents_page_sql(),
+        "tenant_scoped_search": oracles.tenant_scoped_search_sql(
+            TENANT_ORG,
+            TENANT_ACCESS,
+            TENANT_NCHARS["gte"],
+            TENANT_NCHARS["lte"],
+            TENANT_LIMIT,
+        ),
+        "events_json_filter": oracles.events_json_filter_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "token_stats": oracles.token_stats_sql(),
+        "doc_quality": oracles.doc_quality_sql(),
+        "exact_dedup": oracles.exact_dedup_sql(),
     }

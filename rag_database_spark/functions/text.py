@@ -68,11 +68,16 @@ def token_count_ws(text_col: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenization: word pieces + standalone punctuation marks.
+# Explicit classes (no \w/\s shorthand) so Java and RE2 agree.
+BPE_RE = rf"[a-z0-9_]+|[^a-z0-9_{WS_CLASS}]"
+
+
 def token_count_bpe_ish(text_col: Column) -> Column:
     """BPE-ish subword count: word pieces + standalone punctuation, the
-    standard pre-tokenization regex family. Counts matches of
-    ``\\w+|[^\\w\\s]``."""
-    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(r"[a-z0-9_]+|[^\w\s]"), 0))
+    standard pre-tokenization regex family. Counts matches of BPE_RE
+    over the lowercased text."""
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(BPE_RE), 0))
 
 
 def stopword_ratio(text_col: Column) -> Column:
@@ -98,10 +103,14 @@ def digit_ratio(text_col: Column) -> Column:
     return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
 
 
+# explicit class: Java/RE2-identical (see WS_CLASS note)
+SPECIAL_RE = rf"[^a-zA-Z0-9{WS_CLASS}]"
+
+
 def special_char_ratio(text_col: Column) -> Column:
     """non-alnum-non-space chars / chars (same reference family)."""
     n = F.length(text_col)
-    special = n - F.length(F.regexp_replace(text_col, r"[^a-zA-Z0-9\s]", ""))
+    special = n - F.length(F.regexp_replace(text_col, SPECIAL_RE, ""))
     return F.when(n > 0, special / n).otherwise(F.lit(0.0))
 
 

@@ -1,0 +1,165 @@
+"""Relational analytics operators — the reference's FK joins, SQL
+views, stats rollups, and paging (J8/J9, A5/A12, P6/T7/T8).
+
+The reference exposes these as Postgres views (init.sql:628-664
+``document_overview`` / ``organization_stats``) and ORM rollups
+(metadata_store.py:1245-1291 ``get_database_stats``,
+:779-796 ``list_documents``). Here each is a declarative DataFrame plan:
+joins are equi-joins Catalyst can reorder/broadcast, aggregates get
+map-side partial aggregation, and the paging window sorts once.
+
+Scale notes: the overview joins shuffle on the FK (orderkey/custkey) —
+at 100 TB both sides would be bucketed on the key to make these
+shuffle-free; the dimension side (nation/region) is broadcast. The
+stats rollup is a union of independent small aggregates — one job, no
+wide shuffle. Paging with a global row_number serializes on one
+partition after the per-partition sort; for deep paging at scale use
+keyset continuation (WHERE (sort_key, id) > last_seen) instead — both
+forms are provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def db_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """A5 (metadata_store.py:1245-1291): one long-format frame of
+    (section, key, cnt) — row counts per table plus group-by breakdowns
+    of documents (by lang) and events (by type)."""
+    parts = []
+    for name, df in sorted(tables.items()):
+        parts.append(
+            df.agg(F.count("*").alias("cnt")).select(
+                F.lit("table").alias("section"), F.lit(name).alias("key"), "cnt"
+            )
+        )
+    if "documents" in tables:
+        parts.append(
+            tables["documents"]
+            .groupBy(F.col("lang").alias("key"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit("doc_lang").alias("section"), "key", "cnt")
+        )
+    if "events" in tables:
+        parts.append(
+            tables["events"]
+            .groupBy(F.col("event_type").alias("key"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit("event_type").alias("section"), "key", "cnt")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def customer_overview(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame) -> DataFrame:
+    """J9/A12 analog of init.sql:628-647 ``document_overview``: the
+    parent entity joined to two child tables with per-parent distinct
+    counts and sums.
+
+    Aggregate lineitem to order grain FIRST, then join — the classic
+    pre-aggregation that keeps the big⋈big join at order grain instead
+    of exploding customer×lineitem."""
+    li_per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    per_cust = (
+        orders.join(li_per_order, orders["o_orderkey"] == li_per_order["l_orderkey"], "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("n_items").alias("n_lineitems"),
+            # price×(1−discount) lies on a 4-decimal grid; rounding at 4
+            # keeps grid values (no half-way ties), while the cross-engine
+            # summation-order error (~1e-9) stays far below the half-grid
+            F.round(F.sum("rev"), 4).alias("revenue"),
+        )
+    )
+    return (
+        customer.join(per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).alias("n_lineitems"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+def org_stats(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+              orders: DataFrame) -> DataFrame:
+    """A12 analog of init.sql:650-664 ``organization_stats``: per-nation
+    entity counts + order volume. Each side is pre-aggregated to nation
+    grain, then the tiny per-nation frames join broadcast."""
+    cust = customer.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers")
+    )
+    supp = supplier.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers")
+    )
+    ords = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_order_value"),
+        )
+    )
+    return (
+        nation.join(F.broadcast(cust), nation["n_nationkey"] == cust["c_nationkey"], "left")
+        .join(F.broadcast(supp), nation["n_nationkey"] == supp["s_nationkey"], "left")
+        .join(F.broadcast(ords.withColumnRenamed("c_nationkey", "o_nationkey")),
+              nation["n_nationkey"] == F.col("o_nationkey"), "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_order_value", F.lit(0.0)).alias("total_order_value"),
+        )
+    )
+
+
+def list_documents(docs: DataFrame, lang: str | None = None,
+                   source: str | None = None, offset: int = 0,
+                   limit: int = 20) -> DataFrame:
+    """P6/T7 (metadata_store.py:779-796): optional equality filters +
+    deterministic order + offset/limit paging via row_number.
+
+    Order: (n_chars DESC, doc_id ASC) — the driver tables' analog of
+    ``ORDER BY created_at DESC`` with a pinned tie-break."""
+    out = docs
+    if lang is not None:
+        out = out.filter(F.col("lang") == lang)
+    if source is not None:
+        out = out.filter(F.col("source") == source)
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        out.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
+        .select("doc_id", "lang", "source", "n_chars", "rn")
+    )
+
+
+def list_documents_keyset(docs: DataFrame, last_n_chars: int,
+                          last_doc_id: int, limit: int = 20) -> DataFrame:
+    """Keyset-continuation form of ``list_documents`` — the 100 TB-safe
+    paging pattern: no global row_number, the composite-key predicate
+    pushes into the scan and only ``limit`` rows survive."""
+    pred = (F.col("n_chars") < last_n_chars) | (
+        (F.col("n_chars") == last_n_chars) & (F.col("doc_id") > last_doc_id)
+    )
+    return (
+        docs.filter(pred)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(limit)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -1,0 +1,88 @@
+"""Document-level text analytics — the training-data-pipeline surface
+(language ID, token stats, quality metrics A7, exact dedup) as one
+narrow scan + column expressions per operator.
+
+Everything is a JVM-side column expression over ``documents(doc_id,
+text, ...)`` — no Python in the hot path, a single projection per
+operator, no shuffle except ``exact_dedup``'s one groupBy on the
+16-byte fingerprint (uniform key, map-side combine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.text import (
+    avg_word_length,
+    detect_language,
+    digit_ratio,
+    doc_fingerprint,
+    quality_score,
+    quality_tier,
+    special_char_ratio,
+    stopword_ratio,
+    token_count_bpe_ish,
+    token_count_ws,
+    unique_token_ratio,
+)
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Language ID via stopword-marker hit ratios (argmax, ties by
+    language name ascending, 'unknown' under 5% hit ratio)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        detect_language(F.col(text_col)).alias("lang_pred"),
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document token counting: whitespace tokens, BPE-ish subword
+    pieces, characters, average word length."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        F.length(t).alias("n_chars_calc"),
+        F.round(avg_word_length(t), 6).alias("avg_word_len"),
+    )
+
+
+def doc_quality(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """A7 quality metrics + composite score + tier routing (F15
+    thresholds .8/.5/.2, document_quality.py:356-365)."""
+    t = F.col(text_col)
+    score = quality_score(t)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(unique_token_ratio(t), 6).alias("unique_ratio"),
+        F.round(digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(special_char_ratio(t), 6).alias("special_ratio"),
+        F.round(score, 6).alias("q_score"),
+        quality_tier(score).alias("tier"),
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact content dedup: md5 fingerprint over the normalized token
+    stream; the smallest doc_id per fingerprint is canonical, the rest
+    are flagged (reference id scheme: md5 of content,
+    document_processor.py:183-188).
+
+    One shuffle on the fingerprint (uniform 128-bit key — no skew);
+    at 100 TB this is the standard exact-dedup plan."""
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_dupe", F.col("doc_id") != F.col("canonical_id"))
+    )

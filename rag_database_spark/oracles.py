@@ -157,3 +157,262 @@ SELECT query_id, id, rrf_score, bm25_rank, dense_rank,
 FROM fused
 QUALIFY rank <= {limit}
 """
+
+
+# ---------------------------------------------------------------------------
+# Relational / filter / text-analytics oracles (round 2)
+# ---------------------------------------------------------------------------
+
+# raw tokens (keeps stopwords, drops empties) — mirrors text.raw_tokens
+_RAWTOK_CTE = f"""
+rt AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, {_TOKENIZE.format(text="text")} AS term FROM documents
+  ) WHERE length(term) > 0
+)"""
+
+_DB_STATS_TABLES = (
+    "customer", "documents", "embeddings", "events", "lineitem",
+    "nation", "orders", "part", "region", "supplier",
+)
+
+
+def db_stats_sql() -> str:
+    parts = [
+        f"SELECT 'table' AS section, '{t}' AS key, (SELECT count(*) FROM {t}) AS cnt"
+        for t in _DB_STATS_TABLES
+    ]
+    parts.append(
+        "SELECT 'doc_lang' AS section, lang AS key, count(*) AS cnt "
+        "FROM documents GROUP BY lang"
+    )
+    parts.append(
+        "SELECT 'event_type' AS section, event_type AS key, count(*) AS cnt "
+        "FROM events GROUP BY event_type"
+    )
+    return " UNION ALL ".join(parts)
+
+
+def customer_overview_sql() -> str:
+    return """
+WITH li AS (
+  SELECT l_orderkey, count(*) AS n_items,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_orderkey
+),
+pc AS (
+  SELECT o_custkey, count(DISTINCT o_orderkey) AS n_orders,
+         sum(n_items) AS n_lineitems, round(sum(rev), 4) AS revenue
+  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_lineitems, 0) AS n_lineitems,
+       coalesce(revenue, 0.0) AS revenue
+FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+"""
+
+
+def org_stats_sql() -> str:
+    return """
+WITH cust AS (
+  SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1
+),
+supp AS (
+  SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1
+),
+ords AS (
+  SELECT c_nationkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_order_value
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+)
+SELECT n_nationkey, n_name,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(total_order_value, 0.0) AS total_order_value
+FROM nation
+LEFT JOIN cust ON n_nationkey = cust.c_nationkey
+LEFT JOIN supp ON n_nationkey = supp.s_nationkey
+LEFT JOIN ords ON n_nationkey = ords.c_nationkey
+"""
+
+
+def list_documents_page_sql(lang: str = "en", offset: int = 20,
+                            limit: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang, source, n_chars, rn FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS rn
+  FROM documents WHERE lang = '{lang}'
+) WHERE rn > {offset} AND rn <= {offset + limit}
+"""
+
+
+def tenant_scoped_search_sql(org: str, access: tuple[str, ...],
+                             n_chars_gte: int, n_chars_lte: int,
+                             limit: int) -> str:
+    from rag_database_spark.operators.filters import derive_tenant_sql
+
+    access_list = ", ".join(f"'{a}'" for a in access)
+    return f"""
+WITH {_bm25_ctes(limit)},
+tenants AS (
+  SELECT doc_id, n_chars, {derive_tenant_sql()} FROM documents
+),
+eligible AS (
+  SELECT doc_id, organization_id FROM tenants
+  WHERE organization_id = '{org}'
+    AND access_level IN ({access_list})
+    AND n_chars >= {n_chars_gte} AND n_chars <= {n_chars_lte}
+),
+filt AS (
+  SELECT b.query_id, b.doc_id, b.score, e.organization_id
+  FROM bm25_scored b JOIN eligible e USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score, organization_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         )::BIGINT AS rank
+  FROM filt
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank, organization_id
+FROM ranked WHERE rank <= {limit}
+"""
+
+
+def events_json_filter_sql(lo: int = 50, hi: int = 80) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, value,
+         json_extract_string(props, '$.k')::INT AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       min(k) AS min_k, max(k) AS max_k
+FROM e WHERE k >= {lo} AND k <= {hi}
+GROUP BY event_type
+"""
+
+
+def lang_id_sql(min_ratio: float = 0.05) -> str:
+    from rag_database_spark.functions.text import LANG_MARKERS
+
+    markers = ", ".join(
+        f"('{lang}', '{term}')"
+        for lang in sorted(LANG_MARKERS)
+        for term in LANG_MARKERS[lang]
+    )
+    return f"""
+WITH {_RAWTOK_CTE.lstrip()},
+markers(lang, term) AS (VALUES {markers}),
+totals AS (SELECT doc_id, count(*) AS n FROM rt GROUP BY doc_id),
+hits AS (
+  SELECT r.doc_id, m.lang, count(*) AS c
+  FROM rt r JOIN markers m USING (term) GROUP BY r.doc_id, m.lang
+),
+scored AS (
+  SELECT t.doc_id, l.lang, coalesce(h.c, 0) / t.n AS ratio
+  FROM totals t
+  CROSS JOIN (SELECT DISTINCT lang FROM markers) l
+  LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.lang = l.lang
+),
+best AS (
+  SELECT doc_id, lang, ratio,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY ratio DESC, lang
+         ) AS rn
+  FROM scored
+)
+SELECT d.doc_id,
+       CASE WHEN b.ratio >= {min_ratio} THEN b.lang
+            ELSE 'unknown' END AS lang_pred
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
+def token_stats_sql() -> str:
+    from rag_database_spark.functions.text import BPE_RE, SPLIT_RE
+
+    return f"""
+WITH {_RAWTOK_CTE.lstrip()},
+wl AS (
+  SELECT doc_id, sum(length(term)) AS total_len, count(*) AS n
+  FROM rt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(list_filter(string_split_regex(trim(d.text), '{SPLIT_RE}'),
+                       x -> length(x) > 0)) AS n_tokens_ws,
+       len(regexp_extract_all(lower(d.text), '{BPE_RE}')) AS n_tokens_bpe,
+       length(d.text) AS n_chars_calc,
+       round(coalesce(wl.total_len / wl.n, 0.0), 6) AS avg_word_len
+FROM documents d LEFT JOIN wl USING (doc_id)
+"""
+
+
+def doc_quality_sql() -> str:
+    from rag_database_spark.functions.text import SPECIAL_RE
+
+    return f"""
+WITH {_RAWTOK_CTE.lstrip()},
+tok_stats AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT term) AS n_distinct,
+         sum(CASE WHEN term IN ({_STOPLIST}) THEN 1 ELSE 0 END) AS n_stop
+  FROM rt GROUP BY doc_id
+),
+ratios AS (
+  SELECT d.doc_id,
+         coalesce(t.n_stop / t.n, 0.0) AS stop_ratio,
+         coalesce(t.n_distinct / t.n, 0.0) AS uniq_ratio,
+         CASE WHEN length(d.text) > 0 THEN
+           (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+             / length(d.text)
+         ELSE 0.0 END AS dig_ratio,
+         CASE WHEN length(d.text) > 0 THEN
+           (length(d.text) - length(regexp_replace(d.text, '{SPECIAL_RE}', '', 'g')))
+             / length(d.text)
+         ELSE 0.0 END AS spec_ratio,
+         length(d.text) AS n_chars
+  FROM documents d LEFT JOIN tok_stats t USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, stop_ratio, uniq_ratio, dig_ratio, spec_ratio,
+         0.30 * least(n_chars / 200.0, 1.0)
+           + 0.25 * least(stop_ratio * 4.0, 1.0)
+           + 0.25 * uniq_ratio
+           + 0.20 * (1.0 - spec_ratio) AS q
+  FROM ratios
+)
+SELECT doc_id,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(uniq_ratio, 6) AS unique_ratio,
+       round(dig_ratio, 6) AS digit_ratio,
+       round(spec_ratio, 6) AS special_ratio,
+       round(q, 6) AS q_score,
+       CASE WHEN q >= 0.8 THEN 'high'
+            WHEN q >= 0.5 THEN 'medium'
+            WHEN q >= 0.2 THEN 'low'
+            ELSE 'garbage' END AS tier
+FROM scored
+"""
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '{PUNCT_RE}', ' ', 'g'),
+           '{SPLIT_RE}', ' ', 'g')) AS s
+  FROM documents
+),
+fp AS (SELECT doc_id, md5(s) AS fingerprint FROM norm)
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS is_dupe
+FROM fp
+"""
