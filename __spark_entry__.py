@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from rag_database_spark import oracles, workload
 from rag_database_spark.operators import bm25 as bm25_ops
+from rag_database_spark.operators import chunking
 from rag_database_spark.operators import filters as filter_ops
 from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
@@ -182,6 +183,12 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C5/W3/W4/F21/F22: the chunking pipeline — doc-level summary
+    chunk + overlapping word-window chunks with page as-of assignment."""
+    return chunking.chunk_pipeline(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _bm25_topk,
@@ -197,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,
         "doc_quality": _doc_quality,
         "exact_dedup": _exact_dedup,
+        "chunk_documents": _chunk_documents,
     }
 
 
@@ -221,4 +229,5 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracles.token_stats_sql(),
         "doc_quality": oracles.doc_quality_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
+        "chunk_documents": oracles.chunk_documents_sql(),
     }

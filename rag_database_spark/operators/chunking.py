@@ -1,0 +1,336 @@
+"""Chunking pipeline — the reference's central transformation
+(C2/C5/C6/C7/C8, W3, W4, F9, F21, F22; src/chunking/*).
+
+The reference chunks one document at a time in Python (Chonkie token
+windows, chunking_service.py:261-271; greedy paragraph packer :633-739;
+hierarchy :326-526; page assignment via bisect,
+master_pipeline.py:710-770). Re-expressed for Spark, chunking is a
+flatMap in pure column algebra: one documents row → N chunk rows via
+``explode(sequence(...))``, with no Python in the path at all — every
+operator here is JVM-side and whole-stage-codegen'd, so a 100 TB corpus
+chunks at scan speed with zero shuffles (the only wide op is the page
+as-of, bounded per document).
+
+Engine-defined window semantics (Chonkie C2): fixed word windows of
+``chunk_size`` with ``overlap`` carry, stride = size − overlap
+(reference defaults 512/128, chunking_service.py:229-251; the engine
+parameterizes them). Offsets are in the normalized (single-spaced)
+text, which makes (char_start, char_end, token_count) exactly
+reproducible by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.text import SPLIT_RE
+
+CHUNK_SIZE = 32  # words per chunk (scaled-down 512, config.py:27)
+OVERLAP = 8      # carried words   (scaled-down 128, config.py:28)
+PAGE_CHARS = 200          # synthetic page length for W4 over the test tables
+DOC_SUMMARY_CHARS = 2000  # F22 doc-level truncation (chunking_service.py:448)
+
+
+def split_words(text_col: Column) -> Column:
+    """Whitespace word split, empties dropped (the packer's word unit,
+    chunking_service.py:633-739)."""
+    return F.filter(F.split(text_col, SPLIT_RE), lambda t: F.length(t) > 0)
+
+
+def _chunk_id(doc_id: Column, level: Column, idx: Column, text: Column) -> Column:
+    """F21 deterministic id scheme ``{doc}_{level}_{idx}_{md5[:12]}``
+    (document_processor.py:183-188, unified_chunk.py:138-142)."""
+    return F.concat_ws(
+        "_",
+        doc_id.cast("string"),
+        level,
+        idx.cast("string"),
+        F.substring(F.md5(text), 1, 12),
+    )
+
+
+def _base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    words = split_words(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("words")
+    ).select(
+        "doc_id",
+        "words",
+        F.size("words").alias("n"),
+        F.array_join("words", " ").alias("norm_text"),
+    ).withColumn("norm_len", F.length("norm_text"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = OVERLAP,
+) -> DataFrame:
+    """C2/W3: word-window chunks with overlap; one row in → N rows out
+    via explode, chunk_index dense from 0 per document.
+
+    Output: (doc_id, chunk_index, chunk_text, token_count, char_start,
+    char_end) — offsets into the normalized text."""
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    base = _base(docs, id_col, text_col).filter(F.col("n") > 0)
+    n = F.col("n")
+    n_chunks = (
+        F.when(n <= chunk_size, F.lit(1))
+        .otherwise(F.floor((n - chunk_size + stride - 1) / stride) + 1)
+        .cast("long")
+    )
+    exploded = base.withColumn("n_chunks", n_chunks).select(
+        "doc_id",
+        "words",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+            "chunk_index"
+        ),
+    )
+    start = (F.col("chunk_index") * stride).cast("int")
+    chunk_words = F.slice(F.col("words"), start + 1, chunk_size)
+    chunk_text = F.array_join(chunk_words, " ")
+    char_start = F.when(start == 0, F.lit(0).cast("long")).otherwise(
+        (F.length(F.array_join(F.slice(F.col("words"), 1, start), " ")) + 1).cast(
+            "long"
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_index"),
+        chunk_text.alias("chunk_text"),
+        F.least(F.lit(chunk_size), F.col("n") - start).cast("long").alias(
+            "token_count"
+        ),
+        char_start.alias("char_start"),
+    ).withColumn(
+        "char_end", F.col("char_start") + F.length("chunk_text")
+    )
+
+
+def doc_level_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    summary_chars: int = DOC_SUMMARY_CHARS,
+) -> DataFrame:
+    """C5 document-level summary chunk + F22 truncation: first
+    ``summary_chars`` of the normalized text, '...' appended when
+    truncated (chunking_service.py:448)."""
+    base = _base(docs, id_col, text_col).filter(F.col("n") > 0)
+    text = F.when(
+        F.col("norm_len") > summary_chars,
+        F.concat(F.substring("norm_text", 1, summary_chars), F.lit("...")),
+    ).otherwise(F.col("norm_text"))
+    return base.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("chunk_index"),
+        text.alias("chunk_text"),
+        F.col("n").cast("long").alias("token_count"),
+        F.lit(0).cast("long").alias("char_start"),
+        F.col("norm_len").cast("long").alias("char_end"),
+    )
+
+
+def page_boundaries(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    page_chars: int = PAGE_CHARS,
+) -> DataFrame:
+    """Synthetic page-boundary table for the pageless test corpus:
+    boundaries every ``page_chars`` of normalized text. The real ingest
+    path would carry parser-emitted boundaries; the as-of assignment
+    below is identical either way."""
+    base = _base(docs, id_col, text_col).filter(F.col("n") > 0)
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("norm_len"), F.lit(page_chars))
+        ).alias("pos"),
+    ).withColumn("page_number", (F.col("pos") / page_chars + 1).cast("long"))
+
+
+def assign_pages(
+    chunks: DataFrame,
+    boundaries: DataFrame,
+    pos_col: str = "char_start",
+) -> DataFrame:
+    """W4 — the as-of join (master_pipeline.py:710-770 bisect): each
+    chunk gets the page of the last boundary with ``pos <= char_start``.
+
+    Spark form: union boundaries+chunks, one window sort per document,
+    ``last(page, ignorenulls)`` running value — O(n log n) per doc
+    partition, no driver logic, no UDF. Equal positions resolve
+    boundary-first (is_chunk secondary key)."""
+    c = chunks.withColumn(
+        "__row", F.struct(*[F.col(x) for x in chunks.columns])
+    ).select(
+        "doc_id",
+        F.col(pos_col).alias("pos"),
+        F.lit(None).cast("long").alias("__page"),
+        F.lit(1).alias("__is_chunk"),
+        "__row",
+    )
+    b = boundaries.select(
+        "doc_id",
+        F.col("pos"),
+        F.col("page_number").alias("__page"),
+        F.lit(0).alias("__is_chunk"),
+    ).withColumn("__row", F.lit(None).cast(c.schema["__row"].dataType))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "__is_chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = b.unionByName(c).withColumn(
+        "page_number", F.last("__page", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"__row.{x}").alias(x) for x in chunks.columns]
+    return merged.filter(F.col("__is_chunk") == 1).select(
+        *out_cols, "page_number"
+    )
+
+
+def chunk_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = OVERLAP,
+    page_chars: int = PAGE_CHARS,
+) -> DataFrame:
+    """The full C5-lite hierarchy: document-level summary chunk (no
+    page) + word-window paragraph chunks with W4 page assignment, W3
+    indices, F21 ids, parent_id threading (unified_chunk.py:76-127)."""
+    paras = chunk_documents(docs, id_col, text_col, chunk_size, overlap)
+    paras = assign_pages(
+        paras, page_boundaries(docs, id_col, text_col, page_chars)
+    ).withColumn("level", F.lit("paragraph"))
+    doc_chunks = doc_level_chunks(docs, id_col, text_col).select(
+        "*",
+        F.lit(None).cast("long").alias("page_number"),
+    ).withColumn("level", F.lit("document"))
+
+    doc_ids = doc_chunks.select(
+        "doc_id",
+        _chunk_id(
+            F.col("doc_id"), F.lit("document"), F.lit(0), F.col("chunk_text")
+        ).alias("__doc_chunk_id"),
+    )
+    all_chunks = doc_chunks.unionByName(paras)
+    return (
+        all_chunks.withColumn(
+            "chunk_id",
+            _chunk_id(
+                F.col("doc_id"),
+                F.col("level"),
+                F.col("chunk_index"),
+                F.col("chunk_text"),
+            ),
+        )
+        # chunk-grain ⋈ doc-grain equi-join; AQE picks broadcast vs
+        # shuffle by observed size (doc-grain side is 1 row per doc)
+        .join(doc_ids, "doc_id")
+        .withColumn(
+            "parent_id",
+            F.when(F.col("level") == "paragraph", F.col("__doc_chunk_id")),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "level",
+            "chunk_index",
+            "chunk_text",
+            "token_count",
+            "char_start",
+            "char_end",
+            "page_number",
+            "parent_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 structure detection + C7 sentence chunks (unit-tested surface; the
+# driver's synthetic corpus has no line/sentence structure to oracle)
+# ---------------------------------------------------------------------------
+
+# Pattern banks per document family (chunking_service.py:83-207,
+# hierarchical_chunker.py:88-287): (family, regex, level-from-dots?).
+# Level = 1 + number of dots in the section number where applicable.
+SECTION_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("legal", r"^(?:ARTICLE|Article)\s+([IVXLC]+|\d+)"),
+    ("legal", r"^(?:SECTION|Section)\s+(\d+(?:\.\d+)*)"),
+    ("legal", r"^(?:Clause)\s+(\d+(?:\.\d+)*)"),
+    ("legal", r"^(WHEREAS)\b"),
+    ("legal", r"^(?:Exhibit|EXHIBIT)\s+([A-Z])\b"),
+    ("technical", r"^(?:Chapter|CHAPTER)\s+(\d+)"),
+    ("technical", r"^(?:Part|PART)\s+([IVXLC]+|\d+)"),
+    ("code", r"^§\s*(\d+(?:\.\d+)*)"),
+    ("financial", r"^(Balance Sheet|Income Statement|Cash Flow)"),
+    ("financial", r"^(Q[1-4]\s+\d{4}|FY\s*\d{4})"),
+)
+
+
+def detect_sections(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """F9: per-line regex cascade → (doc_id, line_no, family, title,
+    section_number, level). Lines via posexplode — a flatMap with no
+    Python; each pattern is one JVM regexp_extract."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "line"),
+    )
+    line = F.col("line")
+    family = F.lit(None).cast("string")
+    number = F.lit(None).cast("string")
+    for fam, pat in SECTION_PATTERNS:
+        hit = line.rlike(pat)
+        family = F.when(family.isNotNull(), family).otherwise(
+            F.when(hit, F.lit(fam))
+        )
+        number = F.when(number.isNotNull(), number).otherwise(
+            F.when(hit, F.regexp_extract(line, pat, 1))
+        )
+    out = lines.select(
+        "doc_id",
+        "line_no",
+        family.alias("family"),
+        F.trim(line).alias("title"),
+        number.alias("section_number"),
+    ).filter(F.col("family").isNotNull())
+    # level = dot-depth of the section number (chunking_service.py:190-205)
+    return out.withColumn(
+        "level",
+        (
+            F.length("section_number")
+            - F.length(F.regexp_replace("section_number", r"\.", ""))
+            + 1
+        ).cast("int"),
+    )
+
+
+SENTENCE_SPLIT_RE = r"(?<=[.!?])\s+"
+MIN_SENTENCE_CHARS = 20  # P11 (hierarchical_chunker.py:525)
+
+
+def sentence_chunks(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C7 (hierarchical_chunker.py:511-539): sentence-boundary split,
+    sentences shorter than 20 chars dropped (P11)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), SENTENCE_SPLIT_RE)).alias(
+            "sentence_index", "sentence"
+        ),
+    ).filter(F.length(F.trim("sentence")) >= MIN_SENTENCE_CHARS).select(
+        "doc_id", "sentence_index", F.trim("sentence").alias("sentence")
+    )

@@ -416,3 +416,82 @@ SELECT doc_id, fingerprint,
        doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS is_dupe
 FROM fp
 """
+
+
+def chunk_documents_sql() -> str:
+    from rag_database_spark.operators.chunking import (
+        CHUNK_SIZE,
+        DOC_SUMMARY_CHARS,
+        OVERLAP,
+        PAGE_CHARS,
+    )
+
+    s, stride, page, summ = (
+        CHUNK_SIZE, CHUNK_SIZE - OVERLAP, PAGE_CHARS, DOC_SUMMARY_CHARS,
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+),
+b2 AS (
+  SELECT doc_id, words, len(words) AS n,
+         array_to_string(words, ' ') AS norm_text,
+         length(array_to_string(words, ' ')) AS norm_len
+  FROM base WHERE len(words) > 0
+),
+doc_chunks AS (
+  SELECT doc_id, 'document' AS level, 0::BIGINT AS chunk_index,
+         CASE WHEN norm_len > {summ}
+              THEN substr(norm_text, 1, {summ}) || '...'
+              ELSE norm_text END AS chunk_text,
+         n::BIGINT AS token_count, 0::BIGINT AS char_start,
+         norm_len::BIGINT AS char_end, NULL::BIGINT AS page_number
+  FROM b2
+),
+nc AS (
+  SELECT *, CASE WHEN n <= {s} THEN 1
+                 ELSE (n - {s} + {stride} - 1) // {stride} + 1
+            END AS n_chunks
+  FROM b2
+),
+paras AS (
+  SELECT doc_id, words, n,
+         unnest(generate_series(0, n_chunks - 1)) AS ci
+  FROM nc
+),
+p2 AS (
+  SELECT doc_id, ci::BIGINT AS chunk_index,
+         array_to_string(words[ci * {stride} + 1 : ci * {stride} + {s}],
+                         ' ') AS chunk_text,
+         least({s}, n - ci * {stride})::BIGINT AS token_count,
+         (CASE WHEN ci = 0 THEN 0
+               ELSE length(array_to_string(words[1 : ci * {stride}], ' ')) + 1
+          END)::BIGINT AS char_start
+  FROM paras
+),
+p3 AS (
+  SELECT doc_id, 'paragraph' AS level, chunk_index, chunk_text, token_count,
+         char_start, (char_start + length(chunk_text))::BIGINT AS char_end,
+         (char_start // {page} + 1)::BIGINT AS page_number
+  FROM p2
+),
+allc AS (
+  SELECT * FROM doc_chunks UNION ALL SELECT * FROM p3
+),
+parents AS (
+  SELECT doc_id,
+         doc_id::VARCHAR || '_document_0_' || substr(md5(chunk_text), 1, 12)
+           AS parent
+  FROM doc_chunks
+)
+SELECT a.doc_id,
+       a.doc_id::VARCHAR || '_' || a.level || '_' || a.chunk_index::VARCHAR
+         || '_' || substr(md5(a.chunk_text), 1, 12) AS chunk_id,
+       a.level, a.chunk_index, a.chunk_text, a.token_count,
+       a.char_start, a.char_end, a.page_number,
+       CASE WHEN a.level = 'paragraph' THEN p.parent END AS parent_id
+FROM allc a JOIN parents p USING (doc_id)
+"""
