@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from rag_database_spark import oracles, workload
 from rag_database_spark.operators import bm25 as bm25_ops
 from rag_database_spark.operators import chunking
+from rag_database_spark.operators import dedup
 from rag_database_spark.operators import filters as filter_ops
 from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
@@ -189,6 +190,36 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.chunk_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+JACCARD_THRESHOLD = 0.8
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (inverted-index join)."""
+    return dedup.shingle_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-derived, oracle-reproducible)."""
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints over tf-weighted raw tokens."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; LSH-bucketed variant is
+    dedup.embedding_near_dupes_lsh, recall-tested in tests/)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dupes(
+        emb, COSINE_DUP_THRESHOLD, id_col="vec_id", vec_col="embedding"
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _bm25_topk,
@@ -205,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "exact_dedup": _exact_dedup,
         "chunk_documents": _chunk_documents,
+        "near_dup_pairs": _near_dup_pairs,
+        "minhash_sigs": _minhash_sigs,
+        "simhash_fp": _simhash_fp,
+        "embedding_near_dup": _embedding_near_dup,
     }
 
 
@@ -230,4 +265,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oracles.doc_quality_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "chunk_documents": oracles.chunk_documents_sql(),
+        "near_dup_pairs": oracles.near_dup_pairs_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
+        "minhash_sigs": oracles.minhash_signatures_sql(
+            dedup.N_MINHASHES, dedup.SHINGLE_K
+        ),
+        "simhash_fp": oracles.simhash_sql(dedup.SIMHASH_BITS),
+        "embedding_near_dup": oracles.embedding_near_dup_sql(
+            COSINE_DUP_THRESHOLD
+        ),
     }

@@ -1,0 +1,378 @@
+"""Near-duplicate detection — the LLM-training-data dedup family
+(engine extension beyond the reference surface, per the build brief):
+
+- exact n-gram Jaccard pairs via a shingle inverted-index join
+  (``shingle_jaccard_pairs``) — exact and 100 TB-viable: any pair with
+  Jaccard > 0 shares a shingle, so the candidate join touches only
+  pairs with overlap, never the N² cross product.
+- MinHash signatures (``minhash_signatures``) + banded LSH candidate
+  generation (``lsh_candidate_pairs``) — the sub-linear scale path.
+- SimHash fingerprints (``simhash``) with Hamming-distance pairing.
+- random-hyperplane LSH bucketing for embedding-space near-dups
+  (``rp_blocks`` / ``embedding_near_dupes_lsh``) — the block producer
+  the brute-force ``similarity.embedding_near_dupes`` lacks.
+
+All hashes derive from md5 (seed-prefixed), so the DuckDB oracle can
+reproduce signatures bit-for-bit: Spark ``conv(substr(md5(x),1,15),16,10)``
+== DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.text import raw_tokens, shingles
+
+N_MINHASHES = 16
+LSH_BANDS = 4  # 4 bands × 4 rows over the 16 minhashes
+SIMHASH_BITS = 32
+SHINGLE_K = 3
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash from md5 — reproducible in any
+    engine with md5 + hex parsing (no engine-native hash functions,
+    which differ between Spark and DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
+                  k: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over distinct k-token shingles.
+
+    Plan: explode shingles → self-join on shingle (inverted index) →
+    per-pair intersection count → Jaccard via |A|+|B|−∩. The shuffle is
+    keyed on the shingle; ultra-common shingles create skew, so
+    ``max_df`` optionally drops shingles appearing in more than that
+    many docs (a documented approximation — a pair sharing ONLY dropped
+    shingles is missed; with threshold ≥ .5 such pairs are near-misses
+    only when the corpus is pathological)."""
+    sh = _doc_shingles(docs, id_col, text_col, k)
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = (
+            ex.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s")
+    a = ex.select(F.col("doc_id").alias("id_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASHES,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """MinHash signature per document: sig_i = min over shingles of
+    hash60(i || '|' || shingle). One explode + one groupBy with
+    ``n_hashes`` min-aggregates — a single shuffle keyed on doc_id.
+
+    E[|sig agreement|/n] estimates Jaccard (Broder '97, the MinHash
+    construction PAPERS.md cites for fuzzy dedup)."""
+    ex = _doc_shingles(docs, id_col, text_col, k).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH over a MinHash signature frame (sig_0..sig_{n-1}):
+    docs sharing one full band collide. Emits distinct candidate
+    (id_a, id_b) pairs; feed them to an exact verifier.
+
+    Scale: the join is keyed on (band_idx, band_key) — sub-linear in
+    corpus size for any fixed collision rate, the standard
+    MinHash-LSH dedup topology."""
+    sig_cols = sorted(
+        (c for c in signatures.columns if c.startswith("sig_")),
+        key=lambda c: int(c.split("_")[1]),
+    )
+    rows_per_band = len(sig_cols) // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(c).cast("string")
+                            for c in sig_cols[
+                                bi * rows_per_band : (bi + 1) * rows_per_band
+                            ]
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col).alias("doc_id"), F.explode(band_structs).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_key")
+    a = exploded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+    b = exploded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASHES,
+    bands: int = LSH_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """The full MinHash-LSH pipeline: signatures → banded candidates →
+    exact Jaccard verification of candidates only. Exactness caveat: a
+    true pair colliding in no band is missed (probability
+    (1−j^r)^b — < 2% at j=.9 with 16/4 defaults)."""
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, id_col, text_col, n_hashes, k), bands
+    )
+    exact = shingle_jaccard_pairs(docs, threshold, id_col, text_col, k)
+    return exact.join(cands, ["id_a", "id_b"])
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint (Charikar '02): per-token 60-bit hash; bit j
+    of the fingerprint is 1 iff Σ_tokens tf·(±1 by hash bit j) > 0.
+    One explode + two groupBys (term tf, then doc) — all JVM exprs."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(raw_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = hash60(F.col("term"))
+    contribs = tf.select(
+        "doc_id",
+        *[
+            F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+            )
+            .otherwise(-F.col("tf"))
+            .alias(f"c_{j}")
+            for j in range(bits)
+        ],
+    )
+    summed = contribs.groupBy("doc_id").agg(
+        *[F.sum(f"c_{j}").alias(f"s_{j}") for j in range(bits)]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return summed.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    fingerprints: DataFrame, max_hamming: int, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ d, candidate-generated by the
+    block-permutation trick: split the fingerprint into d+1 blocks —
+    any pair within distance d matches exactly in ≥ 1 block
+    (pigeonhole), so the join is keyed, never all-pairs."""
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("block_idx"),
+                F.shiftright(F.col("simhash"), bi * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+            for bi in range(n_blocks)
+        ]
+    )
+    ex = fingerprints.select(
+        "doc_id", F.col("simhash"), F.explode(blocks).alias("b")
+    ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
+    a = ex.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"),
+        "block_idx", "block_val",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"),
+        "block_idx", "block_val",
+    )
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space near-dup: random-hyperplane LSH block producer
+# ---------------------------------------------------------------------------
+
+
+def rp_blocks(
+    corpus: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, table_idx, bucket) — sign-pattern buckets under ``n_tables``
+    independent sets of ``n_planes`` random hyperplanes (Charikar SimHash
+    for cosine). Deterministic: planes from a seeded RNG on the driver,
+    broadcast; one numpy GEMM per Arrow batch."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    spark = corpus.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bp.value
+        n_t, n_p, _ = P.shape
+        weights = 1 << np.arange(n_p)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["vec"].to_numpy())
+            out_id, out_t, out_b = [], [], []
+            for t in range(n_t):
+                signs = (V @ P[t].T) > 0  # (batch, n_planes)
+                buckets = signs @ weights
+                out_id.append(pdf["id"].to_numpy())
+                out_t.append(np.full(len(pdf), t))
+                out_b.append(buckets)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(out_id),
+                    "table_idx": np.concatenate(out_t),
+                    "bucket": np.concatenate(out_b),
+                }
+            )
+
+    return c.mapInPandas(
+        bucketize, schema="id long, table_idx int, bucket long"
+    )
+
+
+def embedding_near_dupes_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Scale path for embedding near-dup: LSH buckets → candidate pairs
+    (keyed join, never N²) → exact cosine verification. Recall misses a
+    true pair only if it splits in every table: P ≈ (1−(1−θ/π)^p)^t."""
+    from rag_database_spark.functions.vector import cosine, to_double_array
+
+    blocks = rp_blocks(
+        corpus, dim, n_tables, n_planes, seed, id_col, vec_col
+    )
+    a = blocks.select(F.col("id").alias("id_a"), "table_idx", "bucket")
+    b = blocks.select(F.col("id").alias("id_b"), "table_idx", "bucket")
+    cands = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("vec_a")
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vec_b")
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -495,3 +495,89 @@ SELECT a.doc_id,
        CASE WHEN a.level = 'paragraph' THEN p.parent END AS parent_id
 FROM allc a JOIN parents p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup-family oracles
+# ---------------------------------------------------------------------------
+
+
+def _shingle_ctes(k: int) -> str:
+    """words → distinct k-gram shingles (mirrors text.shingles: raw
+    tokens = lower, punct→space, whitespace split)."""
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           regexp_replace(lower(text), '{PUNCT_RE}', ' ', 'g'), '{SPLIT_RE}'),
+           x -> length(x) > 0) AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_distinct([array_to_string(t[i:i+{k - 1}], ' ')
+                                  for i in range(1, len(t) - {k - 2})])
+              ELSE [array_to_string(t, ' ')] END AS sg
+  FROM toks WHERE len(t) > 0
+),
+ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+sz AS (SELECT doc_id, len(sg) AS n FROM sh)"""
+
+
+def near_dup_pairs_sql(threshold: float, k: int) -> str:
+    return f"""
+WITH {_shingle_ctes(k)},
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(c / (x.n + y.n - c), 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+WHERE round(c / (x.n + y.n - c), 6) >= {threshold}
+"""
+
+
+def minhash_signatures_sql(n_hashes: int, k: int) -> str:
+    sigs = ", ".join(
+        f"min(('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT) AS sig_{i}"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH {_shingle_ctes(k)}
+SELECT doc_id, {sigs} FROM ex GROUP BY doc_id
+"""
+
+
+def simhash_sql(bits: int) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH {_RAWTOK_CTE.lstrip()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM rt GROUP BY doc_id, term),
+h AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM tf
+),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM s
+"""
+
+
+def embedding_near_dup_sql(threshold: float) -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {threshold}
+"""

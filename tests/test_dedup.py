@@ -1,0 +1,95 @@
+"""Dedup family: exact Jaccard hand-case, MinHash-LSH recall, SimHash
+Hamming pairing, random-hyperplane embedding LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rag_database_spark.operators import dedup
+from rag_database_spark.operators.similarity import embedding_near_dupes
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+    (3, "totally different words about completely other topics here"),
+    (4, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_jaccard_hand_case(spark, docs):
+    rows = dedup.shingle_jaccard_pairs(docs, 0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    # doc1 vs doc2: 8 words → 6 shingles each, 5 shared → 5/7
+    assert got[(1, 2)] == pytest.approx(round(5 / 7, 6))
+    assert got[(1, 4)] == 1.0
+    assert got[(2, 4)] == pytest.approx(round(5 / 7, 6))
+    assert (1, 3) not in got
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sigs = dedup.minhash_signatures(docs, n_hashes=16).collect()
+    by_id = {r["doc_id"]: [r[f"sig_{i}"] for i in range(16)] for r in sigs}
+    assert by_id[1] == by_id[4]  # identical docs → identical signatures
+    agree_12 = sum(a == b for a, b in zip(by_id[1], by_id[2])) / 16
+    agree_13 = sum(a == b for a, b in zip(by_id[1], by_id[3])) / 16
+    assert agree_12 > agree_13  # near-dup agrees more than unrelated
+
+
+def test_lsh_finds_planted_dupes(spark, docs):
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in found  # exact dup always collides
+    assert (1, 3) not in found
+
+
+def test_simhash_identical_and_hamming(spark, docs):
+    fps = dedup.simhash(docs)
+    by_id = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert by_id[1] == by_id[4]
+    pairs = dedup.simhash_pairs(fps, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 4)] == 0
+    assert (1, 3) not in got
+
+
+def test_rp_lsh_recall_vs_brute_force(spark):
+    # 20 base vectors, each with a jittered near-dup (cosine ≈ 1)
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, (v + rng.normal(scale=0.01, size=16)).tolist()))
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dupes(corpus, 0.98).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dupes_lsh(
+            corpus, 0.98, dim=16, n_tables=6, n_planes=6
+        ).collect()
+    }
+    assert brute  # the planted pairs exist
+    assert lsh <= brute  # no false positives (exact verification)
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9
+
+
+def test_rp_blocks_deterministic(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.3, 0.7, -0.1])],
+        "id long, vec array<double>",
+    )
+    a = sorted(map(tuple, dedup.rp_blocks(corpus, dim=3).collect()))
+    b = sorted(map(tuple, dedup.rp_blocks(corpus, dim=3).collect()))
+    assert a == b
