@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from rag_database_spark import oracles, workload
 from rag_database_spark.operators import bm25 as bm25_ops
+from rag_database_spark.functions import quality
 from rag_database_spark.operators import chunking
 from rag_database_spark.operators import dedup
 from rag_database_spark.operators import filters as filter_ops
@@ -175,8 +176,14 @@ def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 quality metrics + F15 tier routing."""
+    """A7 quality metrics + lightweight composite score."""
     return text_analytics.doc_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 faithful: the reference's five-subscore quality model
+    (pattern banks + .25/.30/.15/.15/.15 weights + tier routing)."""
+    return quality.quality_report(load_table(spark, sf_dir, "documents"))
 
 
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "token_stats": _token_stats,
         "doc_quality": _doc_quality,
+        "quality_report": _quality_report,
         "exact_dedup": _exact_dedup,
         "chunk_documents": _chunk_documents,
         "near_dup_pairs": _near_dup_pairs,
@@ -263,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.lang_id_sql(),
         "token_stats": oracles.token_stats_sql(),
         "doc_quality": oracles.doc_quality_sql(),
+        "quality_report": oracles.quality_report_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "chunk_documents": oracles.chunk_documents_sql(),
         "near_dup_pairs": oracles.near_dup_pairs_sql(

@@ -1,0 +1,214 @@
+"""Faithful F15 quality scoring — the reference's five-subscore model
+(src/quality/document_quality.py:67-95 pattern banks, :207-354
+subscores, :150-169 weights .25/.30/.15/.15/.15, :356-365 tiers).
+
+Every subscore is a pure Spark column expression; the DuckDB oracle
+replays the identical formulas from these shared constants. Two
+regex-dialect substitutions, both engine-defined and applied on BOTH
+sides: ``\\s`` → an explicit whitespace class (Java vs RE2 disagree on
+\\x0B), and the repeated-character gibberish pattern ``(.)\\1{4,}`` → an
+explicit per-character alternation (RE2 has no backreferences).
+Penalty decrements are discrete (0.1/0.15/0.2/0.3/0.5), so scores land
+on a small lattice — cross-engine float drift cannot flip a tier.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.text import WS_CLASS, quality_tier
+
+# document_quality.py:68-78 (\s spelled out)
+OCR_ERROR_PATTERNS: tuple[str, ...] = (
+    r"[Il1]{3,}",
+    r"[O0]{3,}",
+    r"[^\x00-\x7F]{5,}",
+    r"\b[a-z]+[A-Z]+[a-z]+\b",
+    r"[.,]{3,}",
+    rf"[{WS_CLASS}]{{5,}}",
+    r"[|]{2,}",
+    r"[_]{5,}",
+    r"\b\w{20,}\b",
+)
+
+# document_quality.py:81-89 (MULTILINE; intra-line whitespace as [ \t])
+STRUCTURE_PATTERNS: tuple[str, ...] = (
+    r"(?m)^#{1,6}[ \t]+\w+",
+    r"(?m)^\d+\.[ \t]+\w+",
+    r"(?m)^[A-Z][A-Z \t]+:",
+    r"(?m)^[ \t]*•[ \t]+\w+",
+    r"(?m)^(Section|Article|Chapter)[ \t]+\d+",
+    r"(?m)^Table[ \t]+\d+",
+    r"(?m)^Figure[ \t]+\d+",
+)
+
+# document_quality.py:92-95 (IGNORECASE; the (.)\1{4,} backreference
+# becomes an explicit alternation over letters+digits so RE2 can run it)
+_REPEAT_RUN = "|".join(
+    f"{c}{{5,}}" for c in string.ascii_lowercase + string.digits
+)
+GIBBERISH_PATTERNS: tuple[str, ...] = (
+    r"(?i)[bcdfghjklmnpqrstvwxz]{5,}",
+    r"(?i)[aeiou]{5,}",
+    rf"(?i)(?:{_REPEAT_RUN})",
+)
+
+# document_quality.py:341-343
+COMMON_WORDS: tuple[str, ...] = (
+    "the", "a", "an", "is", "are", "was", "were", "of", "to", "and",
+    "in", "for", "on", "with",
+)
+
+QUALITY_WEIGHTS = {
+    "text": 0.25, "ocr": 0.30, "format": 0.15,
+    "structure": 0.15, "coherence": 0.15,
+}
+
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"  # ord<32 minus \t\n\r
+
+
+def regex_count(col: Column, pattern: str) -> Column:
+    """Non-overlapping match count — mirrors ``len(re.findall(...))``."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def _words(t: Column) -> Column:
+    """``text.split()`` — any-whitespace split, empties dropped."""
+    return F.filter(F.split(t, rf"[{WS_CLASS}]+"), lambda x: F.length(x) > 0)
+
+
+def text_extraction_score(t: Column) -> Column:
+    """document_quality.py:207-230."""
+    n = F.length(t)
+    wc = F.size(_words(t))
+    alpha = (n - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))) / n
+    control = regex_count(t, CONTROL_CHAR_RE)
+    score = (
+        F.lit(1.0)
+        - F.when(wc < 50, 0.3).otherwise(0.0)
+        - F.when(alpha < 0.3, 0.3).when(alpha < 0.5, 0.1).otherwise(0.0)
+        - F.when(
+            control > 0, F.least(F.lit(0.3), control / n * 10)
+        ).otherwise(0.0)
+    )
+    return F.when(wc < 10, 0.1).otherwise(F.greatest(F.lit(0.0), score))
+
+
+def ocr_quality_score(t: Column) -> Column:
+    """document_quality.py:232-261: OCR-artifact + gibberish densities
+    per 1000 chars."""
+    n = F.length(t)
+    errors = sum(regex_count(t, p) for p in OCR_ERROR_PATTERNS)
+    gibberish = sum(regex_count(t, p) for p in GIBBERISH_PATTERNS)
+    err_density = errors / (n / 1000)
+    gib_density = gibberish / (n / 1000)
+    score = (
+        F.lit(1.0)
+        - F.when(err_density > 10, 0.5)
+        .when(err_density > 5, 0.3)
+        .when(err_density > 2, 0.1)
+        .otherwise(0.0)
+        - F.when(gib_density > 5, 0.3)
+        .when(gib_density > 2, 0.15)
+        .otherwise(0.0)
+    )
+    return F.greatest(F.lit(0.0), score)
+
+
+def formatting_score(t: Column) -> Column:
+    """document_quality.py:263-293: line-length variance, blank-line
+    ratio, indent-level cardinality."""
+    lines = F.split(t, r"\n")
+    nonempty = F.filter(lines, lambda x: F.length(F.trim(x)) > 0)
+    lengths = F.transform(nonempty, F.length)
+    m = F.size(lengths)
+    total = F.aggregate(lengths, F.lit(0.0), lambda a, x: a + x)
+    sumsq = F.aggregate(lengths, F.lit(0.0), lambda a, x: a + x * x)
+    mean = total / m
+    variance = sumsq / m - mean * mean
+    blank_ratio = (F.size(lines) - m) / F.size(lines)
+    indents = F.transform(
+        nonempty, lambda x: F.length(x) - F.length(F.regexp_replace(x, r"^[ \t]+", ""))
+    )
+    n_indents = F.size(F.array_distinct(indents))
+    score = (
+        F.lit(1.0)
+        - F.when((m > 0) & (variance > 10000), 0.2).otherwise(0.0)
+        - F.when(blank_ratio > 0.5, 0.2).otherwise(0.0)
+        - F.when((m > 0) & (n_indents > 20), 0.1).otherwise(0.0)
+    )
+    return F.greatest(F.lit(0.0), score)
+
+
+def structure_score(t: Column) -> Column:
+    """document_quality.py:295-313: indicator count → stepped score."""
+    count = sum(regex_count(t, p) for p in STRUCTURE_PATTERNS)
+    return (
+        F.when(count > 20, 1.0)
+        .when(count > 10, 0.85)
+        .when(count > 5, 0.7)
+        .when(count > 0, 0.6)
+        .otherwise(0.5)
+    )
+
+
+def coherence_score(t: Column) -> Column:
+    """document_quality.py:315-353: word-length distribution,
+    vocabulary diversity, common-English-word ratio."""
+    words = _words(F.lower(t))
+    wc = F.size(words)
+    total_len = F.aggregate(words, F.lit(0.0), lambda a, x: a + F.length(x))
+    awl = total_len / wc
+    uniq = F.size(F.array_distinct(words)) / wc
+    common = F.size(F.filter(words, lambda x: x.isin(*COMMON_WORDS))) / wc
+    score = (
+        F.lit(1.0)
+        - F.when((awl < 2) | (awl > 12), 0.3)
+        .when((awl < 3) | (awl > 8), 0.1)
+        .otherwise(0.0)
+        - F.when(uniq < 0.1, 0.3)
+        .when((uniq > 0.95) & (wc > 500), 0.1)
+        .otherwise(0.0)
+        - F.when(common < 0.01, 0.2).otherwise(0.0)
+    )
+    return F.when(wc < 20, 0.5).otherwise(F.greatest(F.lit(0.0), score))
+
+
+def quality_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full F15 report: five subscores, weighted overall, tier.
+    Near-empty documents (< 50 chars after trim) short-circuit to
+    GARBAGE with all-zero scores (document_quality.py:131-144)."""
+    t = F.col(text_col)
+    stripped = F.regexp_replace(
+        F.regexp_replace(t, rf"^[{WS_CLASS}]+", ""), rf"[{WS_CLASS}]+$", ""
+    )
+    short = t.isNull() | (F.length(stripped) < 50)
+    subs = {
+        "text_score": text_extraction_score(t),
+        "ocr_score": ocr_quality_score(t),
+        "format_score": formatting_score(t),
+        "structure_score": structure_score(t),
+        "coherence_score": coherence_score(t),
+    }
+    guarded = {
+        k: F.when(short, 0.0).otherwise(v) for k, v in subs.items()
+    }
+    overall = (
+        QUALITY_WEIGHTS["text"] * guarded["text_score"]
+        + QUALITY_WEIGHTS["ocr"] * guarded["ocr_score"]
+        + QUALITY_WEIGHTS["format"] * guarded["format_score"]
+        + QUALITY_WEIGHTS["structure"] * guarded["structure_score"]
+        + QUALITY_WEIGHTS["coherence"] * guarded["coherence_score"]
+    )
+    overall = F.when(short, 0.0).otherwise(overall)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.round(v, 6).alias(k) for k, v in guarded.items()],
+        F.round(overall, 6).alias("overall_score"),
+        quality_tier(overall).alias("tier"),
+    )

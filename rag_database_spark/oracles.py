@@ -581,3 +581,153 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                              b.embedding::DOUBLE[]) >= {threshold}
 """
+
+
+def quality_report_sql() -> str:
+    from rag_database_spark.functions.quality import (
+        COMMON_WORDS,
+        CONTROL_CHAR_RE,
+        GIBBERISH_PATTERNS,
+        OCR_ERROR_PATTERNS,
+        QUALITY_WEIGHTS,
+        STRUCTURE_PATTERNS,
+    )
+    from rag_database_spark.functions.text import WS_CLASS
+
+    ws = WS_CLASS
+    count = lambda pat: f"len(regexp_extract_all(text, '{pat}'))"
+    ocr_sum = " + ".join(count(p) for p in OCR_ERROR_PATTERNS)
+    gib_sum = " + ".join(count(p) for p in GIBBERISH_PATTERNS)
+    struct_sum = " + ".join(count(p) for p in STRUCTURE_PATTERNS)
+    common_list = ", ".join(f"'{w}'" for w in COMMON_WORDS)
+    w = QUALITY_WEIGHTS
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         len(list_filter(string_split_regex(text, '[{ws}]+'),
+                         x -> length(x) > 0)) AS wc,
+         (text IS NULL OR length(regexp_replace(regexp_replace(
+            coalesce(text,''), '^[{ws}]+', ''), '[{ws}]+$', '')) < 50)
+           AS short
+  FROM documents
+),
+txt AS (
+  SELECT *,
+    (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha,
+    len(regexp_extract_all(text, '{CONTROL_CHAR_RE}')) AS control
+  FROM base
+),
+s1 AS (
+  SELECT *,
+    CASE WHEN wc < 10 THEN 0.1 ELSE greatest(0.0,
+      1.0
+      - (CASE WHEN wc < 50 THEN 0.3 ELSE 0.0 END)
+      - (CASE WHEN alpha < 0.3 THEN 0.3
+              WHEN alpha < 0.5 THEN 0.1 ELSE 0.0 END)
+      - (CASE WHEN control > 0
+              THEN least(0.3, control / n * 10) ELSE 0.0 END)
+    ) END AS text_score,
+    greatest(0.0, 1.0
+      - (CASE WHEN ({ocr_sum}) / (n / 1000) > 10 THEN 0.5
+              WHEN ({ocr_sum}) / (n / 1000) > 5 THEN 0.3
+              WHEN ({ocr_sum}) / (n / 1000) > 2 THEN 0.1 ELSE 0.0 END)
+      - (CASE WHEN ({gib_sum}) / (n / 1000) > 5 THEN 0.3
+              WHEN ({gib_sum}) / (n / 1000) > 2 THEN 0.15 ELSE 0.0 END)
+    ) AS ocr_score,
+    CASE WHEN ({struct_sum}) > 20 THEN 1.0
+         WHEN ({struct_sum}) > 10 THEN 0.85
+         WHEN ({struct_sum}) > 5 THEN 0.7
+         WHEN ({struct_sum}) > 0 THEN 0.6
+         ELSE 0.5 END AS structure_score
+  FROM txt
+),
+fmt AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    len(ne) AS m,
+    list_aggregate(list_transform(ne, x -> length(x)), 'sum') AS total,
+    list_aggregate(list_transform(ne, x -> length(x) * length(x)), 'sum')
+      AS sumsq,
+    len(list_distinct(list_transform(ne,
+      x -> length(x) - length(regexp_replace(x, '^[ \t]+', '')))))
+      AS n_indents
+  FROM (
+    SELECT doc_id, lines,
+           list_filter(lines, x -> length(trim(x)) > 0) AS ne
+    FROM (SELECT doc_id, string_split_regex(text, '\n') AS lines FROM base)
+  )
+),
+s2 AS (
+  SELECT doc_id, greatest(0.0, 1.0
+    - (CASE WHEN m > 0 AND
+            (sumsq / m - (total / m) * (total / m)) > 10000
+            THEN 0.2 ELSE 0.0 END)
+    - (CASE WHEN (n_lines - m) / n_lines > 0.5 THEN 0.2 ELSE 0.0 END)
+    - (CASE WHEN m > 0 AND n_indents > 20 THEN 0.1 ELSE 0.0 END)
+  ) AS format_score
+  FROM fmt
+),
+coh AS (
+  SELECT doc_id,
+    len(words) AS cwc,
+    list_aggregate(list_transform(words, x -> length(x)), 'sum')
+      / len(words) AS awl,
+    len(list_distinct(words)) / len(words) AS uniq,
+    len(list_filter(words, x -> list_contains([{common_list}], x)))
+      / len(words) AS common
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[{ws}]+'),
+                       x -> length(x) > 0) AS words
+    FROM base
+  )
+  WHERE len(words) > 0
+),
+s3 AS (
+  SELECT doc_id, CASE WHEN cwc < 20 THEN 0.5 ELSE greatest(0.0, 1.0
+    - (CASE WHEN awl < 2 OR awl > 12 THEN 0.3
+            WHEN awl < 3 OR awl > 8 THEN 0.1 ELSE 0.0 END)
+    - (CASE WHEN uniq < 0.1 THEN 0.3
+            WHEN uniq > 0.95 AND cwc > 500 THEN 0.1 ELSE 0.0 END)
+    - (CASE WHEN common < 0.01 THEN 0.2 ELSE 0.0 END)
+  ) END AS coherence_score
+  FROM coh
+),
+guarded AS (
+  SELECT s1.doc_id,
+    CASE WHEN short THEN 0.0 ELSE text_score END AS text_score,
+    CASE WHEN short THEN 0.0 ELSE ocr_score END AS ocr_score,
+    CASE WHEN short THEN 0.0 ELSE coalesce(s2.format_score, 0.0)
+      END AS format_score,
+    CASE WHEN short THEN 0.0 ELSE structure_score END AS structure_score,
+    CASE WHEN short THEN 0.0 ELSE coalesce(s3.coherence_score, 0.5)
+      END AS coherence_score,
+    short
+  FROM s1
+  LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+  LEFT JOIN s3 ON s1.doc_id = s3.doc_id
+),
+final AS (
+  SELECT doc_id, text_score, ocr_score, format_score, structure_score,
+         coherence_score,
+         CASE WHEN short THEN 0.0 ELSE
+           {w['text']} * text_score + {w['ocr']} * ocr_score
+           + {w['format']} * format_score
+           + {w['structure']} * structure_score
+           + {w['coherence']} * coherence_score END AS overall
+  FROM guarded
+)
+SELECT doc_id,
+       round(text_score::DOUBLE, 6) AS text_score,
+       round(ocr_score::DOUBLE, 6) AS ocr_score,
+       round(format_score::DOUBLE, 6) AS format_score,
+       round(structure_score::DOUBLE, 6) AS structure_score,
+       round(coherence_score::DOUBLE, 6) AS coherence_score,
+       round(overall::DOUBLE, 6) AS overall_score,
+       CASE WHEN overall >= 0.8 THEN 'high'
+            WHEN overall >= 0.5 THEN 'medium'
+            WHEN overall >= 0.2 THEN 'low'
+            ELSE 'garbage' END AS tier
+FROM final
+"""
