@@ -25,6 +25,7 @@ from rag_database_spark.operators import bm25 as bm25_ops
 from rag_database_spark.functions import quality
 from rag_database_spark.operators import chunking
 from rag_database_spark.operators import dedup
+from rag_database_spark.operators import graph as graph_ops
 from rag_database_spark.operators import filters as filter_ops
 from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
@@ -218,6 +219,64 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+GRAPH_SEED_MAX = 10
+GRAPH_MAX_DEPTH = 2
+GRAPH_MIN_CONF = 0.7
+
+
+def _doc_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge table over the test corpus: same-source sequence chains
+    (deterministic confidence grid) + near-dup pairs (confidence =
+    Jaccard). Stands in for F19-extracted edges, which need legal text
+    the synthetic corpus lacks (extraction itself is unit-tested)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    seq = (
+        docs.select("source", "doc_id")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("doc_id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("sequence").alias("relation_type"),
+            F.round(0.5 + (F.col("doc_id") % 5) * 0.1, 6).alias("confidence"),
+        )
+    )
+    nd = dedup.shingle_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.lit("near_dup").alias("relation_type"),
+        F.col("jaccard").alias("confidence"),
+    )
+    return seq.unionByName(nd)
+
+
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19-shaped edge table (W6-deduped by construction)."""
+    return _doc_edge_table(spark, sf_dir)
+
+
+def _graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/U5: multi-source BFS (depth ≤ 2, confidence ≥ 0.7) over the
+    document graph — iterative join + left_anti visited set."""
+    edges = _doc_edge_table(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GRAPH_SEED_MAX)
+        .select(F.col("doc_id").alias("start_id"))
+    )
+    return graph_ops.bfs_expand(
+        edges, seeds, GRAPH_MAX_DEPTH, GRAPH_MIN_CONF
+    ).select("start_id", "doc_id", F.col("depth").cast("long").alias("depth"))
+
+
+def _graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: per-relation-type rollup of the edge table."""
+    return graph_ops.graph_stats(_doc_edge_table(spark, sf_dir))
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact; LSH-bucketed variant is
     dedup.embedding_near_dupes_lsh, recall-tested in tests/)."""
@@ -248,6 +307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
+        "doc_edges": _doc_edges,
+        "graph_expand": _graph_expand,
+        "graph_stats": _graph_stats,
     }
 
 
@@ -283,5 +345,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fp": oracles.simhash_sql(dedup.SIMHASH_BITS),
         "embedding_near_dup": oracles.embedding_near_dup_sql(
             COSINE_DUP_THRESHOLD
+        ),
+        "doc_edges": oracles.doc_edges_sql(JACCARD_THRESHOLD, dedup.SHINGLE_K),
+        "graph_expand": oracles.graph_expand_sql(
+            JACCARD_THRESHOLD,
+            dedup.SHINGLE_K,
+            GRAPH_SEED_MAX,
+            GRAPH_MAX_DEPTH,
+            GRAPH_MIN_CONF,
+        ),
+        "graph_stats": oracles.graph_stats_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K
         ),
     }

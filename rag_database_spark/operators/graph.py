@@ -1,0 +1,253 @@
+"""Document graph — relationship extraction, BFS traversal, result
+augmentation (F19, J5-J7, J10, U5, W6, A10;
+src/graph/document_graph.py).
+
+The reference holds the graph in driver memory and walks it with a
+Python queue (:352-426). The Spark form keeps edges as a DataFrame and
+expands the frontier one hop per iteration — each hop is one equi-join
+on the edge key plus one ``left_anti`` against the visited set (U5),
+so a k-hop expansion is k keyed shuffles regardless of corpus size.
+BFS order guarantees the first visit happens at minimum depth, so the
+output (start, doc, min-depth) is deterministic and oracle-able with a
+recursive CTE.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_CONFIDENCE = 0.5  # document_graph.py:357 default
+
+# F19 pattern banks (document_graph.py:86-123, IGNORECASE via (?i));
+# capture group 1 = the referenced identifier. Patterns are shared
+# verbatim between extraction and the unit suite.
+RELATION_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("amends",
+     r"(?i)amend(?:s|ed|ment to)?\s+(?:the\s+)?(?:original\s+)?"
+     r"(?:agreement|contract)?\s*(?:dated\s+)?"
+     r"([A-Z][^.]+?(?:\d{4}|agreement|contract))"),
+    ("amends",
+     r"(?i)(?:first|second|third|\d+(?:st|nd|rd|th))\s+amendment\s+to\s+([^.]+)"),
+    ("supersedes",
+     r"(?i)supersedes?\s+(?:and replaces?\s+)?(?:all\s+)?(?:prior\s+)?([^.]+)"),
+    ("supersedes", r"(?i)replaces?\s+(?:in\s+its\s+entirety\s+)?([^.]+)"),
+    ("exhibits_to", r"(?i)exhibit\s+([A-Z]|\d+)\s+(?:to|attached)"),
+    ("exhibits_to", r"(?i)(?:see|refer to)\s+exhibit\s+([A-Z]|\d+)"),
+    ("references",
+     r"(?i)(?:pursuant to|in accordance with|as defined in|as set forth in)"
+     r"\s+([^.]+)"),
+    ("references",
+     r"(?i)(?:see|refer to|reference to)\s+"
+     r"([^.]+?(?:agreement|contract|document|section|article))"),
+    ("cites",
+     r"(?i)(?:IRC|I\.R\.C\.)\s*(?:§|Section)\s*(\d+(?:\([a-z]\))?(?:\(\d+\))?)"),
+    ("cites", r"(?i)(\d+)\s*(?:U\.S\.C\.|USC)\s*(?:§|Section)?\s*\d+"),
+    ("cites", r"(?i)(\d+)\s*(?:C\.F\.R\.|CFR)\s*(?:§|Section)?\s*\d+(?:\.\d+)?"),
+    ("incorporates",
+     r"(?i)incorporat(?:es?|ed|ing)\s+(?:herein\s+)?by\s+reference\s+([^.]+)"),
+    ("incorporates", r"(?i)deemed\s+(?:to\s+be\s+)?incorporated\s+([^.]+)"),
+)
+
+HIGH_CONFIDENCE_TYPES = ("cites", "exhibits_to")  # document_graph.py:191-193
+
+
+def extract_relationships(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """F19 (document_graph.py:134-213): per-pattern ``finditer`` →
+    explode matches → confidence heuristic (base .7, .9 for
+    cites/exhibits, −.2 long match, −.1 hedging, clamp [.3, 1]) →
+    first-seen dedup on (src, target, type) (W6, :215-229).
+
+    All regexp_extract_all + explode — the 13 patterns fuse into one
+    projection over the scan."""
+    t = F.col(text_col)
+    per_pattern = []
+    for rel_type, pat in RELATION_PATTERNS:
+        full = F.regexp_extract_all(t, F.lit(pat), 0)
+        ref = F.regexp_extract_all(t, F.lit(pat), 1)
+        per_pattern.append(
+            F.transform(
+                full,
+                lambda m, i: F.struct(
+                    F.lit(rel_type).alias("relation_type"),
+                    F.trim(F.get(ref, i)).alias("target_ref"),
+                    m.alias("matched"),
+                ),
+            )
+        )
+    matches = F.flatten(F.array(*per_pattern))
+    exploded = docs.select(
+        F.col(id_col).alias("source_id"), F.explode(matches).alias("m")
+    ).select(
+        "source_id", "m.relation_type", "m.target_ref", "m.matched"
+    )
+    base = F.when(
+        F.col("relation_type").isin(*HIGH_CONFIDENCE_TYPES), F.lit(0.9)
+    ).otherwise(F.lit(0.7))
+    conf = (
+        base
+        - F.when(F.length("matched") > 200, 0.2).otherwise(0.0)
+        - F.when(
+            F.lower("matched").rlike("may|might|similar"), 0.1
+        ).otherwise(0.0)
+    )
+    out = exploded.select(
+        "source_id",
+        F.concat(F.lit("unresolved:"), F.col("target_ref")).alias("target_id"),
+        "relation_type",
+        F.greatest(F.lit(0.3), F.least(F.lit(1.0), conf)).alias("confidence"),
+        "target_ref",
+    )
+    return out.dropDuplicates(["source_id", "target_id", "relation_type"])
+
+
+def resolve_references(
+    edges: DataFrame, identifiers: DataFrame
+) -> DataFrame:
+    """J10 (document_graph.py:332-350): join unresolved target refs
+    against a (identifier, doc_id) registry; matched edges get the real
+    doc id, the rest stay unresolved. The registry is small → broadcast."""
+    ident = F.broadcast(
+        identifiers.select(
+            F.lower("identifier").alias("__ident"), F.col("doc_id").alias("__resolved")
+        )
+    )
+    joined = edges.join(
+        ident, F.lower(edges["target_ref"]).contains(F.col("__ident")), "left"
+    )
+    # several identifiers may match one ref — keep first by identifier
+    w = Window.partitionBy(
+        "source_id", "target_id", "relation_type"
+    ).orderBy(F.col("__ident"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(
+            "target_id",
+            F.coalesce(F.col("__resolved").cast("string"), F.col("target_id")),
+        )
+        .drop("__ident", "__resolved", "__rn")
+    )
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Both traversal directions (the reference walks outgoing AND
+    incoming relations, document_graph.py:388-425)."""
+    fwd = edges.select(
+        F.col("src").alias("me"), F.col("dst").alias("other"), "confidence"
+    )
+    rev = edges.select(
+        F.col("dst").alias("me"), F.col("src").alias("other"), "confidence"
+    )
+    return fwd.unionByName(rev)
+
+
+def bfs_expand(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 2,
+    min_confidence: float = MIN_CONFIDENCE,
+) -> DataFrame:
+    """J5/U5 (document_graph.py:352-426): multi-source BFS over the
+    (src, dst, confidence) edge frame, depth ≤ ``max_depth``, edges
+    under ``min_confidence`` skipped, visited-set dedup per seed.
+
+    ``seeds``: one column ``start_id``. Output: (start_id, doc_id,
+    depth) with depth = minimum hops (BFS invariant), start excluded.
+
+    Each hop: one join keyed on the frontier node + one left_anti
+    against visited — max_depth keyed shuffles total; the visited set
+    stays distributed (never collected)."""
+    adj = undirected(edges).filter(F.col("confidence") >= min_confidence)
+    frontier = seeds.select(
+        F.col("start_id"), F.col("start_id").alias("doc_id")
+    )
+    visited = frontier
+    results = []
+    for depth in range(1, max_depth + 1):
+        neighbors = (
+            frontier.join(adj, frontier["doc_id"] == adj["me"])
+            .select("start_id", F.col("other").alias("doc_id"))
+            .distinct()
+        )
+        new = neighbors.join(
+            visited, ["start_id", "doc_id"], "left_anti"
+        )
+        results.append(new.withColumn("depth", F.lit(depth)))
+        visited = visited.unionByName(new).distinct()
+        frontier = new
+    return reduce(lambda a, b: a.unionByName(b), results)
+
+
+def shortest_chain(
+    edges: DataFrame,
+    src: object,
+    dst: object,
+    max_depth: int = 5,
+    min_confidence: float = MIN_CONFIDENCE,
+) -> int | None:
+    """J6 (document_graph.py:469-513): length of the shortest relation
+    chain between two documents, None if unreachable within
+    ``max_depth``. Early exit per hop (driver checks a 1-row count)."""
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(src,)], ["start_id"])
+    adj = undirected(edges).filter(F.col("confidence") >= min_confidence)
+    frontier = seeds.select(F.col("start_id").alias("doc_id"))
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(adj, frontier["doc_id"] == adj["me"])
+            .select(F.col("other").alias("doc_id"))
+            .distinct()
+            .join(visited, ["doc_id"], "left_anti")
+        )
+        if frontier.filter(F.col("doc_id") == dst).limit(1).count() > 0:
+            return depth
+        visited = visited.unionByName(frontier).distinct()
+    return None
+
+
+def augment_results(
+    results: DataFrame,
+    edges: DataFrame,
+    top_results: int = 5,
+    max_augmented: int = 3,
+    min_confidence: float = MIN_CONFIDENCE,
+) -> DataFrame:
+    """J7 (document_graph.py:542-602): expand the top-N results per
+    query by 1 hop; related docs score = avg edge confidence, keep the
+    best ``max_augmented`` new docs per query."""
+    top = results.filter(F.col("rank") <= top_results).select(
+        "query_id", F.col("id").alias("doc_id")
+    )
+    adj = undirected(edges).filter(F.col("confidence") >= min_confidence)
+    related = (
+        top.join(adj, top["doc_id"] == adj["me"])
+        .groupBy("query_id", F.col("other").alias("id"))
+        .agg(F.round(F.avg("confidence"), 6).alias("graph_score"))
+    )
+    new = related.join(
+        results.select("query_id", "id"), ["query_id", "id"], "left_anti"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("graph_score"), F.asc("id")
+    )
+    return (
+        new.withColumn("aug_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("aug_rank") <= max_augmented)
+    )
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """A10 (document_graph.py:515-528): per-relation-type edge counts,
+    avg confidence, distinct endpoint counts."""
+    return edges.groupBy("relation_type").agg(
+        F.count("*").alias("n_edges"),
+        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        F.countDistinct("src").alias("n_sources"),
+        F.countDistinct("dst").alias("n_targets"),
+    )

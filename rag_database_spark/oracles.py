@@ -731,3 +731,73 @@ SELECT doc_id,
             ELSE 'garbage' END AS tier
 FROM final
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph oracles — edges derived from same-source sequences + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _edges_ctes(jaccard_threshold: float, k: int) -> str:
+    return f"""{_shingle_ctes(k).lstrip()},
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT doc_id,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nxt
+  FROM documents
+),
+edges AS (
+  SELECT doc_id AS src, nxt AS dst, 'sequence' AS relation_type,
+         round(0.5 + (doc_id % 5) * 0.1, 6) AS confidence
+  FROM seq WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT ia, ib, 'near_dup',
+         round(c / (x.n + y.n - c), 6)
+  FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+  WHERE round(c / (x.n + y.n - c), 6) >= {jaccard_threshold}
+)"""
+
+
+def doc_edges_sql(jaccard_threshold: float, k: int) -> str:
+    return f"""
+WITH {_edges_ctes(jaccard_threshold, k)}
+SELECT src, dst, relation_type, confidence FROM edges
+"""
+
+
+def graph_expand_sql(jaccard_threshold: float, k: int, seed_max: int,
+                     max_depth: int, min_confidence: float) -> str:
+    return f"""
+WITH RECURSIVE {_edges_ctes(jaccard_threshold, k)},
+und AS (
+  SELECT src AS me, dst AS other FROM edges WHERE confidence >= {min_confidence}
+  UNION ALL
+  SELECT dst, src FROM edges WHERE confidence >= {min_confidence}
+),
+reach AS (
+  SELECT doc_id AS start_id, doc_id, 0 AS depth
+  FROM documents WHERE doc_id < {seed_max}
+  UNION
+  SELECT r.start_id, u.other AS doc_id, r.depth + 1
+  FROM reach r JOIN und u ON u.me = r.doc_id
+  WHERE r.depth < {max_depth}
+)
+SELECT start_id, doc_id, min(depth)::BIGINT AS depth
+FROM reach GROUP BY start_id, doc_id
+HAVING min(depth) > 0
+"""
+
+
+def graph_stats_sql(jaccard_threshold: float, k: int) -> str:
+    return f"""
+WITH {_edges_ctes(jaccard_threshold, k)}
+SELECT relation_type, count(*) AS n_edges,
+       round(avg(confidence), 6) AS avg_confidence,
+       count(DISTINCT src) AS n_sources,
+       count(DISTINCT dst) AS n_targets
+FROM edges GROUP BY relation_type
+"""

@@ -1,0 +1,93 @@
+"""Document graph: F19 extraction on legal fixture text (mirrors the
+reference's amendment smoke, document_graph.py:605-662), J10 reference
+resolution, J5 BFS, J6 shortest chain, J7 augmentation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_database_spark.operators import graph as g
+
+AMENDMENT = (
+    "This First Amendment to Service Agreement 2023 is entered into. "
+    "This amendment supersedes all prior versions of the agreement. "
+    "See Exhibit A attached hereto. "
+    "Pursuant to IRC Section 1401(a) the parties agree. "
+    "As defined in the Master Services Agreement, fees may vary."
+)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    docs = spark.createDataFrame(
+        [(100, AMENDMENT), (200, "plain text with no references at all")],
+        "doc_id long, text string",
+    )
+    return g.extract_relationships(docs)
+
+
+def test_extraction_families(edges):
+    rows = edges.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["relation_type"], []).append(r)
+    assert set(by_type) >= {"amends", "supersedes", "exhibits_to", "cites",
+                            "references"}
+    assert all(r["source_id"] == 100 for r in rows)
+
+
+def test_confidence_heuristic(edges):
+    rows = {(r["relation_type"], r["target_ref"]): r["confidence"]
+            for r in edges.collect()}
+    # cites/exhibits start at .9 (document_graph.py:191-193)
+    assert rows[("exhibits_to", "A")] == pytest.approx(0.9)
+    assert rows[("cites", "1401(a)")] == pytest.approx(0.9)
+    # hedging 'may' inside the reference match drops .1 from base .7
+    ref_confs = [v for (t, _), v in rows.items() if t == "references"]
+    assert any(c == pytest.approx(0.6) for c in ref_confs)
+    assert all(0.3 <= c <= 1.0 for c in rows.values())
+
+
+def test_resolution(spark, edges):
+    idents = spark.createDataFrame(
+        [("master services agreement", 7)], "identifier string, doc_id long"
+    )
+    resolved = g.resolve_references(edges, idents)
+    hits = resolved.filter(F.col("target_id") == "7").collect()
+    assert len(hits) == 1
+    assert "master services agreement" in hits[0]["target_ref"].lower()
+
+
+@pytest.fixture(scope="module")
+def chain_edges(spark):
+    # 1-2-3-4 path plus a low-confidence shortcut 1-4
+    return spark.createDataFrame(
+        [(1, 2, "r", 0.9), (2, 3, "r", 0.9), (3, 4, "r", 0.9),
+         (1, 4, "r", 0.4)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+
+
+def test_bfs_depth_and_confidence_filter(spark, chain_edges):
+    seeds = spark.createDataFrame([(1,)], ["start_id"])
+    rows = g.bfs_expand(chain_edges, seeds, max_depth=2, min_confidence=0.5)
+    got = {(r["doc_id"]): r["depth"] for r in rows.collect()}
+    # low-confidence 1-4 edge is skipped: 4 is NOT reachable in 2 hops
+    assert got == {2: 1, 3: 2}
+
+
+def test_shortest_chain(chain_edges):
+    assert g.shortest_chain(chain_edges, 1, 4, min_confidence=0.5) == 3
+    assert g.shortest_chain(chain_edges, 1, 4, min_confidence=0.3) == 1
+    assert g.shortest_chain(chain_edges, 1, 99) is None
+
+
+def test_augment_results(spark, chain_edges):
+    results = spark.createDataFrame(
+        [(1, 2, 1)], "query_id long, id long, rank long"
+    )
+    rows = g.augment_results(results, chain_edges).collect()
+    got = {r["id"]: (r["graph_score"], r["aug_rank"]) for r in rows}
+    # neighbors of doc 2: 1 and 3 (conf .9 each), both new
+    assert got == {1: (0.9, 1), 3: (0.9, 2)}
