@@ -31,7 +31,7 @@ from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
 from rag_database_spark.operators import text_analytics
 from rag_database_spark.operators.fusion import FETCH_MULTIPLIER
-from rag_database_spark.operators.hybrid import hybrid_search
+from rag_database_spark.operators.hybrid import hybrid_search, hybrid_search3
 from rag_database_spark.sources.tables import TABLES, load_table, load_tables
 
 
@@ -219,6 +219,37 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12/M6/T3: MaxSim late-interaction top-k over the multi-vector
+    page table (Q3/Q4 visual-only search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = similarity.maxsim_scores(
+        workload.query_patches_df(spark, emb), workload.multivector_pages(emb)
+    )
+    return bm25_ops.topk(scored, workload.HYBRID_LIMIT, id_col="page_id").select(
+        "query_id",
+        "page_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 full: three-leg hybrid (bm25/dense/colpali) with J2/J3 page→
+    chunk propagation feeding the colpali leg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search3(
+        workload.queries_df(spark),
+        load_table(spark, sf_dir, "documents"),
+        emb,
+        workload.query_patches_df(spark, emb),
+        workload.multivector_pages(emb),
+        workload.chunk_page_map(emb),
+        workload.DOC_PAGES,
+        limit=workload.HYBRID_LIMIT,
+    )
+
+
 GRAPH_SEED_MAX = 10
 GRAPH_MAX_DEPTH = 2
 GRAPH_MIN_CONF = 0.7
@@ -310,6 +341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_edges": _doc_edges,
         "graph_expand": _graph_expand,
         "graph_stats": _graph_stats,
+        "maxsim_topk": _maxsim_topk,
+        "hybrid_rrf3": _hybrid_rrf3,
     }
 
 
@@ -357,4 +390,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": oracles.graph_stats_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K
         ),
+        "maxsim_topk": oracles.maxsim_topk_sql(),
+        "hybrid_rrf3": oracles.hybrid_rrf3_sql(),
     }

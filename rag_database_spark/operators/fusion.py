@@ -106,6 +106,44 @@ def propagate_page_scores(
     )
 
 
+def propagate_page_scores_batch(
+    chunks: DataFrame,
+    page_scores: DataFrame,
+    boost: float = DOC_BOOST,
+) -> DataFrame:
+    """Batch-query form of J2+J3: ``page_scores`` carries
+    (query_id, document_id, page_number, score); chunks of a matched
+    document join in per query — exact page match inherits the page
+    score, the document's other pages get ``max(page score) × boost``
+    (hybrid_search.py:307-394).
+
+    The doc-grain inner join both scopes the expansion to matched
+    documents and attaches query_id; both sides of the final join are
+    top-k-bounded → broadcast-sized."""
+    doc_side = page_scores.groupBy("query_id", "document_id").agg(
+        F.max("score").alias("doc_max_score")
+    )
+    page_side = page_scores.select(
+        "query_id", "document_id", "page_number",
+        F.col("score").alias("page_score"),
+    )
+    return (
+        chunks.join(F.broadcast(doc_side), ["document_id"])
+        .join(
+            F.broadcast(page_side),
+            ["query_id", "document_id", "page_number"],
+            "left",
+        )
+        .withColumn(
+            "propagated_score",
+            F.coalesce(
+                F.col("page_score"), F.col("doc_max_score") * F.lit(boost)
+            ),
+        )
+        .drop("doc_max_score")
+    )
+
+
 def priority_merge(
     priority: DataFrame,
     base: DataFrame,

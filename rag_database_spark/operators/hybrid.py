@@ -26,6 +26,7 @@ from rag_database_spark.operators.fusion import (
     DEFAULT_WEIGHTS,
     FETCH_MULTIPLIER,
     RRF_K,
+    propagate_page_scores_batch,
 )
 
 
@@ -87,3 +88,100 @@ def hybrid_search(
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= limit)
     )
+
+
+def colpali_leg(
+    query_patches: DataFrame,
+    page_patches: DataFrame,
+    chunk_pages: DataFrame,
+    fetch: int,
+    doc_pages: int,
+) -> DataFrame:
+    """The multi-vector leg (J12 + J2/J3 + W2,
+    hybrid_search.py:307-394): MaxSim page scores → top-fetch pages →
+    propagate to chunks (page match, else doc-max × 0.8) → re-rank.
+
+    ``chunk_pages``: (id, document_id, page_number). Returns
+    (query_id, id, method='colpali', rank)."""
+    from rag_database_spark.operators.similarity import maxsim_scores
+
+    pages_scored = maxsim_scores(query_patches, page_patches)
+    page_topk = bm25_ops.topk(
+        pages_scored, fetch, id_col="page_id"
+    ).select(
+        "query_id",
+        F.floor(F.col("page_id") / doc_pages).cast("long").alias("document_id"),
+        F.col("page_id").alias("page_number"),
+        "score",
+    )
+    prop = propagate_page_scores_batch(chunk_pages, page_topk)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("propagated_score"), F.asc("id")
+    )
+    return (
+        prop.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= fetch)
+        .select("query_id", "id", F.lit("colpali").alias("method"), "rank")
+    )
+
+
+def hybrid_search3(
+    queries: DataFrame,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_patches: DataFrame,
+    page_patches: DataFrame,
+    chunk_pages: DataFrame,
+    doc_pages: int,
+    limit: int = 10,
+    weights: dict[str, float] | None = None,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Q1 with all three legs (bm25 .3 / dense .5 / colpali .2 —
+    hybrid_search.py:185-189). Ids unify across legs (the driver's
+    doc_id and vec_id are aligned). Output adds colpali_rank."""
+    weights = weights or DEFAULT_WEIGHTS
+    fetch = FETCH_MULTIPLIER * limit
+
+    scored = bm25_ops.score_queries(
+        queries,
+        bm25_ops.build_postings(documents),
+        bm25_ops.build_doclens(documents),
+    )
+    bm25_ranked = bm25_ops.topk(scored, fetch).select(
+        "query_id",
+        F.col("doc_id").alias("id"),
+        F.lit("bm25").alias("method"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    qvecs = queries.join(
+        embeddings, queries["query_vec_id"] == embeddings["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    dense_ranked = similarity.cosine_topk(
+        qvecs, embeddings, fetch, id_col="vec_id", vec_col="embedding"
+    ).select(
+        "query_id", "id", F.lit("dense").alias("method"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    colpali_ranked = colpali_leg(
+        query_patches, page_patches, chunk_pages, fetch, doc_pages
+    )
+
+    legs = bm25_ranked.unionByName(dense_ranked).unionByName(colpali_ranked)
+    wexpr = F.lit(None).cast("double")
+    for m, wt in weights.items():
+        wexpr = F.when(F.col("method") == m, F.lit(float(wt))).otherwise(wexpr)
+    fused = legs.groupBy("query_id", "id").agg(
+        F.round(
+            F.sum(wexpr / (F.lit(float(rrf_k)) + F.col("rank"))), 6
+        ).alias("rrf_score"),
+        F.max(F.when(F.col("method") == "bm25", F.col("rank"))).alias("bm25_rank"),
+        F.max(F.when(F.col("method") == "dense", F.col("rank"))).alias("dense_rank"),
+        F.max(F.when(F.col("method") == "colpali", F.col("rank"))).alias(
+            "colpali_rank"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("id"))
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= limit)

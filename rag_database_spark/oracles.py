@@ -801,3 +801,124 @@ SELECT relation_type, count(*) AS n_edges,
        count(DISTINCT dst) AS n_targets
 FROM edges GROUP BY relation_type
 """
+
+
+# ---------------------------------------------------------------------------
+# ColPali / MaxSim oracles
+# ---------------------------------------------------------------------------
+
+
+def _colpali_ctes() -> str:
+    from rag_database_spark.workload import (
+        DOC_PAGES,
+        PAGE_GROUP,
+        QUERY_TOKENS,
+    )
+
+    return f"""
+qp AS (
+  SELECT q.query_id, e.vec_id AS tok_id, e.embedding::DOUBLE[] AS tvec
+  FROM {queries_values_sql()}
+  JOIN embeddings e
+    ON e.vec_id >= q.query_vec_id
+   AND e.vec_id < q.query_vec_id + {QUERY_TOKENS}
+),
+pp AS (
+  SELECT vec_id // {PAGE_GROUP} AS page_id, embedding::DOUBLE[] AS pvec
+  FROM embeddings
+),
+tokmax AS (
+  SELECT qp.query_id, qp.tok_id, pp.page_id,
+         max(list_dot_product(qp.tvec, pp.pvec)) AS m
+  FROM qp CROSS JOIN pp GROUP BY 1, 2, 3
+),
+page_scores AS (
+  SELECT query_id, page_id, sum(m) AS score FROM tokmax GROUP BY 1, 2
+),
+page_ranked AS (
+  SELECT query_id, page_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, page_id
+         ) AS rank
+  FROM page_scores
+)"""
+
+
+def maxsim_topk_sql(limit: int = HYBRID_LIMIT) -> str:
+    return f"""
+WITH {_colpali_ctes()}
+SELECT query_id, page_id, round(score, 6) AS score, rank::BIGINT AS rank
+FROM page_ranked WHERE rank <= {limit}
+"""
+
+
+def hybrid_rrf3_sql(limit: int = HYBRID_LIMIT) -> str:
+    from rag_database_spark.operators.fusion import DOC_BOOST
+    from rag_database_spark.workload import DOC_PAGES, PAGE_GROUP
+
+    w_bm25 = DEFAULT_WEIGHTS["bm25"]
+    w_dense = DEFAULT_WEIGHTS["dense"]
+    w_colpali = DEFAULT_WEIGHTS["colpali"]
+    fetch = FETCH_MULTIPLIER * limit
+    return f"""
+WITH {_bm25_ctes(fetch)},
+{_dense_ctes(fetch).lstrip()},
+{_colpali_ctes().lstrip()},
+chunks AS (
+  SELECT vec_id AS id,
+         vec_id // {PAGE_GROUP * DOC_PAGES} AS document_id,
+         vec_id // {PAGE_GROUP} AS page_number
+  FROM embeddings
+),
+cp_pages AS (
+  SELECT query_id, page_id // {DOC_PAGES} AS document_id,
+         page_id AS page_number, score
+  FROM page_ranked WHERE rank <= {fetch}
+),
+cp_doc AS (
+  SELECT query_id, document_id, max(score) AS doc_max
+  FROM cp_pages GROUP BY 1, 2
+),
+cp_prop AS (
+  SELECT d.query_id, c.id, coalesce(p.score, d.doc_max * {DOC_BOOST}) AS pscore
+  FROM chunks c
+  JOIN cp_doc d ON c.document_id = d.document_id
+  LEFT JOIN cp_pages p
+    ON p.query_id = d.query_id AND p.document_id = c.document_id
+   AND p.page_number = c.page_number
+),
+colpali_ranked AS (
+  SELECT query_id, id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY pscore DESC, id
+         ) AS rank
+  FROM cp_prop
+),
+legs3 AS (
+  SELECT query_id, doc_id AS id, 'bm25' AS method, rank
+  FROM bm25_ranked WHERE rank <= {fetch}
+  UNION ALL
+  SELECT query_id, id, 'dense' AS method, rank
+  FROM dense_ranked WHERE rank <= {fetch}
+  UNION ALL
+  SELECT query_id, id, 'colpali' AS method, rank
+  FROM colpali_ranked WHERE rank <= {fetch}
+),
+fused3 AS (
+  SELECT query_id, id,
+         round(sum(CASE method WHEN 'bm25' THEN {w_bm25}
+                               WHEN 'dense' THEN {w_dense}
+                               WHEN 'colpali' THEN {w_colpali} END
+                   / ({float(RRF_K)} + rank)), 6) AS rrf_score,
+         max(CASE WHEN method = 'bm25' THEN rank END)::BIGINT AS bm25_rank,
+         max(CASE WHEN method = 'dense' THEN rank END)::BIGINT AS dense_rank,
+         max(CASE WHEN method = 'colpali' THEN rank END)::BIGINT AS colpali_rank
+  FROM legs3 GROUP BY query_id, id
+)
+SELECT query_id, id, rrf_score, bm25_rank, dense_rank, colpali_rank,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, id
+       )::BIGINT AS rank
+FROM fused3
+QUALIFY rank <= {limit}
+"""

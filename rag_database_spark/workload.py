@@ -40,6 +40,72 @@ def queries_df(spark: SparkSession) -> DataFrame:
     )
 
 
+# -- multi-vector (ColPali-shaped) fixtures derived from embeddings --------
+# page = 8 consecutive vec_ids' embeddings as its patch set; document = 2
+# consecutive pages; query multi-vector = the 4 embeddings starting at
+# query_vec_id. Deterministic, model-free, reproducible in the oracle.
+PAGE_GROUP = 8
+DOC_PAGES = 2
+QUERY_TOKENS = 4
+
+
+def _collect_patches(df, key_col: str):
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("rows")
+        )
+        .select(
+            key_col,
+            F.transform(
+                "rows", lambda r: r["embedding"].cast("array<double>")
+            ).alias("patches"),
+        )
+    )
+
+
+def multivector_pages(embeddings: DataFrame) -> DataFrame:
+    """(page_id, patches array<array<double>>) — the page multi-vector
+    table (reference: ColPali patch embeddings per page, SURVEY §1.1)."""
+    from pyspark.sql import functions as F
+
+    grouped = embeddings.withColumn(
+        "page_id", F.floor(F.col("vec_id") / PAGE_GROUP).cast("long")
+    )
+    return _collect_patches(grouped, "page_id")
+
+
+def query_patches_df(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
+    """(query_id, patches) — per-query token-vector sets."""
+    from pyspark.sql import functions as F
+
+    q = queries_df(spark)
+    joined = q.join(
+        embeddings,
+        (embeddings["vec_id"] >= q["query_vec_id"])
+        & (embeddings["vec_id"] < q["query_vec_id"] + QUERY_TOKENS),
+    ).select("query_id", "vec_id", "embedding")
+    return _collect_patches(joined, "query_id")
+
+
+def chunk_page_map(embeddings: DataFrame) -> DataFrame:
+    """(id, document_id, page_number) — every vec is a 'chunk'; its page
+    is its 8-group, its document spans 2 pages (J2/J3 join keys)."""
+    from pyspark.sql import functions as F
+
+    return embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.floor(F.col("vec_id") / (PAGE_GROUP * DOC_PAGES)).cast("long").alias(
+            "document_id"
+        ),
+        F.floor(F.col("vec_id") / PAGE_GROUP).cast("long").alias("page_number"),
+    )
+
+
 def queries_values_sql() -> str:
     """DuckDB VALUES literal for the same workload."""
     rows = ", ".join(
