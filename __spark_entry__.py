@@ -26,6 +26,7 @@ from rag_database_spark.functions import quality
 from rag_database_spark.operators import chunking
 from rag_database_spark.operators import dedup
 from rag_database_spark.operators import graph as graph_ops
+from rag_database_spark.operators import query_analysis as qa
 from rag_database_spark.operators import filters as filter_ops
 from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
@@ -219,6 +220,28 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F8: classify / precision-detect / modality+weights / domain /
+    acronym expansion over the analysis workload."""
+    return qa.analyze_queries(workload.analysis_queries_df(spark))
+
+
+def _enhanced_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: base hybrid (2× over-fetch) + precision BM25 fallback with
+    +0.5 boost, J4 priority merge, top-k."""
+    return qa.enhanced_search(
+        workload.queries_df(spark),
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        limit=workload.HYBRID_LIMIT,
+    )
+
+
+def _search_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-query failure-signal rollup over enhanced results."""
+    return qa.search_analytics(_enhanced_search(spark, sf_dir))
+
+
 def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J12/M6/T3: MaxSim late-interaction top-k over the multi-vector
     page table (Q3/Q4 visual-only search)."""
@@ -343,6 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _graph_stats,
         "maxsim_topk": _maxsim_topk,
         "hybrid_rrf3": _hybrid_rrf3,
+        "query_analysis": _query_analysis,
+        "enhanced_search": _enhanced_search,
+        "search_analytics": _search_analytics,
     }
 
 
@@ -392,4 +418,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "maxsim_topk": oracles.maxsim_topk_sql(),
         "hybrid_rrf3": oracles.hybrid_rrf3_sql(),
+        "query_analysis": oracles.query_analysis_sql(),
+        "enhanced_search": oracles.enhanced_search_sql(),
+        "search_analytics": oracles.search_analytics_sql(),
     }

@@ -289,16 +289,16 @@ def detect_sections(
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "line"),
     )
     line = F.col("line")
-    family = F.lit(None).cast("string")
-    number = F.lit(None).cast("string")
-    for fam, pat in SECTION_PATTERNS:
-        hit = line.rlike(pat)
-        family = F.when(family.isNotNull(), family).otherwise(
-            F.when(hit, F.lit(fam))
-        )
-        number = F.when(number.isNotNull(), number).otherwise(
-            F.when(hit, F.regexp_extract(line, pat, 1))
-        )
+    # coalesce over independent cases — linear expression size
+    family = F.coalesce(
+        *[F.when(line.rlike(p), F.lit(fam)) for fam, p in SECTION_PATTERNS]
+    )
+    number = F.coalesce(
+        *[
+            F.when(line.rlike(p), F.regexp_extract(line, p, 1))
+            for _fam, p in SECTION_PATTERNS
+        ]
+    )
     out = lines.select(
         "doc_id",
         "line_no",

@@ -922,3 +922,278 @@ SELECT query_id, id, rrf_score, bm25_rank, dense_rank, colpali_rank,
 FROM fused3
 QUALIFY rank <= {limit}
 """
+
+
+# ---------------------------------------------------------------------------
+# Query-analysis (F2-F8) + enhanced search (Q2) oracles
+# ---------------------------------------------------------------------------
+
+
+def query_analysis_sql() -> str:
+    from rag_database_spark.operators.query_analysis import (
+        ACRONYMS,
+        DOMAIN_KEYWORDS,
+        MODALITY_WEIGHTS,
+        PRECISION_PATTERNS,
+        QUERY_TYPE_KEYWORDS,
+        VISUAL_INTENT_PATTERNS,
+        VISUAL_PATTERNS,
+        VISUAL_THRESHOLD,
+    )
+    from rag_database_spark.workload import analysis_queries_values_sql
+
+    low = "lower(query_text)"
+
+    # F6 cascade
+    qt = "'broad'"
+    for qtype, words in reversed(QUERY_TYPE_KEYWORDS):
+        cond = " OR ".join(f"contains({low}, '{w}')" for w in words)
+        qt = f"CASE WHEN {cond} THEN '{qtype}' ELSE {qt} END"
+
+    # F5 first-match cascade
+    ptype_cases = ", ".join(
+        f"CASE WHEN regexp_matches(query_text, '{p}') THEN '{name}' END"
+        for p, name in PRECISION_PATTERNS
+    )
+    ref_cases = ", ".join(
+        f"CASE WHEN regexp_matches(query_text, '{p}') "
+        f"THEN nullif(regexp_extract(query_text, '{p}', 1), '') END"
+        for p, _ in PRECISION_PATTERNS
+    )
+
+    # F8 visual score
+    vterms = " + ".join(
+        f"(CASE WHEN regexp_matches({low}, '{p}') THEN 0.3::DOUBLE "
+        f"ELSE 0.0::DOUBLE END)"
+        for p, _t in VISUAL_PATTERNS
+    )
+    iterms = " + ".join(
+        f"(CASE WHEN regexp_matches({low}, '{p}') THEN 0.25::DOUBLE "
+        f"ELSE 0.0::DOUBLE END)"
+        for p in VISUAL_INTENT_PATTERNS
+    )
+    vs = f"least({vterms} + {iterms}, 1.0::DOUBLE)"
+    nt = " + ".join(
+        f"(CASE WHEN regexp_matches({low}, '{p}') THEN 1 ELSE 0 END)"
+        for p, _t in VISUAL_PATTERNS
+    )
+
+    def w_base(leg):
+        return (
+            f"CASE WHEN vscore >= 0.5 THEN {MODALITY_WEIGHTS['visual'][leg]}::DOUBLE "
+            f"WHEN vscore >= {VISUAL_THRESHOLD} THEN {MODALITY_WEIGHTS['mixed'][leg]}::DOUBLE "
+            f"ELSE {MODALITY_WEIGHTS['text'][leg]}::DOUBLE END"
+        )
+
+    # F3 domain argmax (ascending-name tie-break = CASE order)
+    domains = sorted(DOMAIN_KEYWORDS)
+    hit_exprs = {
+        d: " + ".join(
+            f"(CASE WHEN contains({low}, '{kw}') THEN 1 ELSE 0 END)"
+            for kw in DOMAIN_KEYWORDS[d]
+        )
+        for d in domains
+    }
+    hits_cols = ", ".join(f"({e}) AS h_{d}" for d, e in hit_exprs.items())
+    gmax = "greatest(" + ", ".join(f"h_{d}" for d in domains) + ")"
+    dom_case = f"CASE WHEN {gmax} = 0 THEN 'general' " + " ".join(
+        f"WHEN h_{d} = {gmax} THEN '{d}'" for d in domains
+    ) + " END"
+
+    # F2/F4 acronym expansion (unrolled, ALL occurrences like the engine)
+    by_acr: dict[str, list] = {}
+    for acr, exp, dom, kws in ACRONYMS:
+        by_acr.setdefault(acr, []).append((exp, dom, kws))
+    eq = "query_text"
+    for acr in sorted(by_acr):
+        cands = sorted(by_acr[acr])
+        scores = []
+        for exp, dom, kws in cands:
+            s = f"(CASE WHEN domain = '{dom}' THEN 2 ELSE 0 END)"
+            for kw in kws:
+                s += f" + (CASE WHEN contains({low}, '{kw}') THEN 1 ELSE 0 END)"
+            scores.append((exp, s))
+        if len(scores) == 1:
+            best = f"'{scores[0][0]}'"
+        else:
+            # expansion-ascending tie-break: earlier candidate wins on >=
+            best = f"'{scores[-1][0]}'"
+            for exp, s in reversed(scores[:-1]):
+                rest = " , ".join(x[1] for x in scores[scores.index((exp, s)) + 1:])
+                best = (
+                    f"CASE WHEN ({s}) >= greatest({rest}) "
+                    f"THEN '{exp}' ELSE {best} END"
+                )
+        pat = rf"\b{acr}\b"
+        eq = f"regexp_replace({eq}, '{pat}', '{acr} (' || {best} || ')', 'g')"
+
+    return f"""
+WITH base AS (
+  SELECT query_id, query_text FROM {analysis_queries_values_sql()}
+),
+step1 AS (
+  SELECT query_id, query_text,
+         {qt} AS query_type,
+         coalesce({ptype_cases}) AS precision_type,
+         coalesce({ref_cases}) AS reference,
+         {vs} AS vscore,
+         ({nt}) AS n_targets,
+         {hits_cols}
+  FROM base
+),
+step2 AS (
+  SELECT *, {dom_case} AS domain,
+         {w_base('bm25')} AS wb, {w_base('dense')} AS wd,
+         CASE WHEN n_targets > 0
+              THEN least({w_base('colpali')}
+                         + least(0.1::DOUBLE * n_targets, 0.15::DOUBLE),
+                         0.7::DOUBLE)
+              ELSE {w_base('colpali')} END AS wc
+  FROM step1
+)
+SELECT query_id, query_type,
+       precision_type IS NOT NULL AS is_precision,
+       precision_type, reference,
+       round(vscore, 6) AS visual_score,
+       CASE WHEN vscore >= 0.5 THEN 'visual'
+            WHEN vscore >= {VISUAL_THRESHOLD} THEN 'mixed'
+            ELSE 'text' END AS modality,
+       round(wb / (wb + wd + wc), 6) AS w_bm25,
+       round(wd / (wb + wd + wc), 6) AS w_dense,
+       round(wc / (wb + wd + wc), 6) AS w_colpali,
+       domain,
+       {eq} AS enhanced_query
+FROM step2
+"""
+
+
+def _enhanced_ctes(limit: int) -> str:
+    from rag_database_spark.operators.query_analysis import (
+        PRECISION_BOOST,
+        PRECISION_FALLBACK_LIMIT,
+        PRECISION_PATTERNS,
+    )
+
+    fetch = FETCH_MULTIPLIER * 2 * limit
+    w_bm25 = DEFAULT_WEIGHTS["bm25"]
+    w_dense = DEFAULT_WEIGHTS["dense"]
+    ptype_cases = ", ".join(
+        f"CASE WHEN regexp_matches(query_text, '{p}') THEN '{name}' END"
+        for p, name in PRECISION_PATTERNS
+    )
+    ref_cases = ", ".join(
+        f"CASE WHEN regexp_matches(query_text, '{p}') "
+        f"THEN nullif(regexp_extract(query_text, '{p}', 1), '') END"
+        for p, _ in PRECISION_PATTERNS
+    )
+    return f"""{_bm25_ctes(fetch).lstrip()},
+{_dense_ctes(fetch).lstrip()},
+legs AS (
+  SELECT query_id, doc_id AS id, 'bm25' AS method, rank
+  FROM bm25_ranked WHERE rank <= {fetch}
+  UNION ALL
+  SELECT query_id, id, 'dense' AS method, rank
+  FROM dense_ranked WHERE rank <= {fetch}
+),
+fused AS (
+  SELECT query_id, id,
+         round(sum(CASE method WHEN 'bm25' THEN {w_bm25}
+                               WHEN 'dense' THEN {w_dense} END
+                   / ({float(RRF_K)} + rank)), 6) AS rrf_score
+  FROM legs GROUP BY query_id, id
+),
+base_ranked AS (
+  SELECT query_id, id, rrf_score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_score DESC, id
+         ) AS rank
+  FROM fused
+),
+base_rows AS (
+  SELECT query_id, id, rrf_score AS final_score, 'base' AS source,
+         rank AS ord
+  FROM base_ranked WHERE rank <= {2 * limit}
+),
+pterms_raw AS (
+  SELECT query_id,
+         coalesce({ptype_cases}) AS ptype,
+         coalesce({ref_cases}) AS ref
+  FROM {queries_values_sql()}
+),
+pterms AS (
+  SELECT query_id,
+         split_part(ptype, '_', 1) || ' ' || ref AS search_term
+  FROM pterms_raw WHERE ptype IS NOT NULL AND ref IS NOT NULL
+),
+pq_tok AS (
+  SELECT query_id, {_TOKENIZE.format(text="search_term")} AS term
+  FROM pterms
+),
+pq_terms AS (
+  SELECT query_id, term, count(*) AS qtf FROM pq_tok
+  WHERE length(term) >= {MIN_TOKEN_LEN} AND term NOT IN ({_STOPLIST})
+  GROUP BY query_id, term
+),
+p_scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(q.qtf * ts.idf * (p.tf * ({K1} + 1))
+             / (p.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM pq_terms q
+  JOIN postings p USING (term)
+  JOIN termstats ts ON ts.term = q.term
+  JOIN doclens dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+p_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM p_scored
+),
+prec_rows AS (
+  SELECT query_id, doc_id AS id,
+         round(score + {PRECISION_BOOST}, 6) AS final_score,
+         'precision' AS source, rank AS ord
+  FROM p_ranked WHERE rank <= {PRECISION_FALLBACK_LIMIT}
+),
+merged AS (
+  SELECT *, CASE WHEN source = 'precision' THEN 0 ELSE 1 END AS prio
+  FROM (SELECT * FROM prec_rows UNION ALL SELECT * FROM base_rows)
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id, id ORDER BY prio, ord
+    ) AS rn
+    FROM merged
+  ) WHERE rn = 1
+),
+enhanced AS (
+  SELECT query_id, id, final_score, source,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY prio, ord, id
+         )::BIGINT AS rank
+  FROM deduped
+  QUALIFY rank <= {limit}
+)"""
+
+
+def enhanced_search_sql(limit: int = HYBRID_LIMIT) -> str:
+    return f"""
+WITH {_enhanced_ctes(limit)}
+SELECT query_id, id, final_score, source, rank FROM enhanced
+"""
+
+
+def search_analytics_sql(limit: int = HYBRID_LIMIT) -> str:
+    return f"""
+WITH {_enhanced_ctes(limit)}
+SELECT query_id, count(*) AS n_results,
+       round(avg(final_score), 6) AS avg_score,
+       round(max(final_score), 6) AS max_score,
+       count(DISTINCT id) AS n_distinct_docs,
+       list_sort(list(DISTINCT source)) AS sources
+FROM enhanced GROUP BY query_id
+"""

@@ -25,6 +25,21 @@ HYBRID_QUERIES: tuple[tuple[int, str, int], ...] = (
     (3, "spark filter scan column vector", 42),
     (4, "customer data group agg value", 99),
     (5, "slow query row key part small", 123),
+    # precision query: exercises F5 detection + Q2 fallback boost
+    (6, "exact amount shown in table 3 of the customer agreement", 200),
+)
+
+# standalone analysis workload (F2-F8): acronym / precision / visual /
+# domain-rich phrasings the hybrid workload doesn't need
+ANALYSIS_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "what does the table show about quarterly revenue"),
+    (2, "IRC deduction rules for rental income tax"),
+    (3, "IRC requirements for residential building construction"),
+    (4, "compare the ROI of both investment options"),
+    (5, "when was the NDA agreement signed by each party"),
+    (6, "exact value in section 4.2 of the contract"),
+    (7, "show the diagram and chart from figure 7"),
+    (8, "summarize the main findings of the report"),
 )
 
 HYBRID_LIMIT = 10
@@ -112,3 +127,14 @@ def queries_values_sql() -> str:
         f"({qid}, '{text}', {vid})" for qid, text, vid in HYBRID_QUERIES
     )
     return f"(VALUES {rows}) AS q(query_id, query_text, query_vec_id)"
+
+
+def analysis_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(ANALYSIS_QUERIES), "query_id long, query_text string"
+    )
+
+
+def analysis_queries_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{text}')" for qid, text in ANALYSIS_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, query_text)"
