@@ -26,7 +26,9 @@ from rag_database_spark.functions import quality
 from rag_database_spark.operators import chunking
 from rag_database_spark.operators import dedup
 from rag_database_spark.operators import graph as graph_ops
+from rag_database_spark.operators import multimodal
 from rag_database_spark.operators import query_analysis as qa
+from rag_database_spark.streaming import events as streaming_events
 from rag_database_spark.operators import filters as filter_ops
 from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
@@ -220,6 +222,26 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event analytics — the batch-equivalent form of
+    the Structured Streaming topology (streaming/events.py; identical
+    plan via foreachBatch reuse, stream path tested in tests/)."""
+    return streaming_events.hourly_event_agg(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: documents.text as an opaque binary
+    payload through the Arrow mapInPandas media path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.media_stats(
+        multimodal.media_table(docs, "doc_id", "payload", "text")
+    )
+
+
 def _query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3-F8: classify / precision-detect / modality+weights / domain /
     acronym expansion over the analysis workload."""
@@ -369,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_analysis": _query_analysis,
         "enhanced_search": _enhanced_search,
         "search_analytics": _search_analytics,
+        "events_hourly": _events_hourly,
+        "media_stats": _media_stats,
     }
 
 
@@ -421,4 +445,6 @@ def oracle_sql() -> dict[str, str]:
         "query_analysis": oracles.query_analysis_sql(),
         "enhanced_search": oracles.enhanced_search_sql(),
         "search_analytics": oracles.search_analytics_sql(),
+        "events_hourly": oracles.events_hourly_sql(),
+        "media_stats": oracles.media_stats_sql(),
     }

@@ -1,0 +1,192 @@
+"""Multimodal (image/audio/video) column plumbing — training-data
+pipeline extension per the build brief.
+
+Media travel as opaque ``binary`` payloads with typed metadata; every
+transform is an Arrow-batched ``mapInPandas`` so payload bytes move
+columnar, never row-pickled. The decode step is STUBBED: the real
+image/audio libraries are not in this container, so ``decode_media``
+emits a deterministic fake (dims/duration derived from the payload
+hash) behind an import-try — the Spark-side plumbing (schema, batch
+shape, UDF signature, partitioning) is real and tested, and a real
+decoder drops in by replacing ``_fake_decode`` only.
+
+Reference parity: the reference stores page images as PIL/base64
+(S4, document_processor.py:219-237) and visual-element crops (S5,
+:239-308); its embedders are GPU torch models (M4). Here those are the
+``decode_media`` / ``media_embedding`` seams.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, meta map<string,string>"
+)
+EMBED_DIM = 16
+FRAME_BYTES = 256  # stub 'frame' = fixed-size byte window
+
+
+def media_table(
+    df: DataFrame, id_col: str, payload_col: str, kind: str
+) -> DataFrame:
+    """Normalize any (id, binary) frame into the engine media schema."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("source_col"), F.lit(payload_col)
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic decode stub: pseudo width/height/duration from the
+    md5 of the payload. Replace with PIL/ffmpeg when available."""
+    h = hashlib.md5(payload or b"").digest()
+    return {
+        "width": 64 + h[0] % 1920,
+        "height": 64 + h[1] % 1080,
+        "duration_ms": int.from_bytes(h[2:4], "big") if kind in ("audio", "video") else 0,
+        "ok": payload is not None and len(payload) > 0,
+    }
+
+
+try:  # pragma: no cover - real decoder path, not in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode stage: (media_id, kind, n_bytes, width, height,
+    duration_ms, ok). One Arrow batch in → one out; payload bytes never
+    leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                # real decoder seam: when PIL/ffmpeg are present, decode
+                # here instead of _fake_decode (HAVE_PIL gates it)
+                d = _fake_decode(payload, kind)
+                rows.append(
+                    (
+                        mid,
+                        kind,
+                        len(payload or b""),
+                        d["width"],
+                        d["height"],
+                        d["duration_ms"],
+                        d["ok"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_bytes", "width", "height",
+                    "duration_ms", "ok",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, kind string, n_bytes long, width int, "
+            "height int, duration_ms long, ok boolean"
+        ),
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame-sampling stub: emit every ``every_n``-th fixed-size
+    byte window as a 'frame' row — one row in → many rows out, the real
+    flatMap shape a frame extractor needs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                n_frames = max(1, len(payload) // FRAME_BYTES)
+                for fi in range(0, n_frames, every_n):
+                    chunk = payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    rows.append((mid, fi, len(chunk), chunk))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "frame_index", "n_bytes", "frame"],
+                )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, frame_index int, n_bytes long, frame binary",
+    )
+
+
+def media_embedding(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Feature-extraction stub: deterministic pseudo-embedding — md5
+    over (seed, payload) per dimension, scaled to [-1, 1). Real models
+    (M4 ColPali / CLIP-style) replace the inner function; the Arrow
+    batch shape and the array<float> output contract stay."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                vec = []
+                for i in range(dim):
+                    h = hashlib.md5(i.to_bytes(2, "big") + payload).digest()
+                    vec.append(
+                        int.from_bytes(h[:8], "big") / 2**63 - 1.0
+                    )
+                out.append((mid, vec))
+            yield pd.DataFrame(out, columns=["media_id", "embedding"])
+
+    return media.mapInPandas(
+        batches, schema="media_id long, embedding array<double>"
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """(media_id, kind, n_bytes, fingerprint) — byte length + md5 hex
+    over the payload, computed in the Python stage to exercise the
+    binary Arrow path end-to-end (oracle recomputes from the source
+    string column)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "fingerprint": [
+                        hashlib.md5(p or b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, kind string, n_bytes long, fingerprint string",
+    )

@@ -1197,3 +1197,22 @@ SELECT query_id, count(*) AS n_results,
        list_sort(list(DISTINCT source)) AS sources
 FROM enhanced GROUP BY query_id
 """
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def media_stats_sql() -> str:
+    return """
+SELECT doc_id AS media_id, 'text' AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,110 @@
+"""Structured Streaming topology (stream == batch equivalence,
+foreachBatch ingest) and multimodal binary plumbing."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_database_spark.operators import multimodal
+from rag_database_spark.streaming import events as se
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """A small event parquet directory the file-source stream reads."""
+    path = str(tmp_path_factory.mktemp("events_src"))
+    from rag_database_spark.sources.tables import load_table
+
+    load_table(spark, SF_DIR, "events").limit(500).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_stream_matches_batch(spark, event_dir):
+    q = se.stream_hourly_to_memory(spark, event_dir, "hourly_test")
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "SELECT bucket_start, event_type, n_events, sum_value "
+        "FROM hourly_test"
+    ).collect()
+    batch = se.hourly_event_agg(
+        spark.read.parquet(event_dir), exact_users=False
+    ).select("bucket_start", "event_type", "n_events", "sum_value").collect()
+    key = lambda r: (r["bucket_start"], r["event_type"])
+    sm = {key(r): (r["n_events"], r["sum_value"]) for r in streamed}
+    bm = {key(r): (r["n_events"], r["sum_value"]) for r in batch}
+    assert sm == bm and len(sm) > 0
+
+
+def test_watermark_is_applied(spark, event_dir):
+    stream = se.with_watermark(se.read_event_stream(spark, event_dir))
+    assert stream.isStreaming
+    # the watermark column survives into the windowed plan
+    agg = se.hourly_event_agg(stream, exact_users=False)
+    assert "bucket_start" in agg.columns
+
+
+def test_stream_ingest_documents(spark, tmp_path):
+    src = str(tmp_path / "docs_src")
+    dst = str(tmp_path / "chunks_out")
+    from rag_database_spark.sources.tables import load_table
+
+    load_table(spark, SF_DIR, "documents").limit(20).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = se.stream_ingest_documents(
+        spark, src, dst, "doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dst)
+    assert out.count() > 20  # ≥1 paragraph chunk + 1 doc chunk per doc
+    assert {"chunk_id", "level", "page_number"} <= set(out.columns)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"x" * 1000, "image"),
+        (2, b"y" * 2048, "video"),
+        (3, b"", "audio"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary, kind string")
+    return multimodal.media_table(df, "id", "payload", "mixed").drop(
+        "kind"
+    ).join(
+        spark.createDataFrame(
+            [(1, "image"), (2, "video"), (3, "audio")], "media_id long, kind string"
+        ),
+        "media_id",
+    )
+
+
+def test_decode_stub_schema_and_determinism(spark, media):
+    a = {r["media_id"]: tuple(r) for r in multimodal.decode_media(media).collect()}
+    b = {r["media_id"]: tuple(r) for r in multimodal.decode_media(media).collect()}
+    assert a == b
+    assert a[1][2] == 1000  # n_bytes
+    assert a[3][6] is False  # empty payload → ok=False
+
+
+def test_frame_sample_flatmap(spark, media):
+    frames = multimodal.frame_sample(media, every_n=2).collect()
+    vid = [r for r in frames if r["media_id"] == 2]
+    # 2048 bytes → 8 frames of 256, every 2nd → indices 0,2,4,6
+    assert [r["frame_index"] for r in sorted(vid, key=lambda r: r["frame_index"])] == [0, 2, 4, 6]
+    assert all(r["n_bytes"] == 256 for r in vid)
+
+
+def test_media_embedding_shape(spark, media):
+    rows = multimodal.media_embedding(media).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r["embedding"]) == multimodal.EMBED_DIM
+        assert all(-1.0 <= v < 1.0 for v in r["embedding"])
