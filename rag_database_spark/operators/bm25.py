@@ -131,6 +131,37 @@ def score_queries(
     )
 
 
+def write_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """S7 (bm25_store.py:290-324 pickle persist → parquet tables): write
+    the derived postings + doclens tables once; the query path then
+    reads them instead of re-tokenizing the corpus per query batch
+    (the reference rebuilds BM25Okapi on every add, :176-188 — the
+    incremental-table form is the scale fix).
+
+    At cluster scale, bucket postings by term (``bucketBy``) so the
+    query-term semi-join is shuffle-free; plain parquet keeps the local
+    harness simple."""
+    build_postings(docs, id_col, text_col).write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    build_doclens(docs, id_col, text_col).write.mode("overwrite").parquet(
+        f"{path}/doclens"
+    )
+
+
+def read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) from a ``write_index`` directory."""
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/doclens"),
+    )
+
+
 def topk(
     scored: DataFrame,
     k: int,

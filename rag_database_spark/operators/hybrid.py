@@ -37,16 +37,23 @@ def hybrid_search(
     limit: int = 10,
     weights: dict[str, float] | None = None,
     rrf_k: int = RRF_K,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """queries(query_id, query_text, query_vec_id) — the dense query
     vector is looked up from ``embeddings`` by query_vec_id (broadcast
-    join; at serving scale this would be an embedder Pandas UDF, M1/M2)."""
+    join; at serving scale this would be an embedder Pandas UDF, M1/M2).
+
+    Pass a persisted index (``bm25.read_index``) via postings/doclens
+    so the corpus is not re-tokenized per query batch (S7)."""
     weights = weights or DEFAULT_WEIGHTS
     fetch = FETCH_MULTIPLIER * limit
 
     # --- BM25 leg (A3 + W1 + T4) ---
-    postings = bm25_ops.build_postings(documents)
-    doclens = bm25_ops.build_doclens(documents)
+    if postings is None:
+        postings = bm25_ops.build_postings(documents)
+    if doclens is None:
+        doclens = bm25_ops.build_doclens(documents)
     scored = bm25_ops.score_queries(queries, postings, doclens)
     bm25_ranked = (
         bm25_ops.topk(scored, fetch)
@@ -136,6 +143,8 @@ def hybrid_search3(
     limit: int = 10,
     weights: dict[str, float] | None = None,
     rrf_k: int = RRF_K,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """Q1 with all three legs (bm25 .3 / dense .5 / colpali .2 —
     hybrid_search.py:185-189). Ids unify across legs (the driver's
@@ -145,8 +154,8 @@ def hybrid_search3(
 
     scored = bm25_ops.score_queries(
         queries,
-        bm25_ops.build_postings(documents),
-        bm25_ops.build_doclens(documents),
+        postings if postings is not None else bm25_ops.build_postings(documents),
+        doclens if doclens is not None else bm25_ops.build_doclens(documents),
     )
     bm25_ranked = bm25_ops.topk(scored, fetch).select(
         "query_id",

@@ -310,6 +310,8 @@ def enhanced_search(
     documents: DataFrame,
     embeddings: DataFrame,
     limit: int = 10,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """Q2 (enhanced_hybrid_search.py:236-367, engine subset): base
     hybrid with 2× over-fetch → precision BM25 fallback (+0.5 score
@@ -320,7 +322,14 @@ def enhanced_search(
     from rag_database_spark.operators import bm25 as bm25_ops
     from rag_database_spark.operators.hybrid import hybrid_search
 
-    base = hybrid_search(queries, documents, embeddings, limit=2 * limit)
+    if postings is None:
+        postings = bm25_ops.build_postings(documents)
+    if doclens is None:
+        doclens = bm25_ops.build_doclens(documents)
+    base = hybrid_search(
+        queries, documents, embeddings, limit=2 * limit,
+        postings=postings, doclens=doclens,
+    )
     base_rows = base.select(
         "query_id",
         "id",
@@ -332,10 +341,7 @@ def enhanced_search(
     pterms = precision_search_terms(queries).select(
         "query_id", F.col("search_term").alias("query_text")
     )
-    pscored = bm25_ops.score_queries(
-        pterms, bm25_ops.build_postings(documents),
-        bm25_ops.build_doclens(documents),
-    )
+    pscored = bm25_ops.score_queries(pterms, postings, doclens)
     prec_rows = bm25_ops.topk(pscored, PRECISION_FALLBACK_LIMIT).select(
         "query_id",
         F.col("doc_id").alias("id"),
