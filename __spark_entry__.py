@@ -26,6 +26,7 @@ from rag_database_spark.functions import quality
 from rag_database_spark.operators import chunking
 from rag_database_spark.operators import dedup
 from rag_database_spark.operators import graph as graph_ops
+from rag_database_spark.operators import lifecycle
 from rag_database_spark.operators import multimodal
 from rag_database_spark.operators import query_analysis as qa
 from rag_database_spark.streaming import events as streaming_events
@@ -263,6 +264,70 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+DELETE_MOD = 7
+UPSERT_MOD = 5
+RERANK_CANDIDATES = 30
+
+
+def _delete_document_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/U2: anti-join cascade across dependent tables; output =
+    surviving row counts per table."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    doomed = docs.filter(F.col("doc_id") % DELETE_MOD == 0).select("doc_id")
+    survivors = lifecycle.delete_document_cascade(
+        {"documents": docs, "embeddings": emb},
+        doomed,
+        {"documents": "doc_id", "embeddings": "vec_id"},
+    )
+    parts = [
+        df.agg(F.count("*").alias("n_remaining")).select(
+            F.lit(name).alias("table_name"), "n_remaining"
+        )
+        for name, df in survivors.items()
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _vector_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S12: idempotent keep-latest upsert on the vector table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    existing = emb.select("vec_id", "label", F.lit(1).alias("version"))
+    incoming = (
+        emb.filter(F.col("vec_id") % UPSERT_MOD == 0)
+        .select(
+            "vec_id",
+            (F.col("label") + 1000).alias("label"),
+            F.lit(2).alias("version"),
+        )
+    )
+    return lifecycle.upsert_latest(existing, incoming, "vec_id", "version")
+
+
+def _rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/M8: rerank the BM25 candidate list with the deterministic
+    pair scorer, re-sort, top-k."""
+    queries = workload.queries_df(spark)
+    postings, doclens = _bm25_index(spark, sf_dir)
+    cands = bm25_ops.topk(
+        bm25_ops.score_queries(queries, postings, doclens),
+        RERANK_CANDIDATES,
+    ).select("query_id", F.col("doc_id").alias("id"))
+    return lifecycle.lexical_overlap_rerank(
+        cands,
+        queries,
+        load_table(spark, sf_dir, "documents"),
+        workload.HYBRID_LIMIT,
+        id_col="doc_id",
+    )
+
+
+def _bm25_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: index-level stats from the persisted tables."""
+    postings, doclens = _bm25_index(spark, sf_dir)
+    return lifecycle.bm25_index_stats(postings, doclens)
+
+
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event analytics — the batch-equivalent form of
     the Structured Streaming topology (streaming/events.py; identical
@@ -440,6 +505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_analytics": _search_analytics,
         "events_hourly": _events_hourly,
         "media_stats": _media_stats,
+        "delete_document_cascade": _delete_document_cascade,
+        "vector_upsert": _vector_upsert,
+        "rerank_topk": _rerank_topk,
+        "bm25_index_stats": _bm25_index_stats,
     }
 
 
@@ -494,4 +563,10 @@ def oracle_sql() -> dict[str, str]:
         "search_analytics": oracles.search_analytics_sql(),
         "events_hourly": oracles.events_hourly_sql(),
         "media_stats": oracles.media_stats_sql(),
+        "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
+        "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),
+        "rerank_topk": oracles.rerank_topk_sql(
+            RERANK_CANDIDATES, workload.HYBRID_LIMIT
+        ),
+        "bm25_index_stats": oracles.bm25_index_stats_sql(),
     }

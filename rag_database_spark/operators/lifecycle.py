@@ -1,0 +1,131 @@
+"""Lifecycle operators — delete cascade, idempotent upsert, rerank,
+index stats (S8/S12/S13, U2, T6/M8, A4).
+
+The reference deletes a document from every store sequentially
+(master_pipeline.py:847-890) and upserts vectors with deterministic ids
+(vector_store.py:176-228); both become anti-join / keep-latest window
+rewrites here — one keyed shuffle each, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.text import tokenize
+
+
+def delete_by_ids(
+    df: DataFrame, ids: DataFrame, key_col: str
+) -> DataFrame:
+    """U2 (bm25_store.py:257-280): complement via left_anti — the
+    Spark-native DELETE WHERE id IN (...)."""
+    return df.join(
+        ids.select(F.col(ids.columns[0]).alias(key_col)), [key_col],
+        "left_anti",
+    )
+
+
+def delete_document_cascade(
+    tables: dict[str, DataFrame],
+    doc_ids: DataFrame,
+    key_cols: dict[str, str],
+) -> dict[str, DataFrame]:
+    """S13 (master_pipeline.py:847-890): one anti-join per dependent
+    table — documents, chunks, pages, embeddings, edges — all lazily
+    planned; a Delta/Iceberg sink turns each into DELETE WHERE."""
+    return {
+        name: delete_by_ids(df, doc_ids, key_cols[name])
+        for name, df in tables.items()
+    }
+
+
+def upsert_latest(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key_col: str,
+    version_col: str,
+) -> DataFrame:
+    """S8/S12 idempotent upsert: union then keep the newest row per key
+    — (version DESC, prefer incoming) — the row_number keep-latest
+    rewrite of the reference's delete-then-insert re-ingest
+    (metadata_store.py:799-847) and Qdrant id-idempotent upsert."""
+    a = existing.withColumn("__src", F.lit(0))
+    b = incoming.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(version_col), F.desc("__src")
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def lexical_overlap_rerank(
+    results: DataFrame,
+    queries: DataFrame,
+    documents: DataFrame,
+    limit: int,
+    id_col: str = "id",
+    text_col: str = "text",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """T6/M8 (hybrid_search.py:576-625): re-score the candidate list
+    per (query, doc) pair and re-sort. The reference scores pairs with
+    a cross-encoder model; the engine's default scorer is deterministic
+    lexical overlap (|q∩d| / |q∪d| over distinct tokens) — the same
+    pair-scoring topology, so a model-backed Pandas-UDF scorer drops in
+    by swapping the score expression.
+
+    ``results``: (query_id, id, ...) candidates (already top-k-bounded
+    → both join sides are small)."""
+    q = queries.select(
+        "query_id",
+        F.array_distinct(tokenize(F.col(query_text_col))).alias("q_toks"),
+    )
+    d = documents.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokenize(F.col(text_col))).alias("d_toks"),
+    )
+    inter = F.size(F.array_intersect(F.col("q_toks"), F.col("d_toks")))
+    union = F.size(F.array_union(F.col("q_toks"), F.col("d_toks")))
+    scored = (
+        results.select("query_id", "id")
+        .join(F.broadcast(q), "query_id")
+        .join(d, "id")
+        .select(
+            "query_id",
+            "id",
+            F.round(
+                F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6
+            ).alias("rerank_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= limit)
+    )
+
+
+def bm25_index_stats(postings: DataFrame, doclens: DataFrame) -> DataFrame:
+    """A4 (bm25_store.py:326-334): corpus size, average doc length,
+    vocabulary size, postings count. ``approx_vocabulary`` shows the
+    approx_count_distinct upgrade SURVEY §2 notes for 100 TB."""
+    p = postings.agg(
+        F.countDistinct("term").alias("vocabulary_size"),
+        F.count("*").alias("n_postings"),
+        F.sum("tf").alias("total_tokens"),
+    )
+    d = doclens.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avg_doc_len"),
+    )
+    return d.crossJoin(p).select(
+        "n_docs", "avg_doc_len", "vocabulary_size", "n_postings",
+        "total_tokens",
+    )

@@ -1216,3 +1216,83 @@ SELECT doc_id AS media_id, 'text' AS kind,
        md5(text) AS fingerprint
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Lifecycle oracles
+# ---------------------------------------------------------------------------
+
+
+def delete_cascade_sql(mod: int) -> str:
+    return f"""
+SELECT 'documents' AS table_name,
+       (SELECT count(*) FROM documents WHERE doc_id % {mod} != 0) AS n_remaining
+UNION ALL
+SELECT 'embeddings',
+       (SELECT count(*) FROM embeddings WHERE vec_id % {mod} != 0)
+"""
+
+
+def vector_upsert_sql(mod: int) -> str:
+    return f"""
+WITH existing AS (
+  SELECT vec_id, label, 1 AS version, 0 AS src FROM embeddings
+),
+incoming AS (
+  SELECT vec_id, label + 1000 AS label, 2 AS version, 1 AS src
+  FROM embeddings WHERE vec_id % {mod} = 0
+),
+unioned AS (SELECT * FROM existing UNION ALL SELECT * FROM incoming)
+SELECT vec_id, label, version FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY version DESC, src DESC
+  ) AS rn
+  FROM unioned
+) WHERE rn = 1
+"""
+
+
+def rerank_topk_sql(candidates: int, limit: int) -> str:
+    return f"""
+WITH {_bm25_ctes(candidates)},
+cand AS (
+  SELECT query_id, doc_id FROM bm25_ranked WHERE rank <= {candidates}
+),
+d_toks AS (SELECT DISTINCT doc_id, term FROM tok),
+d_sizes AS (SELECT doc_id, count(*) AS nd FROM d_toks GROUP BY doc_id),
+q_toks AS (SELECT DISTINCT query_id, term FROM qterms),
+q_sizes AS (SELECT query_id, count(*) AS nq FROM q_toks GROUP BY query_id),
+inter AS (
+  SELECT c.query_id, c.doc_id, count(d.term) AS ni
+  FROM cand c
+  LEFT JOIN q_toks q ON q.query_id = c.query_id
+  LEFT JOIN d_toks d ON d.doc_id = c.doc_id AND d.term = q.term
+  GROUP BY c.query_id, c.doc_id
+),
+scored AS (
+  SELECT i.query_id, i.doc_id AS id,
+         round(CASE WHEN (qs.nq + coalesce(ds.nd, 0) - i.ni) > 0
+                    THEN i.ni / (qs.nq + coalesce(ds.nd, 0) - i.ni)
+                    ELSE 0.0 END, 6) AS rerank_score
+  FROM inter i
+  JOIN q_sizes qs ON qs.query_id = i.query_id
+  LEFT JOIN d_sizes ds ON ds.doc_id = i.doc_id
+)
+SELECT query_id, id, rerank_score,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rerank_score DESC, id
+       )::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {limit}
+"""
+
+
+def bm25_index_stats_sql() -> str:
+    return f"""
+WITH {_bm25_ctes(1)}
+SELECT (SELECT count(*) FROM doclens) AS n_docs,
+       (SELECT round(avg(dl), 6) FROM doclens) AS avg_doc_len,
+       (SELECT count(DISTINCT term) FROM postings) AS vocabulary_size,
+       (SELECT count(*) FROM postings) AS n_postings,
+       (SELECT sum(tf) FROM postings) AS total_tokens
+"""
