@@ -26,7 +26,9 @@ from rag_database_spark.functions import quality
 from rag_database_spark.operators import chunking
 from rag_database_spark.operators import dedup
 from rag_database_spark.operators import graph as graph_ops
+from rag_database_spark.operators import domain_metadata
 from rag_database_spark.operators import lifecycle
+from rag_database_spark.operators import tables_extract
 from rag_database_spark.operators import multimodal
 from rag_database_spark.operators import query_analysis as qa
 from rag_database_spark.streaming import events as streaming_events
@@ -262,6 +264,26 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints over tf-weighted raw tokens."""
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F17: pipe-table parse + cell typing over the fixture corpus."""
+    return tables_extract.parse_pipe_tables(tables_extract.fixtures_df(spark))
+
+
+def _table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9: table type classification + column-count variance."""
+    fx = tables_extract.fixtures_df(spark)
+    return tables_extract.table_summary(
+        tables_extract.parse_pipe_tables(fx), fx
+    )
+
+
+def _extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10-F14: contract/tax/financial metadata + doc-type routing."""
+    return domain_metadata.extract_metadata(
+        domain_metadata.fixtures_df(spark)
+    )
 
 
 DELETE_MOD = 7
@@ -509,6 +531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_upsert": _vector_upsert,
         "rerank_topk": _rerank_topk,
         "bm25_index_stats": _bm25_index_stats,
+        "table_cells": _table_cells,
+        "table_summary": _table_summary,
+        "extract_metadata": _extract_metadata,
     }
 
 
@@ -569,4 +594,7 @@ def oracle_sql() -> dict[str, str]:
             RERANK_CANDIDATES, workload.HYBRID_LIMIT
         ),
         "bm25_index_stats": oracles.bm25_index_stats_sql(),
+        "table_cells": oracles.table_cells_sql(),
+        "table_summary": oracles.table_summary_sql(),
+        "extract_metadata": oracles.extract_metadata_sql(),
     }

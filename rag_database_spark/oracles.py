@@ -1296,3 +1296,199 @@ SELECT (SELECT count(*) FROM doclens) AS n_docs,
        (SELECT count(*) FROM postings) AS n_postings,
        (SELECT sum(tf) FROM postings) AS total_tokens
 """
+
+
+# ---------------------------------------------------------------------------
+# Table-extraction + domain-metadata oracles (fixture VALUES corpora)
+# ---------------------------------------------------------------------------
+
+
+def _table_cells_ctes() -> str:
+    from rag_database_spark.operators.tables_extract import (
+        BOOLEAN_VALUES,
+        BORDER_ROW_RE,
+        CELL_TYPE_PATTERNS,
+        PIPE_ROW_RE,
+        fixtures_values_sql,
+    )
+
+    bools = ", ".join(f"'{b}'" for b in BOOLEAN_VALUES)
+    type_cases = ", ".join(
+        f"CASE WHEN regexp_matches(value, '{pat}') THEN '{name}' END"
+        for name, pat in CELL_TYPE_PATTERNS
+    )
+    return f"""
+fx AS (SELECT * FROM {fixtures_values_sql()}),
+lines AS (
+  SELECT table_id,
+         unnest([{{'i': i, 'line': ls[i]}} for i in range(1, len(ls) + 1)]) AS u
+  FROM (SELECT table_id, string_split_regex(text, '\\n') AS ls FROM fx)
+),
+trows AS (
+  SELECT table_id, u.line AS line,
+         row_number() OVER (PARTITION BY table_id ORDER BY u.i) - 1 AS row_idx
+  FROM lines
+  WHERE regexp_matches(u.line, '{PIPE_ROW_RE}')
+    AND NOT regexp_matches(u.line, '{BORDER_ROW_RE}')
+),
+inner_txt AS (
+  SELECT table_id, row_idx,
+         regexp_replace(regexp_replace(line, '^\\s*\\|', ''),
+                        '\\|\\s*$', '') AS body
+  FROM trows
+),
+cells_raw AS (
+  SELECT table_id, row_idx,
+         unnest([{{'c': i, 'v': parts[i]}} for i in range(1, len(parts) + 1)]) AS u
+  FROM (
+    SELECT table_id, row_idx, string_split_regex(body, '\\|') AS parts
+    FROM inner_txt
+  )
+),
+cells AS (
+  SELECT table_id, row_idx, (u.c - 1)::BIGINT AS col_idx, trim(u.v) AS value
+  FROM cells_raw
+),
+typed AS (
+  SELECT table_id, row_idx, col_idx, value,
+         coalesce({type_cases},
+                  CASE WHEN lower(value) IN ({bools}) THEN 'boolean' END,
+                  'text') AS cell_type,
+         row_idx = 0 AS is_header
+  FROM cells
+)"""
+
+
+def table_cells_sql() -> str:
+    return f"""
+WITH {_table_cells_ctes().lstrip()}
+SELECT table_id, row_idx, col_idx, value, cell_type, is_header FROM typed
+"""
+
+
+def table_summary_sql() -> str:
+    from rag_database_spark.operators.tables_extract import (
+        COMPLIANCE_HEADERS,
+        FINANCIAL_HEADERS,
+        SCHEDULE_HEADERS,
+        TITLE_RE,
+        fixtures_values_sql,
+    )
+
+    fin = ", ".join(f"'{h}'" for h in FINANCIAL_HEADERS)
+    sch = ", ".join(f"'{h}'" for h in SCHEDULE_HEADERS)
+    cmp_ = ", ".join(f"'{h}'" for h in COMPLIANCE_HEADERS)
+    return f"""
+WITH {_table_cells_ctes().lstrip()},
+data AS (SELECT * FROM typed WHERE NOT is_header),
+ratios AS (
+  SELECT table_id, count(*) AS total,
+         sum(CASE WHEN cell_type IN ('currency', 'number') THEN 1 ELSE 0 END) AS fin,
+         sum(CASE WHEN cell_type = 'boolean' THEN 1 ELSE 0 END) AS boo,
+         sum(CASE WHEN cell_type = 'date' THEN 1 ELSE 0 END) AS dat,
+         count(DISTINCT row_idx) AS n_rows
+  FROM data GROUP BY table_id
+),
+variance AS (
+  SELECT table_id, round(var_pop(ncols), 6) AS col_count_variance
+  FROM (
+    SELECT table_id, row_idx, count(*) AS ncols
+    FROM typed GROUP BY table_id, row_idx
+  ) GROUP BY table_id
+),
+headers AS (
+  SELECT table_id, count(*) AS n_cols,
+         list(DISTINCT lower(value)) AS hdrs
+  FROM typed WHERE is_header GROUP BY table_id
+),
+titles AS (
+  SELECT table_id,
+         nullif(trim(regexp_extract(text, '{TITLE_RE}', 1)), '') AS title
+  FROM fx
+)
+SELECT r.table_id, r.n_rows::BIGINT AS n_rows, h.n_cols::BIGINT AS n_cols,
+       CASE WHEN r.fin / r.total > 0.5 THEN 'financial'
+            WHEN r.boo / r.total > 0.2 THEN 'compliance'
+            WHEN r.dat / r.total > 0.2 THEN 'schedule'
+            WHEN list_has_any(h.hdrs, [{fin}]) THEN 'financial'
+            WHEN list_has_any(h.hdrs, [{sch}]) THEN 'schedule'
+            WHEN list_has_any(h.hdrs, [{cmp_}]) THEN 'compliance'
+            ELSE 'data' END AS table_type,
+       v.col_count_variance, t.title
+FROM ratios r
+JOIN variance v ON v.table_id = r.table_id
+JOIN headers h ON h.table_id = r.table_id
+JOIN titles t ON t.table_id = r.table_id
+"""
+
+
+def extract_metadata_sql() -> str:
+    from rag_database_spark.operators.domain_metadata import (
+        AMOUNT_RE,
+        CLAUSE_FLAGS,
+        CONTRACT_TYPE_KEYWORDS,
+        DOC_TYPE_KEYWORDS,
+        DOC_TYPE_MIN_HITS,
+        EFFECTIVE_DATE_RE,
+        EXPIRY_DATE_RE,
+        FISCAL_PERIOD_RE,
+        GOVERNING_LAW_RE,
+        IRC_SECTION_RE,
+        TAX_FORM_RE,
+        fixtures_values_sql,
+    )
+
+    low = "lower(text)"
+
+    def argmax_case(keyword_map, default, min_hits):
+        names = sorted(keyword_map)
+        hits = {
+            n: " + ".join(
+                f"(CASE WHEN contains({low}, '{w}') THEN 1 ELSE 0 END)"
+                for w in keyword_map[n]
+            )
+            for n in names
+        }
+        cols = ", ".join(f"({e}) AS h_{n}" for n, e in hits.items())
+        g = "greatest(" + ", ".join(f"h_{n}" for n in names) + ")"
+        case = (
+            f"CASE WHEN {g} < {min_hits} THEN '{default}' "
+            + " ".join(f"WHEN h_{n} = {g} THEN '{n}'" for n in names)
+            + " END"
+        )
+        return cols, case
+
+    ct_cols, ct_case = argmax_case(CONTRACT_TYPE_KEYWORDS, "other", 1)
+    dt_cols, dt_case = argmax_case(
+        DOC_TYPE_KEYWORDS, "general", DOC_TYPE_MIN_HITS
+    )
+    flags = ", ".join(
+        f"contains({low}, '{kw}') AS {name}"
+        for name, kw in sorted(CLAUSE_FLAGS.items())
+    )
+    return f"""
+WITH fx AS (SELECT * FROM {fixtures_values_sql()}),
+scored AS (
+  SELECT doc_id, text, {ct_cols}, {dt_cols} FROM fx
+)
+SELECT doc_id,
+       {dt_case} AS doc_type,
+       {ct_case} AS contract_type,
+       nullif(regexp_extract(text, '{EFFECTIVE_DATE_RE}', 1), '') AS effective_date,
+       nullif(regexp_extract(text, '{EXPIRY_DATE_RE}', 1), '') AS expiry_date,
+       nullif(regexp_extract(text, '{GOVERNING_LAW_RE}', 1), '') AS governing_law,
+       CASE WHEN len(regexp_extract_all(text, '{AMOUNT_RE}', 1)) > 0
+            THEN round(list_max(list_transform(
+                   regexp_extract_all(text, '{AMOUNT_RE}', 1),
+                   x -> replace(x, ',', '')::DOUBLE)), 2)
+       END AS max_amount,
+       {flags},
+       list_sort(list_distinct(regexp_extract_all(text, '{IRC_SECTION_RE}', 1)))
+         AS irc_sections,
+       list_sort(list_distinct(regexp_extract_all(text, '{TAX_FORM_RE}', 1)))
+         AS tax_forms,
+       list_sort(list_distinct(list_transform(
+         regexp_extract_all(text, '{FISCAL_PERIOD_RE}', 1), x -> upper(x))))
+         AS fiscal_periods
+FROM scored
+"""
