@@ -370,6 +370,28 @@ def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _colpali_lite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: avg-pooled multi-vectors → single-vector cosine top-k (the
+    reference's ColPali-lite cheap path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled_pages = workload.multivector_pages(emb).select(
+        F.col("page_id").alias("id"),
+        similarity.avg_pool_patches(F.col("patches")).alias("vec"),
+    )
+    pooled_q = workload.query_patches_df(spark, emb).select(
+        "query_id",
+        similarity.avg_pool_patches(F.col("patches")).alias("qvec"),
+    )
+    return similarity.cosine_topk(
+        pooled_q, pooled_pages, workload.HYBRID_LIMIT
+    ).select(
+        "query_id",
+        "id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3-F8: classify / precision-detect / modality+weights / domain /
     acronym expansion over the analysis workload."""
@@ -531,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_upsert": _vector_upsert,
         "rerank_topk": _rerank_topk,
         "bm25_index_stats": _bm25_index_stats,
+        "colpali_lite_topk": _colpali_lite_topk,
         "table_cells": _table_cells,
         "table_summary": _table_summary,
         "extract_metadata": _extract_metadata,
@@ -594,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
             RERANK_CANDIDATES, workload.HYBRID_LIMIT
         ),
         "bm25_index_stats": oracles.bm25_index_stats_sql(),
+        "colpali_lite_topk": oracles.colpali_lite_topk_sql(),
         "table_cells": oracles.table_cells_sql(),
         "table_summary": oracles.table_summary_sql(),
         "extract_metadata": oracles.extract_metadata_sql(),

@@ -195,6 +195,50 @@ def suggested_weights(text: Column) -> Column:
     )
 
 
+# --- F7 query complexity → chunk level (hierarchical_chunker.py:550-610) ---
+PRECISION_KEYWORDS: tuple[str, ...] = (
+    "exact", "specific", "precisely", "exactly",
+    "table", "figure", "section", "article", "clause",
+    "number", "amount", "value", "date", "deadline",
+    "line", "paragraph", "sentence",
+    "what is the", "what was the",
+)
+BROAD_KEYWORDS: tuple[str, ...] = (
+    "overview", "summary", "about", "describe",
+    "explain", "what does", "how does", "why does",
+    "generally", "overall", "main", "key points",
+)
+
+
+def query_complexity(text: Column) -> Column:
+    """F7: precision vs broad keyword counts → struct(chunk_level,
+    confidence). Exact reference decision table
+    (hierarchical_chunker.py:597-610): precision wins → sentence
+    (conf .9 at ≥2 hits else .7); broad wins → section at ≥2 (.9) else
+    paragraph (.7); tie → paragraph (.5)."""
+    low = F.lower(text)
+    p = F.lit(0)
+    for kw in PRECISION_KEYWORDS:
+        p = p + F.when(low.contains(kw), 1).otherwise(0)
+    b = F.lit(0)
+    for kw in BROAD_KEYWORDS:
+        b = b + F.when(low.contains(kw), 1).otherwise(0)
+    level = (
+        F.when(p > b, F.lit("sentence"))
+        .when((b > p) & (b >= 2), F.lit("section"))
+        .when(b > p, F.lit("paragraph"))
+        .otherwise(F.lit("paragraph"))
+    )
+    conf = (
+        F.when((p > b) & (p >= 2), 0.9)
+        .when(p > b, 0.7)
+        .when((b > p) & (b >= 2), 0.9)
+        .when(b > p, 0.7)
+        .otherwise(0.5)
+    )
+    return F.struct(level.alias("chunk_level"), conf.alias("confidence"))
+
+
 def detect_domain(text: Column) -> Column:
     """F3: keyword-presence count per domain; argmax, ties by domain
     name ascending, zero hits → 'general'."""
@@ -265,12 +309,15 @@ def analyze_queries(
     prec = detect_precision(t)
     vs = visual_score(t)
     w = suggested_weights(t)
+    cx = query_complexity(t)
     return queries.select(
         "query_id",
         classify_query(t).alias("query_type"),
         prec["is_precision"].alias("is_precision"),
         prec["precision_type"].alias("precision_type"),
         prec["reference"].alias("reference"),
+        cx["chunk_level"].alias("chunk_level"),
+        F.round(cx["confidence"], 6).alias("complexity_confidence"),
         F.round(vs, 6).alias("visual_score"),
         modality(vs).alias("modality"),
         F.round(w["w_bm25"], 6).alias("w_bm25"),

@@ -193,6 +193,20 @@ def embedding_near_dupes(
     )
 
 
+def avg_pool_patches(patches: Column) -> Column:
+    """M7 ColPali-lite (colpali_embedder.py:172-211): per-dimension mean
+    over the patch vectors — one zip_with fold, no Python. Feed the
+    result to ``cosine_topk`` (cosine is scale-invariant, so the
+    reference's normalize step cancels)."""
+    n = F.size(patches)
+    dim = F.size(F.element_at(patches, 1))
+    zeros = F.transform(F.sequence(F.lit(1), dim), lambda _: F.lit(0.0))
+    sums = F.aggregate(
+        patches, zeros, lambda acc, p: F.zip_with(acc, p, lambda a, b: a + b)
+    )
+    return F.transform(sums, lambda v: v / n)
+
+
 def _near_dupes_gemm(
     corpus: DataFrame, threshold: float, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -932,8 +932,10 @@ QUALIFY rank <= {limit}
 def query_analysis_sql() -> str:
     from rag_database_spark.operators.query_analysis import (
         ACRONYMS,
+        BROAD_KEYWORDS,
         DOMAIN_KEYWORDS,
         MODALITY_WEIGHTS,
+        PRECISION_KEYWORDS,
         PRECISION_PATTERNS,
         QUERY_TYPE_KEYWORDS,
         VISUAL_INTENT_PATTERNS,
@@ -943,6 +945,16 @@ def query_analysis_sql() -> str:
     from rag_database_spark.workload import analysis_queries_values_sql
 
     low = "lower(query_text)"
+
+    # F7 complexity
+    p_cnt = " + ".join(
+        f"(CASE WHEN contains({low}, '{kw}') THEN 1 ELSE 0 END)"
+        for kw in PRECISION_KEYWORDS
+    )
+    b_cnt = " + ".join(
+        f"(CASE WHEN contains({low}, '{kw}') THEN 1 ELSE 0 END)"
+        for kw in BROAD_KEYWORDS
+    )
 
     # F6 cascade
     qt = "'broad'"
@@ -1036,6 +1048,8 @@ step1 AS (
          {qt} AS query_type,
          coalesce({ptype_cases}) AS precision_type,
          coalesce({ref_cases}) AS reference,
+         ({p_cnt}) AS p_score,
+         ({b_cnt}) AS b_score,
          {vs} AS vscore,
          ({nt}) AS n_targets,
          {hits_cols}
@@ -1054,6 +1068,15 @@ step2 AS (
 SELECT query_id, query_type,
        precision_type IS NOT NULL AS is_precision,
        precision_type, reference,
+       CASE WHEN p_score > b_score THEN 'sentence'
+            WHEN b_score > p_score AND b_score >= 2 THEN 'section'
+            WHEN b_score > p_score THEN 'paragraph'
+            ELSE 'paragraph' END AS chunk_level,
+       round((CASE WHEN p_score > b_score AND p_score >= 2 THEN 0.9
+            WHEN p_score > b_score THEN 0.7
+            WHEN b_score > p_score AND b_score >= 2 THEN 0.9
+            WHEN b_score > p_score THEN 0.7
+            ELSE 0.5 END)::DOUBLE, 6) AS complexity_confidence,
        round(vscore, 6) AS visual_score,
        CASE WHEN vscore >= 0.5 THEN 'visual'
             WHEN vscore >= {VISUAL_THRESHOLD} THEN 'mixed'
@@ -1491,4 +1514,54 @@ SELECT doc_id,
          regexp_extract_all(text, '{FISCAL_PERIOD_RE}', 1), x -> upper(x))))
          AS fiscal_periods
 FROM scored
+"""
+
+
+def colpali_lite_topk_sql(limit: int = HYBRID_LIMIT) -> str:
+    from rag_database_spark.workload import PAGE_GROUP, QUERY_TOKENS
+
+    unnest_dims = (
+        "unnest([{'i': i, 'v': embedding[i]::DOUBLE} "
+        "for i in range(1, len(embedding) + 1)]) AS u"
+    )
+    return f"""
+WITH page_pool AS (
+  SELECT page_id, u.i AS i, avg(u.v) AS v
+  FROM (
+    SELECT vec_id // {PAGE_GROUP} AS page_id, {unnest_dims}
+    FROM embeddings
+  )
+  GROUP BY 1, 2
+),
+page_vecs AS (
+  SELECT page_id, list(v ORDER BY i) AS vec FROM page_pool GROUP BY page_id
+),
+q_pool AS (
+  SELECT query_id, u.i AS i, avg(u.v) AS v
+  FROM (
+    SELECT q.query_id, {unnest_dims}
+    FROM {queries_values_sql()}
+    JOIN embeddings e
+      ON e.vec_id >= q.query_vec_id
+     AND e.vec_id < q.query_vec_id + {QUERY_TOKENS}
+  )
+  GROUP BY 1, 2
+),
+q_vecs AS (
+  SELECT query_id, list(v ORDER BY i) AS vec FROM q_pool GROUP BY query_id
+),
+scored AS (
+  SELECT q.query_id, p.page_id AS id,
+         list_cosine_similarity(q.vec, p.vec) AS score
+  FROM q_vecs q CROSS JOIN page_vecs p
+),
+ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, id, round(score, 6) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {limit}
 """
