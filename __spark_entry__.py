@@ -370,6 +370,70 @@ def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-lite + J11: deterministic hash-projection embedder feeding
+    cosine top-k — the full embed→index→search path, model-free."""
+    from rag_database_spark.functions.embedder import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), hash_embed(F.col("text")).alias("vec")
+    )
+    q = workload.queries_df(spark).select(
+        "query_id", hash_embed(F.col("query_text")).alias("qvec")
+    )
+    return similarity.cosine_topk(q, docs, workload.HYBRID_LIMIT).select(
+        "query_id",
+        "id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+VISUAL_SEARCH_TYPES = ("table", "figure")
+
+
+def _visual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3/P10: MaxSim over visual elements restricted to the requested
+    element types (vector_store.py:714-780 element-type filter)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = similarity.maxsim_scores(
+        workload.query_patches_df(spark, emb), workload.multivector_pages(emb)
+    )
+    etypes = F.array(*[F.lit(t) for t in oracles.VISUAL_ELEMENT_TYPES])
+    elements = scored.withColumn(
+        "element_type",
+        F.element_at(
+            etypes,
+            (F.col("page_id") % len(oracles.VISUAL_ELEMENT_TYPES) + 1).cast(
+                "int"
+            ),
+        ),
+    ).filter(F.col("element_type").isin(*VISUAL_SEARCH_TYPES))
+    return bm25_ops.topk(
+        elements, workload.HYBRID_LIMIT, id_col="page_id"
+    ).select(
+        "query_id",
+        F.col("page_id").alias("element_id"),
+        "element_type",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _chunk_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9 (unified_chunk.py:187-215, master_pipeline.py:703-707):
+    paragraph-level chunks only, projected to the indexing payload with
+    truncated text."""
+    chunks = chunking.chunk_pipeline(load_table(spark, sf_dir, "documents"))
+    return chunks.filter(F.col("level") == "paragraph").select(
+        "chunk_id",
+        "doc_id",
+        "page_number",
+        "token_count",
+        F.substring("chunk_text", 1, 1000).alias("text_excerpt"),
+    )
+
+
 def _colpali_lite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: avg-pooled multi-vectors → single-vector cosine top-k (the
     reference's ColPali-lite cheap path)."""
@@ -554,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_topk": _rerank_topk,
         "bm25_index_stats": _bm25_index_stats,
         "colpali_lite_topk": _colpali_lite_topk,
+        "text_embed_topk": _text_embed_topk,
+        "visual_search": _visual_search,
+        "chunk_payloads": _chunk_payloads,
         "table_cells": _table_cells,
         "table_summary": _table_summary,
         "extract_metadata": _extract_metadata,
@@ -618,6 +685,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_index_stats": oracles.bm25_index_stats_sql(),
         "colpali_lite_topk": oracles.colpali_lite_topk_sql(),
+        "text_embed_topk": oracles.text_embed_topk_sql(),
+        "visual_search": oracles.visual_search_sql(VISUAL_SEARCH_TYPES),
+        "chunk_payloads": oracles.chunk_payloads_sql(),
         "table_cells": oracles.table_cells_sql(),
         "table_summary": oracles.table_summary_sql(),
         "extract_metadata": oracles.extract_metadata_sql(),

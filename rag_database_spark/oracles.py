@@ -1565,3 +1565,98 @@ ranked AS (
 SELECT query_id, id, round(score, 6) AS score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {limit}
 """
+
+
+# ---------------------------------------------------------------------------
+# M1-lite hash embedder / visual search / chunk payload oracles
+# ---------------------------------------------------------------------------
+
+
+def _hash_embed_avgs(dim: int) -> str:
+    from rag_database_spark.functions.embedder import _SCALE
+
+    return ", ".join(
+        f"avg(('0x' || substr(md5('e{i}|' || term), 1, 15))::BIGINT"
+        f" / {_SCALE} - 1.0) AS d{i}"
+        for i in range(dim)
+    )
+
+
+def text_embed_topk_sql(limit: int = HYBRID_LIMIT) -> str:
+    from rag_database_spark.functions.embedder import EMBED_DIM
+
+    dims = ", ".join(f"d{i}" for i in range(EMBED_DIM))
+    return f"""
+WITH {_bm25_ctes(limit)},
+qtok AS (
+  SELECT query_id, term FROM qtok_raw
+  WHERE length(term) >= {MIN_TOKEN_LEN} AND term NOT IN ({_STOPLIST})
+),
+doc_vec AS (
+  SELECT doc_id, [{dims}] AS vec
+  FROM (SELECT doc_id, {_hash_embed_avgs(EMBED_DIM)} FROM tok GROUP BY doc_id)
+),
+q_vec AS (
+  SELECT query_id, [{dims}] AS vec
+  FROM (SELECT query_id, {_hash_embed_avgs(EMBED_DIM)} FROM qtok
+        GROUP BY query_id)
+),
+scored AS (
+  SELECT q.query_id, d.doc_id AS id,
+         CASE WHEN sqrt(list_dot_product(q.vec, q.vec))
+                   * sqrt(list_dot_product(d.vec, d.vec)) > 0
+              THEN list_dot_product(q.vec, d.vec)
+                   / (sqrt(list_dot_product(q.vec, q.vec))
+                      * sqrt(list_dot_product(d.vec, d.vec)))
+              ELSE 0.0 END AS score
+  FROM q_vec q CROSS JOIN doc_vec d
+),
+ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, id, round(score, 6) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {limit}
+"""
+
+
+VISUAL_ELEMENT_TYPES = ("table", "figure", "image")
+
+
+def visual_search_sql(types: tuple[str, ...], limit: int = HYBRID_LIMIT) -> str:
+    etypes = ", ".join(f"'{t}'" for t in VISUAL_ELEMENT_TYPES)
+    wanted = ", ".join(f"'{t}'" for t in types)
+    return f"""
+WITH {_colpali_ctes()},
+elements AS (
+  SELECT query_id, page_id, score,
+         [{etypes}][(page_id % {len(VISUAL_ELEMENT_TYPES)}) + 1]
+           AS element_type
+  FROM page_scores
+),
+filtered AS (
+  SELECT * FROM elements WHERE element_type IN ({wanted})
+),
+eranked AS (
+  SELECT query_id, page_id AS element_id, element_type, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, page_id
+         ) AS rank
+  FROM filtered
+)
+SELECT query_id, element_id, element_type,
+       round(score, 6) AS score, rank::BIGINT AS rank
+FROM eranked WHERE rank <= {limit}
+"""
+
+
+def chunk_payloads_sql(truncate_chars: int = 1000) -> str:
+    return f"""
+SELECT chunk_id, doc_id, page_number, token_count,
+       substr(chunk_text, 1, {truncate_chars}) AS text_excerpt
+FROM ({chunk_documents_sql()})
+WHERE level = 'paragraph'
+"""
