@@ -251,3 +251,25 @@ def graph_stats(edges: DataFrame) -> DataFrame:
         F.countDistinct("src").alias("n_sources"),
         F.countDistinct("dst").alias("n_targets"),
     )
+
+
+def related_ids(edges: DataFrame, ids: DataFrame) -> DataFrame:
+    """U3 (metadata_store.py:1219-1225): docs related to an id set —
+    union of the source and target sides, distinct, the seed ids
+    themselves excluded."""
+    seed = ids.select(F.col(ids.columns[0]).alias("doc_id"))
+    out = edges.join(
+        seed, edges["src"] == seed["doc_id"]
+    ).select(F.col("dst").alias("related_id"))
+    inc = edges.join(
+        seed, edges["dst"] == seed["doc_id"]
+    ).select(F.col("src").alias("related_id"))
+    return (
+        out.unionByName(inc)
+        .distinct()
+        .join(
+            seed.select(F.col("doc_id").alias("related_id")),
+            ["related_id"],
+            "left_anti",
+        )
+    )

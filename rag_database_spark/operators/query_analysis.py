@@ -424,3 +424,21 @@ def search_analytics(results: DataFrame,
         F.countDistinct("id").alias("n_distinct_docs"),
         F.sort_array(F.collect_set("source")).alias("sources"),
     )
+
+
+def search_terms(text: Column) -> Column:
+    """U4 (acronym_database.py:609-616): search-term set expansion —
+    the original query ∪ the acronym-enhanced rewrite ∪ each matched
+    expansion, distinct, order-preserving."""
+    expansions = []
+    seen = set()
+    for acr, exp, _dom, _kws in ACRONYMS:
+        if (acr, exp) in seen:
+            continue
+        seen.add((acr, exp))
+        expansions.append(F.when(text.rlike(rf"\b{acr}\b"), F.lit(exp)))
+    arr = F.filter(
+        F.array(text, expand_acronyms(text), *expansions),
+        lambda x: x.isNotNull(),
+    )
+    return F.array_distinct(arr)

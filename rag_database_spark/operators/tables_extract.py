@@ -257,3 +257,32 @@ def fixtures_values_sql() -> str:
         f"(SELECT table_id, replace(text, '\\n', chr(10)) AS text "
         f"FROM (VALUES {rows}) AS v(table_id, text))"
     )
+
+
+def dedup_overlapping_regions(regions: DataFrame) -> DataFrame:
+    """W5 (table_extractor.py:270-288): regions sorted by start; a
+    region overlapping the last KEPT region replaces it only when its
+    confidence is higher, else it is dropped.
+
+    The keep-set depends on prior keep decisions (not expressible as a
+    single window), so this runs as applyInPandas per document —
+    parallel across documents, sequential within one (regions per doc
+    are few).
+
+    Input/output: (document_id, start, end, confidence)."""
+    import pandas as pd
+
+    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["start", "end"]).reset_index(drop=True)
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if kept and pdf.loc[i, "start"] < pdf.loc[kept[-1], "end"]:
+                if pdf.loc[i, "confidence"] > pdf.loc[kept[-1], "confidence"]:
+                    kept[-1] = i
+            else:
+                kept.append(i)
+        return pdf.iloc[kept]
+
+    return regions.groupBy("document_id").applyInPandas(
+        keep, schema=regions.schema
+    )

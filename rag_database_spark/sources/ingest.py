@@ -1,0 +1,168 @@
+"""Ingestion sources — directory scan, document parse seam, element
+filtering, page-image extraction stub (S1-S6;
+src/ingestion/document_processor.py).
+
+The reference parses with Unstructured.io + pdf2image (not available in
+this container). The engine keeps the Spark-side topology real — a
+distributed ``binaryFile`` scan fanning into a parse ``mapInPandas``
+that emits typed element rows — and stubs only the library call: the
+fake parser splits text bytes into paragraph elements deterministically.
+A real parser replaces ``_fake_parse`` alone; schema, batching, and
+downstream operators are already wired.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ELEMENT_SCHEMA = (
+    "document_id string, element_index int, category string, text string, "
+    "page_number int"
+)
+VISUAL_CATEGORIES = ("Image", "Table", "Figure")
+PAGE_CHARS = 2000  # fake-parser page size
+
+
+def scan_directory(
+    spark: SparkSession, path: str, glob: str = "*.txt"
+) -> DataFrame:
+    """S6 (master_pipeline.py:815-845 rglob fan-out): distributed
+    binary-file scan — (path, modificationTime, length, content).
+    Parallel listing and reading come free from the source."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+
+
+def _doc_id(path: str, content: bytes) -> str:
+    """F21 id scheme: {stem}_{md5[:12]} (document_processor.py:183-188)."""
+    stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    return f"{stem}_{hashlib.md5(content or b'').hexdigest()[:12]}"
+
+
+def _fake_parse(content: bytes) -> list[tuple[str, str, int]]:
+    """Deterministic parse stub: decode utf-8 (replace errors), split on
+    blank lines into elements; a leading short line becomes a Title;
+    page = char-offset // PAGE_CHARS. Replace with
+    unstructured.partition for real documents (S1/S2 seam)."""
+    text = (content or b"").decode("utf-8", errors="replace")
+    out = []
+    offset = 0
+    for idx, para in enumerate(p for p in text.split("\n\n") if p.strip()):
+        category = (
+            "Title"
+            if idx == 0 and len(para.strip()) < 80 and "\n" not in para.strip()
+            else "NarrativeText"
+        )
+        if para.lstrip().startswith("|"):
+            category = "Table"
+        out.append((category, para.strip(), offset // PAGE_CHARS + 1))
+        offset += len(para) + 2
+    return out
+
+
+def parse_documents(files: DataFrame) -> DataFrame:
+    """S1/S2: binary files → element rows (one file → many elements)
+    through an Arrow-batched mapInPandas; the parse library call is the
+    only stubbed piece."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                did = _doc_id(path, content)
+                for ei, (cat, text, page) in enumerate(_fake_parse(content)):
+                    rows.append((did, ei, cat, text, page))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "document_id", "element_index", "category", "text",
+                        "page_number",
+                    ],
+                )
+
+    return files.select("path", "content").mapInPandas(
+        batches, schema=ELEMENT_SCHEMA
+    )
+
+
+def visual_elements(elements: DataFrame) -> DataFrame:
+    """S5 (document_processor.py:239-308): keep visual categories,
+    assign deterministic element ids."""
+    return elements.filter(
+        F.col("category").isin(*VISUAL_CATEGORIES)
+    ).select(
+        F.concat_ws(
+            "_",
+            F.col("document_id"),
+            F.lit("vis"),
+            F.col("element_index").cast("string"),
+        ).alias("element_id"),
+        "document_id",
+        "category",
+        "text",
+        "page_number",
+    )
+
+
+def full_text(elements: DataFrame) -> DataFrame:
+    """Reassemble per-document full text (master_pipeline.py:258-265:
+    full_text = join of element texts)."""
+    return (
+        elements.groupBy("document_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("element_index", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+    )
+
+
+def page_images_stub(files: DataFrame, dpi: int = 150) -> DataFrame:
+    """S4 (document_processor.py:219-237 pdf2image): page-image rows
+    with deterministic fake dimensions — binary plumbing only; a real
+    renderer replaces the inner loop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                did = _doc_id(path, content)
+                n_pages = max(1, len(content or b"") // PAGE_CHARS)
+                for p in range(1, n_pages + 1):
+                    h = hashlib.md5(f"{did}|{p}".encode()).digest()
+                    rows.append(
+                        (did, p, 612, 792, h)  # letter-size points + fake bytes
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "document_id", "page_number", "width", "height",
+                        "image",
+                    ],
+                )
+
+    return files.select("path", "content").mapInPandas(
+        batches,
+        schema=(
+            "document_id string, page_number int, width int, height int, "
+            "image binary"
+        ),
+    )
