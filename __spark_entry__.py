@@ -359,6 +359,13 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), batch window form;
+    the stateful streaming equivalent (applyInPandasWithState) is
+    tested for agreement in tests/."""
+    return streaming_events.sessionize(load_table(spark, sf_dir, "events"))
+
+
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: documents.text as an opaque binary
     payload through the Arrow mapInPandas media path."""
@@ -612,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enhanced_search": _enhanced_search,
         "search_analytics": _search_analytics,
         "events_hourly": _events_hourly,
+        "user_sessions": _user_sessions,
         "media_stats": _media_stats,
         "delete_document_cascade": _delete_document_cascade,
         "vector_upsert": _vector_upsert,
@@ -677,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "enhanced_search": oracles.enhanced_search_sql(),
         "search_analytics": oracles.search_analytics_sql(),
         "events_hourly": oracles.events_hourly_sql(),
+        "user_sessions": oracles.user_sessions_sql(),
         "media_stats": oracles.media_stats_sql(),
         "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
         "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),

@@ -1660,3 +1660,34 @@ SELECT chunk_id, doc_id, page_number, token_count,
 FROM ({chunk_documents_sql()})
 WHERE level = 'paragraph'
 """
+
+
+def user_sessions_sql() -> str:
+    from rag_database_spark.streaming.events import SESSION_GAP_US
+
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""

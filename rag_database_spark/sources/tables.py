@@ -48,8 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer `div`, NOT float division: epoch-nanos ≈ 1.7e18
+            # exceeds double's 53-bit mantissa, so /1000 rounds the
+            # low microseconds
             df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
     return df
 

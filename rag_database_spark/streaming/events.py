@@ -122,3 +122,112 @@ def stream_ingest_documents(
         .option("checkpointLocation", dst_path + "_checkpoint")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization: batch (window algebra, oracle-checked) and
+# stateful streaming (applyInPandasWithState) forms of the same semantics
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Batch sessionization: per user, a new session starts when the
+    gap to the previous event exceeds ``gap_us``. Two windows (lag +
+    running sum) and one aggregate — all keyed on user_id, one shuffle.
+
+    Output: (user_id, session_id, session_start, session_end,
+    n_events, total_value)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_session = events.withColumn(
+        "session_id", F.sum(new_session).over(run).cast("long")
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_id long, session_start timestamp, "
+    "session_end timestamp, n_events long, total_value double"
+)
+SESSION_STATE_SCHEMA = "last_us long, session_id long"
+
+
+def sessionize_stream(events: DataFrame, gap_us: int = SESSION_GAP_US):
+    """Streaming form via applyInPandasWithState: per-user state keeps
+    (last event time, current session ordinal); each micro-batch folds
+    its events into sessions and emits the batch's session aggregates.
+    Same gap rule as the batch form — the state is exactly what the
+    lag window carries implicitly."""
+    import pandas as pd
+
+    def fold(key, pdf_iter, state):
+        (user_id,) = key
+        last_us, session_id = (
+            state.get if state.exists else (None, 0)
+        )
+        rows = []
+        cur = None  # (start_us, end_us, n, total)
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if chunks:
+            # events may arrive split across several Arrow batches in
+            # arbitrary order — sort the whole group once
+            merged = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, value in zip(merged["ts"], merged["value"]):
+                us = int(ts.value // 1000)  # pandas ns → µs
+                if last_us is None or us - last_us > gap_us:
+                    if cur is not None:
+                        rows.append(cur)
+                    session_id += 1
+                    cur = [us, us, 0, 0.0]
+                elif cur is None:
+                    # session continues from previous batch
+                    cur = [us, us, 0, 0.0]
+                cur[1] = us
+                cur[2] += 1
+                cur[3] += float(value)
+                last_us = us
+        if cur is not None:
+            rows.append(cur)
+        state.update((last_us, session_id))
+        out = pd.DataFrame(
+            [
+                (
+                    user_id,
+                    session_id - len(rows) + 1 + i,
+                    pd.Timestamp(r[0] * 1000),
+                    pd.Timestamp(r[1] * 1000),
+                    r[2],
+                    round(r[3], 6),
+                )
+                for i, r in enumerate(rows)
+            ],
+            columns=[
+                "user_id", "session_id", "session_start", "session_end",
+                "n_events", "total_value",
+            ],
+        )
+        yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -93,3 +93,18 @@ def test_rp_blocks_deterministic(spark):
     a = sorted(map(tuple, dedup.rp_blocks(corpus, dim=3).collect()))
     b = sorted(map(tuple, dedup.rp_blocks(corpus, dim=3).collect()))
     assert a == b
+
+
+def test_prefix_filter_is_exact(spark, docs):
+    base = sorted(
+        map(tuple, dedup.shingle_jaccard_pairs(docs, 0.5).collect())
+    )
+    pf = sorted(
+        map(
+            tuple,
+            dedup.shingle_jaccard_pairs(
+                docs, 0.5, prefix_filter=True
+            ).collect(),
+        )
+    )
+    assert base == pf and base  # identical, non-empty

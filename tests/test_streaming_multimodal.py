@@ -108,3 +108,24 @@ def test_media_embedding_shape(spark, media):
     for r in rows:
         assert len(r["embedding"]) == multimodal.EMBED_DIM
         assert all(-1.0 <= v < 1.0 for v in r["embedding"])
+
+
+def test_stateful_sessionization_matches_batch(spark, event_dir):
+    batch = se.sessionize(spark.read.parquet(event_dir)).collect()
+    stream = se.sessionize_stream(
+        se.read_event_stream(spark, event_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM sessions_test").collect()
+    key = lambda r: (r["user_id"], r["session_start"])
+    b = {key(r): (r["n_events"], r["session_end"]) for r in batch}
+    s = {key(r): (r["n_events"], r["session_end"]) for r in streamed}
+    # single availableNow micro-batch sees all events → sessions agree
+    assert s == b and len(s) > 0
