@@ -334,3 +334,176 @@ def sentence_chunks(
     ).filter(F.length(F.trim("sentence")) >= MIN_SENTENCE_CHARS).select(
         "doc_id", "sentence_index", F.trim("sentence").alias("sentence")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 semantic / SDPM chunking + C1 strategy routing
+# (chunking_service.py:63-69, 286-312, 360-365)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_THRESHOLD = 0.5  # chunking_service.py:296
+SDPM_SKIP_WINDOW = 2      # chunking_service.py:307
+
+
+def _hash_embed_py(text: str, dim: int = 8) -> list[float]:
+    """Python twin of functions/embedder.hash_embed — identical tokens
+    (lower, punct→space, split, len≥2, stopwords dropped) and identical
+    md5-keyed projections, so executor-side chunking agrees with the
+    columnar embedder."""
+    import hashlib
+    import re as _re
+
+    from rag_database_spark.functions.text import (
+        MIN_TOKEN_LEN,
+        PUNCT_RE,
+        SPLIT_RE,
+        STOPWORDS,
+    )
+
+    cleaned = _re.sub(PUNCT_RE, " ", text.lower())
+    toks = [
+        t
+        for t in _re.split(SPLIT_RE, cleaned)
+        if len(t) >= MIN_TOKEN_LEN and t not in STOPWORDS
+    ]
+    if not toks:
+        return [0.0] * dim
+    vec = []
+    for i in range(dim):
+        total = 0.0
+        for t in toks:
+            h = int(
+                hashlib.md5(f"e{i}|{t}".encode()).hexdigest()[:15], 16
+            )
+            total += h / float(1 << 59) - 1.0
+        vec.append(total / len(toks))
+    return vec
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def semantic_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = SEMANTIC_THRESHOLD,
+    skip_window: int = 0,
+) -> DataFrame:
+    """C4 (chunking_service.py:286-312): sentences grouped by embedding
+    similarity — a sentence joins the open chunk while its cosine to
+    the chunk centroid ≥ threshold. ``skip_window > 0`` is the SDPM
+    variant: a below-threshold sentence still joins if any of the next
+    ``skip_window`` sentences would (double-pass merging).
+
+    Sequential within a document (like the reference's Chonkie
+    chunkers) → applyInPandas per doc, parallel across docs. The
+    embedder is the engine's deterministic hash projection, so results
+    are stable; a model embedder slots into ``_hash_embed_py``."""
+    import re as _re
+
+    import pandas as pd
+
+    def chunk_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            sentences = [
+                s.strip()
+                for s in _re.split(SENTENCE_SPLIT_RE, text or "")
+                if s.strip()
+            ]
+            if not sentences:
+                continue
+            vecs = [_hash_embed_py(s) for s in sentences]
+            chunks: list[list[int]] = [[0]]
+            for i in range(1, len(sentences)):
+                centroid = [
+                    sum(vecs[j][d] for j in chunks[-1]) / len(chunks[-1])
+                    for d in range(len(vecs[0]))
+                ]
+                joins = _cos(vecs[i], centroid) >= threshold
+                if not joins and skip_window > 0:
+                    # SDPM: look ahead — a near-future similar sentence
+                    # bridges the gap
+                    for j in range(i + 1, min(i + 1 + skip_window, len(vecs))):
+                        if _cos(vecs[j], centroid) >= threshold:
+                            joins = True
+                            break
+                if joins:
+                    chunks[-1].append(i)
+                else:
+                    chunks.append([i])
+            for ci, idxs in enumerate(chunks):
+                out.append(
+                    (
+                        doc_id,
+                        ci,
+                        " ".join(sentences[j] for j in idxs),
+                        len(idxs),
+                    )
+                )
+        return pd.DataFrame(
+            out, columns=["doc_id", "chunk_index", "chunk_text", "n_sentences"]
+        )
+
+    return docs.groupBy(id_col).applyInPandas(
+        chunk_one,
+        schema=(
+            "doc_id long, chunk_index long, chunk_text string, "
+            "n_sentences long"
+        ),
+    )
+
+
+# C1 (chunking_service.py:63-69): quality tier → chunking strategy
+STRATEGY_BY_TIER = {
+    "high": "sdpm",
+    "medium": "semantic",
+    "low": "sentence",
+    "garbage": "token",
+}
+
+
+def route_and_chunk(
+    docs_with_tier: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tier_col: str = "tier",
+) -> DataFrame:
+    """C1 routing: each quality tier takes its chunker; outputs union
+    with a ``strategy`` column. Filters split the corpus once — every
+    branch is lazy, so unmatched branches cost nothing."""
+    t = F.col(tier_col)
+    base = docs_with_tier
+    sdpm = semantic_chunks(
+        base.filter(t == "high"), id_col, text_col,
+        skip_window=SDPM_SKIP_WINDOW,
+    ).withColumn("strategy", F.lit("sdpm"))
+    sem = semantic_chunks(
+        base.filter(t == "medium"), id_col, text_col
+    ).withColumn("strategy", F.lit("semantic"))
+    sent = (
+        sentence_chunks(base.filter(t == "low"), id_col, text_col)
+        .select(
+            "doc_id",
+            F.col("sentence_index").cast("long").alias("chunk_index"),
+            F.col("sentence").alias("chunk_text"),
+            F.lit(1).cast("long").alias("n_sentences"),
+        )
+        .withColumn("strategy", F.lit("sentence"))
+    )
+    tok = (
+        chunk_documents(base.filter(t == "garbage"), id_col, text_col)
+        .select(
+            "doc_id", "chunk_index", "chunk_text",
+            F.lit(None).cast("long").alias("n_sentences"),
+        )
+        .withColumn("strategy", F.lit("token"))
+    )
+    return sdpm.unionByName(sem).unionByName(sent).unionByName(tok)

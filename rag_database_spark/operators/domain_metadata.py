@@ -57,6 +57,19 @@ CLAUSE_FLAGS: dict[str, str] = {
 IRC_SECTION_RE = r"(?i)(?:IRC|I\.R\.C\.)\s*(?:§|Section)\s*(\d+(?:\([a-z]\))?)"
 TAX_FORM_RE = r"(?i)Form\s+(\d{3,4}(?:-[A-Z]+)?)"
 
+# F12 building code (domain_schemas.py:400-517)
+CODE_TYPE_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "ada": ("americans with disabilities", "accessibility"),
+    "ibc": ("international building code", "ibc"),
+    "ifc": ("international fire code", "ifc"),
+    "irc_building": ("international residential code",),
+    "local": ("municipal code", "city code", "county code"),
+    "nfpa": ("nfpa", "national fire protection"),
+}
+CODE_SECTION_RE = r"(?:Section|§)\s*(\d+(?:\.\d+)*)"
+CODE_EDITION_RE = r"(?i)(\d{4})\s*(?:edition|version|ibc|irc)"
+JURISDICTION_RE = r"(?:City|County|State)\s+of\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)"
+
 # F13 financial (domain_schemas.py:524-648)
 FISCAL_PERIOD_RE = r"(?i)(Q[1-4]\s+\d{4}|FY\s*\d{4})"
 
@@ -166,6 +179,16 @@ def extract_metadata(
                 )
             )
         ).alias("fiscal_periods"),
+        _argmax_type(low, CODE_TYPE_KEYWORDS, "none").alias("code_type"),
+        F.array_sort(
+            F.array_distinct(F.regexp_extract_all(t, F.lit(CODE_SECTION_RE), 1))
+        ).alias("code_sections"),
+        F.nullif(F.regexp_extract(t, CODE_EDITION_RE, 1), F.lit("")).alias(
+            "code_edition"
+        ),
+        F.nullif(F.regexp_extract(t, JURISDICTION_RE, 1), F.lit("")).alias(
+            "jurisdiction"
+        ),
     )
 
 
@@ -189,6 +212,11 @@ DOC_FIXTURES: tuple[tuple[int, str], ...] = (
      "guidance for FY2025 raised. The balance sheet and income "
      "statement show totals of $2,400,000.00."),
     (4, "plain note with no recognizable domain content at all"),
+    (5,
+     "Per the International Building Code 2021 edition, Section 1011.5 "
+     "and Section 1207.3 govern egress and occupancy for construction "
+     "of a dwelling in the City of Springfield. The building must meet "
+     "ibc accessibility requirements."),
 )
 
 

@@ -1449,6 +1449,9 @@ def extract_metadata_sql() -> str:
     from rag_database_spark.operators.domain_metadata import (
         AMOUNT_RE,
         CLAUSE_FLAGS,
+        CODE_EDITION_RE,
+        CODE_SECTION_RE,
+        CODE_TYPE_KEYWORDS,
         CONTRACT_TYPE_KEYWORDS,
         DOC_TYPE_KEYWORDS,
         DOC_TYPE_MIN_HITS,
@@ -1457,6 +1460,7 @@ def extract_metadata_sql() -> str:
         FISCAL_PERIOD_RE,
         GOVERNING_LAW_RE,
         IRC_SECTION_RE,
+        JURISDICTION_RE,
         TAX_FORM_RE,
         fixtures_values_sql,
     )
@@ -1485,6 +1489,7 @@ def extract_metadata_sql() -> str:
     dt_cols, dt_case = argmax_case(
         DOC_TYPE_KEYWORDS, "general", DOC_TYPE_MIN_HITS
     )
+    cc_cols, cc_case = argmax_case(CODE_TYPE_KEYWORDS, "none", 1)
     flags = ", ".join(
         f"contains({low}, '{kw}') AS {name}"
         for name, kw in sorted(CLAUSE_FLAGS.items())
@@ -1492,7 +1497,7 @@ def extract_metadata_sql() -> str:
     return f"""
 WITH fx AS (SELECT * FROM {fixtures_values_sql()}),
 scored AS (
-  SELECT doc_id, text, {ct_cols}, {dt_cols} FROM fx
+  SELECT doc_id, text, {ct_cols}, {dt_cols}, {cc_cols} FROM fx
 )
 SELECT doc_id,
        {dt_case} AS doc_type,
@@ -1512,7 +1517,12 @@ SELECT doc_id,
          AS tax_forms,
        list_sort(list_distinct(list_transform(
          regexp_extract_all(text, '{FISCAL_PERIOD_RE}', 1), x -> upper(x))))
-         AS fiscal_periods
+         AS fiscal_periods,
+       {cc_case} AS code_type,
+       list_sort(list_distinct(regexp_extract_all(text, '{CODE_SECTION_RE}', 1)))
+         AS code_sections,
+       nullif(regexp_extract(text, '{CODE_EDITION_RE}', 1), '') AS code_edition,
+       nullif(regexp_extract(text, '{JURISDICTION_RE}', 1), '') AS jurisdiction
 FROM scored
 """
 

@@ -231,3 +231,13 @@ def sessionize_stream(events: DataFrame, gap_us: int = SESSION_GAP_US):
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def dedup_events_stream(
+    events: DataFrame, delay: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Exactly-once event dedup on a stream: watermark bounds the
+    dedup state (ids older than the watermark are forgotten), then
+    ``dropDuplicates`` on the id + event time. The batch equivalent is
+    a plain dropDuplicates — same call, unbounded state."""
+    return with_watermark(events, delay).dropDuplicates(["event_id", "ts"])

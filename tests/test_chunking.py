@@ -126,3 +126,62 @@ def test_sentence_chunks_min_length(spark):
         "This sentence is long enough to keep!",
         "Another sufficiently long sentence here.",
     ]
+
+
+def test_semantic_chunks_split_topics(spark):
+    # two topic clusters with disjoint vocabularies; bag-of-words
+    # hash embeddings make within-topic cosine high, across ~0
+    text = (
+        "Revenue profit growth increased. Profit revenue margins grew. "
+        "Growth revenue profit strong. "
+        "Fire sprinkler egress alarm. Sprinkler alarm egress smoke. "
+        "Egress fire alarm sprinkler."
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from rag_database_spark.operators.chunking import semantic_chunks
+
+    rows = semantic_chunks(df, threshold=0.25).orderBy("chunk_index").collect()
+    assert len(rows) == 2
+    assert rows[0]["n_sentences"] == 3 and rows[1]["n_sentences"] == 3
+    assert "Revenue" in rows[0]["chunk_text"]
+    assert "Fire" in rows[1]["chunk_text"]
+
+
+def test_sdpm_skip_window_bridges_gap(spark):
+    # an off-topic sentence sandwiched between on-topic ones: plain
+    # semantic splits, SDPM (skip_window) bridges it
+    text = (
+        "Revenue profit growth increased. "
+        "Unrelated random interlude words here. "
+        "Profit revenue growth margins strong."
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from rag_database_spark.operators.chunking import semantic_chunks
+
+    plain = semantic_chunks(df, threshold=0.25).count()
+    sdpm = semantic_chunks(df, threshold=0.25, skip_window=2).count()
+    assert sdpm < plain
+
+
+def test_route_and_chunk_by_tier(spark):
+    from rag_database_spark.operators.chunking import route_and_chunk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Good doc sentence one is long. Another fine sentence here.",
+             "high"),
+            (2, "Medium doc first sentence okay. Second medium sentence here.",
+             "medium"),
+            (3, "A low quality doc with one long enough sentence.", "low"),
+            (4, "garbage garbled tokens stream", "garbage"),
+        ],
+        "doc_id long, text string, tier string",
+    )
+    rows = route_and_chunk(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["strategy"])
+    assert by_doc[1] == {"sdpm"}
+    assert by_doc[2] == {"semantic"}
+    assert by_doc[3] == {"sentence"}
+    assert by_doc[4] == {"token"}

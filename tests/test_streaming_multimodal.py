@@ -129,3 +129,26 @@ def test_stateful_sessionization_matches_batch(spark, event_dir):
     s = {key(r): (r["n_events"], r["session_end"]) for r in streamed}
     # single availableNow micro-batch sees all events → sessions agree
     assert s == b and len(s) > 0
+
+
+def test_stream_dedup(spark, tmp_path):
+    import pyspark.sql.functions as F
+    src = str(tmp_path / "dup_events")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5, "click", 1.0, "{}"),
+         (2, "2024-01-01 10:01:00", 6, "view", 2.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    base.unionAll(base).write.mode("overwrite").parquet(src)  # duplicates
+    q = (
+        se.dedup_events_stream(se.read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_test").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
