@@ -24,6 +24,9 @@ k1 = 1.5, b = 0.75 from the reference config (src/config.py:32-33).
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -143,14 +146,63 @@ def write_index(
     (the reference rebuilds BM25Okapi on every add, :176-188 — the
     incremental-table form is the scale fix).
 
-    At cluster scale, bucket postings by term (``bucketBy``) so the
-    query-term semi-join is shuffle-free; plain parquet keeps the local
-    harness simple."""
+    See ``write_index_bucketed`` for the cluster-scale layout (postings
+    bucketed by term → shuffle-free term joins); plain parquet keeps
+    the local harness simple."""
     build_postings(docs, id_col, text_col).write.mode("overwrite").parquet(
         f"{path}/postings"
     )
     build_doclens(docs, id_col, text_col).write.mode("overwrite").parquet(
         f"{path}/doclens"
+    )
+
+
+def write_index_bucketed(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Cluster-scale S7 layout: postings bucketed (and sorted) by term
+    via ``bucketBy`` into the session catalog. Any join/aggregation
+    keyed on ``term`` — the query-term semi-join, df stats — then reads
+    co-located buckets with NO exchange on the postings side; at 100 TB
+    that removes the biggest shuffle in the scoring plan. Doclens is
+    bucketed by doc_id for the same reason on the rollup join."""
+    spark = docs.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    for suffix in ("postings", "doclens"):
+        name = f"{table_prefix}_{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a session-local catalog forgets tables across restarts while
+        # the warehouse dir persists — clear the orphaned location
+        if warehouse.startswith("file:"):
+            warehouse_path = warehouse[len("file:"):]
+        else:
+            warehouse_path = warehouse
+        orphan = Path(warehouse_path) / name.lower()
+        if warehouse_path and orphan.exists():
+            shutil.rmtree(orphan, ignore_errors=True)
+    (
+        build_postings(docs, id_col, text_col)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(f"{table_prefix}_postings")
+    )
+    (
+        build_doclens(docs, id_col, text_col)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .saveAsTable(f"{table_prefix}_doclens")
+    )
+
+
+def read_index_bucketed(spark, table_prefix: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.table(f"{table_prefix}_postings"),
+        spark.table(f"{table_prefix}_doclens"),
     )
 
 

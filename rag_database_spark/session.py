@@ -15,6 +15,7 @@ cluster the same configs apply per-executor. Scale-relevant choices:
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # bucketed tables (bm25.write_index_bucketed) land here; static
+        # conf, so it must be set before the session exists
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                str(Path(__file__).resolve().parent.parent / ".cache" / "warehouse"),
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # local sf tables are single files and AQE coalesces the tail.

@@ -166,3 +166,30 @@ def page_images_stub(files: DataFrame, dpi: int = 150) -> DataFrame:
             "image binary"
         ),
     )
+
+
+def parse_sheets(files: DataFrame) -> DataFrame:
+    """S3 seam (document_processor.py:369-374 per-sheet XLSX
+    partition): spreadsheet files → (sheet, row_idx, cells) rows. The
+    container has no xlsx library, so the stub parses CSV bytes with
+    the stdlib reader — an openpyxl/pandas.read_excel call replaces
+    the inner loop; the one-file→many-rows Arrow topology stays."""
+    import csv
+    import io
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                sheet = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                text = (content or b"").decode("utf-8", errors="replace")
+                for ri, cells in enumerate(csv.reader(io.StringIO(text))):
+                    rows.append((sheet, ri, cells))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["sheet", "row_idx", "cells"]
+                )
+
+    return files.select("path", "content").mapInPandas(
+        batches, schema="sheet string, row_idx int, cells array<string>"
+    )

@@ -1,0 +1,78 @@
+"""Persisted-index layouts (S7) and tenant-partitioned sink semantics
+(S12 dynamic partition overwrite)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_database_spark.operators import bm25 as bm25_ops
+from rag_database_spark.sources.tables import write_partitioned
+
+DOCS = [
+    (0, "fast hash join beats sort merge join"),
+    (1, "sort merge join wins on presorted data"),
+    (2, "hash table build side must fit memory"),
+]
+
+
+def test_plain_index_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    bm25_ops.write_index(docs, path)
+    postings, doclens = bm25_ops.read_index(spark, path)
+    direct = bm25_ops.build_postings(docs).collect()
+    assert sorted(map(tuple, postings.collect())) == sorted(map(tuple, direct))
+    assert doclens.count() == 3
+
+
+def test_bucketed_index_join_is_exchange_free(spark):
+    # warehouse dir is a static conf set by session.get_spark (.cache/)
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bm25_ops.write_index_bucketed(docs, "t_idx", n_buckets=4)
+    postings, doclens = bm25_ops.read_index_bucketed(spark, "t_idx")
+
+    # same values as the direct build
+    direct = bm25_ops.build_postings(docs).collect()
+    assert sorted(map(tuple, postings.collect())) == sorted(map(tuple, direct))
+
+    # an aggregation keyed on the bucket column runs WITHOUT an exchange
+    # on the postings side (bucketing pre-partitions by term)
+    agg_plan = (
+        postings.groupBy("term")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in agg_plan
+    # the same aggregation over unbucketed postings DOES shuffle
+    plain_plan = (
+        bm25_ops.build_postings(docs)
+        .groupBy("term")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plain_plan
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tenants")
+    v1 = spark.createDataFrame(
+        [(1, "a", "org0"), (2, "b", "org1")],
+        "doc_id long, text string, organization_id string",
+    )
+    write_partitioned(v1, path)
+    # re-ingest ONLY org1 with new content; org0 must survive untouched
+    v2 = spark.createDataFrame(
+        [(2, "b-v2", "org1"), (3, "c", "org1")],
+        "doc_id long, text string, organization_id string",
+    )
+    write_partitioned(v2, path)
+    got = {
+        (r["doc_id"], r["text"], r["organization_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", "org0"), (2, "b-v2", "org1"), (3, "c", "org1")}

@@ -103,3 +103,20 @@ def test_search_terms_expansion(spark):
     assert terms[0] == "NDA terms for the confidential party"
     assert any("NDA (Non-Disclosure Agreement)" in t for t in terms)
     assert "Non-Disclosure Agreement" in terms
+
+
+def test_parse_sheets(spark, tmp_path):
+    d = tmp_path / "sheets"
+    d.mkdir()
+    (d / "revenue.csv").write_text('quarter,amount\nQ1,"1,200"\nQ2,900\n')
+    (d / "costs.csv").write_text("month,cost\nJan,10\n")
+    files = ingest.scan_directory(spark, str(d), "*.csv")
+    rows = ingest.parse_sheets(files).collect()
+    by_sheet = {}
+    for r in rows:
+        by_sheet.setdefault(r["sheet"], []).append((r["row_idx"], r["cells"]))
+    assert sorted(by_sheet) == ["costs", "revenue"]
+    rev = dict(by_sheet["revenue"])
+    assert rev[0] == ["quarter", "amount"]
+    assert rev[1] == ["Q1", "1,200"]  # quoted comma survives csv parsing
+    assert len(by_sheet["costs"]) == 2
