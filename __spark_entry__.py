@@ -130,6 +130,13 @@ def _db_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.db_stats(load_tables(spark, sf_dir))
 
 
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/SQL surface: TPC-H Q1-shaped rollup via spark.sql."""
+    return relational.pricing_summary(
+        spark, load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def _customer_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/J9/A12: parent ⋈ children rollup (init.sql:628-647 analog)."""
     return relational.customer_overview(
@@ -596,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _hybrid_rrf,
         "db_stats": _db_stats,
         "customer_overview": _customer_overview,
+        "pricing_summary": _pricing_summary,
         "org_stats": _org_stats,
         "list_documents_page": _list_documents_page,
         "tenant_scoped_search": _tenant_scoped_search,
@@ -642,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": oracles.hybrid_rrf_sql(),
         "db_stats": oracles.db_stats_sql(),
         "customer_overview": oracles.customer_overview_sql(),
+        "pricing_summary": oracles.pricing_summary_sql(),
         "org_stats": oracles.org_stats_sql(),
         "list_documents_page": oracles.list_documents_page_sql(),
         "tenant_scoped_search": oracles.tenant_scoped_search_sql(

@@ -128,6 +128,30 @@ def org_stats(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
     )
 
 
+PRICING_CUTOFF = "1998-09-01"
+
+
+def pricing_summary(spark, lineitem: DataFrame,
+                    cutoff: str = PRICING_CUTOFF) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary through the SQL API — the
+    engine's `spark.sql` surface demo (SURVEY §2 A12 family): scan →
+    pushed date filter → grouped aggregates. Catalyst plans it
+    identically to the DataFrame form; the entry point is the point."""
+    lineitem.createOrReplaceTempView("lineitem_v")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= timestamp '{cutoff}'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
 def list_documents(docs: DataFrame, lang: str | None = None,
                    source: str | None = None, offset: int = 0,
                    limit: int = 20) -> DataFrame:

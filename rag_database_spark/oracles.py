@@ -541,8 +541,11 @@ WHERE round(c / (x.n + y.n - c), 6) >= {threshold}
 
 
 def minhash_signatures_sql(n_hashes: int, k: int) -> str:
+    # two 60-bit hashes per md5 digest (hex chars 1-15 / 17-31),
+    # mirroring dedup.minhash_signatures
     sigs = ", ".join(
-        f"min(('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT) AS sig_{i}"
+        f"min(('0x' || substr(md5('{i // 2}|' || s), "
+        f"{1 if i % 2 == 0 else 17}, 15))::BIGINT) AS sig_{i}"
         for i in range(n_hashes)
     )
     return f"""
@@ -1700,4 +1703,20 @@ SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM sess GROUP BY user_id, session_id
+"""
+
+
+def pricing_summary_sql() -> str:
+    from rag_database_spark.operators.relational import PRICING_CUTOFF
+
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '{PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
 """

@@ -241,3 +241,27 @@ def dedup_events_stream(
     ``dropDuplicates`` on the id + event time. The batch equivalent is
     a plain dropDuplicates — same call, unbounded state."""
     return with_watermark(events, delay).dropDuplicates(["event_id", "ts"])
+
+
+def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Built-in ``session_window`` form of ``sessionize`` — the
+    Spark-native gap-session operator (streaming-capable with a
+    watermark). Boundary semantics differ only at an exact-gap instant
+    (half-open window vs strict-greater rule); window end is
+    last-event + gap rather than last-event time."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )

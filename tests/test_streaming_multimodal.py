@@ -152,3 +152,15 @@ def test_stream_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_test").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_native_session_window_agrees(spark, event_dir):
+    events = spark.read.parquet(event_dir)
+    mine = se.sessionize(events).collect()
+    native = se.sessionize_native(events).collect()
+    key = lambda r: (r["user_id"], r["session_start"])
+    a = {key(r): (r["n_events"], r["total_value"]) for r in mine}
+    b = {key(r): (r["n_events"], r["total_value"]) for r in native}
+    # random microsecond timestamps never land exactly on the gap
+    # boundary, so the two formulations partition events identically
+    assert a == b and len(a) > 0
