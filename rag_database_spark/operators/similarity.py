@@ -306,3 +306,90 @@ def maxsim_scores(
     return pages.mapInPandas(
         score_batches, schema="query_id long, page_id long, score double"
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    scale path next to brute force and LSH (build brief: 'IVF or
+    LSH-bucketed variant'):
+
+    1. k-means centroids over the corpus (MLlib, seeded).
+    2. Each corpus vector is assigned to its nearest centroid — the
+       inverted lists, one keyed partition per centroid.
+    3. A query scores only the ``n_probe`` nearest centroids' lists,
+       exactly — so cost drops by ~n_centroids/n_probe while recall
+       stays high for clustered data.
+
+    At 100 TB the lists are written partitioned by centroid id and the
+    probe step is a partition-pruned scan. Approximate: a true
+    neighbor assigned to an unprobed centroid is missed (recall is
+    unit-tested against brute force)."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("vec"),
+    )
+    ml_df = c.withColumn("features", array_to_vector("vec"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(
+        ml_df
+    )
+    centroids = np.array(
+        [np.asarray(ctr) for ctr in model.clusterCenters()]
+    )
+
+    assigned = model.transform(ml_df).select(
+        "id", "vec", F.col("prediction").alias("centroid_id")
+    )
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, id long, score double, rank int"
+        )
+    # probe list per query: n_probe nearest centroids by cosine
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r["qvec"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-30)
+        order = np.argsort(-(cn @ qv))[:n_probe]
+        for cid in order:
+            probes.append((r["query_id"], int(cid)))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, centroid_id int"
+    )
+
+    # candidates = inverted lists of probed centroids only (keyed join
+    # → partition-pruned scan when lists are stored by centroid_id)
+    cands = assigned.join(F.broadcast(probe_df), "centroid_id").select(
+        "query_id", "id", "vec"
+    )
+    qv_df = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    )
+    scored = cands.join(F.broadcast(qv_df), "query_id").select(
+        "query_id", "id", cosine(F.col("qvec"), F.col("vec")).alias("score")
+    )
+    return _ranked(scored, k)

@@ -89,3 +89,30 @@ def test_near_dupes_brute_force(spark):
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
     exp = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
     assert rows[0]["cos_sim"] == pytest.approx(float(exp))
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    # clustered corpus: IVF with enough probes finds the true neighbors
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 12)) * 5
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.normal(scale=0.3, size=12)).tolist()))
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    queries = spark.createDataFrame(
+        [(qi, (centers[qi] + rng.normal(scale=0.3, size=12)).tolist())
+         for qi in range(4)],
+        "query_id long, qvec array<double>",
+    )
+    from rag_database_spark.operators.similarity import ivf_topk
+
+    exact = cosine_topk(queries, corpus, 10).collect()
+    approx = ivf_topk(
+        queries, corpus, 10, n_centroids=8, n_probe=3
+    ).collect()
+    key = lambda rs: {
+        (r["query_id"], r["id"]) for r in rs
+    }
+    recall = len(key(exact) & key(approx)) / len(key(exact))
+    assert recall >= 0.9
