@@ -37,7 +37,11 @@ from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
 from rag_database_spark.operators import text_analytics
 from rag_database_spark.operators.fusion import FETCH_MULTIPLIER
-from rag_database_spark.operators.hybrid import hybrid_search, hybrid_search3
+from rag_database_spark.operators.hybrid import (
+    hybrid_search,
+    hybrid_search3,
+    hybrid_search3_adaptive,
+)
 from rag_database_spark.sources.tables import TABLES, load_table, load_tables
 
 
@@ -470,6 +474,25 @@ def _colpali_lite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 + F8: three-leg hybrid with per-query modality-adaptive
+    weights (visual queries boost colpali, text queries boost dense)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    postings, doclens = _bm25_index(spark, sf_dir)
+    return hybrid_search3_adaptive(
+        workload.queries_df(spark),
+        load_table(spark, sf_dir, "documents"),
+        emb,
+        workload.query_patches_df(spark, emb),
+        workload.multivector_pages(emb),
+        workload.chunk_page_map(emb),
+        workload.DOC_PAGES,
+        limit=workload.HYBRID_LIMIT,
+        postings=postings,
+        doclens=doclens,
+    )
+
+
 def _query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3-F8: classify / precision-detect / modality+weights / domain /
     acronym expansion over the analysis workload."""
@@ -623,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _graph_stats,
         "maxsim_topk": _maxsim_topk,
         "hybrid_rrf3": _hybrid_rrf3,
+        "hybrid_adaptive": _hybrid_adaptive,
         "query_analysis": _query_analysis,
         "enhanced_search": _enhanced_search,
         "search_analytics": _search_analytics,
@@ -690,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "maxsim_topk": oracles.maxsim_topk_sql(),
         "hybrid_rrf3": oracles.hybrid_rrf3_sql(),
+        "hybrid_adaptive": oracles.hybrid_adaptive_sql(),
         "query_analysis": oracles.query_analysis_sql(),
         "enhanced_search": oracles.enhanced_search_sql(),
         "search_analytics": oracles.search_analytics_sql(),

@@ -194,3 +194,72 @@ def hybrid_search3(
     return fused.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= limit)
+
+
+def hybrid_search3_adaptive(
+    queries: DataFrame,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_patches: DataFrame,
+    page_patches: DataFrame,
+    chunk_pages: DataFrame,
+    doc_pages: int,
+    limit: int = 10,
+    rrf_k: int = RRF_K,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
+) -> DataFrame:
+    """Q1 with F8 modality-adaptive weights
+    (hybrid_search.py:191-217 + query_analyzer.py:123-186): each query
+    carries its own (bm25, dense, colpali) weights — visual queries
+    boost the colpali leg, text queries the dense leg — instead of the
+    static .3/.5/.2. The per-query weight frame is tiny → broadcast
+    into the fusion; everything else matches ``hybrid_search3``."""
+    from rag_database_spark.operators.query_analysis import suggested_weights
+
+    fetch = FETCH_MULTIPLIER * limit
+    scored = bm25_ops.score_queries(
+        queries,
+        postings if postings is not None else bm25_ops.build_postings(documents),
+        doclens if doclens is not None else bm25_ops.build_doclens(documents),
+    )
+    bm25_ranked = bm25_ops.topk(scored, fetch).select(
+        "query_id", F.col("doc_id").alias("id"),
+        F.lit("bm25").alias("method"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    qvecs = queries.join(
+        embeddings, queries["query_vec_id"] == embeddings["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    dense_ranked = similarity.cosine_topk(
+        qvecs, embeddings, fetch, id_col="vec_id", vec_col="embedding"
+    ).select(
+        "query_id", "id", F.lit("dense").alias("method"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    colpali_ranked = colpali_leg(
+        query_patches, page_patches, chunk_pages, fetch, doc_pages
+    )
+
+    qw = queries.select(
+        "query_id", suggested_weights(F.col("query_text")).alias("w")
+    )
+    legs = (
+        bm25_ranked.unionByName(dense_ranked)
+        .unionByName(colpali_ranked)
+        .join(F.broadcast(qw), "query_id")
+    )
+    weight = (
+        F.when(F.col("method") == "bm25", F.col("w.w_bm25"))
+        .when(F.col("method") == "dense", F.col("w.w_dense"))
+        .otherwise(F.col("w.w_colpali"))
+    )
+    fused = legs.groupBy("query_id", "id").agg(
+        F.round(
+            F.sum(weight / (F.lit(float(rrf_k)) + F.col("rank"))), 6
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("id"))
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= limit)

@@ -1720,3 +1720,119 @@ FROM lineitem
 WHERE l_shipdate <= timestamp '{PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+def hybrid_adaptive_sql(limit: int = HYBRID_LIMIT) -> str:
+    from rag_database_spark.operators.query_analysis import (
+        MODALITY_WEIGHTS,
+        VISUAL_INTENT_PATTERNS,
+        VISUAL_PATTERNS,
+        VISUAL_THRESHOLD,
+    )
+    from rag_database_spark.operators.fusion import DOC_BOOST
+    from rag_database_spark.workload import DOC_PAGES, PAGE_GROUP
+
+    fetch = FETCH_MULTIPLIER * limit
+    low = "lower(query_text)"
+    vterms = " + ".join(
+        f"(CASE WHEN regexp_matches({low}, '{p}') THEN 0.3::DOUBLE "
+        f"ELSE 0.0::DOUBLE END)"
+        for p, _t in VISUAL_PATTERNS
+    )
+    iterms = " + ".join(
+        f"(CASE WHEN regexp_matches({low}, '{p}') THEN 0.25::DOUBLE "
+        f"ELSE 0.0::DOUBLE END)"
+        for p in VISUAL_INTENT_PATTERNS
+    )
+    nt = " + ".join(
+        f"(CASE WHEN regexp_matches({low}, '{p}') THEN 1 ELSE 0 END)"
+        for p, _t in VISUAL_PATTERNS
+    )
+
+    def base(leg):
+        return (
+            f"CASE WHEN vscore >= 0.5 THEN {MODALITY_WEIGHTS['visual'][leg]}::DOUBLE "
+            f"WHEN vscore >= {VISUAL_THRESHOLD} THEN {MODALITY_WEIGHTS['mixed'][leg]}::DOUBLE "
+            f"ELSE {MODALITY_WEIGHTS['text'][leg]}::DOUBLE END"
+        )
+
+    return f"""
+WITH {_bm25_ctes(fetch)},
+{_dense_ctes(fetch).lstrip()},
+{_colpali_ctes().lstrip()},
+chunks AS (
+  SELECT vec_id AS id,
+         vec_id // {PAGE_GROUP * DOC_PAGES} AS document_id,
+         vec_id // {PAGE_GROUP} AS page_number
+  FROM embeddings
+),
+cp_pages AS (
+  SELECT query_id, page_id // {DOC_PAGES} AS document_id,
+         page_id AS page_number, score
+  FROM page_ranked WHERE rank <= {fetch}
+),
+cp_doc AS (
+  SELECT query_id, document_id, max(score) AS doc_max
+  FROM cp_pages GROUP BY 1, 2
+),
+cp_prop AS (
+  SELECT d.query_id, c.id, coalesce(p.score, d.doc_max * {DOC_BOOST}) AS pscore
+  FROM chunks c
+  JOIN cp_doc d ON c.document_id = d.document_id
+  LEFT JOIN cp_pages p
+    ON p.query_id = d.query_id AND p.document_id = c.document_id
+   AND p.page_number = c.page_number
+),
+colpali_ranked AS (
+  SELECT query_id, id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY pscore DESC, id
+         ) AS rank
+  FROM cp_prop
+),
+wstep AS (
+  SELECT query_id,
+         least({vterms} + {iterms}, 1.0::DOUBLE) AS vscore,
+         ({nt}) AS n_targets
+  FROM {queries_values_sql()}
+),
+wbase AS (
+  SELECT query_id, {base('bm25')} AS wb, {base('dense')} AS wd,
+         CASE WHEN n_targets > 0
+              THEN least({base('colpali')}
+                         + least(0.1::DOUBLE * n_targets, 0.15::DOUBLE),
+                         0.7::DOUBLE)
+              ELSE {base('colpali')} END AS wc
+  FROM wstep
+),
+wnorm AS (
+  SELECT query_id, wb / (wb + wd + wc) AS wbn, wd / (wb + wd + wc) AS wdn,
+         wc / (wb + wd + wc) AS wcn
+  FROM wbase
+),
+legsa AS (
+  SELECT query_id, doc_id AS id, 'bm25' AS method, rank
+  FROM bm25_ranked WHERE rank <= {fetch}
+  UNION ALL
+  SELECT query_id, id, 'dense' AS method, rank
+  FROM dense_ranked WHERE rank <= {fetch}
+  UNION ALL
+  SELECT query_id, id, 'colpali' AS method, rank
+  FROM colpali_ranked WHERE rank <= {fetch}
+),
+fuseda AS (
+  SELECT l.query_id, l.id,
+         round(sum((CASE l.method WHEN 'bm25' THEN w.wbn
+                                  WHEN 'dense' THEN w.wdn
+                                  ELSE w.wcn END)
+                   / ({float(RRF_K)} + l.rank)), 6) AS rrf_score
+  FROM legsa l JOIN wnorm w ON w.query_id = l.query_id
+  GROUP BY l.query_id, l.id
+)
+SELECT query_id, id, rrf_score,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, id
+       )::BIGINT AS rank
+FROM fuseda
+QUALIFY rank <= {limit}
+"""
