@@ -31,6 +31,18 @@ CONTRACT_TYPE_KEYWORDS: dict[str, tuple[str, ...]] = {
     "settlement": ("settlement agreement", "mutual release"),
 }
 
+# F20 party extraction (domain_schemas.py:144-148, first 5000 chars;
+# \s spelled out as [ \t] for Java/RE2 parity)
+PARTY_PATTERNS: tuple[str, ...] = (
+    r"(?i)between[ \t]+([A-Z][A-Za-z \t,\.]+"
+    r"(?:LLC|Inc|Corp|Corporation|Company|Ltd))",
+    r'(?i)"([A-Z][A-Za-z \t]+)"[ \t]*\(',
+    r"(?i)(?:Party|Parties):[ \t]*([A-Z][A-Za-z \t,]+)",
+)
+PARTY_HEAD_CHARS = 5000
+PARTY_MIN_LEN = 3
+PARTY_LIMIT = 10
+
 EFFECTIVE_DATE_RE = (
     r"(?i)effective\s+(?:as\s+of\s+)?"
     r"(\w+\s+\d{1,2},?\s+\d{4}|\d{1,2}/\d{1,2}/\d{4})"
@@ -131,6 +143,24 @@ def doc_type(text: Column) -> Column:
     )
 
 
+def extract_parties(text: Column) -> Column:
+    """F20 (domain_schemas.py:215-223): party names from the document
+    head — dedup + trim + min length + cap 10, sorted ascending (the
+    reference's ``set()`` ordering is nondeterministic; the engine pins
+    it)."""
+    head = F.substring(text, 1, PARTY_HEAD_CHARS)
+    arrs = [
+        F.regexp_extract_all(head, F.lit(p), 1) for p in PARTY_PATTERNS
+    ]
+    merged = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+    cleaned = F.filter(
+        F.transform(merged, F.trim), lambda x: F.length(x) > PARTY_MIN_LEN
+    )
+    return F.slice(
+        F.array_sort(F.array_distinct(cleaned)), 1, PARTY_LIMIT
+    )
+
+
 def max_amount(text: Column) -> Column:
     """F10 monetary values: max $ amount (commas stripped) or null."""
     amounts = F.transform(
@@ -164,6 +194,7 @@ def extract_metadata(
             "governing_law"
         ),
         F.round(max_amount(t), 2).alias("max_amount"),
+        extract_parties(t).alias("parties"),
         *flags,
         F.array_sort(
             F.array_distinct(F.regexp_extract_all(t, F.lit(IRC_SECTION_RE), 1))
@@ -197,7 +228,8 @@ def extract_metadata(
 # texts embed in SQL VALUES literals unescaped
 DOC_FIXTURES: tuple[tuple[int, str], ...] = (
     (1,
-     "MASTER SERVICES AGREEMENT between the parties, effective as of "
+     "MASTER SERVICES AGREEMENT between Acme Services LLC and the "
+     "client, effective as of "
      "January 15, 2024. This consulting agreement is governed by the "
      "laws of the State of Delaware. Fees of $12,500.00 per month are "
      "payable. The confidential information clause and arbitration "

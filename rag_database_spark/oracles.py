@@ -1464,6 +1464,10 @@ def extract_metadata_sql() -> str:
         GOVERNING_LAW_RE,
         IRC_SECTION_RE,
         JURISDICTION_RE,
+        PARTY_HEAD_CHARS,
+        PARTY_LIMIT,
+        PARTY_MIN_LEN,
+        PARTY_PATTERNS,
         TAX_FORM_RE,
         fixtures_values_sql,
     )
@@ -1497,6 +1501,15 @@ def extract_metadata_sql() -> str:
         f"contains({low}, '{kw}') AS {name}"
         for name, kw in sorted(CLAUSE_FLAGS.items())
     )
+    party_arrs = " || ".join(
+        f"regexp_extract_all(substr(text, 1, {PARTY_HEAD_CHARS}), '{p}', 1)"
+        for p in PARTY_PATTERNS
+    )
+    parties = (
+        f"list_sort(list_distinct(list_filter(list_transform({party_arrs}, "
+        f"x -> trim(x)), x -> length(x) > {PARTY_MIN_LEN})))"
+        f"[1:{PARTY_LIMIT}]"
+    )
     return f"""
 WITH fx AS (SELECT * FROM {fixtures_values_sql()}),
 scored AS (
@@ -1513,6 +1526,7 @@ SELECT doc_id,
                    regexp_extract_all(text, '{AMOUNT_RE}', 1),
                    x -> replace(x, ',', '')::DOUBLE)), 2)
        END AS max_amount,
+       {parties} AS parties,
        {flags},
        list_sort(list_distinct(regexp_extract_all(text, '{IRC_SECTION_RE}', 1)))
          AS irc_sections,
