@@ -77,8 +77,10 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 
 def prepare(spark: SparkSession, sf_dir: str) -> None:
     """Optional warmup hook (bench.py calls it): materialize the
-    persisted index so timed runs measure the query path."""
+    persisted derived artifacts (BM25 index, shingle inverted index)
+    so timed runs measure the query paths."""
     _bm25_index(spark, sf_dir)
+    _shingle_index(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -254,10 +256,24 @@ COSINE_DUP_THRESHOLD = 0.4
 _JACCARD_CACHE: dict[str, DataFrame] = {}
 
 
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cache_dir = (
+        Path(__file__).resolve().parent
+        / ".cache" / "shingle_index" / Path(sf_dir).name
+    )
+    if not (cache_dir / "_SUCCESS").exists():
+        dedup.write_shingle_index(
+            load_table(spark, sf_dir, "documents"), str(cache_dir)
+        )
+    return dedup.read_shingle_index(spark, str(cache_dir))
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _JACCARD_CACHE:
         _JACCARD_CACHE[sf_dir] = dedup.shingle_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+            load_table(spark, sf_dir, "documents"),
+            JACCARD_THRESHOLD,
+            shingle_index=_shingle_index(spark, sf_dir),
         ).persist()
     return _JACCARD_CACHE[sf_dir]
 

@@ -49,6 +49,26 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
     ).filter(F.size("sh") > 0)
 
 
+def write_shingle_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> None:
+    """Persist the exploded shingle inverted index (doc_id, s) — the
+    S7-style derived artifact the Jaccard join consumes. The self-join
+    references it twice; reading parquet twice beats recomputing
+    text→shingles twice (regex + array ops dominate the scan)."""
+    _doc_shingles(docs, id_col, text_col, k).select(
+        "doc_id", F.explode("sh").alias("s")
+    ).write.mode("overwrite").parquet(path)
+
+
+def read_shingle_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def shingle_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -57,6 +77,7 @@ def shingle_jaccard_pairs(
     k: int = SHINGLE_K,
     max_df: int | None = None,
     prefix_filter: bool = False,
+    shingle_index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over distinct k-token shingles.
 
@@ -79,10 +100,16 @@ def shingle_jaccard_pairs(
 
     ``max_df`` optionally drops shingles appearing in more than that
     many docs before candidate generation (a documented approximation —
-    a pair sharing ONLY dropped shingles is missed)."""
-    sh = _doc_shingles(docs, id_col, text_col, k)
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a pair sharing ONLY dropped shingles is missed). Pass a persisted
+    ``shingle_index`` (``write_shingle_index``) to avoid re-deriving
+    shingles for each side of the self-join."""
+    if shingle_index is not None:
+        ex = shingle_index
+        sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    else:
+        sh = _doc_shingles(docs, id_col, text_col, k)
+        sizes = sh.select("doc_id", F.size("sh").alias("n"))
+        ex = sh.select("doc_id", F.explode("sh").alias("s"))
     if max_df is not None:
         keep = (
             ex.groupBy("s").agg(F.count("*").alias("df"))
