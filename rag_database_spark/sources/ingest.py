@@ -193,3 +193,28 @@ def parse_sheets(files: DataFrame) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         batches, schema="sheet string, row_idx int, cells array<string>"
     )
+
+
+DOCUMENT_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_jsonl_documents(
+    spark: SparkSession, path: str, schema: str = DOCUMENT_SCHEMA
+) -> DataFrame:
+    """JSONL document source — the training-data interchange format the
+    dedup/quality/chunking pipelines consume in practice. Explicit
+    schema (no sampling pass); corrupt lines are quarantined into
+    ``_corrupt`` rather than failing the job, the standard
+    dirty-at-scale posture."""
+    return (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+
+
+def write_jsonl_documents(df: DataFrame, path: str) -> None:
+    """JSONL sink, gzip-compressed (text sources support a narrower
+    codec set than parquet — no zstd for JSON lines)."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)

@@ -82,3 +82,31 @@ def test_priority_merge_first_seen_wins(spark):
     )
     got = {r["id"]: r["score"] for r in priority_merge(prio, base).collect()}
     assert got == {"A": 10.0, "B": 2.0}
+
+
+def test_hybrid_absent_leg_contributes_zero(spark):
+    """A query whose BM25 leg matches nothing still fuses: missing
+    methods contribute 0 (the reference's defaultdict semantics)."""
+    from rag_database_spark.operators.hybrid import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1, "zzzz qqqq missing terms", 3)],  # zero BM25 matches
+        "query_id long, query_text string, query_vec_id long",
+    )
+    rows = hybrid_search(queries, docs, emb, limit=5).collect()
+    assert rows  # dense leg alone produces results
+    assert all(r["bm25_rank"] is None for r in rows)
+    assert all(r["dense_rank"] is not None for r in rows)
+    # rrf score equals the dense-only contribution
+    first = min(rows, key=lambda r: r["rank"])
+    assert first["rrf_score"] == pytest.approx(
+        round(0.5 / (60 + first["dense_rank"]), 6)
+    )

@@ -120,3 +120,29 @@ def test_parse_sheets(spark, tmp_path):
     assert rev[0] == ["quarter", "amount"]
     assert rev[1] == ["Q1", "1,200"]  # quoted comma survives csv parsing
     assert len(by_sheet["costs"]) == 2
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    d = str(tmp_path / "docs.jsonl")
+    (tmp_path / "src").mkdir()
+    raw = tmp_path / "src" / "part.jsonl"
+    raw.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", '
+        '"source": "s", "n_chars": 11}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 2, "text": "two", "lang": "en", "source": "s", '
+        '"n_chars": 3}\n'
+    )
+    # Spark disallows querying only the corrupt column straight off a
+    # raw JSON scan — materialize first (the documented workaround)
+    df = ingest.read_jsonl_documents(spark, str(tmp_path / "src")).cache()
+    df.count()
+    good = df.filter("_corrupt IS NULL")
+    bad = df.filter("_corrupt IS NOT NULL")
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+
+    ingest.write_jsonl_documents(good.drop("_corrupt"), d)
+    back = ingest.read_jsonl_documents(spark, d).cache()
+    back.count()
+    assert back.filter("_corrupt IS NULL").count() == 2
