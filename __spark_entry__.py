@@ -59,12 +59,24 @@ def entry(spark: SparkSession) -> DataFrame:
 _INDEX_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
+def _source_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Size+mtime fingerprint of the source parquet: derived artifacts
+    key on it so a regenerated test corpus can never serve a stale
+    index silently."""
+    p = Path(sf_dir) / f"{table}.parquet"
+    try:
+        st = p.stat()
+        return f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
+    except OSError:
+        return Path(sf_dir).name
+
+
 def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
     cache_dir = (
         Path(__file__).resolve().parent
-        / ".cache" / "bm25_index" / Path(sf_dir).name
+        / ".cache" / "bm25_index" / _source_fingerprint(sf_dir)
     )
     if not (cache_dir / "postings" / "_SUCCESS").exists():
         bm25_ops.write_index(
@@ -259,7 +271,7 @@ _JACCARD_CACHE: dict[str, DataFrame] = {}
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_dir = (
         Path(__file__).resolve().parent
-        / ".cache" / "shingle_index" / Path(sf_dir).name
+        / ".cache" / "shingle_index" / _source_fingerprint(sf_dir)
     )
     if not (cache_dir / "_SUCCESS").exists():
         dedup.write_shingle_index(
