@@ -249,6 +249,14 @@ def _quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.quality_report(load_table(spark, sf_dir, "documents"))
 
 
+def _winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints over the
+    normalized text — the MOSS selection scheme."""
+    from rag_database_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint (md5 of normalized tokens)."""
     return text_analytics.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -664,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "quality_report": _quality_report,
         "exact_dedup": _exact_dedup,
+        "winnow_fp": _winnow_fp,
         "chunk_documents": _chunk_documents,
         "near_dup_pairs": _near_dup_pairs,
         "minhash_sigs": _minhash_sigs,
@@ -718,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oracles.doc_quality_sql(),
         "quality_report": oracles.quality_report_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
+        "winnow_fp": oracles.winnow_fp_sql(),
         "chunk_documents": oracles.chunk_documents_sql(),
         "near_dup_pairs": oracles.near_dup_pairs_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

@@ -218,3 +218,72 @@ def shingles(text_col: Column, k: int = 3) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+# -- winnowing (rolling-hash) fingerprints -----------------------------------
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # window of consecutive k-gram hashes
+
+
+def winnow_fingerprints(
+    docs, id_col: str = "doc_id", text_col: str = "text",
+    k: int = WINNOW_K, w: int = WINNOW_W,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme — the rolling-hash fingerprinting the training-data
+    brief names): hash every char k-gram of the normalized text, slide
+    a window of ``w`` consecutive hashes, keep each window's minimum —
+    guaranteed to share a fingerprint with any document overlapping by
+    ≥ w+k-1 chars.
+
+    Relational form: explode gram positions → ONE hash per row → a
+    (0, w-1) sliding window min per document — linear work. (A nested
+    array-lambda form re-evaluates the whole hash array per window and
+    goes quadratic; higher-order lambdas defeat subexpression
+    elimination.) Output: (doc_id, fingerprints sorted-distinct array;
+    empty when the text is shorter than k)."""
+    from pyspark.sql import DataFrame, Window
+    from rag_database_spark.operators.dedup import hash60
+
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(raw_tokens(F.col(text_col)), " ").alias("s"),
+    )
+    grams = (
+        norm.filter(F.length("s") >= k)
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.sequence(F.lit(1), F.length("s") - k + 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            (F.length("s") - k + 1).alias("n_grams"),
+            hash60(F.col("s").substr(F.col("i"), F.lit(k))).alias("h"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    )
+    mins = grams.withColumn("m", F.min("h").over(win)).filter(
+        # full windows only — except a single partial window when the
+        # doc has fewer than w grams (its min is the whole-array min)
+        (F.col("i") <= F.col("n_grams") - w + 1)
+        | ((F.col("n_grams") < w) & (F.col("i") == 1))
+    )
+    fps = mins.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("m")).alias("fingerprints")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "fingerprints", F.array().cast("array<long>")
+            ).alias("fingerprints"),
+        )
+    )

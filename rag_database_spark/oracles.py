@@ -1850,3 +1850,34 @@ SELECT query_id, id, rrf_score,
 FROM fuseda
 QUALIFY rank <= {limit}
 """
+
+
+def winnow_fp_sql() -> str:
+    from rag_database_spark.functions.text import WINNOW_K, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '{PUNCT_RE}', ' ', 'g'),
+           '{SPLIT_RE}', ' ', 'g')) AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(s, i, {k})), 1, 15))::BIGINT
+          for i in range(1, greatest(length(s) - {k} + 1, 0) + 1)] AS hashes
+  FROM norm
+),
+mins AS (
+  SELECT doc_id, hashes,
+         CASE WHEN len(hashes) - {w} + 1 >= 1 THEN
+           [list_min(hashes[i:i+{w - 1}])
+            for i in range(1, len(hashes) - {w} + 2)]
+         WHEN len(hashes) >= 1 THEN [list_min(hashes)]
+         ELSE [] END AS m
+  FROM grams
+)
+SELECT doc_id, list_sort(list_distinct(m)) AS fingerprints FROM mins
+"""

@@ -68,3 +68,27 @@ def test_unique_token_ratio(spark):
     got = [r[0] for r in df.select(unique_token_ratio(F.col("text"))).collect()]
     assert got[0] == pytest.approx(0.5)
     assert got[1] == 0.0
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    from rag_database_spark.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here. " + shared),
+            (2, shared + " completely different tail content follows"),
+            (3, "nothing in common with the others whatsoever today"),
+            (4, "ab"),  # shorter than k → empty fingerprint set
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(docs).collect()
+    }
+    # winnowing guarantee: long shared substring → shared fingerprints
+    assert fps[1] & fps[2]
+    overlap_13 = len(fps[1] & fps[3]) / max(len(fps[1]), 1)
+    assert overlap_13 < 0.3
+    assert fps[4] == set()
