@@ -529,6 +529,30 @@ def _hybrid_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-level chunk totals over the chunk pipeline."""
+    chunks = chunking.chunk_pipeline(load_table(spark, sf_dir, "documents"))
+    return chunks.groupBy("level").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("token_count").alias("total_tokens"),
+        F.round(F.avg("token_count"), 6).alias("avg_tokens"),
+        F.max("page_number").alias("max_page"),
+    )
+
+
+def _search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: search-term set expansion (original ∪ enhanced ∪ matched
+    acronym expansions)."""
+    return workload.analysis_queries_df(spark).select(
+        "query_id",
+        # sorted for the order-insensitive oracle compare (the operator
+        # itself preserves priority order)
+        F.array_sort(qa.search_terms(F.col("query_text"))).alias(
+            "search_terms"
+        ),
+    )
+
+
 def _query_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3-F8: classify / precision-detect / modality+weights / domain /
     acronym expansion over the analysis workload."""
@@ -674,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _exact_dedup,
         "winnow_fp": _winnow_fp,
         "chunk_documents": _chunk_documents,
+        "chunking_stats": _chunking_stats,
+        "search_terms": _search_terms,
         "near_dup_pairs": _near_dup_pairs,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
@@ -729,6 +755,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oracles.exact_dedup_sql(),
         "winnow_fp": oracles.winnow_fp_sql(),
         "chunk_documents": oracles.chunk_documents_sql(),
+        "chunking_stats": oracles.chunking_stats_sql(),
+        "search_terms": oracles.search_terms_sql(),
         "near_dup_pairs": oracles.near_dup_pairs_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K
         ),

@@ -1881,3 +1881,93 @@ mins AS (
 )
 SELECT doc_id, list_sort(list_distinct(m)) AS fingerprints FROM mins
 """
+
+
+def chunking_stats_sql() -> str:
+    return f"""
+SELECT level, count(*) AS n_chunks,
+       sum(token_count) AS total_tokens,
+       round(avg(token_count), 6) AS avg_tokens,
+       max(page_number) AS max_page
+FROM ({chunk_documents_sql()})
+GROUP BY level
+"""
+
+
+def search_terms_sql() -> str:
+    from rag_database_spark.operators.query_analysis import ACRONYMS
+    from rag_database_spark.workload import analysis_queries_values_sql
+
+    # reuse the enhanced-query rewrite from query_analysis_sql by
+    # borrowing its generator pieces
+    full = query_analysis_sql()
+    # extract nothing — rebuild the eq expression the same way instead
+    low = "lower(query_text)"
+    by_acr: dict[str, list] = {}
+    for acr, exp, dom, kws in ACRONYMS:
+        by_acr.setdefault(acr, []).append((exp, dom, kws))
+    # domain needed for disambiguation — reuse the same construction
+    from rag_database_spark.operators.query_analysis import DOMAIN_KEYWORDS
+
+    domains = sorted(DOMAIN_KEYWORDS)
+    hit_exprs = {
+        d: " + ".join(
+            f"(CASE WHEN contains({low}, '{kw}') THEN 1 ELSE 0 END)"
+            for kw in DOMAIN_KEYWORDS[d]
+        )
+        for d in domains
+    }
+    hits_cols = ", ".join(f"({e}) AS h_{d}" for d, e in hit_exprs.items())
+    gmax = "greatest(" + ", ".join(f"h_{d}" for d in domains) + ")"
+    dom_case = f"CASE WHEN {gmax} = 0 THEN 'general' " + " ".join(
+        f"WHEN h_{d} = {gmax} THEN '{d}'" for d in domains
+    ) + " END"
+
+    eq = "query_text"
+    expansion_cases = []
+    for acr in sorted(by_acr):
+        cands = sorted(by_acr[acr])
+        scores = []
+        for exp, dom, kws in cands:
+            s = f"(CASE WHEN domain = '{dom}' THEN 2 ELSE 0 END)"
+            for kw in kws:
+                s += f" + (CASE WHEN contains({low}, '{kw}') THEN 1 ELSE 0 END)"
+            scores.append((exp, s))
+        if len(scores) == 1:
+            best = f"'{scores[0][0]}'"
+        else:
+            best = f"'{scores[-1][0]}'"
+            for exp, s in reversed(scores[:-1]):
+                rest = " , ".join(
+                    x[1] for x in scores[scores.index((exp, s)) + 1:]
+                )
+                best = (
+                    f"CASE WHEN ({s}) >= greatest({rest}) "
+                    f"THEN '{exp}' ELSE {best} END"
+                )
+        pat = rf"\b{acr}\b"
+        eq = f"regexp_replace({eq}, '{pat}', '{acr} (' || {best} || ')', 'g')"
+    seen: set = set()
+    for acr, exp, _dom, _kws in ACRONYMS:
+        if (acr, exp) in seen:
+            continue
+        seen.add((acr, exp))
+        expansion_cases.append(
+            f"CASE WHEN regexp_matches(query_text, '\\b{acr}\\b') "
+            f"THEN '{exp}' END"
+        )
+    exp_list = ", ".join(expansion_cases)
+    return f"""
+WITH base AS (
+  SELECT query_id, query_text, {hits_cols}
+  FROM {analysis_queries_values_sql()}
+),
+with_domain AS (
+  SELECT *, {dom_case} AS domain FROM base
+)
+SELECT query_id,
+       list_sort(list_distinct(list_filter(
+         [query_text, {eq}] || [{exp_list}],
+         x -> x IS NOT NULL))) AS search_terms
+FROM with_domain
+"""
