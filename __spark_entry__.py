@@ -251,10 +251,19 @@ def _quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) document fingerprints over the
-    normalized text — the MOSS selection scheme."""
+    normalized text — the MOSS selection scheme.
+
+    The array output is joined to a '|'-delimited string at this entry
+    boundary: the driver's order-insensitive value-hash requires
+    hashable (scalar) cells."""
     from rag_database_spark.functions.text import winnow_fingerprints
 
-    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.array_join(
+            F.col("fingerprints").cast("array<string>"), "|"
+        ).alias("fingerprints"),
+    )
 
 
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,10 +336,14 @@ def _table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10-F14: contract/tax/financial metadata + doc-type routing."""
-    return domain_metadata.extract_metadata(
-        domain_metadata.fixtures_df(spark)
-    )
+    """F10-F14: contract/tax/financial metadata + doc-type routing.
+    Array columns are '|'-joined at the entry boundary (scalar cells for
+    the driver hash); the operator keeps its typed array outputs."""
+    df = domain_metadata.extract_metadata(domain_metadata.fixtures_df(spark))
+    for c in ("parties", "irc_sections", "tax_forms", "fiscal_periods",
+              "code_sections"):
+        df = df.withColumn(c, F.array_join(c, "|"))
+    return df
 
 
 DELETE_MOD = 7
@@ -535,7 +548,11 @@ def _chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.groupBy("level").agg(
         F.count("*").alias("n_chunks"),
         F.sum("token_count").alias("total_tokens"),
-        F.round(F.avg("token_count"), 6).alias("avg_tokens"),
+        # exact integer sum / count in one IEEE division: bit-identical
+        # across engines (round(avg) drifted below 6dp)
+        (F.sum("token_count").cast("double") / F.count("*")).alias(
+            "avg_tokens"
+        ),
         F.max("page_number").alias("max_page"),
     )
 
@@ -546,10 +563,11 @@ def _search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return workload.analysis_queries_df(spark).select(
         "query_id",
         # sorted for the order-insensitive oracle compare (the operator
-        # itself preserves priority order)
-        F.array_sort(qa.search_terms(F.col("query_text"))).alias(
-            "search_terms"
-        ),
+        # itself preserves priority order); '|'-joined so every output
+        # cell is scalar-hashable by the driver
+        F.array_join(
+            F.array_sort(qa.search_terms(F.col("query_text"))), "|"
+        ).alias("search_terms"),
     )
 
 
@@ -574,8 +592,12 @@ def _enhanced_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _search_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: per-query failure-signal rollup over enhanced results."""
-    return qa.search_analytics(_enhanced_search(spark, sf_dir))
+    """A6: per-query failure-signal rollup over enhanced results.
+    `sources` is '|'-joined at the entry boundary (scalar cells for the
+    driver hash); the operator keeps its typed array output."""
+    return qa.search_analytics(_enhanced_search(spark, sf_dir)).withColumn(
+        "sources", F.array_join("sources", "|")
+    )
 
 
 def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,7 +123,10 @@ def bm25_index_stats(postings: DataFrame, doclens: DataFrame) -> DataFrame:
     )
     d = doclens.agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("dl"), 6).alias("avg_doc_len"),
+        # exact integer sum, then ONE IEEE division — bit-deterministic
+        # across engines, unlike round(avg(...), 6) whose pre-rounding
+        # accumulation order differs by ulps
+        (F.sum("dl").cast("double") / F.count("*")).alias("avg_doc_len"),
     )
     return d.crossJoin(p).select(
         "n_docs", "avg_doc_len", "vocabulary_size", "n_postings",

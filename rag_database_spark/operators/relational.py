@@ -64,9 +64,16 @@ def customer_overview(customer: DataFrame, orders: DataFrame,
     Aggregate lineitem to order grain FIRST, then join — the classic
     pre-aggregation that keeps the big⋈big join at order grain instead
     of exploding customer×lineitem."""
+    # price×(1−discount) lies on a 4-decimal grid: round each row onto
+    # the grid (no half-way ties — the double is ~1e-9 off the grid
+    # point) and sum as DECIMAL, which is exact and summation-order
+    # independent; double sums drift in the last ulps across engines
+    row_rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
     li_per_order = lineitem.groupBy("l_orderkey").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.sum(row_rev).alias("rev"),
     )
     per_cust = (
         orders.join(li_per_order, orders["o_orderkey"] == li_per_order["l_orderkey"], "left")
@@ -74,10 +81,9 @@ def customer_overview(customer: DataFrame, orders: DataFrame,
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.sum("n_items").alias("n_lineitems"),
-            # price×(1−discount) lies on a 4-decimal grid; rounding at 4
-            # keeps grid values (no half-way ties), while the cross-engine
-            # summation-order error (~1e-9) stays far below the half-grid
-            F.round(F.sum("rev"), 4).alias("revenue"),
+            # exact decimal → double is a single exactly-rounded cast,
+            # bit-identical on any engine
+            F.sum("rev").cast("double").alias("revenue"),
         )
     )
     return (

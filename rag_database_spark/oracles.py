@@ -197,12 +197,13 @@ def customer_overview_sql() -> str:
     return """
 WITH li AS (
   SELECT l_orderkey, count(*) AS n_items,
-         sum(l_extendedprice * (1 - l_discount)) AS rev
+         sum(round(l_extendedprice * (1 - l_discount), 4)
+             ::DECIMAL(18,4)) AS rev
   FROM lineitem GROUP BY l_orderkey
 ),
 pc AS (
   SELECT o_custkey, count(DISTINCT o_orderkey) AS n_orders,
-         sum(n_items) AS n_lineitems, round(sum(rev), 4) AS revenue
+         sum(n_items) AS n_lineitems, sum(rev)::DOUBLE AS revenue
   FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
   GROUP BY o_custkey
 )
@@ -1220,7 +1221,8 @@ SELECT query_id, count(*) AS n_results,
        round(avg(final_score), 6) AS avg_score,
        round(max(final_score), 6) AS max_score,
        count(DISTINCT id) AS n_distinct_docs,
-       list_sort(list(DISTINCT source)) AS sources
+       coalesce(array_to_string(list_sort(list(DISTINCT source)), '|'), '')
+         AS sources
 FROM enhanced GROUP BY query_id
 """
 
@@ -1317,7 +1319,7 @@ def bm25_index_stats_sql() -> str:
     return f"""
 WITH {_bm25_ctes(1)}
 SELECT (SELECT count(*) FROM doclens) AS n_docs,
-       (SELECT round(avg(dl), 6) FROM doclens) AS avg_doc_len,
+       (SELECT sum(dl)::DOUBLE / count(*) FROM doclens) AS avg_doc_len,
        (SELECT count(DISTINCT term) FROM postings) AS vocabulary_size,
        (SELECT count(*) FROM postings) AS n_postings,
        (SELECT sum(tf) FROM postings) AS total_tokens
@@ -1526,17 +1528,21 @@ SELECT doc_id,
                    regexp_extract_all(text, '{AMOUNT_RE}', 1),
                    x -> replace(x, ',', '')::DOUBLE)), 2)
        END AS max_amount,
-       {parties} AS parties,
+       coalesce(array_to_string({parties}, '|'), '') AS parties,
        {flags},
-       list_sort(list_distinct(regexp_extract_all(text, '{IRC_SECTION_RE}', 1)))
+       coalesce(array_to_string(list_sort(list_distinct(
+         regexp_extract_all(text, '{IRC_SECTION_RE}', 1))), '|'), '')
          AS irc_sections,
-       list_sort(list_distinct(regexp_extract_all(text, '{TAX_FORM_RE}', 1)))
+       coalesce(array_to_string(list_sort(list_distinct(
+         regexp_extract_all(text, '{TAX_FORM_RE}', 1))), '|'), '')
          AS tax_forms,
-       list_sort(list_distinct(list_transform(
-         regexp_extract_all(text, '{FISCAL_PERIOD_RE}', 1), x -> upper(x))))
+       coalesce(array_to_string(list_sort(list_distinct(list_transform(
+         regexp_extract_all(text, '{FISCAL_PERIOD_RE}', 1),
+         x -> upper(x)))), '|'), '')
          AS fiscal_periods,
        {cc_case} AS code_type,
-       list_sort(list_distinct(regexp_extract_all(text, '{CODE_SECTION_RE}', 1)))
+       coalesce(array_to_string(list_sort(list_distinct(
+         regexp_extract_all(text, '{CODE_SECTION_RE}', 1))), '|'), '')
          AS code_sections,
        nullif(regexp_extract(text, '{CODE_EDITION_RE}', 1), '') AS code_edition,
        nullif(regexp_extract(text, '{JURISDICTION_RE}', 1), '') AS jurisdiction
@@ -1879,7 +1885,10 @@ mins AS (
          ELSE [] END AS m
   FROM grams
 )
-SELECT doc_id, list_sort(list_distinct(m)) AS fingerprints FROM mins
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_distinct(m)), '|'), '')
+         AS fingerprints
+FROM mins
 """
 
 
@@ -1887,7 +1896,7 @@ def chunking_stats_sql() -> str:
     return f"""
 SELECT level, count(*) AS n_chunks,
        sum(token_count) AS total_tokens,
-       round(avg(token_count), 6) AS avg_tokens,
+       sum(token_count)::DOUBLE / count(*) AS avg_tokens,
        max(page_number) AS max_page
 FROM ({chunk_documents_sql()})
 GROUP BY level
@@ -1966,8 +1975,8 @@ with_domain AS (
   SELECT *, {dom_case} AS domain FROM base
 )
 SELECT query_id,
-       list_sort(list_distinct(list_filter(
+       coalesce(array_to_string(list_sort(list_distinct(list_filter(
          [query_text, {eq}] || [{exp_list}],
-         x -> x IS NOT NULL))) AS search_terms
+         x -> x IS NOT NULL))), '|'), '') AS search_terms
 FROM with_domain
 """

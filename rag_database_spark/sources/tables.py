@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. Column pruning / predicate pushdown apply."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The driver parquet stores TIMESTAMP(NANOS); a vanilla session throws
+    # PARQUET_TYPE_ILLEGAL without this runtime-settable conf. Idempotent,
+    # so set it here rather than relying on session-build configuration.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

@@ -21,18 +21,29 @@ from rag_database_spark.session import get_spark
 from rag_database_spark.sources.tables import TABLES
 
 
+class ListCellError(TypeError):
+    """A result cell is a list/tuple — the driver's canonicalizer cannot
+    hash it, so the local gate must fail it too (not stringify it)."""
+
+
 def normalize(rows, colnames):
     out = []
     for row in rows:
         vals = []
-        for v in row:
+        for i, v in enumerate(row):
             if isinstance(v, float):
                 if math.isnan(v):
                     vals.append("NaN")
                 else:
-                    vals.append(f"{v:.6f}")
+                    # full precision, matching the driver's value hash
+                    # (6dp rounding here masked cross-engine ulp drift)
+                    vals.append(repr(v))
             elif isinstance(v, (list, tuple)):
-                vals.append(str(list(v)))
+                raise ListCellError(
+                    f"column {colnames[i]!r} holds a list cell {v!r}: "
+                    "stringify array outputs at the entry boundary "
+                    "(array_join / to_json on BOTH engines)"
+                )
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
@@ -87,7 +98,13 @@ def main() -> int:
             # align column order by name
             d_idx = [d_cols.index(c) for c in s_cols]
             d_rows_al = [tuple(r[i] for i in d_idx) for r in d_rows]
-            sn, dn = normalize(s_rows, s_cols), normalize(d_rows_al, s_cols)
+            try:
+                sn = normalize(s_rows, s_cols)
+                dn = normalize(d_rows_al, s_cols)
+            except ListCellError as e:
+                print(f"{name}: LIST CELL — {e}")
+                failures.append(name)
+                continue
             if sn != dn:
                 diff = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
                 print(f"{name}: VALUE MISMATCH ({sum(1 for a, b in zip(sn, dn) if a != b)} rows differ); first diffs:")
