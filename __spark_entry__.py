@@ -693,8 +693,10 @@ def _graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact; LSH-bucketed variant is
-    dedup.embedding_near_dupes_lsh, recall-tested in tests/)."""
+    """Embedding-cosine near-dup pairs. Auto-dispatched: exact
+    broadcast-GEMM under similarity.GEMM_MAX_CELLS (true here, so the
+    oracle compare stays exact), LSH-bucketed candidates + exact
+    verification above it (recall-tested in tests/)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dupes(
         emb, COSINE_DUP_THRESHOLD, id_col="vec_id", vec_col="embedding"

@@ -69,6 +69,28 @@ def read_shingle_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Candidate-row ceiling for the direct inverted-index self-join: the
+# join emits Σ_s df·(df−1)/2 pair rows before the groupBy, so a few hot
+# shingles (df ~ corpus size) detonate it quadratically. Under the
+# budget, direct wins (measured 26s vs 31s at sf0.1 — the prefix path's
+# verification join costs more than the explosion it avoids on the
+# tiny-vocab synthetic corpus, where Σdf(df−1)/2 ≈ 2.5e7); above it,
+# the PPJoin prefix filter's superlinear advantage takes over.
+DIRECT_PAIR_BUDGET = 200_000_000
+
+
+def _estimate_direct_pairs(ex: DataFrame) -> int:
+    """Σ_s df·(df−1)/2 over the exploded (doc_id, s) index — the exact
+    number of candidate rows the direct self-join would emit. One
+    aggregation over the postings, no join."""
+    row = (
+        ex.groupBy("s").agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs"))
+        .first()
+    )
+    return int(row["pairs"] or 0)
+
+
 def shingle_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -76,8 +98,9 @@ def shingle_jaccard_pairs(
     text_col: str = "text",
     k: int = SHINGLE_K,
     max_df: int | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
     shingle_index: DataFrame | None = None,
+    direct_pair_budget: int = DIRECT_PAIR_BUDGET,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over distinct k-token shingles.
 
@@ -92,17 +115,23 @@ def shingle_jaccard_pairs(
     Which path wins is a corpus property, measured not guessed: on the
     driver's tiny-vocabulary synthetic corpus the verification join
     (|candidates| × |A| rows) costs more than the direct pair explosion
-    it avoids (measured 31s vs 26s at sf0.1), so the default is the
-    direct join; on realistic text — large vocabulary, heavy-tailed
-    shingle dfs where Σdf² explodes — flip ``prefix_filter=True``: the
+    it avoids (measured 31s vs 26s at sf0.1); on realistic text — large
+    vocabulary, heavy-tailed shingle dfs where Σdf² explodes — the
     prefix join touches only rare shingles and scales superlinearly
-    better.
+    better. The default ``prefix_filter='auto'`` therefore measures:
+    it computes the direct join's exact candidate-row count
+    Σ df·(df−1)/2 with one cheap aggregation and flips the prefix
+    filter on only above ``direct_pair_budget``, so the Σdf² join
+    cannot detonate on a heavy-tailed corpus while the synthetic corpus
+    keeps the faster direct plan. Both paths are exact — auto-switching
+    never changes results, only the plan.
 
     ``max_df`` optionally drops shingles appearing in more than that
     many docs before candidate generation (a documented approximation —
-    a pair sharing ONLY dropped shingles is missed). Pass a persisted
-    ``shingle_index`` (``write_shingle_index``) to avoid re-deriving
-    shingles for each side of the self-join."""
+    a pair sharing ONLY dropped shingles is missed; it stays an
+    explicit opt-in precisely because it changes results). Pass a
+    persisted ``shingle_index`` (``write_shingle_index``) to avoid
+    re-deriving shingles for each side of the self-join."""
     if shingle_index is not None:
         ex = shingle_index
         sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -117,6 +146,9 @@ def shingle_jaccard_pairs(
             .select("s")
         )
         ex = ex.join(keep, "s")
+
+    if prefix_filter == "auto":
+        prefix_filter = _estimate_direct_pairs(ex) > direct_pair_budget
 
     if prefix_filter:
         from pyspark.sql import Window

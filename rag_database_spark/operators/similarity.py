@@ -149,13 +149,20 @@ def cosine_topk_blocked(
     return _ranked(scored, k)
 
 
+# ceiling on rows × dim for the broadcast-GEMM exact path: 5e7 float64
+# cells ≈ 400 MB on the driver + each executor — comfortably inside one
+# 4 GB executor, far below a 100 TB corpus. Above it, auto mode routes
+# to the LSH candidate join, which never materializes the matrix.
+GEMM_MAX_CELLS = 50_000_000
+
+
 def embedding_near_dupes(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "id",
     vec_col: str = "vec",
     block_col: str | None = None,
-    impl: str = "gemm",
+    impl: str = "auto",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — embedding-space
     near-duplicate detection (training-data pipeline extension).
@@ -164,11 +171,27 @@ def embedding_near_dupes(
     as one numpy GEMM per Arrow batch against a broadcast normalized
     matrix (~25× the per-pair JVM expression path). The broadcast bounds
     this exact path to corpora whose matrix fits an executor (~10⁷×d);
-    beyond that use ``dedup.embedding_near_dupes_lsh`` — candidate
-    pairs from random-hyperplane buckets, exact verification.
+    the default ``impl='auto'`` counts rows×dim and, above
+    ``GEMM_MAX_CELLS``, routes to ``dedup.embedding_near_dupes_lsh`` —
+    candidate pairs from random-hyperplane buckets, exact cosine
+    verification — so the default plan never driver-collects an
+    unbounded corpus. Pass ``impl='gemm'`` to force the exact path.
     ``block_col`` (e.g. a cluster label or LSH bucket) instead turns
     the self-join into a per-block JVM join."""
-    if block_col is None and impl == "gemm":
+    if block_col is None and impl in ("auto", "gemm"):
+        if impl == "auto":
+            first = corpus.select(
+                F.size(to_double_array(F.col(vec_col))).alias("d")
+            ).first()
+            dim = int(first["d"]) if first is not None else 0
+            if dim and corpus.count() * dim > GEMM_MAX_CELLS:
+                from rag_database_spark.operators.dedup import (
+                    embedding_near_dupes_lsh,
+                )
+
+                return embedding_near_dupes_lsh(
+                    corpus, threshold, dim, id_col=id_col, vec_col=vec_col
+                )
         return _near_dupes_gemm(corpus, threshold, id_col, vec_col)
     a = corpus.select(
         F.col(id_col).alias("id_a"),

@@ -95,6 +95,63 @@ def test_rp_blocks_deterministic(spark):
     assert a == b
 
 
+def test_direct_pair_estimate_hand_case(spark, docs):
+    # shingle dfs over DOCS: 5 shingles shared by {1,2,4} (df=3), one
+    # by {1,4} (df=2), the rest df=1 → Σ df·(df−1)/2 = 5·3 + 1 = 16
+    ex = dedup._doc_shingles(docs, "doc_id", "text", dedup.SHINGLE_K).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    assert dedup._estimate_direct_pairs(ex) == 16
+
+
+def test_auto_dispatch_flips_prefix_above_budget(spark, docs):
+    # budget 0 → auto must take the prefix-filter path; results are
+    # exact either way, so the output must match the direct plan
+    direct = sorted(
+        map(
+            tuple,
+            dedup.shingle_jaccard_pairs(
+                docs, 0.5, prefix_filter=False
+            ).collect(),
+        )
+    )
+    auto_prefix = sorted(
+        map(
+            tuple,
+            dedup.shingle_jaccard_pairs(
+                docs, 0.5, direct_pair_budget=0
+            ).collect(),
+        )
+    )
+    assert direct == auto_prefix and direct
+
+
+def test_embedding_near_dup_auto_routes_to_lsh(spark, monkeypatch):
+    # shrink the GEMM ceiling so auto must take the LSH path — and
+    # prove it never touches the driver-collect GEMM implementation
+    from rag_database_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(10, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, (v + rng.normal(scale=0.005, size=8)).tolist()))
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    monkeypatch.setattr(similarity, "GEMM_MAX_CELLS", 1)
+
+    def boom(*a, **k):
+        raise AssertionError("auto dispatch must not driver-collect")
+
+    monkeypatch.setattr(similarity, "_near_dupes_gemm", boom)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dupes(corpus, 0.98).collect()
+    }
+    assert got  # LSH path found the planted near-dups
+
+
 def test_prefix_filter_is_exact(spark, docs):
     base = sorted(
         map(tuple, dedup.shingle_jaccard_pairs(docs, 0.5).collect())
