@@ -692,6 +692,78 @@ def _graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.graph_stats(_doc_edge_table(spark, sf_dir))
 
 
+CHAIN_SRC_MAX = 3
+# destinations sit on the synthetic corpus's +20 sequence lattice so
+# the pair list mixes every depth 1..CHAIN_MAX_DEPTH with unreachable
+# (NULL) pairs — both J6 outcomes get oracle coverage
+CHAIN_DST_MOD = 20
+CHAIN_DST_REM_MAX = 2
+CHAIN_DST_LO = 20
+CHAIN_DST_HI = 100
+CHAIN_MAX_DEPTH = 4
+# J6 runs at the graph module's default 0.5 cutoff (not the 0.7 the
+# expand entry uses) so multi-hop chains actually exist in the sparse
+# synthetic graph — exercises depths 1..4 AND the unreachable-NULL path
+CHAIN_MIN_CONF = graph_ops.MIN_CONFIDENCE
+
+
+def _shortest_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: shortest relation chain per (src, dst) pair — one shared BFS
+    from the distinct sources, then a join onto the pair list; NULL
+    chain_len = unreachable within CHAIN_MAX_DEPTH."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.filter(F.col("doc_id") < CHAIN_SRC_MAX).select(
+        F.col("doc_id").alias("src")
+    )
+    dsts = docs.filter(
+        F.col("doc_id").between(CHAIN_DST_LO, CHAIN_DST_HI)
+        & (F.col("doc_id") % CHAIN_DST_MOD <= CHAIN_DST_REM_MAX)
+    ).select(F.col("doc_id").alias("dst"))
+    return graph_ops.shortest_chains(
+        _doc_edge_table(spark, sf_dir),
+        srcs.crossJoin(dsts),
+        CHAIN_MAX_DEPTH,
+        CHAIN_MIN_CONF,
+    )
+
+
+def _augment_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: 1-hop graph augmentation of the top-5 hybrid results per
+    query — related docs scored by avg edge confidence, best 3 new
+    docs kept."""
+    return graph_ops.augment_results(
+        _hybrid_rrf(spark, sf_dir), _doc_edge_table(spark, sf_dir)
+    ).select("query_id", "id", "graph_score", "aug_rank")
+
+
+def _extract_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19/W6: regex relationship extraction + confidence heuristic +
+    deterministic first-seen dedup over the legal fixture corpus."""
+    return graph_ops.extract_relationships(graph_ops.rel_fixtures_df(spark))
+
+
+def _detect_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: per-line section-header cascade over the structured fixture
+    corpus (family, title, section number, dot-depth level)."""
+    return chunking.detect_sections(chunking.section_fixtures_df(spark))
+
+
+def _sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C7/P11: sentence-boundary split with the 20-char minimum over
+    the structured fixture corpus."""
+    return chunking.sentence_chunks(chunking.section_fixtures_df(spark))
+
+
+def _table_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18: dual table representations — CSV-like structured text and
+    the one-sentence semantic description."""
+    fx = tables_extract.fixtures_df(spark)
+    cells = tables_extract.parse_pipe_tables(fx)
+    return tables_extract.table_texts(
+        cells, tables_extract.table_summary(cells, fx)
+    )
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs. Auto-dispatched: exact
     broadcast-GEMM under similarity.GEMM_MAX_CELLS (true here, so the
@@ -751,6 +823,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": _table_cells,
         "table_summary": _table_summary,
         "extract_metadata": _extract_metadata,
+        "extract_relationships": _extract_relationships,
+        "shortest_chains": _shortest_chains,
+        "augment_results": _augment_results,
+        "detect_sections": _detect_sections,
+        "sentence_chunks": _sentence_chunks,
+        "table_texts": _table_texts,
     }
 
 
@@ -824,4 +902,22 @@ def oracle_sql() -> dict[str, str]:
         "table_cells": oracles.table_cells_sql(),
         "table_summary": oracles.table_summary_sql(),
         "extract_metadata": oracles.extract_metadata_sql(),
+        "extract_relationships": oracles.extract_relationships_sql(),
+        "shortest_chains": oracles.shortest_chains_sql(
+            JACCARD_THRESHOLD,
+            dedup.SHINGLE_K,
+            CHAIN_SRC_MAX,
+            CHAIN_DST_LO,
+            CHAIN_DST_HI,
+            CHAIN_DST_MOD,
+            CHAIN_DST_REM_MAX,
+            CHAIN_MAX_DEPTH,
+            CHAIN_MIN_CONF,
+        ),
+        "augment_results": oracles.augment_results_sql(
+            workload.HYBRID_LIMIT, JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
+        "detect_sections": oracles.detect_sections_sql(),
+        "sentence_chunks": oracles.sentence_chunks_sql(),
+        "table_texts": oracles.table_texts_sql(),
     }

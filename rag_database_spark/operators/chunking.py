@@ -278,6 +278,57 @@ SECTION_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+# fixture corpus for the F9/C7 oracle entries — the driver's synthetic
+# documents have no line or sentence structure, so section detection
+# and sentence chunking run over this deterministic frame (same pattern
+# as the tables_extract fixtures). Apostrophe-free for SQL VALUES
+# embedding; every SECTION_PATTERNS family fires, and the texts carry
+# real sentence boundaries for the C7 split.
+SECTION_FIXTURES: tuple[tuple[int, str], ...] = (
+    (1,
+     "ARTICLE I\n"
+     "The parties agree to the following terms. Each party shall act "
+     "in good faith at all times.\n"
+     "Section 1.2\n"
+     "Payment is due within thirty days of the invoice date. Late "
+     "payment accrues interest! Does any party dispute this?\n"
+     "Section 1.2.1\n"
+     "Clause 4.10\n"
+     "WHEREAS the parties wish to cooperate on the project.\n"
+     "Exhibit B\n"
+     "short line"),
+    (2,
+     "Chapter 3\n"
+     "Introductory text for the third chapter follows immediately "
+     "here. A second sentence closes the paragraph.\n"
+     "Part IV\n"
+     "§ 12.5\n"
+     "Balance Sheet\n"
+     "Q1 2024\n"
+     "FY 2023 totals appear below the heading."),
+    (3,
+     "no headers in this document, just two plain sentences. this is "
+     "the second sentence of the document!"),
+)
+
+
+def section_fixtures_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        list(SECTION_FIXTURES), "doc_id long, text string"
+    )
+
+
+def section_fixtures_values_sql() -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(i, t.replace("\n", "\\n"))
+        for i, t in SECTION_FIXTURES
+    )
+    return (
+        f"(SELECT doc_id, replace(text, '\\n', chr(10)) AS text "
+        f"FROM (VALUES {rows}) AS v(doc_id, text))"
+    )
+
+
 def detect_sections(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -66,7 +66,7 @@ def extract_relationships(
     projection over the scan."""
     t = F.col(text_col)
     per_pattern = []
-    for rel_type, pat in RELATION_PATTERNS:
+    for pat_idx, (rel_type, pat) in enumerate(RELATION_PATTERNS):
         full = F.regexp_extract_all(t, F.lit(pat), 0)
         ref = F.regexp_extract_all(t, F.lit(pat), 1)
         per_pattern.append(
@@ -76,6 +76,7 @@ def extract_relationships(
                     F.lit(rel_type).alias("relation_type"),
                     F.trim(F.get(ref, i)).alias("target_ref"),
                     m.alias("matched"),
+                    F.lit(pat_idx).alias("pat_idx"),
                 ),
             )
         )
@@ -83,7 +84,8 @@ def extract_relationships(
     exploded = docs.select(
         F.col(id_col).alias("source_id"), F.explode(matches).alias("m")
     ).select(
-        "source_id", "m.relation_type", "m.target_ref", "m.matched"
+        "source_id", "m.relation_type", "m.target_ref", "m.matched",
+        "m.pat_idx",
     )
     base = F.when(
         F.col("relation_type").isin(*HIGH_CONFIDENCE_TYPES), F.lit(0.9)
@@ -101,8 +103,24 @@ def extract_relationships(
         "relation_type",
         F.greatest(F.lit(0.3), F.least(F.lit(1.0), conf)).alias("confidence"),
         "target_ref",
+        "pat_idx",
+        "matched",
     )
-    return out.dropDuplicates(["source_id", "target_id", "relation_type"])
+    # W6 first-seen dedup, made deterministic: the reference iterates
+    # patterns in bank order and keeps the first hit; row_number over
+    # (pattern order, match text) reproduces that choice exactly, where
+    # dropDuplicates would pick an arbitrary survivor
+    w = Window.partitionBy(
+        "source_id", "target_id", "relation_type"
+    ).orderBy("pat_idx", "matched")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "source_id", "target_id", "relation_type", "confidence",
+            "target_ref",
+        )
+    )
 
 
 def resolve_references(
@@ -211,6 +229,30 @@ def shortest_chain(
     return None
 
 
+def shortest_chains(
+    edges: DataFrame,
+    pairs: DataFrame,
+    max_depth: int = 5,
+    min_confidence: float = MIN_CONFIDENCE,
+) -> DataFrame:
+    """J6 batch form (document_graph.py:469-513): shortest relation
+    chain length for every (src, dst) pair in one BFS sweep.
+
+    One ``bfs_expand`` from the DISTINCT sources (max_depth keyed
+    shuffles total, shared across all pairs with the same source —
+    not a per-pair walk), then a single join onto the pair list.
+    Unreachable-within-``max_depth`` pairs keep a NULL ``chain_len``,
+    the relational form of the reference's ``None`` return."""
+    seeds = pairs.select(F.col("src").alias("start_id")).distinct()
+    reach = bfs_expand(edges, seeds, max_depth, min_confidence)
+    return pairs.join(
+        reach,
+        (pairs["src"] == reach["start_id"])
+        & (pairs["dst"] == reach["doc_id"]),
+        "left",
+    ).select("src", "dst", F.col("depth").cast("long").alias("chain_len"))
+
+
 def augment_results(
     results: DataFrame,
     edges: DataFrame,
@@ -251,6 +293,45 @@ def graph_stats(edges: DataFrame) -> DataFrame:
         F.countDistinct("src").alias("n_sources"),
         F.countDistinct("dst").alias("n_targets"),
     )
+
+
+# fixture corpus for the F19 oracle entry — the driver's synthetic
+# documents contain no legal cross-references, so extraction runs over
+# this deterministic frame (same pattern as tables_extract/domain_
+# metadata fixtures). Apostrophe-free for SQL VALUES embedding; each
+# pattern family fires at least once.
+REL_FIXTURES: tuple[tuple[int, str], ...] = (
+    (1,
+     "This First Amendment to the Master Services Agreement dated "
+     "March 1, 2023 revises the fee schedule. Pursuant to Section 4.2 "
+     "the fees are adjusted annually. See Exhibit A to this amendment "
+     "for the revised rates."),
+    (2,
+     "This agreement supersedes all prior agreements between the "
+     "parties on the subject matter. The vendor shall process data in "
+     "accordance with the Data Processing Addendum. Refer to Exhibit B "
+     "for pricing details."),
+    (3,
+     "Under IRC Section 482 the service pricing may be adjusted by the "
+     "Secretary. See also 26 U.S.C. Section 482 and 29 CFR Section "
+     "1910.95 for related rules."),
+    (4,
+     "The vendor schedules are incorporated herein by reference into "
+     "this master contract. This contract replaces the 2022 consulting "
+     "contract in its entirety."),
+    (5, "plain text mentioning no agreements and citing nothing at all"),
+)
+
+
+def rel_fixtures_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        list(REL_FIXTURES), "doc_id long, text string"
+    )
+
+
+def rel_fixtures_values_sql() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in REL_FIXTURES)
+    return f"(SELECT * FROM (VALUES {rows}) AS v(doc_id, text))"
 
 
 def related_ids(edges: DataFrame, ids: DataFrame) -> DataFrame:

@@ -1980,3 +1980,237 @@ SELECT query_id,
          x -> x IS NOT NULL))), '|'), '') AS search_terms
 FROM with_domain
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-3 promotions: F19 / J6 / J7 / F9 / C7 / F18 oracles
+# ---------------------------------------------------------------------------
+
+
+def extract_relationships_sql() -> str:
+    from rag_database_spark.operators.graph import (
+        HIGH_CONFIDENCE_TYPES,
+        RELATION_PATTERNS,
+        rel_fixtures_values_sql,
+    )
+
+    per = []
+    for pi, (rel, pat) in enumerate(RELATION_PATTERNS):
+        per.append(
+            f"SELECT doc_id AS source_id, {pi} AS pat_idx, "
+            f"'{rel}' AS relation_type, "
+            "unnest([{'m': m[i], 'r': r[i]} for i in range(1, len(m) + 1)])"
+            " AS u "
+            f"FROM (SELECT doc_id, regexp_extract_all(text, '{pat}', 0) AS m, "
+            f"regexp_extract_all(text, '{pat}', 1) AS r FROM fx)"
+        )
+    union = " UNION ALL ".join(per)
+    hi = ", ".join(f"'{t}'" for t in HIGH_CONFIDENCE_TYPES)
+    # every literal is ::DOUBLE so the confidence arithmetic runs in
+    # IEEE doubles exactly like the Spark expression (DuckDB literals
+    # default to DECIMAL, which would diverge in the last ulps)
+    return f"""
+WITH fx AS (SELECT * FROM {rel_fixtures_values_sql()}),
+matches AS ({union}),
+scored AS (
+  SELECT source_id, pat_idx, relation_type,
+         'unresolved:' || trim(u.r) AS target_id,
+         trim(u.r) AS target_ref, u.m AS matched,
+         greatest(0.3::DOUBLE, least(1.0::DOUBLE,
+           (CASE WHEN relation_type IN ({hi})
+                 THEN 0.9::DOUBLE ELSE 0.7::DOUBLE END)
+           - (CASE WHEN length(u.m) > 200
+                   THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)
+           - (CASE WHEN regexp_matches(lower(u.m), 'may|might|similar')
+                   THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END))) AS confidence
+  FROM matches
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source_id, target_id, relation_type
+    ORDER BY pat_idx, matched) AS rn
+  FROM scored
+)
+SELECT source_id, target_id, relation_type, confidence, target_ref
+FROM dedup WHERE rn = 1
+"""
+
+
+def shortest_chains_sql(
+    jaccard_threshold: float,
+    k: int,
+    src_max: int,
+    dst_lo: int,
+    dst_hi: int,
+    dst_mod: int,
+    dst_rem_max: int,
+    max_depth: int,
+    min_confidence: float,
+) -> str:
+    return f"""
+WITH RECURSIVE {_edges_ctes(jaccard_threshold, k)},
+und AS (
+  SELECT src AS me, dst AS other FROM edges
+  WHERE confidence >= {min_confidence}
+  UNION ALL
+  SELECT dst, src FROM edges WHERE confidence >= {min_confidence}
+),
+reach AS (
+  SELECT doc_id AS start_id, doc_id, 0 AS depth
+  FROM documents WHERE doc_id < {src_max}
+  UNION
+  SELECT r.start_id, u.other AS doc_id, r.depth + 1
+  FROM reach r JOIN und u ON u.me = r.doc_id
+  WHERE r.depth < {max_depth}
+),
+best AS (
+  SELECT start_id, doc_id, min(depth) AS d
+  FROM reach GROUP BY start_id, doc_id HAVING min(depth) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a CROSS JOIN documents b
+  WHERE a.doc_id < {src_max}
+    AND b.doc_id BETWEEN {dst_lo} AND {dst_hi}
+    AND b.doc_id % {dst_mod} <= {dst_rem_max}
+)
+SELECT p.src, p.dst, b.d::BIGINT AS chain_len
+FROM pairs p LEFT JOIN best b ON b.start_id = p.src AND b.doc_id = p.dst
+"""
+
+
+def augment_results_sql(
+    limit: int,
+    jaccard_threshold: float,
+    k: int,
+    top_results: int = 5,
+    max_augmented: int = 3,
+    min_confidence: float = 0.5,
+) -> str:
+    return f"""
+WITH hyb AS ({hybrid_rrf_sql(limit)}),
+ed AS ({doc_edges_sql(jaccard_threshold, k)}),
+und AS (
+  SELECT src AS me, dst AS other, confidence FROM ed
+  WHERE confidence >= {min_confidence}
+  UNION ALL
+  SELECT dst, src, confidence FROM ed
+  WHERE confidence >= {min_confidence}
+),
+top AS (
+  SELECT query_id, id AS doc_id FROM hyb WHERE rank <= {top_results}
+),
+related AS (
+  SELECT t.query_id, u.other AS id,
+         round(avg(u.confidence), 6) AS graph_score
+  FROM top t JOIN und u ON u.me = t.doc_id
+  GROUP BY t.query_id, u.other
+),
+fresh AS (
+  SELECT r.* FROM related r
+  ANTI JOIN hyb h ON h.query_id = r.query_id AND h.id = r.id
+)
+SELECT query_id, id, graph_score,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY graph_score DESC, id
+       )::BIGINT AS aug_rank
+FROM fresh QUALIFY aug_rank <= {max_augmented}
+"""
+
+
+def detect_sections_sql() -> str:
+    from rag_database_spark.operators.chunking import (
+        SECTION_PATTERNS,
+        section_fixtures_values_sql,
+    )
+
+    fam_cases = ", ".join(
+        f"CASE WHEN regexp_matches(u.line, '{p}') THEN '{f}' END"
+        for f, p in SECTION_PATTERNS
+    )
+    num_cases = ", ".join(
+        f"CASE WHEN regexp_matches(u.line, '{p}') "
+        f"THEN regexp_extract(u.line, '{p}', 1) END"
+        for _f, p in SECTION_PATTERNS
+    )
+    return f"""
+WITH fx AS (SELECT * FROM {section_fixtures_values_sql()}),
+lines AS (
+  SELECT doc_id,
+         unnest([{{'i': i - 1, 'line': ls[i]}}
+                 for i in range(1, len(ls) + 1)]) AS u
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx)
+),
+det AS (
+  SELECT doc_id, u.i AS line_no,
+         coalesce({fam_cases}) AS family,
+         trim(u.line) AS title,
+         coalesce({num_cases}) AS section_number
+  FROM lines
+)
+SELECT doc_id, line_no, family, title, section_number,
+       (length(section_number)
+        - length(replace(section_number, '.', '')) + 1)::INT AS level
+FROM det WHERE family IS NOT NULL
+"""
+
+
+def sentence_chunks_sql() -> str:
+    from rag_database_spark.operators.chunking import (
+        MIN_SENTENCE_CHARS,
+        section_fixtures_values_sql,
+    )
+
+    # RE2 has no lookbehind, so Spark's (?<=[.!?])\s+ split becomes:
+    # replace punct+whitespace with punct+sentinel (chr(30)), then split
+    # on the sentinel — identical pieces. The whitespace class is the
+    # explicit [space, tab, newline] the fixtures contain (Java \s and
+    # RE2 \s agree on those).
+    boundary = "'([.!?])[ ' || chr(9) || chr(10) || ']+'"
+    return f"""
+WITH fx AS (SELECT * FROM {section_fixtures_values_sql()}),
+parts AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(text, {boundary}, '\\1' || chr(30), 'g'),
+           chr(30)) AS ps
+  FROM fx
+),
+idx AS (
+  SELECT doc_id,
+         unnest([{{'i': i - 1, 's': ps[i]}}
+                 for i in range(1, len(ps) + 1)]) AS u
+  FROM parts
+)
+SELECT doc_id, u.i AS sentence_index, trim(u.s) AS sentence
+FROM idx WHERE length(trim(u.s)) >= {MIN_SENTENCE_CHARS}
+"""
+
+
+def table_texts_sql() -> str:
+    return f"""
+WITH {_table_cells_ctes().lstrip()},
+row_texts AS (
+  SELECT table_id, row_idx,
+         string_agg(value, ', ' ORDER BY col_idx) AS row_text
+  FROM typed GROUP BY table_id, row_idx
+),
+structured AS (
+  SELECT table_id,
+         string_agg(row_text, chr(10) ORDER BY row_idx) AS structured_text
+  FROM row_texts GROUP BY table_id
+),
+hdr AS (
+  SELECT table_id,
+         string_agg(value, ', ' ORDER BY col_idx) AS header_text
+  FROM typed WHERE is_header GROUP BY table_id
+),
+summ AS ({table_summary_sql()})
+SELECT s.table_id, s.structured_text,
+       'A ' || m.table_type || ' table with columns ' || h.header_text
+       || ' and ' || m.n_rows::VARCHAR || ' data rows.'
+         AS semantic_description
+FROM structured s
+JOIN hdr h USING (table_id)
+JOIN summ m USING (table_id)
+"""
