@@ -62,28 +62,28 @@ _INDEX_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 def _source_fingerprint(sf_dir: str, table: str = "documents") -> str:
     """Size+mtime fingerprint of the source parquet: derived artifacts
     key on it so a regenerated test corpus can never serve a stale
-    index silently."""
+    index silently. Raises if the source can't be stat'd — a silent
+    name-only fallback would quietly serve stale artifacts."""
     p = Path(sf_dir) / f"{table}.parquet"
-    try:
-        st = p.stat()
-        return f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
-    except OSError:
-        return Path(sf_dir).name
+    st = p.stat()  # FileNotFoundError/OSError propagates deliberately
+    return f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    if sf_dir in _INDEX_CACHE:
-        return _INDEX_CACHE[sf_dir]
+    # keyed by the SOURCE FINGERPRINT (not sf_dir) so the in-memory and
+    # on-disk layers invalidate together when the corpus is regenerated
+    fp = _source_fingerprint(sf_dir)
+    if fp in _INDEX_CACHE:
+        return _INDEX_CACHE[fp]
     cache_dir = (
-        Path(__file__).resolve().parent
-        / ".cache" / "bm25_index" / _source_fingerprint(sf_dir)
+        Path(__file__).resolve().parent / ".cache" / "bm25_index" / fp
     )
     if not (cache_dir / "postings" / "_SUCCESS").exists():
         bm25_ops.write_index(
             load_table(spark, sf_dir, "documents"), str(cache_dir)
         )
     pair = bm25_ops.read_index(spark, str(cache_dir))
-    _INDEX_CACHE[sf_dir] = pair
+    _INDEX_CACHE[fp] = pair
     return pair
 
 
@@ -298,13 +298,14 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir not in _JACCARD_CACHE:
-        _JACCARD_CACHE[sf_dir] = dedup.shingle_jaccard_pairs(
+    fp = _source_fingerprint(sf_dir)
+    if fp not in _JACCARD_CACHE:
+        _JACCARD_CACHE[fp] = dedup.shingle_jaccard_pairs(
             load_table(spark, sf_dir, "documents"),
             JACCARD_THRESHOLD,
             shingle_index=_shingle_index(spark, sf_dir),
         ).persist()
-    return _JACCARD_CACHE[sf_dir]
+    return _JACCARD_CACHE[fp]
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

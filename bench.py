@@ -6,12 +6,19 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is materialized via the `noop` sink — full computation of
 every column, no driver-side collect bottleneck in the measurement.
+
+Per-query variance on this box is ±2-4x, so each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 3): ``queries`` carries the
+MEDIAN, ``queries_min`` the best run, and ``value`` is the sum of
+medians — round-over-round regressions are detectable instead of
+drowned in single-run noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -22,6 +29,7 @@ import __spark_entry__ as entrymod
 from rag_database_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -38,19 +46,28 @@ def main() -> int:
     # measure query paths, not one-time index construction
     entrymod.prepare(spark, SF_DIR)
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name, fn in sorted(qs.items()):
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(sum(timings.values()), 3)
+    runs: dict[str, list[float]] = {name: [] for name in qs}
+    # interleave whole passes (not per-query repeats) so run i of every
+    # query sees the same JVM/cache warmth profile
+    for _ in range(N_RUNS):
+        for name, fn in sorted(qs.items()):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs[name].append(time.time() - t0)
+    medians = {
+        name: round(statistics.median(ts), 3) for name, ts in runs.items()
+    }
+    mins = {name: round(min(ts), 3) for name, ts in runs.items()}
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "queries_min": mins,
+                "n_runs": N_RUNS,
                 "sf": _sf_from_dir(SF_DIR),
             }
         ),

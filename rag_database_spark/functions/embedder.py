@@ -18,13 +18,16 @@ land near each other (enough structure for rank-based tests)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rag_database_spark.functions.text import tokenize
 
 EMBED_DIM = 8
 _SCALE = float(1 << 59)  # hash60 range midpoint
+
+# M1 real-model default (dense_embedder.py:27-35)
+DEFAULT_MODEL = "BAAI/bge-small-en-v1.5"
 
 
 def _unit(h: Column) -> Column:
@@ -51,3 +54,72 @@ def hash_embed(text_col: Column, dim: int = EMBED_DIM) -> Column:
         total = F.aggregate(toks, F.lit(0.0), merge_for(i))
         dims.append(F.when(n > 0, total / n).otherwise(F.lit(0.0)))
     return F.array(*dims)
+
+
+def model_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    model_name: str = DEFAULT_MODEL,
+    batch_size: int = 64,
+) -> DataFrame:
+    """M1 real-model path (dense_embedder.py:27-78): sentence-
+    transformers through an Arrow-batched mapInPandas — the model loads
+    once per Python worker (lazy module-level singleton inside the
+    closure), encodes each Arrow batch as one GPU/CPU forward pass, and
+    only the float vectors cross back to the JVM.
+
+    Raises ImportError when sentence-transformers is absent; callers
+    wanting automatic fallback use ``embed_text``. The smoke test
+    injects a fake module to verify plumbing (schema, batch shape)
+    without the real weights."""
+    from rag_database_spark.seams import optional_import
+
+    st_mod = optional_import("sentence_transformers")
+    if st_mod is None:
+        raise ImportError(
+            "sentence_transformers not installed — use embed_text() for "
+            "automatic fallback to the hash-projection embedder"
+        )
+    # captured at driver time: a real installed class pickles by
+    # reference (worker re-imports it), while the smoke test's fake
+    # class ships by value — either way the worker gets the model
+    model_cls = st_mod.SentenceTransformer
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = model_cls(model_name)  # once per partition
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vecs = model.encode(
+                pdf[text_col].tolist(), batch_size=batch_size
+            )
+            pdf = pdf.copy()
+            pdf[out_col] = [[float(x) for x in v] for v in vecs]
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(batches, schema=f"{schema}, {out_col} array<double>")
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """M1 dispatcher: the real model when sentence-transformers is
+    importable, else the deterministic hash projection — identical
+    (id…, array<double>) contract either way, so every downstream
+    consumer (cosine top-k, near-dup, hybrid legs) is agnostic."""
+    from rag_database_spark.seams import have
+
+    if have("sentence_transformers"):  # pragma: no cover - no model here
+        return model_embed(df, text_col, out_col)
+    return df.withColumn(out_col, hash_embed(F.col(text_col), dim))

@@ -59,12 +59,32 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
-try:  # pragma: no cover - real decoder path, not in this container
-    import PIL.Image  # noqa: F401
+def _real_decode(payload: bytes, kind: str) -> dict:  # pragma: no cover
+    """Real decoder (document_processor.py:239-308 visual path): PIL for
+    images; audio/video duration would come from ffmpeg probe — until
+    that library exists too, non-image kinds keep the stub fields."""
+    import io
 
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
+    import PIL.Image
+
+    if kind == "image":
+        im = PIL.Image.open(io.BytesIO(payload or b""))
+        return {
+            "width": im.width,
+            "height": im.height,
+            "duration_ms": 0,
+            "ok": True,
+        }
+    return _fake_decode(payload, kind)
+
+
+def _decode_impl():
+    """Call-time dispatch (executor-side): PIL present → real decoder,
+    else the deterministic stub. The smoke test injects a fake PIL to
+    prove the real branch wires up without code changes."""
+    from rag_database_spark.seams import have
+
+    return _real_decode if have("PIL.Image") else _fake_decode
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -73,6 +93,7 @@ def decode_media(media: DataFrame) -> DataFrame:
     leave the executor."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_impl()
         for pdf in it:
             if pdf.empty:
                 continue
@@ -80,9 +101,7 @@ def decode_media(media: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                # real decoder seam: when PIL/ffmpeg are present, decode
-                # here instead of _fake_decode (HAVE_PIL gates it)
-                d = _fake_decode(payload, kind)
+                d = decode(payload, kind)
                 rows.append(
                     (
                         mid,

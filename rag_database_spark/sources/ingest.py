@@ -49,11 +49,38 @@ def _doc_id(path: str, content: bytes) -> str:
     return f"{stem}_{hashlib.md5(content or b'').hexdigest()[:12]}"
 
 
+def _real_parse(content: bytes) -> list[tuple[str, str, int]]:  # pragma: no cover
+    """S1/S2 real path (document_processor.py:310-468): route the bytes
+    through unstructured.partition.auto — same (category, text, page)
+    triples the stub emits, so downstream plumbing is identical. Only
+    reachable when the library is installed (see ``_parse_impl``)."""
+    from io import BytesIO
+
+    from unstructured.partition.auto import partition
+
+    out = []
+    for el in partition(file=BytesIO(content or b"")):
+        meta = getattr(el, "metadata", None)
+        page = getattr(meta, "page_number", None) or 1
+        out.append((type(el).__name__, str(el), int(page)))
+    return out
+
+
+def _parse_impl():
+    """Pick the parse implementation at call time on the executing
+    machine: real library when importable, deterministic stub
+    otherwise. The smoke test injects a fake module to prove the real
+    branch wires up without code changes."""
+    from rag_database_spark.seams import have
+
+    return _real_parse if have("unstructured.partition.auto") else _fake_parse
+
+
 def _fake_parse(content: bytes) -> list[tuple[str, str, int]]:
     """Deterministic parse stub: decode utf-8 (replace errors), split on
     blank lines into elements; a leading short line becomes a Title;
-    page = char-offset // PAGE_CHARS. Replace with
-    unstructured.partition for real documents (S1/S2 seam)."""
+    page = char-offset // PAGE_CHARS. ``_real_parse`` replaces it when
+    unstructured is installed (S1/S2 seam)."""
     text = (content or b"").decode("utf-8", errors="replace")
     out = []
     offset = 0
@@ -76,11 +103,12 @@ def parse_documents(files: DataFrame) -> DataFrame:
     only stubbed piece."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parse = _parse_impl()  # resolved once per partition, executor-side
         for pdf in it:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 did = _doc_id(path, content)
-                for ei, (cat, text, page) in enumerate(_fake_parse(content)):
+                for ei, (cat, text, page) in enumerate(parse(content)):
                     rows.append((did, ei, cat, text, page))
             if rows:
                 yield pd.DataFrame(

@@ -1,0 +1,107 @@
+"""Seam loadability: absent libraries fall back cleanly, and injecting
+a (fake) library flips each seam to its real branch without code
+changes — so the day the container gains unstructured/PIL/
+sentence-transformers, S1/M1/multimodal light up automatically."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from rag_database_spark import seams
+
+
+@pytest.fixture(autouse=True)
+def _clear_probe_cache():
+    # the negative-probe cache must not leak fake-module state between
+    # tests (or hide a module injected later)
+    seams._MISSING.clear()
+    yield
+    seams._MISSING.clear()
+
+
+def test_optional_import_absent_is_none_and_cached():
+    assert seams.optional_import("definitely_not_a_module_xyz") is None
+    assert "definitely_not_a_module_xyz" in seams._MISSING
+    assert seams.optional_import("definitely_not_a_module_xyz") is None
+    assert not seams.have("definitely_not_a_module_xyz")
+
+
+def test_optional_import_present():
+    assert seams.optional_import("json") is not None
+    assert seams.have("json")
+
+
+def test_parse_seam_flips_with_injected_module(monkeypatch):
+    from rag_database_spark.sources import ingest
+
+    assert ingest._parse_impl() is ingest._fake_parse
+
+    fake_root = types.ModuleType("unstructured")
+    fake_part = types.ModuleType("unstructured.partition")
+    fake_auto = types.ModuleType("unstructured.partition.auto")
+    fake_auto.partition = lambda file=None: []
+    monkeypatch.setitem(sys.modules, "unstructured", fake_root)
+    monkeypatch.setitem(sys.modules, "unstructured.partition", fake_part)
+    monkeypatch.setitem(
+        sys.modules, "unstructured.partition.auto", fake_auto
+    )
+    assert ingest._parse_impl() is ingest._real_parse
+
+
+def test_decode_seam_flips_with_injected_module(monkeypatch):
+    from rag_database_spark.operators import multimodal
+
+    assert multimodal._decode_impl() is multimodal._fake_decode
+
+    fake_pil = types.ModuleType("PIL")
+    fake_img = types.ModuleType("PIL.Image")
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
+    assert multimodal._decode_impl() is multimodal._real_decode
+
+
+def test_model_embed_raises_without_library(spark):
+    from rag_database_spark.functions import embedder
+
+    df = spark.createDataFrame([(1, "hello world")], "id long, text string")
+    with pytest.raises(ImportError, match="sentence_transformers"):
+        embedder.model_embed(df)
+
+
+def test_model_embed_plumbing_with_fake_model(spark, monkeypatch):
+    """Inject a deterministic fake SentenceTransformer: proves the
+    mapInPandas plumbing — schema, batch shape, vector types — without
+    real weights."""
+    from rag_database_spark.functions import embedder
+
+    fake = types.ModuleType("sentence_transformers")
+
+    class FakeModel:
+        def __init__(self, name):
+            self.name = name
+
+        def encode(self, texts, batch_size=64):
+            return [[float(len(t)), 1.0, -0.5] for t in texts]
+
+    fake.SentenceTransformer = FakeModel
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc")], "id long, text string"
+    )
+    out = embedder.model_embed(df).orderBy("id").collect()
+    assert [r["id"] for r in out] == [1, 2]
+    assert out[0]["embedding"] == [11.0, 1.0, -0.5]
+    assert out[1]["embedding"] == [3.0, 1.0, -0.5]
+
+
+def test_embed_text_fallback_is_hash_projection(spark):
+    from rag_database_spark.functions import embedder
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
+    row = embedder.embed_text(df).first()
+    assert len(row["embedding"]) == embedder.EMBED_DIM
+    assert any(v != 0.0 for v in row["embedding"])
