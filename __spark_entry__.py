@@ -743,6 +743,57 @@ def _extract_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.extract_relationships(graph_ops.rel_fixtures_df(spark))
 
 
+def _resolve_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: unresolved target refs joined against the identifier
+    registry (broadcast); matches get the real doc id, first match by
+    identifier order wins, the rest stay unresolved."""
+    return graph_ops.resolve_references(
+        graph_ops.extract_relationships(graph_ops.rel_fixtures_df(spark)),
+        graph_ops.ident_registry_df(spark),
+    )
+
+
+def _related_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: docs related to a seed id set — union of both edge
+    directions, distinct, seeds excluded (left_anti)."""
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GRAPH_SEED_MAX)
+        .select("doc_id")
+    )
+    return graph_ops.related_ids(_doc_edge_table(spark, sf_dir), seeds)
+
+
+def _semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (rows-only: the sequential centroid-grouping walk has no
+    tractable SQL twin — per-sentence membership depends on the running
+    chunk centroid). Correctness is unit-tested against the Python
+    reference implementation; this entry gives the driver a
+    deterministic rows/schema check."""
+    return chunking.semantic_chunks(chunking.section_fixtures_df(spark))
+
+
+def _route_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (rows-only: routes through the C4 chunkers, same SQL-twin
+    caveat). Tier assigned deterministically from doc_id so all four
+    strategies exercise."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 8)
+        .withColumn(
+            "tier",
+            F.element_at(
+                F.array(
+                    F.lit("high"), F.lit("medium"),
+                    F.lit("low"), F.lit("garbage"),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        )
+    )
+    return chunking.route_and_chunk(docs)
+
+
 def _detect_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: per-line section-header cascade over the structured fixture
     corpus (family, title, section number, dot-depth level)."""
@@ -825,6 +876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_summary": _table_summary,
         "extract_metadata": _extract_metadata,
         "extract_relationships": _extract_relationships,
+        "resolve_references": _resolve_references,
+        "related_ids": _related_ids,
+        "semantic_chunks": _semantic_chunks,
+        "route_and_chunk": _route_and_chunk,
         "shortest_chains": _shortest_chains,
         "augment_results": _augment_results,
         "detect_sections": _detect_sections,
@@ -904,6 +959,13 @@ def oracle_sql() -> dict[str, str]:
         "table_summary": oracles.table_summary_sql(),
         "extract_metadata": oracles.extract_metadata_sql(),
         "extract_relationships": oracles.extract_relationships_sql(),
+        "resolve_references": oracles.resolve_references_sql(),
+        "related_ids": oracles.related_ids_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K, GRAPH_SEED_MAX
+        ),
+        # semantic_chunks / route_and_chunk deliberately absent: the
+        # sequential centroid walk is not SQL-expressible; the driver
+        # records the (weaker) rows-only check for them
         "shortest_chains": oracles.shortest_chains_sql(
             JACCARD_THRESHOLD,
             dedup.SHINGLE_K,

@@ -339,10 +339,32 @@ REL_FIXTURES: tuple[tuple[int, str], ...] = (
 )
 
 
+# J10 identifier registry fixture — known-document identifiers the
+# unresolved target refs resolve against (metadata_store identifier
+# lookup analog). Lowercase multi-word keys so containment matches are
+# meaningful; apostrophe-free for SQL VALUES.
+IDENT_REGISTRY: tuple[tuple[str, int], ...] = (
+    ("master services agreement", 100),
+    ("data processing addendum", 200),
+    ("2022 consulting contract", 300),
+)
+
+
 def rel_fixtures_df(spark) -> DataFrame:
     return spark.createDataFrame(
         list(REL_FIXTURES), "doc_id long, text string"
     )
+
+
+def ident_registry_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        list(IDENT_REGISTRY), "identifier string, doc_id long"
+    )
+
+
+def ident_registry_values_sql() -> str:
+    rows = ", ".join(f"('{i}', {d})" for i, d in IDENT_REGISTRY)
+    return f"(SELECT * FROM (VALUES {rows}) AS v(identifier, doc_id))"
 
 
 def rel_fixtures_values_sql() -> str:

@@ -2214,3 +2214,45 @@ FROM structured s
 JOIN hdr h USING (table_id)
 JOIN summ m USING (table_id)
 """
+
+
+def resolve_references_sql() -> str:
+    from rag_database_spark.operators.graph import ident_registry_values_sql
+
+    return f"""
+WITH rels AS ({extract_relationships_sql()}),
+reg AS (
+  SELECT lower(identifier) AS ident, doc_id AS resolved
+  FROM {ident_registry_values_sql()}
+),
+joined AS (
+  SELECT r.*, g.ident, g.resolved
+  FROM rels r LEFT JOIN reg g ON contains(lower(r.target_ref), g.ident)
+),
+pick AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source_id, target_id, relation_type ORDER BY ident
+  ) AS rn
+  FROM joined
+)
+SELECT source_id,
+       coalesce(resolved::VARCHAR, target_id) AS target_id,
+       relation_type, confidence, target_ref
+FROM pick WHERE rn = 1
+"""
+
+
+def related_ids_sql(
+    jaccard_threshold: float, k: int, seed_max: int
+) -> str:
+    return f"""
+WITH {_edges_ctes(jaccard_threshold, k)},
+seed AS (SELECT doc_id FROM documents WHERE doc_id < {seed_max}),
+rel AS (
+  SELECT e.dst AS related_id FROM edges e JOIN seed s ON e.src = s.doc_id
+  UNION
+  SELECT e.src FROM edges e JOIN seed s ON e.dst = s.doc_id
+)
+SELECT DISTINCT related_id FROM rel
+WHERE related_id NOT IN (SELECT doc_id FROM seed)
+"""
