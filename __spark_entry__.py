@@ -314,8 +314,12 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (md5-derived, oracle-reproducible)."""
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    """MinHash signatures (one md5 + Kirsch-Mitzenmacher per shingle,
+    oracle-reproducible), over the persisted shingle index (S7)."""
+    return dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"),
+        shingle_index=_shingle_index(spark, sf_dir),
+    )
 
 
 def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -411,6 +411,8 @@ def _hash_embed_py(text: str, dim: int = 8) -> list[float]:
         STOPWORDS,
     )
 
+    from rag_database_spark.functions.embedder import DIMS_PER_DIGEST
+
     cleaned = _re.sub(PUNCT_RE, " ", text.lower())
     toks = [
         t
@@ -419,16 +421,16 @@ def _hash_embed_py(text: str, dim: int = 8) -> list[float]:
     ]
     if not toks:
         return [0.0] * dim
-    vec = []
-    for i in range(dim):
-        total = 0.0
-        for t in toks:
-            h = int(
-                hashlib.md5(f"e{i}|{t}".encode()).hexdigest()[:15], 16
-            )
-            total += h / float(1 << 59) - 1.0
-        vec.append(total / len(toks))
-    return vec
+    n_digests = -(-dim // DIMS_PER_DIGEST)
+    sums = [0.0] * dim
+    for t in toks:
+        hx = "".join(
+            hashlib.md5(f"{k}|{t}".encode()).hexdigest()
+            for k in range(n_digests)
+        )
+        for i in range(dim):
+            sums[i] += int(hx[4 * i: 4 * i + 4], 16) / 32768.0 - 1.0
+    return [s / len(toks) for s in sums]
 
 
 def _cos(a: list[float], b: list[float]) -> float:

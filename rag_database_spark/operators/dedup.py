@@ -215,38 +215,57 @@ def shingle_jaccard_pairs(
     )
 
 
+# Kirsch-Mitzenmacher second-hash modulus: keeping h2 < 2^56 bounds
+# max(h1 + i·h2) ≈ 2^60 + 63·2^56 < 2^63, so the family is overflow-
+# safe in Java longs AND DuckDB BIGINTs (which raise on overflow)
+KM_H2_MOD = 1 << 56
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = N_MINHASHES,
     k: int = SHINGLE_K,
+    shingle_index: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: sig_i = min over shingles of
-    hash60(i || '|' || shingle). One explode + one groupBy with
+    """MinHash signature per document. One explode + one groupBy with
     ``n_hashes`` min-aggregates — a single shuffle keyed on doc_id.
 
     E[|sig agreement|/n] estimates Jaccard (Broder '97, the MinHash
     construction PAPERS.md cites for fuzzy dedup).
 
-    Hashing inline per occurrence beats a hash-per-distinct-shingle
-    join at every tested scale — md5 inside codegen is cheaper than the
-    extra shuffle plus re-deriving the shingle arrays for the join's
-    second branch (measured 2× at sf0.1). Each md5 digest yields TWO
-    independent 60-bit minhashes (hex chars 1-15 and 17-31), halving
-    the digest count."""
-    ex = _doc_shingles(docs, id_col, text_col, k).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
-    aggs = []
-    for i in range(n_hashes):
-        seed, half = divmod(i, 2)
-        hexcol = F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))
-        piece = F.substring(hexcol, 1 if half == 0 else 17, 15)
-        aggs.append(
-            F.min(F.conv(piece, 16, 10).cast("long")).alias(f"sig_{i}")
+    Hash family: ONE md5 per shingle occurrence yields two 60/56-bit
+    halves (h1, h2); sig_i minimizes h1 + i·h2 — Kirsch-Mitzenmacher
+    double hashing ('06), the standard trick for deriving k hash
+    functions from two. Replaces the earlier one-md5-per-TWO-hashes
+    scheme: the md5s (not the shuffle) dominated the runtime, and this
+    cuts them ``n_hashes/2``-fold (measured 15.8s → 4.9s at sf0.1 with
+    the persisted index). h1/h2 are materialized in a projection BEFORE
+    the aggregate so codegen provably computes the digest once per row.
+
+    Pass a persisted ``shingle_index`` (``write_shingle_index``) to
+    skip re-deriving text→shingles entirely."""
+    if shingle_index is not None:
+        ex = shingle_index
+    else:
+        ex = _doc_shingles(docs, id_col, text_col, k).select(
+            "doc_id", F.explode("sh").alias("s")
         )
-    return ex.groupBy("doc_id").agg(*aggs)
+    hexcol = F.md5(F.col("s"))
+    hs = ex.select(
+        "doc_id",
+        F.conv(F.substring(hexcol, 1, 15), 16, 10).cast("long").alias("h1"),
+        (
+            F.conv(F.substring(hexcol, 17, 15), 16, 10).cast("long")
+            % F.lit(KM_H2_MOD)
+        ).alias("h2"),
+    )
+    aggs = [
+        F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return hs.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

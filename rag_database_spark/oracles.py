@@ -542,16 +542,22 @@ WHERE round(c / (x.n + y.n - c), 6) >= {threshold}
 
 
 def minhash_signatures_sql(n_hashes: int, k: int) -> str:
-    # two 60-bit hashes per md5 digest (hex chars 1-15 / 17-31),
-    # mirroring dedup.minhash_signatures
+    # Kirsch-Mitzenmacher family mirroring dedup.minhash_signatures:
+    # one md5 per shingle → (h1, h2 mod 2^56), sig_i = min(h1 + i·h2)
+    from rag_database_spark.operators.dedup import KM_H2_MOD
+
     sigs = ", ".join(
-        f"min(('0x' || substr(md5('{i // 2}|' || s), "
-        f"{1 if i % 2 == 0 else 17}, 15))::BIGINT) AS sig_{i}"
-        for i in range(n_hashes)
+        f"min(h1 + {i} * h2) AS sig_{i}" for i in range(n_hashes)
     )
     return f"""
-WITH {_shingle_ctes(k)}
-SELECT doc_id, {sigs} FROM ex GROUP BY doc_id
+WITH {_shingle_ctes(k)},
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 17, 15))::BIGINT % {KM_H2_MOD} AS h2
+  FROM ex
+)
+SELECT doc_id, {sigs} FROM hs GROUP BY doc_id
 """
 
 
@@ -1606,11 +1612,14 @@ FROM ranked WHERE rank <= {limit}
 
 
 def _hash_embed_avgs(dim: int) -> str:
-    from rag_database_spark.functions.embedder import _SCALE
+    # mirrors embedder.hash_embed: dimension i = 16-bit slice i%8 of
+    # salted digest md5('{i//8}|' || term), mapped to [-1, 1)
+    from rag_database_spark.functions.embedder import DIMS_PER_DIGEST
 
     return ", ".join(
-        f"avg(('0x' || substr(md5('e{i}|' || term), 1, 15))::BIGINT"
-        f" / {_SCALE} - 1.0) AS d{i}"
+        f"avg(('0x' || substr(md5('{i // DIMS_PER_DIGEST}|' || term), "
+        f"{1 + 4 * (i % DIMS_PER_DIGEST)}, 4))::BIGINT / 32768.0 - 1.0)"
+        f" AS d{i}"
         for i in range(dim)
     )
 
