@@ -1,0 +1,189 @@
+"""Merge-on-read mutable table over plain Parquet — the engine's
+``DELETE WHERE`` / delete-first re-ingest story (S12/S13) when no
+Delta/Iceberg runtime is present.
+
+The reference mutates per-document state with SQL DELETEs
+(src/storage/metadata_store.py:770-847: delete_document + the
+delete-then-insert upsert). A 100 TB Spark table can't rewrite data
+files per delete; the lakehouse answer is merge-on-read: immutable
+base files plus a small tombstone set, applied at read time and folded
+in by occasional compaction (the same topology as Delta deletion
+vectors / Iceberg positional+equality deletes — public designs).
+
+Layout under ``root``:
+
+    base/…parquet        append-only data files, each row stamped with
+                         its ``_commit`` epoch
+    tombstones/…parquet  (key, up_to) — "delete rows of this key whose
+                         _commit ≤ up_to"
+    _epoch               single-writer monotonic commit counter
+
+Scoping tombstones by epoch is what makes delete-then-reinsert
+correct: an upsert tombstones the key AS OF the current epoch, then
+appends the replacement at a LATER epoch, so the new row survives the
+read-side filter. (A bare key tombstone would delete the replacement
+too — the classic merge-on-read trap; Iceberg equality deletes carry a
+sequence number for exactly this reason.)
+
+Scale properties:
+- ``append`` writes only the new rows (no read-modify-write).
+- ``delete_where`` scans with the predicate PUSHED DOWN, writes only
+  the matching keys. Cost ∝ matches, not table size.
+- ``read`` joins base against the (tiny between compactions) tombstone
+  aggregate → Spark broadcasts it; the scan stays shuffle-free.
+- ``compact`` rewrites base minus tombstones once, amortizing N
+  deletes into one rewrite.
+
+Writers are single-owner (the reference's ingest is too); multi-writer
+commit coordination is exactly the part a real Delta/Iceberg runtime
+would replace, seam-style.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COMMIT_COL = "_commit"
+
+
+class TombstoneTable:
+    """A keyed, append+delete Parquet table with merge-on-read."""
+
+    def __init__(self, spark: SparkSession, root: str, key_col: str) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.key_col = key_col
+        self.base_dir = self.root / "base"
+        self.tomb_dir = self.root / "tombstones"
+        self.epoch_file = self.root / "_epoch"
+
+    # -- commit epochs -----------------------------------------------------
+
+    def _current_epoch(self) -> int:
+        if self.epoch_file.exists():
+            return int(self.epoch_file.read_text())
+        return 0
+
+    def _bump_epoch(self) -> int:
+        nxt = self._current_epoch() + 1
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.epoch_file.write_text(str(nxt))
+        return nxt
+
+    # -- helpers -----------------------------------------------------------
+
+    def _has(self, d: Path) -> bool:
+        return d.exists() and any(d.glob("*.parquet"))
+
+    def _base(self) -> DataFrame | None:
+        if not self._has(self.base_dir):
+            return None
+        return self.spark.read.parquet(str(self.base_dir))
+
+    def _tombstones(self) -> DataFrame | None:
+        if not self._has(self.tomb_dir):
+            return None
+        return self.spark.read.parquet(str(self.tomb_dir))
+
+    # -- writes ------------------------------------------------------------
+
+    def append(self, df: DataFrame) -> None:
+        """Append-only data write stamped with the next commit epoch;
+        never touches existing files."""
+        epoch = self._bump_epoch()
+        df.withColumn(COMMIT_COL, F.lit(epoch)).write.mode(
+            "append"
+        ).parquet(str(self.base_dir))
+
+    def delete_where(self, predicate: Column | str) -> int:
+        """DELETE WHERE: tombstone the matching keys (from the CURRENT
+        visible view, so already-deleted rows don't re-tombstone) as of
+        the current epoch. Returns the number of newly deleted keys.
+        The predicate is pushed into the Parquet scan."""
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        doomed = (
+            self.read().filter(predicate).select(self.key_col).distinct()
+        )
+        n = doomed.count()
+        if n:
+            self._write_tombstones(doomed)
+        return n
+
+    def delete_keys(self, keys: DataFrame) -> None:
+        """Delete by explicit key frame (S13 cascade building block)."""
+        self._write_tombstones(
+            keys.select(F.col(keys.columns[0]).alias(self.key_col)).distinct()
+        )
+
+    def _write_tombstones(self, keys: DataFrame) -> None:
+        epoch = self._current_epoch()
+        keys.withColumn("up_to", F.lit(epoch)).write.mode("append").parquet(
+            str(self.tomb_dir)
+        )
+
+    def upsert(self, df: DataFrame) -> None:
+        """Delete-first re-ingest (metadata_store.py:799-847 semantics):
+        tombstone every incoming key as of the current epoch, then
+        append the replacements at the next epoch — idempotent under
+        replay, no base-file rewrite, and the replacements survive the
+        read filter because their ``_commit`` exceeds the tombstone's
+        ``up_to``."""
+        self.delete_keys(df.select(self.key_col))
+        self.append(df)
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Current view: drop rows whose commit epoch is covered by a
+        tombstone for their key. The tombstone aggregate is small
+        between compactions → broadcast, shuffle-free scan."""
+        base = self._base()
+        if base is None:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        tombs = self._tombstones()
+        if tombs is None:
+            return base.drop(COMMIT_COL)
+        cutoff = tombs.groupBy(self.key_col).agg(
+            F.max("up_to").alias("__up_to")
+        )
+        return (
+            base.join(F.broadcast(cutoff), self.key_col, "left")
+            .filter(
+                F.col("__up_to").isNull()
+                | (F.col(COMMIT_COL) > F.col("__up_to"))
+            )
+            .drop("__up_to", COMMIT_COL)
+        )
+
+    def tombstone_count(self) -> int:
+        tombs = self._tombstones()
+        if tombs is None:
+            return 0
+        return tombs.select(self.key_col).distinct().count()
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self) -> None:
+        """Fold tombstones into the base: one rewrite of the surviving
+        rows (re-stamped at the compaction epoch), then clear the
+        tombstone set. Crash-safe ordering: the new base is fully
+        written to a staging dir before the swap."""
+        epoch = self._bump_epoch()
+        survivors = self.read().withColumn(COMMIT_COL, F.lit(epoch))
+        staging = self.root / "base_staging"
+        if staging.exists():
+            shutil.rmtree(staging)
+        survivors.write.mode("overwrite").parquet(str(staging))
+        old = self.root / "base_old"
+        if old.exists():
+            shutil.rmtree(old)
+        self.base_dir.rename(old)
+        staging.rename(self.base_dir)
+        shutil.rmtree(old)
+        if self.tomb_dir.exists():
+            shutil.rmtree(self.tomb_dir)

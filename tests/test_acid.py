@@ -1,0 +1,82 @@
+"""TombstoneTable: merge-on-read DELETE WHERE / upsert over Parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_database_spark.sources.acid import TombstoneTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TombstoneTable(spark, str(tmp_path / "tbl"), key_col="id")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"doc {i}", i % 3) for i in range(30)],
+            "id long, body string, org long",
+        )
+    )
+    return t
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_read_roundtrip(table):
+    assert _ids(table.read()) == list(range(30))
+
+
+def test_delete_where_pushdown_and_view(table):
+    n = table.delete_where(F.col("org") == 1)
+    assert n == 10
+    ids = _ids(table.read())
+    assert len(ids) == 20 and all(i % 3 != 1 for i in ids)
+
+
+def test_delete_where_is_idempotent_on_view(table):
+    table.delete_where("org = 1")
+    # second pass sees no matching VISIBLE rows → no new tombstones
+    assert table.delete_where("org = 1") == 0
+    assert table.tombstone_count() == 10
+
+
+def test_delete_keys_cascade(table, spark):
+    doomed = spark.createDataFrame([(0,), (5,), (29,)], "id long")
+    table.delete_keys(doomed)
+    ids = _ids(table.read())
+    assert 0 not in ids and 5 not in ids and 29 not in ids
+    assert len(ids) == 27
+
+
+def test_upsert_is_delete_first_reingest(table, spark):
+    incoming = spark.createDataFrame(
+        [(3, "updated 3", 99), (100, "new 100", 99)],
+        "id long, body string, org long",
+    )
+    table.upsert(incoming)
+    view = {r["id"]: (r["body"], r["org"]) for r in table.read().collect()}
+    assert view[3] == ("updated 3", 99)  # replaced, not duplicated
+    assert view[100] == ("new 100", 99)  # inserted
+    assert len(view) == 31
+    # replay the same upsert → identical state (idempotent re-ingest)
+    table.upsert(incoming)
+    assert len(table.read().collect()) == 31
+
+
+def test_compact_preserves_view_and_clears_tombstones(table):
+    table.delete_where("org = 2")
+    before = _ids(table.read())
+    table.compact()
+    assert _ids(table.read()) == before
+    assert table.tombstone_count() == 0
+    # post-compaction deletes still work
+    table.delete_where("id < 2")
+    assert len(_ids(table.read())) == len(before) - 2
+
+
+def test_reopen_same_path(table, spark):
+    table.delete_where("id >= 25")
+    reopened = TombstoneTable(spark, str(table.root), key_col="id")
+    assert _ids(reopened.read()) == list(range(25))
