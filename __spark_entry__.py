@@ -431,6 +431,15 @@ def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: purchase ⋈ latest same-user
+    click within the 1-hour window; the stream-stream interval-join
+    twin is tested for agreement in tests/."""
+    return streaming_events.attribute_conversions(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: documents.text as an opaque binary
     payload through the Arrow mapInPandas media path."""
@@ -867,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_analytics": _search_analytics,
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
+        "conversions": _conversions,
         "media_stats": _media_stats,
         "delete_document_cascade": _delete_document_cascade,
         "vector_upsert": _vector_upsert,
@@ -948,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "search_analytics": oracles.search_analytics_sql(),
         "events_hourly": oracles.events_hourly_sql(),
         "user_sessions": oracles.user_sessions_sql(),
+        "conversions": oracles.conversions_sql(),
         "media_stats": oracles.media_stats_sql(),
         "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
         "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),

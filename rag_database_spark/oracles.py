@@ -2265,3 +2265,31 @@ rel AS (
 SELECT DISTINCT related_id FROM rel
 WHERE related_id NOT IN (SELECT doc_id FROM seed)
 """
+
+
+def conversions_sql() -> str:
+    from rag_database_spark.streaming.events import ATTRIBUTION_WINDOW_US
+
+    return f"""
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id,
+         c.click_ts, p.value
+  FROM purch p JOIN clicks c USING (user_id)
+  WHERE epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+    AND epoch_us(c.click_ts) > epoch_us(p.purchase_ts)
+        - {ATTRIBUTION_WINDOW_US}
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts, value
+FROM j
+QUALIFY row_number() OVER (
+  PARTITION BY purchase_id ORDER BY click_ts DESC, click_id DESC
+) = 1
+"""

@@ -168,16 +168,38 @@ SESSION_OUTPUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "last_us long, session_id long"
 
 
-def sessionize_stream(events: DataFrame, gap_us: int = SESSION_GAP_US):
+def sessionize_stream(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    expire_state: bool = False,
+):
     """Streaming form via applyInPandasWithState: per-user state keeps
     (last event time, current session ordinal); each micro-batch folds
     its events into sessions and emits the batch's session aggregates.
     Same gap rule as the batch form — the state is exactly what the
-    lag window carries implicitly."""
+    lag window carries implicitly.
+
+    ``expire_state=True`` switches to EventTimeTimeout (requires a
+    watermarked input): once the watermark passes a user's last event
+    plus the gap, that user's state is dropped. Without it, per-user
+    state lives forever — the 100 TB stream holds state for every user
+    ever seen; with it, state is O(active users in the gap horizon)."""
     import pandas as pd
 
     def fold(key, pdf_iter, state):
         (user_id,) = key
+        if expire_state and state.hasTimedOut:
+            # watermark passed last_event + gap: the session cannot be
+            # extended, and its rows were already emitted eagerly —
+            # just drop the state
+            state.remove()
+            yield pd.DataFrame(
+                columns=[
+                    "user_id", "session_id", "session_start",
+                    "session_end", "n_events", "total_value",
+                ]
+            )
+            return
         last_us, session_id = (
             state.get if state.exists else (None, 0)
         )
@@ -205,6 +227,9 @@ def sessionize_stream(events: DataFrame, gap_us: int = SESSION_GAP_US):
         if cur is not None:
             rows.append(cur)
         state.update((last_us, session_id))
+        if expire_state and last_us is not None:
+            # timeout fires when the event-time watermark passes this
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
         out = pd.DataFrame(
             [
                 (
@@ -229,7 +254,90 @@ def sessionize_stream(events: DataFrame, gap_us: int = SESSION_GAP_US):
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="EventTimeTimeout" if expire_state else "NoTimeout",
+    )
+
+
+ATTRIBUTION_WINDOW_US = 60 * 60 * 1_000_000  # 1-hour last-touch window
+
+
+def attribute_conversions(
+    events: DataFrame, window_us: int = ATTRIBUTION_WINDOW_US
+) -> DataFrame:
+    """Last-touch conversion attribution (batch form, oracle-checked):
+    each purchase joins the latest click by the same user within the
+    attribution window. One shuffle keyed user_id for the interval
+    join, one window for the last-touch pick.
+
+    ``attribute_conversions_stream`` is the stream-stream twin over the
+    same candidate-join semantics."""
+    from pyspark.sql import Window
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    c_us = F.unix_micros(F.col("click_ts"))
+    p_us = F.unix_micros(F.col("purchase_ts"))
+    joined = purchases.join(clicks, "user_id").filter(
+        (c_us <= p_us) & (c_us > p_us - window_us)
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("click_ts"), F.desc("click_id")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "purchase_id", "user_id", "purchase_ts", "click_id",
+            "click_ts", "value",
+        )
+    )
+
+
+def attribute_conversions_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ clicks of the same user
+    with click_ts ∈ [purchase_ts − window, purchase_ts]. Both sides are
+    watermarked, so Spark bounds each side's join state to
+    watermark + interval — the state-cleanup contract that makes a
+    perpetual two-stream join feasible.
+
+    Emits ALL candidate (purchase, click) pairs: per-key ranking
+    windows are unsupported inside a streaming query, so the last-touch
+    pick (the batch form's row_number) runs downstream — in
+    foreachBatch or on the sink table."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND click_ts <= purchase_ts AND "
+            f"click_ts >= purchase_ts - interval {window}"
+        ),
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts",
+        "value",
     )
 
 

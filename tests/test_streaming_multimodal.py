@@ -164,3 +164,96 @@ def test_native_session_window_agrees(spark, event_dir):
     # random microsecond timestamps never land exactly on the gap
     # boundary, so the two formulations partition events identically
     assert a == b and len(a) > 0
+
+
+def test_stream_stream_join_matches_batch_candidates(spark, event_dir):
+    """The stream-stream interval join must emit exactly the batch
+    join's candidate pairs (the last-touch pick runs downstream)."""
+    batch_events = spark.read.parquet(event_dir)
+    clicks = se.read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = se.read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        se.attribute_conversions_stream(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("conv_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM conv_test").collect()
+    }
+
+    c = batch_events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = batch_events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c_us = F.unix_micros(F.col("click_ts"))
+    p_us = F.unix_micros(F.col("purchase_ts"))
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(c, "user_id")
+        .filter((c_us <= p_us) & (c_us > p_us - se.ATTRIBUTION_WINDOW_US))
+        .collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_conversions_last_touch(spark):
+    """Hand case: the latest in-window click wins; out-of-window and
+    clickless purchases drop."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 0.0, ""),
+        (2, "2024-01-01 10:30:00", 7, "click", 0.0, ""),
+        (3, "2024-01-01 10:45:00", 7, "purchase", 9.5, ""),
+        (4, "2024-01-01 08:00:00", 8, "click", 0.0, ""),
+        (5, "2024-01-01 10:00:00", 8, "purchase", 1.0, ""),  # click too old
+        (6, "2024-01-01 10:00:00", 9, "purchase", 2.0, ""),  # no click
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["purchase_id"]: r["click_id"]
+        for r in se.attribute_conversions(events).collect()
+    }
+    assert got == {3: 2}
+
+
+def test_sessionize_stream_expire_state_matches_batch(spark, event_dir):
+    """expire_state=True (EventTimeTimeout) must not change emitted
+    sessions — it only bounds state retention."""
+    stream = se.sessionize_stream(
+        se.with_watermark(se.read_event_stream(spark, event_dir)),
+        expire_state=True,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_expire_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sess_expire_test").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["total_value"])
+        for r in se.sessionize(spark.read.parquet(event_dir)).collect()
+    }
+    assert streamed == batch and streamed
