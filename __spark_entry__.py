@@ -440,6 +440,23 @@ def _conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram fraction (RefinedWeb/Dolma contamination
+    metric): share of each document's word 5-grams that occur in at
+    least one other document."""
+    return text_analytics.dup_ngram_fraction(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email/card/SSN/phone/IPv4) over the fixture corpus —
+    ordered count+replace chain, all JVM regexp expressions."""
+    from rag_database_spark.operators import redaction
+
+    return redaction.redact_pii(redaction.pii_fixtures_df(spark))
+
+
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: documents.text as an opaque binary
     payload through the Arrow mapInPandas media path."""
@@ -877,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
         "conversions": _conversions,
+        "dup_ngram_fraction": _dup_ngram_fraction,
+        "redact_pii": _redact_pii,
         "media_stats": _media_stats,
         "delete_document_cascade": _delete_document_cascade,
         "vector_upsert": _vector_upsert,
@@ -959,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": oracles.events_hourly_sql(),
         "user_sessions": oracles.user_sessions_sql(),
         "conversions": oracles.conversions_sql(),
+        "dup_ngram_fraction": oracles.dup_ngram_fraction_sql(),
+        "redact_pii": oracles.redact_pii_sql(),
         "media_stats": oracles.media_stats_sql(),
         "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
         "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rag_database_spark.functions.text import (
+    SPLIT_RE,
     avg_word_length,
     detect_language,
     digit_ratio,
@@ -85,4 +86,65 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
         )
         .withColumn("canonical_id", F.min("doc_id").over(w))
         .withColumn("is_dupe", F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+def dup_ngram_fraction(docs: DataFrame, n: int = 5,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Duplicate-n-gram fraction per document — the RefinedWeb/Dolma
+    cross-document contamination metric: the share of a document's
+    word n-grams that also occur in at least one OTHER document.
+
+    Plan: one projection builds each doc's n-gram array in codegen
+    (sequence + slice, no Python), explode → groupBy(ngram) for the
+    distinct-doc frequency, join back on the SAME key (partitioning
+    reused, no extra exchange), then one rollup keyed doc_id. Hot
+    n-grams are absorbed by partial aggregation map-side; at 100 TB
+    the groupBy(ngram) key space is large and uniform enough that no
+    salting is needed, and the per-doc rollup is bounded by document
+    length."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    ngrams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng_rows = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select("doc_id", F.explode(ngrams).alias("ng"))
+    )
+    freq = ng_rows.groupBy("ng").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    per_doc = (
+        ng_rows.join(freq, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                (F.col("ndocs") > 1).cast("long")
+            ).alias("n_dup_ngrams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
+            F.round(
+                F.when(
+                    F.col("n_ngrams") > 0,
+                    F.col("n_dup_ngrams") / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
     )

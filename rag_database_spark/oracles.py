@@ -2293,3 +2293,65 @@ QUALIFY row_number() OVER (
   PARTITION BY purchase_id ORDER BY click_ts DESC, click_id DESC
 ) = 1
 """
+
+
+def dup_ngram_fraction_sql(n: int = 5) -> str:
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {n} + 1)) AS i
+  FROM toks
+),
+ng AS (
+  SELECT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS ng
+  FROM pos
+),
+freq AS (
+  SELECT ng, count(DISTINCT doc_id) AS ndocs FROM ng GROUP BY ng
+),
+per AS (
+  SELECT g.doc_id,
+         count(*)::BIGINT AS n_ngrams,
+         sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM ng g JOIN freq f USING (ng)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup_ngrams,
+       round(CASE WHEN coalesce(p.n_ngrams, 0) > 0
+                  THEN p.n_dup / p.n_ngrams ELSE 0.0 END, 6) AS dup_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def redact_pii_sql() -> str:
+    from rag_database_spark.operators.redaction import (
+        PII_PATTERNS,
+        pii_fixtures_values_sql,
+    )
+
+    ctes = [f"s0 AS (SELECT doc_id, text AS t FROM {pii_fixtures_values_sql()})"]
+    carried: list[str] = []
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS, start=1):
+        prev_cols = ", ".join(carried + [""]) if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {prev_cols}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{tok}', 'g') AS t FROM s{i - 1})"
+        )
+        carried.append(f"n_{name}")
+    final_counts = ", ".join(carried)
+    last = len(PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT doc_id, {final_counts}, t AS redacted FROM s{last}"
+    )

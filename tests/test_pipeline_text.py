@@ -1,0 +1,80 @@
+"""Hand-case tests for the training-pipeline text extensions:
+duplicate-n-gram fraction and PII redaction."""
+
+from __future__ import annotations
+
+from rag_database_spark.operators import redaction
+from rag_database_spark.operators.text_analytics import dup_ngram_fraction
+
+
+def test_dup_ngram_fraction_hand_case(spark):
+    # docs 1 and 2 share exactly one 5-gram ("a b c d e"); doc 3 is
+    # too short to hold any 5-gram.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # 5-grams: "a b c d e", "b c d e f"
+            (2, "z a b c d e"),       # 5-grams: "z a b c d", "a b c d e"
+            (3, "x y"),               # no 5-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_dup_ngrams"], r["dup_frac"])
+        for r in dup_ngram_fraction(docs).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (0, 0, 0.0)}
+
+
+def test_dup_ngram_fraction_case_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "A B C D E"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["dup_frac"]
+        for r in dup_ngram_fraction(docs).collect()
+    }
+    assert got == {1: 1.0, 2: 1.0}
+
+
+def test_redact_pii_counts_and_text(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in redaction.redact_pii(
+            redaction.pii_fixtures_df(spark)
+        ).collect()
+    }
+    # row 1: one email, one dashed phone
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert "[EMAIL]" in rows[1]["redacted"]
+    assert "[PHONE]" in rows[1]["redacted"]
+    # row 6: a dotted number is claimed by the earlier phone class,
+    # never double-counted as an IPv4
+    assert rows[6]["n_phone"] == 1 and rows[6]["n_ip"] == 0
+    # row 7: clean doc passes through untouched
+    assert rows[7]["redacted"] == redaction.PII_FIXTURES[6][1]
+    assert all(
+        rows[7][f"n_{name}"] == 0 for name, _, _ in redaction.PII_PATTERNS
+    )
+    # row 5: one of each of email/phone/ssn/ip
+    assert (
+        rows[5]["n_email"],
+        rows[5]["n_ssn"],
+        rows[5]["n_phone"],
+        rows[5]["n_ip"],
+    ) == (1, 1, 1, 1)
+
+
+def test_redact_pii_no_matches_on_corpus_soup(spark):
+    # the synthetic documents corpus is word soup — the scrub must be
+    # a no-op there (guards against over-eager patterns)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = redaction.redact_pii(docs)
+    from pyspark.sql import functions as F
+
+    hits = out.agg(
+        *[
+            F.sum(f"n_{name}").alias(name)
+            for name, _, _ in redaction.PII_PATTERNS
+        ]
+    ).collect()[0]
+    assert all(hits[name] == 0 for name, _, _ in redaction.PII_PATTERNS)
