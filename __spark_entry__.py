@@ -313,6 +313,15 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the jaccard edge
+    set (iterative min-label propagation), cluster_id = component min."""
+    return dedup.dedup_clusters(
+        _jaccard_pairs(spark, sf_dir),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (one md5 + Kirsch-Mitzenmacher per shingle,
     oracle-reproducible), over the persisted shingle index (S7)."""
@@ -879,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking_stats": _chunking_stats,
         "search_terms": _search_terms,
         "near_dup_pairs": _near_dup_pairs,
+        "dedup_clusters": _dedup_clusters,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
@@ -949,6 +959,9 @@ def oracle_sql() -> dict[str, str]:
         "chunking_stats": oracles.chunking_stats_sql(),
         "search_terms": oracles.search_terms_sql(),
         "near_dup_pairs": oracles.near_dup_pairs_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
+        "dedup_clusters": oracles.dedup_clusters_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K
         ),
         "minhash_sigs": oracles.minhash_signatures_sql(

@@ -520,3 +520,63 @@ def embedding_near_dupes_lsh(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from pairwise edges: connected
+    components with cluster_id = min(doc_id) in the component.
+    Singleton documents are their own cluster — the output is one row
+    per corpus document, the keep/drop decision a pipeline makes after
+    pair generation.
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetric edge list and takes the per-vertex min — one shuffle
+    join plus one groupBy per round, converging in O(component
+    diameter) rounds. Near-dup components are overwhelmingly tiny
+    (dupes of a document cluster tightly), so 2-4 rounds dominate in
+    practice; ``localCheckpoint`` after every round cuts the lineage
+    so the plan doesn't grow with iterations. (A corpus with a
+    pathological giant component would want the large-star/small-star
+    [CC-MR] round structure, which converges in O(log n); the label
+    topology here is the same, only the round rule differs.)
+    """
+    sym = pairs.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = docs.select(
+        F.col(id_col).alias("a"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = sym.join(labels, "a").select(
+            F.col("b").alias("a"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "a"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -2355,3 +2355,32 @@ def redact_pii_sql() -> str:
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT doc_id, {final_counts}, t AS redacted FROM s{last}"
     )
+
+
+def dedup_clusters_sql(threshold: float, k: int) -> str:
+    """Connected components over the jaccard edge set via recursive
+    transitive closure — exponential in path count but exact at the
+    verification scale; cluster_id = min doc_id in the component."""
+    return f"""
+WITH RECURSIVE {_shingle_ctes(k)},
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e0 AS (
+  SELECT ia AS a, ib AS b
+  FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+  WHERE round(c / (x.n + y.n - c), 6) >= {threshold}
+),
+und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""

@@ -165,3 +165,29 @@ def test_prefix_filter_is_exact(spark, docs):
         )
     )
     assert base == pf and base  # identical, non-empty
+
+
+def test_dedup_clusters_hand_case(spark):
+    # chain 1-2-3 (transitive, no direct 1-3 edge), pair 10-11,
+    # singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs, docs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a 12-node path exercises multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+    rows = dedup.dedup_clusters(pairs, docs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
