@@ -440,6 +440,12 @@ def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution profile (exact percentiles +
+    distinct users); the sketch twin is pinned in tests/test_sketches."""
+    return relational.events_profile(load_table(spark, sf_dir, "events"))
+
+
 def _conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution: purchase ⋈ latest same-user
     click within the 1-hour window; the stream-stream interval-join
@@ -904,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
         "conversions": _conversions,
+        "events_profile": _events_profile,
         "dup_ngram_fraction": _dup_ngram_fraction,
         "redact_pii": _redact_pii,
         "media_stats": _media_stats,
@@ -991,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": oracles.events_hourly_sql(),
         "user_sessions": oracles.user_sessions_sql(),
         "conversions": oracles.conversions_sql(),
+        "events_profile": oracles.events_profile_sql(),
         "dup_ngram_fraction": oracles.dup_ngram_fraction_sql(),
         "redact_pii": oracles.redact_pii_sql(),
         "media_stats": oracles.media_stats_sql(),

@@ -193,3 +193,42 @@ def list_documents_keyset(docs: DataFrame, last_n_chars: int,
         .limit(limit)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def events_profile(events: DataFrame) -> DataFrame:
+    """Per-event-type distribution profile: row count, exact distinct
+    users, exact value percentiles (p50/p95/p99).
+
+    The EXACT forms verify against the DuckDB oracle (both engines use
+    linear-interpolated percentiles — bit-identical on the same data).
+    At 100 TB the drop-in scale path is the sketch pair
+    ``approx_count_distinct`` (HyperLogLog++, fixed ~kB of state per
+    group instead of a distinct-shuffle) and ``approx_percentile``
+    (KLL/GK summaries, mergeable map-side) — same plan shape, bounded
+    memory; tests/test_sketches.py pins their error against these
+    exact forms."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_value"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+        )
+    )
+
+
+def events_profile_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Sketch-backed twin of ``events_profile`` — HLL++ distinct and
+    quantile summaries; constant state per group, no distinct shuffle."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).alias("n_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_value"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99_value"),
+        )
+    )

@@ -2384,3 +2384,15 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
 GROUP BY d.doc_id
 """
+
+
+def events_profile_sql() -> str:
+    return """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(quantile_cont(value, 0.5), 6) AS p50_value,
+       round(quantile_cont(value, 0.95), 6) AS p95_value,
+       round(quantile_cont(value, 0.99), 6) AS p99_value
+FROM events GROUP BY event_type
+"""

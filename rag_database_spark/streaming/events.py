@@ -103,6 +103,47 @@ def stream_hourly_to_memory(
     )
 
 
+def stream_upsert_table(
+    spark: SparkSession,
+    src_path: str,
+    table,
+    schema: str,
+    order_col: str,
+):
+    """CDC-style streaming upsert: each micro-batch is reduced to its
+    LAST change per key (max ``order_col`` wins — micro-batch replay
+    must be idempotent, so the reduction happens before the write),
+    then upserted into a merge-on-read ``TombstoneTable``. The
+    delete-first upsert keeps the whole history append-only; a
+    periodic ``compact()`` folds tombstones back into the base.
+
+    This is the Spark-native form of the reference's delete-first
+    re-ingest (metadata_store.py:799-847) driven from a stream."""
+    from pyspark.sql import Window
+
+    key = table.key_col
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(F.desc(order_col))
+        last = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        table.upsert(last)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(src_path)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(table.root / "_upsert_checkpoint")
+        )
+        .start()
+    )
+
+
 def stream_ingest_documents(
     spark: SparkSession, src_path: str, dst_path: str, schema: str
 ):

@@ -80,3 +80,28 @@ def test_reopen_same_path(table, spark):
     table.delete_where("id >= 25")
     reopened = TombstoneTable(spark, str(table.root), key_col="id")
     assert _ids(reopened.read()) == list(range(25))
+
+
+def test_stream_upsert_matches_batch_last_write_wins(table, spark, tmp_path):
+    """CDC stream → TombstoneTable: final state must equal batch
+    last-write-wins over the change log."""
+    from rag_database_spark.streaming import events as se
+
+    changes = [
+        (3, "v2 of 3", 7, 1),
+        (3, "v3 of 3", 8, 2),      # same key twice in one batch
+        (99, "new 99", 1, 1),
+        (0, "v2 of 0", 5, 3),
+    ]
+    schema = "id long, body string, org long, seq long"
+    src = tmp_path / "changes"
+    spark.createDataFrame(changes, schema).write.parquet(str(src))
+
+    q = se.stream_upsert_table(spark, str(src), table, schema, "seq")
+    q.awaitTermination(120)
+
+    view = {r["id"]: r["body"] for r in table.read().collect()}
+    assert view[3] == "v3 of 3"       # max-seq wins within the batch
+    assert view[99] == "new 99"
+    assert view[0] == "v2 of 0"
+    assert len(view) == 31            # 30 originals + 1 insert
