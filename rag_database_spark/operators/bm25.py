@@ -157,6 +157,28 @@ def write_index(
     )
 
 
+def append_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental S7 maintenance: tokenizing ONLY the new documents
+    and appending their postings/doclens rows yields the identical
+    index to a full rebuild, because both derived tables are purely
+    per-document (no cross-document state is stored — corpus stats
+    N/avgdl/df are recomputed from the tables at query time). The
+    reference instead rebuilds BM25Okapi over the whole corpus on
+    every add (bm25_store.py:176-188); at 100 TB that's the difference
+    between cost ∝ delta and cost ∝ corpus."""
+    build_postings(new_docs, id_col, text_col).write.mode("append").parquet(
+        f"{path}/postings"
+    )
+    build_doclens(new_docs, id_col, text_col).write.mode("append").parquet(
+        f"{path}/doclens"
+    )
+
+
 def write_index_bucketed(
     docs: DataFrame,
     table_prefix: str,

@@ -121,7 +121,12 @@ class TombstoneTable:
         )
 
     def _write_tombstones(self, keys: DataFrame) -> None:
-        epoch = self._current_epoch()
+        # a delete is a commit of its own: stamping tombstones with a
+        # FRESH epoch (a) keeps snapshots unambiguous — the state at
+        # epoch E never depends on whether a later delete ran — and
+        # (b) still precedes any replacement rows, which `append` will
+        # stamp at a later epoch still
+        epoch = self._bump_epoch()
         keys.withColumn("up_to", F.lit(epoch)).write.mode("append").parquet(
             str(self.tomb_dir)
         )
@@ -138,14 +143,26 @@ class TombstoneTable:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self) -> DataFrame:
+    def read(self, as_of_epoch: int | None = None) -> DataFrame:
         """Current view: drop rows whose commit epoch is covered by a
         tombstone for their key. The tombstone aggregate is small
-        between compactions → broadcast, shuffle-free scan."""
+        between compactions → broadcast, shuffle-free scan.
+
+        ``as_of_epoch`` gives a SNAPSHOT read (time travel): only data
+        committed at or before that epoch, with only the tombstones
+        that existed then (a tombstone's ``up_to`` IS its commit
+        epoch). Both snapshot filters push into the Parquet scans.
+        History extends back to the last ``compact()`` — compaction
+        re-stamps survivors and discards tombstones, truncating the
+        travel horizon exactly like Delta/Iceberg snapshot expiry."""
         base = self._base()
         if base is None:
             raise FileNotFoundError(f"empty table at {self.root}")
         tombs = self._tombstones()
+        if as_of_epoch is not None:
+            base = base.filter(F.col(COMMIT_COL) <= as_of_epoch)
+            if tombs is not None:
+                tombs = tombs.filter(F.col("up_to") <= as_of_epoch)
         if tombs is None:
             return base.drop(COMMIT_COL)
         cutoff = tombs.groupBy(self.key_col).agg(

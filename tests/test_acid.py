@@ -105,3 +105,25 @@ def test_stream_upsert_matches_batch_last_write_wins(table, spark, tmp_path):
     assert view[99] == "new 99"
     assert view[0] == "v2 of 0"
     assert len(view) == 31            # 30 originals + 1 insert
+
+
+def test_time_travel_snapshots(table, spark):
+    """read(as_of_epoch=E) replays the table as it stood at commit E;
+    history truncates at compaction."""
+    e1 = table._current_epoch()          # 30 originals committed
+    table.delete_where("id >= 20")       # tombstones at e1
+    incoming = spark.createDataFrame(
+        [(5, "v2 of 5", 0)], "id long, body string, org long"
+    )
+    table.upsert(incoming)               # tombstone 5, replacement at e2
+    e2 = table._current_epoch()
+
+    assert _ids(table.read(as_of_epoch=e1)) == list(range(30))
+    snap1 = {r["id"]: r["body"] for r in table.read(as_of_epoch=e1).collect()}
+    assert snap1[5] == "doc 5"           # pre-upsert body
+    now = {r["id"]: r["body"] for r in table.read().collect()}
+    assert now[5] == "v2 of 5" and len(now) == 20
+    assert _ids(table.read(as_of_epoch=e2)) == _ids(table.read())
+
+    table.compact()                      # truncates travel history
+    assert _ids(table.read(as_of_epoch=e1)) == []  # re-stamped past e1

@@ -94,3 +94,31 @@ def test_topk_tie_break_is_id_ascending(spark):
     )
     rows = bm25_ops.topk(scored, 2).orderBy("rank").collect()
     assert [(r["doc_id"], r["rank"]) for r in rows] == [(5, 1), (3, 2)]
+
+
+def test_append_index_equals_full_rebuild(spark, tmp_path):
+    """Incremental append of the delta's postings/doclens must yield
+    the identical index (and identical query scores) as a rebuild."""
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    part1 = corpus.filter(F.col("doc_id") % 3 != 0)
+    part2 = corpus.filter(F.col("doc_id") % 3 == 0)
+
+    inc, full = tmp_path / "inc", tmp_path / "full"
+    bm25_ops.write_index(part1, str(inc))
+    bm25_ops.append_index(part2, str(inc))
+    bm25_ops.write_index(corpus, str(full))
+
+    from rag_database_spark.workload import queries_df
+
+    for path in (inc, full):
+        postings, doclens = bm25_ops.read_index(spark, str(path))
+        scored = bm25_ops.score_queries(queries_df(spark), postings, doclens)
+        yield_rows = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9))
+            for r in scored.collect()
+        )
+        if path is inc:
+            inc_rows = yield_rows
+    assert inc_rows == yield_rows and inc_rows
