@@ -86,3 +86,26 @@ def test_dup_ngram_rollup_partial_aggregates(spark):
     df = dup_ngram_fraction(load_table(spark, SF_DIR, "documents"))
     p = plan_of(df)
     assert "partial_count" in p
+
+
+def test_date_partitioned_layout_prunes(spark, tmp_path):
+    """Hive-layout day partitioning: a day-equality filter must become
+    a PartitionFilter (scan touches one directory), not a data filter
+    over every file — the difference between reading one day and
+    reading 100 TB."""
+    from rag_database_spark.sources.tables import write_partitioned
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    root = str(tmp_path / "events_by_day")
+    write_partitioned(events, root, partition_cols=("day",))
+
+    day = events.select(F.min("day").alias("d")).collect()[0]["d"]
+    back = spark.read.parquet(root).filter(F.col("day") == F.lit(day))
+    p = plan_of(back)
+    assert "PartitionFilters" in p
+    assert f"(day = {day})" in p or "isnotnull(day" in p
+    # correctness of the pruned read
+    expected = events.filter(F.col("day") == F.lit(day)).count()
+    assert back.count() == expected and expected > 0
