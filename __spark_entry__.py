@@ -131,6 +131,26 @@ def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: IVF coarse-quantizer top-k (k-means centroids,
+    n_probe lists scanned). Approximate by design → rows-only driver
+    check; recall vs brute force is pinned in tests/test_similarity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    qvecs = queries.join(
+        emb, queries["query_vec_id"] == emb["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    return similarity.ivf_topk(
+        qvecs, emb, workload.HYBRID_LIMIT,
+        id_col="vec_id", vec_col="embedding",
+    ).select(
+        "query_id",
+        "id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: BM25 + dense legs fused with weighted RRF (k=60, .3/.5)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -876,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _bm25_topk,
         "dense_topk": _dense_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "hybrid_rrf": _hybrid_rrf,
         "db_stats": _db_stats,
         "customer_overview": _customer_overview,
