@@ -484,6 +484,12 @@ def _dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: top-10 documents per source by quality score
+    (window rank on the rounded score, deterministic ties)."""
+    return text_analytics.domain_cap(load_table(spark, sf_dir, "documents"))
+
+
 def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email/card/SSN/phone/IPv4) over the fixture corpus —
     ordered count+replace chain, all JVM regexp expressions."""
@@ -934,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": _events_profile,
         "dup_ngram_fraction": _dup_ngram_fraction,
         "redact_pii": _redact_pii,
+        "domain_cap": _domain_cap,
         "media_stats": _media_stats,
         "delete_document_cascade": _delete_document_cascade,
         "vector_upsert": _vector_upsert,
@@ -1022,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "events_profile": oracles.events_profile_sql(),
         "dup_ngram_fraction": oracles.dup_ngram_fraction_sql(),
         "redact_pii": oracles.redact_pii_sql(),
+        "domain_cap": oracles.domain_cap_sql(),
         "media_stats": oracles.media_stats_sql(),
         "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
         "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),

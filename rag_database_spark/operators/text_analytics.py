@@ -148,3 +148,32 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5,
             ).alias("dup_frac"),
         )
     )
+
+
+def domain_cap(docs: DataFrame, per_source: int = 10,
+               id_col: str = "doc_id", text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Per-source quota capping (domain balancing): keep the top
+    ``per_source`` documents of each source by quality score — the
+    Common-Crawl-style curation step that stops one domain from
+    dominating a training mix.
+
+    Ranking uses the ROUNDED q_score (ties broken by doc_id), so the
+    cut is deterministic and engine-independent. One window over the
+    source partitioning — a single shuffle keyed on source; a skewed
+    giant source is bounded by the cap itself (only its top rows
+    survive, and per-partition sort spills)."""
+    dq = doc_quality(docs, id_col, text_col).select("doc_id", "q_score")
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    ).join(dq, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("q_score"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn(
+            "rank_in_source", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank_in_source") <= per_source)
+        .select("doc_id", "source", "q_score", "rank_in_source")
+    )

@@ -2396,3 +2396,16 @@ SELECT event_type,
        round(quantile_cont(value, 0.99), 6) AS p99_value
 FROM events GROUP BY event_type
 """
+
+
+def domain_cap_sql(per_source: int = 10) -> str:
+    return f"""
+SELECT doc_id, source, q_score, rank_in_source FROM (
+  SELECT d.doc_id, d.source, dq.q_score,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY dq.q_score DESC, d.doc_id
+         ) AS rank_in_source
+  FROM ({doc_quality_sql()}) dq JOIN documents d ON dq.doc_id = d.doc_id
+)
+WHERE rank_in_source <= {per_source}
+"""

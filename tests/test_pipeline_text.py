@@ -78,3 +78,21 @@ def test_redact_pii_no_matches_on_corpus_soup(spark):
         ]
     ).collect()[0]
     assert all(hits[name] == 0 for name, _, _ in redaction.PII_PATTERNS)
+
+
+def test_domain_cap_respects_quota_and_order(spark):
+    from rag_database_spark.operators.text_analytics import domain_cap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = domain_cap(docs, per_source=3).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source and all(len(v) <= 3 for v in by_source.values())
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r["rank_in_source"])
+        scores = [r["q_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert [r["rank_in_source"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
