@@ -484,6 +484,16 @@ def _dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 overlap-resolution dedup over fixture regions. The keep-set
+    depends on prior keep decisions (sequential within a document), so
+    there is no SQL oracle — rows-only driver check; the keep rules
+    are pinned by unit test (tests/test_ingest.py)."""
+    return tables_extract.dedup_overlapping_regions(
+        tables_extract.region_fixtures_df(spark)
+    )
+
+
 def _domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain balancing: top-10 documents per source by quality score
     (window rank on the rounded score, deterministic ties)."""
@@ -941,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_fraction": _dup_ngram_fraction,
         "redact_pii": _redact_pii,
         "domain_cap": _domain_cap,
+        "dedup_regions": _dedup_regions,
         "media_stats": _media_stats,
         "delete_document_cascade": _delete_document_cascade,
         "vector_upsert": _vector_upsert,
