@@ -51,7 +51,14 @@ def normalize(rows, colnames):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # positional names select entries; comma lists split (a,b,c)
+    args = [
+        n
+        for a in sys.argv[1:]
+        if not a.startswith("--")
+        for n in a.split(",")
+        if n
+    ]
     sf_dir = "/root/testdata/sf0.01"
     for i, a in enumerate(sys.argv[1:]):
         if a == "--sf":
