@@ -177,3 +177,24 @@ def domain_cap(docs: DataFrame, per_source: int = 10,
         .filter(F.col("rank_in_source") <= per_source)
         .select("doc_id", "source", "q_score", "rank_in_source")
     )
+
+
+def stratified_sample(docs: DataFrame,
+                      fractions: dict[str, float] | None = None,
+                      seed: int = 42,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Quality-stratified corpus sampling — the mixing step of a
+    training-data pipeline: keep all high-tier text, down-sample the
+    middle, drop the garbage tier. ``sampleBy`` on the quality tier is
+    one scan with per-row Bernoulli draws (seeded), no shuffle; at
+    100 TB the sample streams out at scan speed.
+
+    Sampling is probabilistic per partition split, so verification is
+    statistical (per-tier rates within binomial bounds,
+    tests/test_pipeline_text.py), not an equality oracle."""
+    if fractions is None:
+        fractions = {"high": 1.0, "medium": 0.5, "low": 0.1, "garbage": 0.0}
+    dq = doc_quality(docs, id_col, text_col).select("doc_id", "tier")
+    keyed = docs.select(F.col(id_col).alias("doc_id")).join(dq, "doc_id")
+    return keyed.sampleBy("tier", fractions, seed)

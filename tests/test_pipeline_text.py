@@ -96,3 +96,38 @@ def test_domain_cap_respects_quota_and_order(spark):
         assert [r["rank_in_source"] for r in rows] == list(
             range(1, len(rows) + 1)
         )
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from rag_database_spark.operators.text_analytics import (
+        doc_quality,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"high": 1.0, "medium": 0.5, "low": 0.1, "garbage": 0.0}
+    tiers = {
+        r["tier"]: r["n"]
+        for r in doc_quality(docs).groupBy("tier").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    got = {
+        r["tier"]: r["n"]
+        for r in stratified_sample(docs, fr).groupBy("tier").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for tier, frac in fr.items():
+        n = tiers.get(tier, 0)
+        k = got.get(tier, 0)
+        if frac in (0.0, 1.0):
+            assert k == int(n * frac), (tier, n, k)
+        else:
+            # 4-sigma binomial band
+            import math
+
+            sigma = math.sqrt(n * frac * (1 - frac))
+            assert abs(k - n * frac) <= 4 * sigma + 1, (tier, n, k)
+    # seeded: two runs in the same session agree exactly
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, fr).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, fr).collect())
+    assert a == b
