@@ -49,6 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # PARQUET_TYPE_ILLEGAL without this runtime-settable conf. Idempotent,
     # so set it here rather than relying on session-build configuration.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamps must collect in UTC to hash-match the DuckDB oracle on a
+    # harness-built session whose default tz is the host's. Also runtime-
+    # settable and idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
