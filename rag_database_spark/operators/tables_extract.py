@@ -306,3 +306,30 @@ def region_fixtures_df(spark) -> DataFrame:
         list(REGION_FIXTURES),
         "document_id long, start long, end long, confidence double",
     )
+
+
+def synthetic_regions(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic per-document region set from the
+    ``documents`` table so W5 can be oracle-checked at data scale
+    (the 7-row fixture only pins the keep rules in unit tests).
+
+    Four regions per doc, starts strictly increasing by 200 (so the
+    sort inside the keep-walk has no ties and is engine-independent);
+    end/confidence vary by integer arithmetic on ``n_chars``, which
+    both Spark and DuckDB compute identically (pure int modulo, one
+    final exact int/100.0 division). Roughly half of adjacent pairs
+    overlap, exercising both keep rules."""
+    i = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    base = documents.select(
+        F.col("doc_id").alias("document_id"), "n_chars", i
+    )
+    start = (F.col("i") * 200 + F.col("n_chars") % 100).cast("long")
+    end = (
+        start + 150 + (F.col("n_chars") * (F.col("i") + 2)) % 120
+    ).cast("long")
+    conf = (
+        ((F.col("n_chars") * (F.col("i") * 31 + 17)) % 100) / F.lit(100.0)
+    ).alias("confidence")
+    return base.select(
+        "document_id", start.alias("start"), end.alias("end"), conf
+    )

@@ -209,7 +209,10 @@ pc AS (
 )
 SELECT c_custkey, c_name, c_mktsegment,
        coalesce(n_orders, 0) AS n_orders,
-       coalesce(n_lineitems, 0) AS n_lineitems,
+       -- sum(BIGINT) is HUGEINT in DuckDB; the driver's pandas/Arrow
+       -- fetch coerces HUGEINT to float64 ("15.0" vs Spark's "15"),
+       -- so pin every integer aggregate back to BIGINT
+       coalesce(n_lineitems, 0)::BIGINT AS n_lineitems,
        coalesce(revenue, 0.0) AS revenue
 FROM customer LEFT JOIN pc ON c_custkey = o_custkey
 """
@@ -1328,7 +1331,8 @@ SELECT (SELECT count(*) FROM doclens) AS n_docs,
        (SELECT sum(dl)::DOUBLE / count(*) FROM doclens) AS avg_doc_len,
        (SELECT count(DISTINCT term) FROM postings) AS vocabulary_size,
        (SELECT count(*) FROM postings) AS n_postings,
-       (SELECT sum(tf) FROM postings) AS total_tokens
+       -- ::BIGINT: sum(INT) is HUGEINT, float64 under pandas fetch
+       (SELECT sum(tf) FROM postings)::BIGINT AS total_tokens
 """
 
 
@@ -1904,7 +1908,8 @@ FROM mins
 def chunking_stats_sql() -> str:
     return f"""
 SELECT level, count(*) AS n_chunks,
-       sum(token_count) AS total_tokens,
+       -- ::BIGINT: sum(INT) is HUGEINT, float64 under pandas fetch
+       sum(token_count)::BIGINT AS total_tokens,
        sum(token_count)::DOUBLE / count(*) AS avg_tokens,
        max(page_number) AS max_page
 FROM ({chunk_documents_sql()})
@@ -2383,6 +2388,63 @@ SELECT d.doc_id,
        least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
 GROUP BY d.doc_id
+"""
+
+
+def dedup_regions_sql() -> str:
+    """W5 overlap-resolution keep-walk (table_extractor.py:270-288) as a
+    recursive state machine: regions per document in start order; the
+    walk carries the current candidate (last kept region); a disjoint
+    incoming region COMMITS the candidate to the output and becomes the
+    new candidate; an overlapping one replaces the candidate iff its
+    confidence is strictly higher, else is dropped. Final candidates are
+    committed at the last step. Region generation mirrors
+    ``tables_extract.synthetic_regions`` — starts strictly increasing by
+    200 per doc, so the walk order is unambiguous on both engines."""
+    return """
+WITH RECURSIVE regions AS (
+  SELECT doc_id AS document_id, i,
+         (i * 200 + n_chars % 100)::BIGINT AS r_start,
+         (i * 200 + n_chars % 100 + 150
+            + (n_chars * (i + 2)) % 120)::BIGINT AS r_end,
+         ((n_chars * (i * 31 + 17)) % 100) / 100.0 AS confidence
+  FROM documents
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) AS steps
+),
+walk AS (
+  SELECT document_id, 0 AS i,
+         r_start AS c_start, r_end AS c_end, confidence AS c_conf,
+         CAST(NULL AS BIGINT) AS out_start,
+         CAST(NULL AS BIGINT) AS out_end,
+         CAST(NULL AS DOUBLE) AS out_conf
+  FROM regions WHERE i = 0
+  UNION ALL
+  SELECT w.document_id, r.i,
+         CASE WHEN r.r_start < w.c_end
+              THEN CASE WHEN r.confidence > w.c_conf
+                        THEN r.r_start ELSE w.c_start END
+              ELSE r.r_start END,
+         CASE WHEN r.r_start < w.c_end
+              THEN CASE WHEN r.confidence > w.c_conf
+                        THEN r.r_end ELSE w.c_end END
+              ELSE r.r_end END,
+         CASE WHEN r.r_start < w.c_end
+              THEN CASE WHEN r.confidence > w.c_conf
+                        THEN r.confidence ELSE w.c_conf END
+              ELSE r.confidence END,
+         CASE WHEN r.r_start >= w.c_end THEN w.c_start END,
+         CASE WHEN r.r_start >= w.c_end THEN w.c_end END,
+         CASE WHEN r.r_start >= w.c_end THEN w.c_conf END
+  FROM walk w
+  JOIN regions r ON r.document_id = w.document_id AND r.i = w.i + 1
+)
+SELECT document_id, out_start AS r_start, out_end AS r_end,
+       out_conf AS confidence
+FROM walk WHERE out_start IS NOT NULL
+UNION ALL
+SELECT document_id, c_start AS r_start, c_end AS r_end,
+       c_conf AS confidence
+FROM walk WHERE i = 3
 """
 
 

@@ -1,0 +1,79 @@
+"""Guard the oracle result schemas against pandas-hostile DuckDB types.
+
+The driver compares Spark vs DuckDB by canonicalizing fetched values; a
+DuckDB HUGEINT (what ``sum(INTEGER/BIGINT)`` returns) survives
+``fetchall()`` as a Python int but becomes **float64** under a
+pandas/Arrow fetch — so the driver sees ``"15.0"`` where Spark emits
+``"15"`` and the value hash goes red even though the numbers agree.
+Round 3's three persistent hash-fails (customer_overview,
+bm25_index_stats, chunking_stats) were exactly the three entries whose
+oracle emitted a HUGEINT column.
+
+This test DESCRIBEs every ``oracle_sql()`` entry and pins the result
+column types to the set that round-trips identically through both
+``fetchall()`` and pandas: BIGINT/INTEGER-family, DOUBLE/FLOAT,
+VARCHAR, DATE/TIMESTAMP, BOOLEAN. No Spark session needed — this runs
+in milliseconds against the sf0.001 parquet.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SAFE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT",
+    "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+}
+
+
+@pytest.fixture(scope="module")
+def oracle_schemas():
+    import __spark_entry__ as entrymod
+    from rag_database_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    out = {}
+    for name, sql in entrymod.oracle_sql().items():
+        out[name] = con.execute(
+            f"DESCRIBE SELECT * FROM ({sql})"
+        ).fetchall()
+    con.close()
+    return out
+
+
+def test_no_pandas_hostile_types(oracle_schemas):
+    offenders = {
+        name: [(c, t) for c, t, *_ in schema if t not in SAFE_TYPES]
+        for name, schema in oracle_schemas.items()
+    }
+    offenders = {k: v for k, v in offenders.items() if v}
+    assert not offenders, (
+        "oracle columns with types the driver's pandas fetch mangles "
+        f"(cast to BIGINT/DOUBLE in the SQL): {offenders}"
+    )
+
+
+def test_every_query_entry_has_oracle_or_is_known_rows_only():
+    """Every queries() entry either has an oracle or is on the explicit
+    rows-only allowlist — prevents silently shipping unverified entries."""
+    import __spark_entry__ as entrymod
+
+    rows_only = set(entrymod.ROWS_ONLY_ENTRIES)
+    qs = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    assert oracled <= qs, f"orphan oracles: {oracled - qs}"
+    missing = qs - oracled - rows_only
+    assert not missing, f"entries with no oracle and not allowlisted: {missing}"
