@@ -552,8 +552,10 @@ def _visual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3/P10: MaxSim over visual elements restricted to the requested
     element types (vector_store.py:714-780 element-type filter)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = similarity.maxsim_scores(
-        workload.query_patches_df(spark, emb), workload.multivector_pages(emb)
+    scored = similarity.maxsim_scores_pruned(
+        workload.query_patches_df(spark, emb),
+        workload.multivector_pages(emb),
+        FETCH_MULTIPLIER * workload.HYBRID_LIMIT,
     )
     etypes = F.array(*[F.lit(t) for t in oracles.VISUAL_ELEMENT_TYPES])
     elements = scored.withColumn(
@@ -693,8 +695,10 @@ def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J12/M6/T3: MaxSim late-interaction top-k over the multi-vector
     page table (Q3/Q4 visual-only search)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = similarity.maxsim_scores(
-        workload.query_patches_df(spark, emb), workload.multivector_pages(emb)
+    scored = similarity.maxsim_scores_pruned(
+        workload.query_patches_df(spark, emb),
+        workload.multivector_pages(emb),
+        FETCH_MULTIPLIER * workload.HYBRID_LIMIT,
     )
     return bm25_ops.topk(scored, workload.HYBRID_LIMIT, id_col="page_id").select(
         "query_id",
@@ -882,6 +886,32 @@ def _route_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.route_and_chunk(docs)
 
 
+def _route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 tier→strategy dispatch over the REAL quality tiers, oracled
+    on per-strategy doc counts + char volume (the C4 chunk contents
+    stay rows-only; this pins the router)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dq = text_analytics.doc_quality(docs).select("doc_id", "tier")
+    expr = None
+    for tier, strat in chunking.STRATEGY_BY_TIER.items():
+        cond = F.col("tier") == tier
+        expr = (
+            F.when(cond, F.lit(strat))
+            if expr is None
+            else expr.when(cond, F.lit(strat))
+        )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(dq, "doc_id")
+        .withColumn("strategy", expr)
+        .groupBy("strategy")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 def _detect_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: per-line section-header cascade over the structured fixture
     corpus (family, title, section number, dot-depth level)."""
@@ -1004,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _user_sessions,
         "conversions": _conversions,
         "related_ids": _related_ids,
+        "route_stats": _route_stats,
         "ann_ivf_topk": _ann_ivf_topk,
         "semantic_chunks": _semantic_chunks,
         "route_and_chunk": _route_and_chunk,
@@ -1114,4 +1145,5 @@ def oracle_sql() -> dict[str, str]:
         "detect_sections": oracles.detect_sections_sql(),
         "sentence_chunks": oracles.sentence_chunks_sql(),
         "table_texts": oracles.table_texts_sql(),
+        "route_stats": oracles.route_stats_sql(),
     }

@@ -577,6 +577,19 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # fell through without converging: a component with diameter >
+        # max_iter would carry stale (non-minimal) cluster_ids — make
+        # that loud instead of silently returning wrong clusters
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: min-label propagation did not converge "
+            f"within max_iter={max_iter} rounds; cluster_ids for "
+            f"components with diameter > {max_iter} are not settled",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -199,6 +199,7 @@ def bfs_expand(
     )
     visited = frontier
     results = []
+    hop_caches = []
     for depth in range(1, max_depth + 1):
         neighbors = (
             frontier.join(adj, frontier["doc_id"] == adj["me"])
@@ -208,13 +209,21 @@ def bfs_expand(
         new = neighbors.join(
             visited, ["start_id", "doc_id"], "left_anti"
         ).persist()
+        hop_caches.append(new)
         results.append(new.withColumn("depth", F.lit(depth)))
         # no distinct needed: ``new`` is deduped (per-hop distinct) and
         # anti-joined against visited, so the union is disjoint — saves
         # one full shuffle per hop
         visited = visited.unionByName(new)
         frontier = new
-    return reduce(lambda a, b: a.unionByName(b), results)
+    # materialize the (small) expansion set, then release every cached
+    # partition — repeated callers in one session must not accumulate
+    # adjacency + frontier caches for the session lifetime
+    out = reduce(lambda a, b: a.unionByName(b), results).localCheckpoint()
+    adj.unpersist()
+    for cached in hop_caches:
+        cached.unpersist()
+    return out
 
 
 def shortest_chain(

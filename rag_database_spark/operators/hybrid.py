@@ -110,9 +110,9 @@ def colpali_leg(
 
     ``chunk_pages``: (id, document_id, page_number). Returns
     (query_id, id, method='colpali', rank)."""
-    from rag_database_spark.operators.similarity import maxsim_scores
+    from rag_database_spark.operators.similarity import maxsim_scores_pruned
 
-    pages_scored = maxsim_scores(query_patches, page_patches)
+    pages_scored = maxsim_scores_pruned(query_patches, page_patches, fetch)
     page_topk = bm25_ops.topk(
         pages_scored, fetch, id_col="page_id"
     ).select(

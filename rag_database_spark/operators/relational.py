@@ -79,7 +79,10 @@ def customer_overview(customer: DataFrame, orders: DataFrame,
         orders.join(li_per_order, orders["o_orderkey"] == li_per_order["l_orderkey"], "left")
         .groupBy("o_custkey")
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            # orders ⋈ li_per_order is one row per order (the child side
+            # is pre-aggregated to order grain), so a plain count equals
+            # count(DISTINCT o_orderkey) without the expand+dedup pass
+            F.count("o_orderkey").alias("n_orders"),
             F.sum("n_items").alias("n_lineitems"),
             # exact decimal → double is a single exactly-rounded cast,
             # bit-identical on any engine

@@ -331,6 +331,82 @@ def maxsim_scores(
     )
 
 
+def maxsim_scores_pruned(
+    query_patches: DataFrame,
+    page_patches: DataFrame,
+    fetch_k: int,
+    query_id_col: str = "query_id",
+    page_id_col: str = "page_id",
+) -> DataFrame:
+    """Two-stage MaxSim (vector_store.py:474-523 — Qdrant prefetch +
+    rescore): stage 1 prefetches ``fetch_k`` candidate pages per query
+    by cosine over the avg-pooled vectors (M7 — a plain single-vector
+    top-k, blocked-GEMM scan, linear in corpus size); stage 2 runs the
+    exact token×patch MaxSim only on the ≤ queries×fetch_k candidate
+    pairs. This is the scale path: the dense O(pages×queries) pass of
+    ``maxsim_scores`` never touches pages outside the prefetch set, so
+    a 100× corpus costs 100× *scan* (stage 1) but constant rescore.
+
+    Exact on the candidate set — scores returned are identical to what
+    ``maxsim_scores`` computes for those pairs; recall vs brute force
+    is governed by ``fetch_k`` exactly as in the reference."""
+    import numpy as np
+
+    spark = query_patches.sparkSession
+    pooled_q = query_patches.select(
+        F.col(query_id_col).alias("query_id"),
+        avg_pool_patches(F.col("patches")).alias("qvec"),
+    )
+    pooled_p = page_patches.select(
+        F.col(page_id_col).alias("id"),
+        avg_pool_patches(F.col("patches")).alias("vec"),
+    )
+    cands = cosine_topk(pooled_q, pooled_p, fetch_k).select(
+        "query_id", F.col("id").alias("page_id")
+    )
+
+    q_rows = query_patches.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("patches").cast("array<array<double>>").alias("patches"),
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, page_id long, score double"
+        )
+    bq = spark.sparkContext.broadcast(
+        {r["query_id"]: np.array(r["patches"], dtype=np.float64)
+         for r in q_rows}
+    )
+
+    cand_pages = cands.join(
+        page_patches.select(
+            F.col(page_id_col).alias("page_id"),
+            F.col("patches").cast("array<array<double>>").alias("patches"),
+        ),
+        "page_id",
+    )
+
+    def score_pairs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qd = bq.value
+        for pdf in it:
+            rows = []
+            for qid, pid, patches in zip(
+                pdf["query_id"], pdf["page_id"], pdf["patches"]
+            ):
+                P = np.array(
+                    [np.asarray(p) for p in patches], dtype=np.float64
+                )
+                Q = qd[qid]
+                rows.append((qid, pid, float(np.dot(Q, P.T).max(axis=1).sum())))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "page_id", "score"]
+            )
+
+    return cand_pages.mapInPandas(
+        score_pairs, schema="query_id long, page_id long, score double"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -150,6 +150,12 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5,
     )
 
 
+# salt fan-out for the two-phase per-source top-k: a source is split
+# into this many deterministic buckets for the partial rank, bounding
+# any single task to ~1/32 of the biggest source
+DOMAIN_CAP_SALTS = 32
+
+
 def domain_cap(docs: DataFrame, per_source: int = 10,
                id_col: str = "doc_id", text_col: str = "text",
                source_col: str = "source") -> DataFrame:
@@ -159,20 +165,36 @@ def domain_cap(docs: DataFrame, per_source: int = 10,
     dominating a training mix.
 
     Ranking uses the ROUNDED q_score (ties broken by doc_id), so the
-    cut is deterministic and engine-independent. One window over the
-    source partitioning — a single shuffle keyed on source; a skewed
-    giant source is bounded by the cap itself (only its top rows
-    survive, and per-partition sort spills)."""
+    cut is deterministic and engine-independent.
+
+    Two-phase top-k so a skewed giant source never funnels through one
+    task: phase 1 ranks within (source, salt) buckets — salt is a
+    deterministic hash of the doc id, so each bucket holds ~1/NSALTS of
+    the source — and keeps each bucket's top ``per_source``. Any row in
+    the true source top-k is in its bucket's top-k, so phase 2's exact
+    window runs over ≤ NSALTS × per_source rows per source: bounded
+    regardless of source size. Exactness vs the single-window form is
+    pinned by unit test (tests/test_pipeline_text.py)."""
     dq = doc_quality(docs, id_col, text_col).select("doc_id", "q_score")
     joined = docs.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
     ).join(dq, "doc_id")
-    w = Window.partitionBy("source").orderBy(
+    salt = F.crc32(F.col("doc_id").cast("string")) % DOMAIN_CAP_SALTS
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.desc("q_score"), F.asc("doc_id")
+    )
+    survivors = (
+        joined.withColumn("salt", salt)
+        .withColumn("bucket_rank", F.row_number().over(w1))
+        .filter(F.col("bucket_rank") <= per_source)
+        .drop("salt", "bucket_rank")
+    )
+    w2 = Window.partitionBy("source").orderBy(
         F.desc("q_score"), F.asc("doc_id")
     )
     return (
-        joined.withColumn(
-            "rank_in_source", F.row_number().over(w).cast("long")
+        survivors.withColumn(
+            "rank_in_source", F.row_number().over(w2).cast("long")
         )
         .filter(F.col("rank_in_source") <= per_source)
         .select("doc_id", "source", "q_score", "rank_in_source")

@@ -405,6 +405,26 @@ FROM scored
 """
 
 
+def route_stats_sql() -> str:
+    """C1 dispatch oracle (chunking_service.py:63-69): quality tier →
+    strategy routing, verified on per-strategy doc counts and char
+    volume (the chunk CONTENTS of the C4 strategies stay non-SQL;
+    this pins the router itself)."""
+    from rag_database_spark.operators.chunking import STRATEGY_BY_TIER
+
+    case = " ".join(
+        f"WHEN '{tier}' THEN '{strat}'"
+        for tier, strat in STRATEGY_BY_TIER.items()
+    )
+    return f"""
+SELECT strategy, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM (
+  SELECT CASE dq.tier {case} END AS strategy, d.n_chars
+  FROM ({doc_quality_sql()}) dq JOIN documents d ON dq.doc_id = d.doc_id
+) GROUP BY strategy
+"""
+
+
 def exact_dedup_sql() -> str:
     return f"""
 WITH norm AS (
@@ -821,13 +841,22 @@ FROM edges GROUP BY relation_type
 # ---------------------------------------------------------------------------
 
 
-def _colpali_ctes() -> str:
+def _colpali_ctes(fetch: int | None = None) -> str:
+    """MaxSim CTEs, mirroring the engine's two-stage plan
+    (similarity.maxsim_scores_pruned): prefetch ``fetch`` candidate
+    pages per query by cosine over avg-pooled vectors, then exact
+    token×patch MaxSim on the candidate pairs only. ``fetch=None``
+    scores all pages (the brute-force twin, for the unit oracle)."""
+    from rag_database_spark.operators.fusion import FETCH_MULTIPLIER
     from rag_database_spark.workload import (
         DOC_PAGES,
+        HYBRID_LIMIT,
         PAGE_GROUP,
         QUERY_TOKENS,
     )
 
+    if fetch is None:
+        fetch = FETCH_MULTIPLIER * HYBRID_LIMIT
     return f"""
 qp AS (
   SELECT q.query_id, e.vec_id AS tok_id, e.embedding::DOUBLE[] AS tvec
@@ -840,10 +869,44 @@ pp AS (
   SELECT vec_id // {PAGE_GROUP} AS page_id, embedding::DOUBLE[] AS pvec
   FROM embeddings
 ),
+qpool AS (
+  SELECT query_id, list(v ORDER BY i) AS qvec FROM (
+    SELECT query_id, i, avg(tvec[i]) AS v FROM (
+      SELECT query_id, tvec,
+             unnest(generate_series(1, len(tvec))) AS i
+      FROM qp
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+ppool AS (
+  SELECT page_id, list(v ORDER BY i) AS pvec FROM (
+    SELECT page_id, i, avg(pvec[i]) AS v FROM (
+      SELECT page_id, pvec,
+             unnest(generate_series(1, len(pvec))) AS i
+      FROM pp
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+cand AS (
+  SELECT query_id, page_id FROM (
+    SELECT q.query_id, p.page_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qvec, p.pvec)
+                      / (sqrt(list_dot_product(q.qvec, q.qvec))
+                         * sqrt(list_dot_product(p.pvec, p.pvec))) DESC,
+                      p.page_id
+           ) AS prank
+    FROM qpool q CROSS JOIN ppool p
+  ) WHERE prank <= {fetch}
+),
 tokmax AS (
-  SELECT qp.query_id, qp.tok_id, pp.page_id,
+  SELECT qp.query_id, qp.tok_id, c.page_id,
          max(list_dot_product(qp.tvec, pp.pvec)) AS m
-  FROM qp CROSS JOIN pp GROUP BY 1, 2, 3
+  FROM cand c
+  JOIN qp ON qp.query_id = c.query_id
+  JOIN pp ON pp.page_id = c.page_id
+  GROUP BY 1, 2, 3
 ),
 page_scores AS (
   SELECT query_id, page_id, sum(m) AS score FROM tokmax GROUP BY 1, 2

@@ -79,7 +79,42 @@ class TombstoneTable:
     def _has(self, d: Path) -> bool:
         return d.exists() and any(d.glob("*.parquet"))
 
+    def _recover(self) -> None:
+        """Heal a table left half-swapped by a crash inside
+        ``compact()``. The swap sequence is base→base_old,
+        base_staging→base, rm base_old, rm tombstones; a crash between
+        the renames leaves no ``base/`` at all. Single-writer, so the
+        residue dirs unambiguously identify the interrupted step:
+
+        - base missing + staging complete → roll FORWARD (finish the
+          swap; the staging dir was fully written before any rename).
+        - base missing + only base_old → roll BACK to the old base
+          (staging never made it; tombstones still apply).
+        - base present + base_old left over → finish cleanup.
+
+        Folded-away tombstones are cleared on roll-forward; they would
+        be harmless no-ops anyway (survivors are re-stamped at the
+        compaction epoch, above every tombstone's ``up_to``)."""
+        staging = self.root / "base_staging"
+        old = self.root / "base_old"
+        if not self._has(self.base_dir):
+            if self._has(staging):
+                if self.base_dir.exists():
+                    shutil.rmtree(self.base_dir)
+                staging.rename(self.base_dir)
+                if old.exists():
+                    shutil.rmtree(old)
+                if self.tomb_dir.exists():
+                    shutil.rmtree(self.tomb_dir)
+            elif self._has(old):
+                if self.base_dir.exists():
+                    shutil.rmtree(self.base_dir)
+                old.rename(self.base_dir)
+        elif old.exists():
+            shutil.rmtree(old)
+
     def _base(self) -> DataFrame | None:
+        self._recover()
         if not self._has(self.base_dir):
             return None
         return self.spark.read.parquet(str(self.base_dir))
@@ -93,7 +128,19 @@ class TombstoneTable:
 
     def append(self, df: DataFrame) -> None:
         """Append-only data write stamped with the next commit epoch;
-        never touches existing files."""
+        never touches existing files. Incoming columns must match the
+        base schema exactly (order-insensitive) — mixed-schema parquet
+        under one directory would make the read-time schema depend on
+        which file Spark samples."""
+        base = self._base()
+        if base is not None:
+            base_cols = [c for c in base.columns if c != COMMIT_COL]
+            if sorted(df.columns) != sorted(base_cols):
+                raise ValueError(
+                    f"append schema mismatch at {self.root}: table has "
+                    f"{sorted(base_cols)}, incoming has {sorted(df.columns)}"
+                )
+            df = df.select(*base_cols)
         epoch = self._bump_epoch()
         df.withColumn(COMMIT_COL, F.lit(epoch)).write.mode(
             "append"
@@ -188,8 +235,12 @@ class TombstoneTable:
     def compact(self) -> None:
         """Fold tombstones into the base: one rewrite of the surviving
         rows (re-stamped at the compaction epoch), then clear the
-        tombstone set. Crash-safe ordering: the new base is fully
-        written to a staging dir before the swap."""
+        tombstone set. The new base is fully written to a staging dir
+        before the swap; a crash between the two renames (or before
+        cleanup) leaves residue dirs that ``_recover()`` heals on the
+        next open — roll-forward when staging is complete, roll-back
+        to ``base_old`` otherwise. Single-writer, best-effort on a
+        non-atomic filesystem."""
         epoch = self._bump_epoch()
         survivors = self.read().withColumn(COMMIT_COL, F.lit(epoch))
         staging = self.root / "base_staging"

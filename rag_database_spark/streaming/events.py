@@ -130,6 +130,16 @@ def stream_upsert_table(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # project onto the table's schema: change-log-only columns
+        # (like the ordering sequence) must not leak into base files —
+        # append() rejects schema drift outright
+        base = table._base()
+        if base is not None:
+            from rag_database_spark.sources.acid import COMMIT_COL
+
+            last = last.select(
+                *[c for c in base.columns if c != COMMIT_COL]
+            )
         table.upsert(last)
 
     return (

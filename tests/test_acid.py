@@ -107,6 +107,58 @@ def test_stream_upsert_matches_batch_last_write_wins(table, spark, tmp_path):
     assert len(view) == 31            # 30 originals + 1 insert
 
 
+def test_append_rejects_schema_drift(table, spark):
+    bad = spark.createDataFrame(
+        [(1000, "body", 0, 99)], "id long, body string, org long, seq long"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(bad)
+
+
+def test_recover_rolls_forward_half_swapped_compact(spark, tmp_path):
+    """Simulate a crash between compact()'s two renames (base already
+    moved to base_old, staging fully written but not yet renamed):
+    the next read must heal the table and see the compacted view."""
+    root = tmp_path / "crashy"
+    t = TombstoneTable(spark, str(root), key_col="id")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(10)], "id long, body string"
+        )
+    )
+    t.delete_where("id >= 8")
+    expected = _ids(t.read())
+    # replay compact() up to the crash point
+    epoch = t._bump_epoch()
+    survivors = t.read().withColumn("_commit", F.lit(epoch))
+    staging = root / "base_staging"
+    survivors.write.mode("overwrite").parquet(str(staging))
+    (root / "base").rename(root / "base_old")
+    # crash here — no base/; reopening must roll forward
+    reopened = TombstoneTable(spark, str(root), key_col="id")
+    assert _ids(reopened.read()) == expected
+    assert not (root / "base_old").exists()
+    assert not (root / "base_staging").exists()
+    assert reopened.tombstone_count() == 0
+
+
+def test_recover_rolls_back_without_staging(spark, tmp_path):
+    """Residue where only base_old exists (staging missing/incomplete):
+    roll back to the old base; tombstones still apply at read."""
+    root = tmp_path / "crashy2"
+    t = TombstoneTable(spark, str(root), key_col="id")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(6)], "id long, body string"
+        )
+    )
+    t.delete_where("id = 0")
+    expected = _ids(t.read())
+    (root / "base").rename(root / "base_old")
+    reopened = TombstoneTable(spark, str(root), key_col="id")
+    assert _ids(reopened.read()) == expected
+
+
 def test_time_travel_snapshots(table, spark):
     """read(as_of_epoch=E) replays the table as it stood at commit E;
     history truncates at compaction."""

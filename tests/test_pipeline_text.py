@@ -3,6 +3,8 @@ duplicate-n-gram fraction and PII redaction."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from rag_database_spark.operators import redaction
 from rag_database_spark.operators.text_analytics import dup_ngram_fraction
 
@@ -96,6 +98,45 @@ def test_domain_cap_respects_quota_and_order(spark):
         assert [r["rank_in_source"] for r in rows] == list(
             range(1, len(rows) + 1)
         )
+
+
+def test_domain_cap_two_phase_matches_single_window(spark):
+    """Exactness of the salted two-phase top-k vs the plain one-window
+    formulation, on a skewed corpus (one source holds ~80% of docs)."""
+    from pyspark.sql import Window
+
+    from rag_database_spark.operators.text_analytics import (
+        doc_quality,
+        domain_cap,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 5 < 4, F.lit("megasource")).otherwise(
+                F.col("source")
+            ),
+        )
+    )
+    got = sorted(
+        tuple(r) for r in domain_cap(docs, per_source=7).collect()
+    )
+    dq = doc_quality(docs).select("doc_id", "q_score")
+    joined = docs.select("doc_id", "source").join(dq, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("q_score"), F.asc("doc_id")
+    )
+    exp = sorted(
+        tuple(r)
+        for r in joined.withColumn(
+            "rank_in_source", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank_in_source") <= 7)
+        .select("doc_id", "source", "q_score", "rank_in_source")
+        .collect()
+    )
+    assert got == exp
 
 
 def test_stratified_sample_rates_and_determinism(spark):

@@ -10,9 +10,11 @@ import numpy as np
 import pytest
 
 from rag_database_spark.operators.similarity import (
+    avg_pool_patches,
     cosine_topk,
     embedding_near_dupes,
     maxsim_scores,
+    maxsim_scores_pruned,
 )
 
 
@@ -76,6 +78,66 @@ def test_maxsim_matches_numpy_loop(spark):
     for pid, P in pages.items():
         exp = sum(max(float(np.dot(t, p)) for p in P) for t in qp)
         assert got[pid] == pytest.approx(exp, rel=1e-12)
+
+
+@pytest.fixture(scope="module")
+def patch_corpus(spark):
+    rng = np.random.default_rng(11)
+    qdf = spark.createDataFrame(
+        [(q, rng.normal(size=(4, 6)).round(3).tolist()) for q in range(3)],
+        "query_id long, patches array<array<double>>",
+    )
+    pdf = spark.createDataFrame(
+        [(p, rng.normal(size=(5, 6)).round(3).tolist()) for p in range(20)],
+        "page_id long, patches array<array<double>>",
+    )
+    return qdf, pdf
+
+
+def test_pruned_covers_all_equals_brute_force(spark, patch_corpus):
+    # fetch ≥ n_pages ⇒ the prefetch keeps every page and the two-stage
+    # plan must reproduce brute-force MaxSim exactly, scores included
+    qdf, pdf = patch_corpus
+    brute = {
+        (r["query_id"], r["page_id"]): r["score"]
+        for r in maxsim_scores(qdf, pdf).collect()
+    }
+    pruned = {
+        (r["query_id"], r["page_id"]): r["score"]
+        for r in maxsim_scores_pruned(qdf, pdf, fetch_k=20).collect()
+    }
+    assert set(pruned) == set(brute)
+    for k in brute:
+        assert pruned[k] == pytest.approx(brute[k], rel=1e-12)
+
+
+def test_pruned_rescore_is_exact_on_candidates(spark, patch_corpus):
+    # fetch < n_pages ⇒ candidates are the pooled-cosine top-fetch per
+    # query, and each candidate's score equals the brute-force score
+    qdf, pdf = patch_corpus
+    fetch = 6
+    brute = {
+        (r["query_id"], r["page_id"]): r["score"]
+        for r in maxsim_scores(qdf, pdf).collect()
+    }
+    pooled_q = qdf.select(
+        "query_id", avg_pool_patches(qdf["patches"]).alias("qvec")
+    )
+    pooled_p = pdf.select(
+        pdf["page_id"].alias("id"), avg_pool_patches(pdf["patches"]).alias("vec")
+    )
+    expected_cands = {
+        (r["query_id"], r["id"])
+        for r in cosine_topk(pooled_q, pooled_p, fetch).collect()
+    }
+    pruned = {
+        (r["query_id"], r["page_id"]): r["score"]
+        for r in maxsim_scores_pruned(qdf, pdf, fetch_k=fetch).collect()
+    }
+    assert set(pruned) == expected_cands
+    assert all(len([k for k in pruned if k[0] == q]) == fetch for q in range(3))
+    for k, s in pruned.items():
+        assert s == pytest.approx(brute[k], rel=1e-12)
 
 
 def test_near_dupes_brute_force(spark):
