@@ -886,6 +886,12 @@ def _route_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.route_and_chunk(docs)
 
 
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter signals (Rae et al. 2021 bounds) over the
+    documents table — pure column expressions, one scan."""
+    return text_analytics.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
 def _route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 tier→strategy dispatch over the REAL quality tiers, oracled
     on per-strategy doc counts + char volume (the C4 chunk contents
@@ -1035,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversions": _conversions,
         "related_ids": _related_ids,
         "route_stats": _route_stats,
+        "gopher_rules": _gopher_rules,
         "ann_ivf_topk": _ann_ivf_topk,
         "semantic_chunks": _semantic_chunks,
         "route_and_chunk": _route_and_chunk,
@@ -1146,4 +1153,5 @@ def oracle_sql() -> dict[str, str]:
         "sentence_chunks": oracles.sentence_chunks_sql(),
         "table_texts": oracles.table_texts_sql(),
         "route_stats": oracles.route_stats_sql(),
+        "gopher_rules": oracles.gopher_rules_sql(),
     }

@@ -265,27 +265,58 @@ def dedup_overlapping_regions(regions: DataFrame) -> DataFrame:
     confidence is higher, else it is dropped.
 
     The keep-set depends on prior keep decisions (not expressible as a
-    single window), so this runs as applyInPandas per document —
-    parallel across documents, sequential within one (regions per doc
-    are few).
+    single window), so it runs in Python — but NOT as one pandas group
+    per document: ``groupBy().applyInPandas`` costs a group dispatch
+    per doc (13.9s for 20k docs at sf0.1). Instead the input is
+    hash-partitioned on document and sorted (doc, start, end) within
+    partitions, and a single ``mapInPandas`` pass walks each Arrow
+    batch linearly, resetting state at document boundaries. Rows of
+    one document can straddle two Arrow batches, so the walk carries
+    the trailing (possibly incomplete) document over to the next batch.
+    One shuffle, O(rows) Python per partition, no per-group overhead.
 
     Input/output: (document_id, start, end, confidence)."""
     import pandas as pd
 
-    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["start", "end"]).reset_index(drop=True)
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["document_id"].to_numpy()
+        starts = pdf["start"].to_numpy()
+        ends = pdf["end"].to_numpy()
+        confs = pdf["confidence"].to_numpy()
         kept: list[int] = []
+        cur_doc = None
         for i in range(len(pdf)):
-            if kept and pdf.loc[i, "start"] < pdf.loc[kept[-1], "end"]:
-                if pdf.loc[i, "confidence"] > pdf.loc[kept[-1], "confidence"]:
+            if ids[i] != cur_doc:
+                cur_doc = ids[i]
+                kept.append(i)
+            elif starts[i] < ends[kept[-1]]:
+                if confs[i] > confs[kept[-1]]:
                     kept[-1] = i
             else:
                 kept.append(i)
         return pdf.iloc[kept]
 
-    return regions.groupBy("document_id").applyInPandas(
-        keep, schema=regions.schema
+    def keep_batches(it):
+        carry = None
+        for pdf in it:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            last_doc = pdf["document_id"].iloc[-1]
+            tail_mask = pdf["document_id"] == last_doc
+            carry = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if not head.empty:
+                yield _walk(head)
+        if carry is not None and not carry.empty:
+            yield _walk(carry)
+
+    sorted_regions = regions.repartition("document_id").sortWithinPartitions(
+        "document_id", "start", "end"
     )
+    return sorted_regions.mapInPandas(keep_batches, schema=regions.schema)
 
 
 # fixture regions for the W5 rows-only driver entry: overlaps that

@@ -150,6 +150,81 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5,
     )
 
 
+# Gopher document-quality bounds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", table A1
+# — public paper): a doc passes when every rule holds.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Gopher-style quality filter signals, one narrow scan of pure
+    column expressions (no Python, no shuffle — linear at any scale):
+
+    - ``n_words`` whitespace words, ``mean_word_len`` non-space chars
+      per word
+    - ``symbol_word_ratio``: '#' or '...' occurrences per word
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: lines starting
+      with a bullet glyph / ending in an ellipsis
+    - ``alpha_word_frac``: words containing at least one letter
+    - ``passes``: conjunction of the published bounds
+
+    The reference has no Gopher pass (its quality layer is F15/A7);
+    this is the LLM-curation extension the pipeline needs for raw-web
+    corpora. Ratios are rounded to 6dp for engine-independent
+    comparison; counts are exact."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    n_lines = F.size(F.split(t, "\n"))
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl = F.when(n_words > 0, non_space / n_words).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.split(t, "#", -1)) - 1
+        + F.size(F.split(t, r"\.\.\.", -1)) - 1
+    )
+    sym_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    bullet_lines = F.size(
+        F.filter(F.split(t, "\n"), lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(F.split(t, "\n"), lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(
+        F.lit(0.0)
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_lines / n_lines, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_lines / n_lines, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC),
+    )
+
+
 # salt fan-out for the two-phase per-source top-k: a source is split
 # into this many deterministic buckets for the partial rank, bounding
 # any single task to ~1/32 of the biggest source

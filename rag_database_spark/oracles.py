@@ -405,6 +405,60 @@ FROM scored
 """
 
 
+def gopher_rules_sql() -> str:
+    from rag_database_spark.operators.text_analytics import (
+        GOPHER_MAX_BULLET_LINE_FRAC,
+        GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_WORD_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_words,
+         len(string_split(text, chr(10))) AS n_lines,
+         length(regexp_replace(text, '\\s', '', 'g')) AS non_space,
+         (len(string_split(text, '#')) - 1
+          + len(string_split(text, '...')) - 1) AS n_symbols,
+         len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(l, '^\\s*[-*•]'))) AS bullet_lines,
+         len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS ellipsis_lines,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words::BIGINT AS n_words,
+         round(CASE WHEN n_words > 0 THEN non_space / n_words
+                    ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN n_words > 0 THEN n_symbols / n_words
+                    ELSE 0.0 END, 6) AS symbol_word_ratio,
+         round(bullet_lines / n_lines, 6) AS bullet_line_frac,
+         round(ellipsis_lines / n_lines, 6) AS ellipsis_line_frac,
+         round(CASE WHEN n_words > 0 THEN alpha_words / n_words
+                    ELSE 0.0 END, 6) AS alpha_word_frac
+  FROM base
+)
+SELECT m.*,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_WORD_RATIO}
+        AND bullet_line_frac <= {GOPHER_MAX_BULLET_LINE_FRAC}
+        AND ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+        AND alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}) AS passes
+FROM m
+"""
+
+
 def route_stats_sql() -> str:
     """C1 dispatch oracle (chunking_service.py:63-69): quality tier →
     strategy routing, verified on per-strategy doc counts and char

@@ -82,6 +82,31 @@ def test_redact_pii_no_matches_on_corpus_soup(spark):
     assert all(hits[name] == 0 for name, _, _ in redaction.PII_PATTERNS)
 
 
+def test_gopher_rules_hand_case(spark):
+    from rag_database_spark.operators.text_analytics import gopher_rules
+
+    long_good = " ".join(f"word{i}" for i in range(60))
+    bullets = "\n".join("- item here" for _ in range(10))
+    symbols = "# " * 30 + "text"
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),    # passes every bound
+            (2, "too short"),  # n_words < 50
+            (3, bullets),      # bullet_line_frac = 1.0 > 0.9
+            (4, symbols),      # symbol ratio 30/31 > 0.1 (and short)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["passes"] and out[1]["n_words"] == 60
+    assert not out[2]["passes"] and out[2]["n_words"] == 2
+    assert not out[3]["passes"]
+    assert out[3]["bullet_line_frac"] == 1.0
+    assert not out[4]["passes"]
+    assert out[4]["symbol_word_ratio"] > 0.9
+    assert out[1]["alpha_word_frac"] == 1.0
+
+
 def test_domain_cap_respects_quota_and_order(spark):
     from rag_database_spark.operators.text_analytics import domain_cap
 
