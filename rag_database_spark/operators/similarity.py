@@ -32,8 +32,21 @@ from pyspark.sql import functions as F
 from rag_database_spark.functions.vector import cosine, dot, to_double_array
 
 
-def _ranked(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+# Decimal places used to quantize PREFETCH scores before ranking.
+# Candidate membership at a top-k boundary must not depend on which
+# engine computed the pooled cosine (Spark fold-sum + numpy GEMM vs
+# DuckDB avg() + list_dot_product differ in the last few ulps); 12 dp
+# is far below any real score gap and far above double noise.
+PREFETCH_ROUND_DP = 12
+
+
+def _ranked(scored: DataFrame, k: int, round_dp: int | None = None) -> DataFrame:
+    order = (
+        F.desc(F.round(F.col("score"), round_dp))
+        if round_dp is not None
+        else F.desc("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
@@ -49,6 +62,7 @@ def cosine_topk(
     vec_col: str = "vec",
     assume_normalized: bool = False,
     impl: str = "gemm",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine per query → (query_id, id, score, rank).
 
@@ -61,10 +75,22 @@ def cosine_topk(
     ``assume_normalized=True`` skips norm division (the reference
     normalizes embeddings at encode time, dense_embedder.py:59-65, so
     cosine reduces to dot).
+
+    ``round_dp`` quantizes scores to that many decimals BEFORE ranking
+    (and in the returned ``score``) so boundary ordering is
+    engine-independent — used by prefetch stages whose candidate SET is
+    compared across engines (see ``PREFETCH_ROUND_DP``).
     """
     if impl == "gemm":
         return cosine_topk_blocked(
-            queries, corpus, k, query_id_col, query_vec_col, id_col, vec_col
+            queries,
+            corpus,
+            k,
+            query_id_col,
+            query_vec_col,
+            id_col,
+            vec_col,
+            round_dp=round_dp,
         )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -78,6 +104,8 @@ def cosine_topk(
         if assume_normalized
         else cosine(F.col("qvec"), F.col("vec"))
     )
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     scored = c.join(F.broadcast(q)).select(
         "query_id", "id", sim.alias("score")
     )
@@ -92,12 +120,15 @@ def cosine_topk_blocked(
     query_vec_col: str = "qvec",
     id_col: str = "id",
     vec_col: str = "vec",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Arrow/numpy GEMM form of ``cosine_topk`` — one ``Q @ V.T`` per
     Arrow batch (SURVEY §2 J11 "blocked numpy matmul" scale path). Exact:
     the per-batch partial top-k keeps the best k by the same
     (score DESC, id ASC) order the global window uses, so score ties at
-    the k boundary resolve identically to the unblocked computation."""
+    the k boundary resolve identically to the unblocked computation.
+    ``round_dp`` quantizes scores before the partial AND global top-k
+    (same contract as ``cosine_topk``)."""
     import numpy as np
 
     spark = queries.sparkSession
@@ -127,6 +158,8 @@ def cosine_topk_blocked(
             V = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
             S = Qn_l @ Vn.T  # (n_queries, batch)
+            if round_dp is not None:
+                S = np.round(S, round_dp)
             kk = min(k, S.shape[1])
             out_q, out_i, out_s = [], [], []
             for qi in range(S.shape[0]):
@@ -361,9 +394,9 @@ def maxsim_scores_pruned(
         F.col(page_id_col).alias("id"),
         avg_pool_patches(F.col("patches")).alias("vec"),
     )
-    cands = cosine_topk(pooled_q, pooled_p, fetch_k).select(
-        "query_id", F.col("id").alias("page_id")
-    )
+    cands = cosine_topk(
+        pooled_q, pooled_p, fetch_k, round_dp=PREFETCH_ROUND_DP
+    ).select("query_id", F.col("id").alias("page_id"))
 
     q_rows = query_patches.select(
         F.col(query_id_col).alias("query_id"),

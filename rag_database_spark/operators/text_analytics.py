@@ -179,10 +179,16 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
     The reference has no Gopher pass (its quality layer is F15/A7);
     this is the LLM-curation extension the pipeline needs for raw-web
     corpora. Ratios are rounded to 6dp for engine-independent
-    comparison; counts are exact."""
+    comparison; counts are exact.
+
+    Word splitting strips ALL leading/trailing whitespace first
+    (``trim`` only strips spaces, so text ending in \\n or \\t would
+    otherwise count an empty-string word, inflating n_words and
+    deflating alpha_word_frac vs the Gopher definition)."""
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+    stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
+    words = F.split(stripped, r"\s+")
+    n_words = F.when(F.length(stripped) == 0, F.lit(0)).otherwise(
         F.size(words)
     )
     n_lines = F.size(F.split(t, "\n"))

@@ -418,10 +418,18 @@ def gopher_rules_sql() -> str:
     )
 
     return f"""
-WITH base AS (
+WITH stripped_t AS (
+  -- full-whitespace strip: trim() only removes spaces, and a doc
+  -- ending in \\n would count an empty-string "word" (engine twin:
+  -- text_analytics.gopher_rules)
+  SELECT doc_id, text,
+         regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS st
+  FROM documents
+),
+base AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         CASE WHEN length(st) = 0 THEN 0
+              ELSE len(regexp_split_to_array(st, '\\s+')) END
            AS n_words,
          len(string_split(text, chr(10))) AS n_lines,
          length(regexp_replace(text, '\\s', '', 'g')) AS non_space,
@@ -431,9 +439,9 @@ WITH base AS (
              l -> regexp_matches(l, '^\\s*[-*•]'))) AS bullet_lines,
          len(list_filter(string_split(text, chr(10)),
              l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS ellipsis_lines,
-         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         len(list_filter(regexp_split_to_array(st, '\\s+'),
              w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words
-  FROM documents
+  FROM stripped_t
 ),
 m AS (
   SELECT doc_id, n_words::BIGINT AS n_words,
@@ -900,8 +908,17 @@ def _colpali_ctes(fetch: int | None = None) -> str:
     (similarity.maxsim_scores_pruned): prefetch ``fetch`` candidate
     pages per query by cosine over avg-pooled vectors, then exact
     token×patch MaxSim on the candidate pairs only. ``fetch=None``
-    scores all pages (the brute-force twin, for the unit oracle)."""
+    means the engine-default pruned fetch (FETCH_MULTIPLIER ×
+    HYBRID_LIMIT — the same number maxsim_scores_pruned receives from
+    every production call site); there is no brute-force path here —
+    prune==brute is pinned by the Spark-side unit test instead
+    (tests/test_similarity.py). The prefetch cosine is rounded to
+    PREFETCH_ROUND_DP decimals before ranking, mirroring the engine,
+    so candidate membership at the fetch boundary cannot diverge
+    between DuckDB's avg()+list_dot_product and Spark's fold-sum
+    pooling + numpy GEMM."""
     from rag_database_spark.operators.fusion import FETCH_MULTIPLIER
+    from rag_database_spark.operators.similarity import PREFETCH_ROUND_DP
     from rag_database_spark.workload import (
         DOC_PAGES,
         HYBRID_LIMIT,
@@ -946,9 +963,10 @@ cand AS (
     SELECT q.query_id, p.page_id,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY list_dot_product(q.qvec, p.pvec)
+             ORDER BY round(list_dot_product(q.qvec, p.pvec)
                       / (sqrt(list_dot_product(q.qvec, q.qvec))
-                         * sqrt(list_dot_product(p.pvec, p.pvec))) DESC,
+                         * sqrt(list_dot_product(p.pvec, p.pvec))),
+                      {PREFETCH_ROUND_DP}) DESC,
                       p.page_id
            ) AS prank
     FROM qpool q CROSS JOIN ppool p

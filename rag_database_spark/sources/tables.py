@@ -53,6 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # harness-built session whose default tz is the host's. Also runtime-
     # settable and idempotent.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet timestamp[us] without a timezone would load as
+    # TIMESTAMP_NTZ under Spark 4's inference default, which functions
+    # like unix_micros reject outright; with the session pinned to UTC
+    # the LTZ reading is byte-identical, so disable the inference.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

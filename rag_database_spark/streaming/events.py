@@ -132,14 +132,19 @@ def stream_upsert_table(
         )
         # project onto the table's schema: change-log-only columns
         # (like the ordering sequence) must not leak into base files —
-        # append() rejects schema drift outright
+        # append() rejects schema drift outright. The order column is
+        # dropped unconditionally so the FIRST micro-batch (which may
+        # bootstrap an empty table, base is None) can't bake it into
+        # the table schema and poison every later clean append.
+        from rag_database_spark.sources.acid import COMMIT_COL
+
         base = table._base()
         if base is not None:
-            from rag_database_spark.sources.acid import COMMIT_COL
-
             last = last.select(
                 *[c for c in base.columns if c != COMMIT_COL]
             )
+        else:
+            last = last.drop(order_col, COMMIT_COL)
         table.upsert(last)
 
     return (
@@ -193,7 +198,7 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_us), F.lit(1)
@@ -335,8 +340,8 @@ def attribute_conversions(
         F.col("event_id").alias("purchase_id"),
         "value",
     )
-    c_us = F.unix_micros(F.col("click_ts"))
-    p_us = F.unix_micros(F.col("purchase_ts"))
+    c_us = F.unix_micros(F.col("click_ts").cast("timestamp"))
+    p_us = F.unix_micros(F.col("purchase_ts").cast("timestamp"))
     joined = purchases.join(clicks, "user_id").filter(
         (c_us <= p_us) & (c_us > p_us - window_us)
     )

@@ -107,6 +107,33 @@ def test_stream_upsert_matches_batch_last_write_wins(table, spark, tmp_path):
     assert len(view) == 31            # 30 originals + 1 insert
 
 
+def test_stream_upsert_bootstraps_empty_table_without_order_col(
+    spark, tmp_path
+):
+    """First micro-batch lands on an EMPTY table: the change-log-only
+    order column must not leak into the bootstrapped base schema, or
+    every later clean-schema append() would be rejected as drift."""
+    from rag_database_spark.streaming import events as se
+
+    fresh = TombstoneTable(spark, str(tmp_path / "fresh"), key_col="id")
+    changes = [(1, "one", 0, 1), (1, "one v2", 0, 2), (2, "two", 1, 1)]
+    schema = "id long, body string, org long, seq long"
+    src = tmp_path / "changes"
+    spark.createDataFrame(changes, schema).write.parquet(str(src))
+
+    q = se.stream_upsert_table(spark, str(src), fresh, schema, "seq")
+    q.awaitTermination(120)
+
+    assert set(fresh.read().columns) == {"id", "body", "org"}
+    view = {r["id"]: r["body"] for r in fresh.read().collect()}
+    assert view == {1: "one v2", 2: "two"}
+    # a later clean-schema append must still be accepted
+    fresh.append(
+        spark.createDataFrame([(3, "three", 2)], "id long, body string, org long")
+    )
+    assert len(fresh.read().collect()) == 3
+
+
 def test_append_rejects_schema_drift(table, spark):
     bad = spark.createDataFrame(
         [(1000, "body", 0, 99)], "id long, body string, org long, seq long"

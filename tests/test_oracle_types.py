@@ -77,3 +77,29 @@ def test_every_query_entry_has_oracle_or_is_known_rows_only():
     assert oracled <= qs, f"orphan oracles: {oracled - qs}"
     missing = qs - oracled - rows_only
     assert not missing, f"entries with no oracle and not allowlisted: {missing}"
+
+
+DRIVER_WINDOW = 50
+
+
+def test_driver_window_composition_is_pinned():
+    """The driver verifies only the FIRST 50 queries() entries, so
+    declaration order is load-bearing: every slot in the window must be
+    oracle-backed (a rows-only entry there wastes a verified slot), and
+    a future entry inserted mid-dict must not silently push a verified
+    entry past the cutoff. Python dicts preserve insertion order, so
+    list(queries()) IS the driver's evaluation order."""
+    import __spark_entry__ as entrymod
+
+    order = list(entrymod.queries())
+    head = order[:DRIVER_WINDOW]
+    oracled = set(entrymod.oracle_sql())
+    rows_only = set(entrymod.ROWS_ONLY_ENTRIES)
+
+    not_oracled = [k for k in head if k not in oracled]
+    assert not not_oracled, (
+        f"non-oracle entries inside the driver's {DRIVER_WINDOW}-entry "
+        f"window (move to the tail): {not_oracled}"
+    )
+    in_head = rows_only & set(head)
+    assert not in_head, f"rows-only entries occupying verified slots: {in_head}"
