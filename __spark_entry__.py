@@ -42,7 +42,7 @@ from rag_database_spark.operators.hybrid import (
     hybrid_search3,
     hybrid_search3_adaptive,
 )
-from rag_database_spark.sources.tables import TABLES, load_table, load_tables
+from rag_database_spark.sources.tables import TABLES, fan_out, load_table, load_tables
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -531,7 +531,7 @@ def _text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine top-k — the full embed→index→search path, model-free."""
     from rag_database_spark.functions.embedder import hash_embed
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("id"), hash_embed(F.col("text")).alias("vec")
     )
     q = workload.queries_df(spark).select(
@@ -892,6 +892,23 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-batch assembly): per-shard contiguous
+    token-stream offsets and the fixed-budget training-row span of each
+    document — sharded so no global window serializes the corpus."""
+    from rag_database_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram overlap of every training doc
+    against the (broadcast) benchmark gram set, flagged at 10%."""
+    return text_analytics.decontaminate(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 tier→strategy dispatch over the REAL quality tiers, oracled
     on per-strategy doc counts + char volume (the C4 chunk contents
@@ -1045,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "semantic_chunks": _semantic_chunks,
         "route_and_chunk": _route_and_chunk,
+        "pack_sequences": _pack_sequences,
+        "decontam": _decontam,
     }
 
 
@@ -1154,4 +1173,6 @@ def oracle_sql() -> dict[str, str]:
         "table_texts": oracles.table_texts_sql(),
         "route_stats": oracles.route_stats_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
+        "pack_sequences": oracles.pack_sequences_sql(),
+        "decontam": oracles.decontaminate_sql(),
     }

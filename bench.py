@@ -59,20 +59,40 @@ def main() -> int:
     }
     mins = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
+    sf = _sf_from_dir(SF_DIR)
+    # Full per-query detail (median + min, 3dp) goes to a sidecar file:
+    # the driver keeps only the LAST 2000 chars of stdout and parses the
+    # final line, so an unbounded per-query dict on stdout gets its head
+    # truncated and the parse fails (that is exactly what nulled rounds
+    # 3-4's parsed blob once the query count passed ~50).
+    detail = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "queries_min": mins,
+        "n_runs": N_RUNS,
+        "sf": sf,
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    # The stdout line keeps the contract keys but adapts per-query
+    # precision so the LINE stays under the driver's capture window.
+    for dp in (3, 2, 1):
+        line = json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": medians,
-                "queries_min": mins,
+                "queries": {n: round(v, dp) for n, v in medians.items()},
                 "n_runs": N_RUNS,
-                "sf": _sf_from_dir(SF_DIR),
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
-        ),
-        flush=True,
-    )
+        )
+        if len(line) <= 1800:
+            break
+    print(line, flush=True)
     return 0
 
 

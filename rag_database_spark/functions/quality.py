@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rag_database_spark.functions.text import WS_CLASS, quality_tier
+from rag_database_spark.sources.tables import fan_out
 
 # document_quality.py:68-78 (\s spelled out)
 OCR_ERROR_PATTERNS: tuple[str, ...] = (
@@ -186,6 +187,7 @@ def quality_report(
     """The full F15 report: five subscores, weighted overall, tier.
     Near-empty documents (< 50 chars after trim) short-circuit to
     GARBAGE with all-zero scores (document_quality.py:131-144)."""
+    docs = fan_out(docs)
     t = F.col(text_col)
     stripped = F.regexp_replace(
         F.regexp_replace(t, rf"^[{WS_CLASS}]+", ""), rf"[{WS_CLASS}]+$", ""

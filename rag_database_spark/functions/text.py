@@ -244,7 +244,9 @@ def winnow_fingerprints(
     empty when the text is shorter than k)."""
     from pyspark.sql import DataFrame, Window
     from rag_database_spark.operators.dedup import hash60
+    from rag_database_spark.sources.tables import fan_out
 
+    docs = fan_out(docs)
     norm = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_join(raw_tokens(F.col(text_col)), " ").alias("s"),

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rag_database_spark.functions.text import SPLIT_RE
+from rag_database_spark.sources.tables import fan_out
 
 CHUNK_SIZE = 32  # words per chunk (scaled-down 512, config.py:27)
 OVERLAP = 8      # carried words   (scaled-down 128, config.py:28)
@@ -51,6 +52,7 @@ def _chunk_id(doc_id: Column, level: Column, idx: Column, text: Column) -> Colum
 
 
 def _base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    docs = fan_out(docs)
     words = split_words(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"), words.alias("words")
@@ -377,6 +379,7 @@ def sentence_chunks(
 ) -> DataFrame:
     """C7 (hierarchical_chunker.py:511-539): sentence-boundary split,
     sentences shorter than 20 chars dropped (P11)."""
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), SENTENCE_SPLIT_RE)).alias(

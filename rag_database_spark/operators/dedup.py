@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rag_database_spark.functions.text import raw_tokens, shingles
+from rag_database_spark.sources.tables import fan_out
 
 N_MINHASHES = 16
 LSH_BANDS = 4  # 4 bands × 4 rows over the 16 minhashes
@@ -43,6 +44,7 @@ def hash60(col: Column) -> Column:
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
                   k: int) -> DataFrame:
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), k).alias("sh"),
@@ -346,6 +348,7 @@ def simhash(
     """SimHash fingerprint (Charikar '02): per-token 60-bit hash; bit j
     of the fingerprint is 1 iff Σ_tokens tf·(±1 by hash bit j) > 0.
     One explode + two groupBys (term tf, then doc) — all JVM exprs."""
+    docs = fan_out(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(raw_tokens(F.col(text_col))).alias("term"),

@@ -1,0 +1,117 @@
+"""Sequence packing — the training-batch assembly step of an LLM data
+pipeline: concatenate tokenized documents into a contiguous token
+stream and cut it into fixed-budget training rows (GPT-style stream
+packing: documents may span row boundaries; no padding except the
+final partial row of each shard).
+
+The reference has no packing stage (it serves search, not training);
+this is part of the training-data extension the build brief names.
+
+Scale design: a single global token stream would serialize the whole
+corpus through one cumulative-sum window. Instead documents are
+sharded by a deterministic hash of ``doc_id`` (the same topology every
+distributed packer uses — each shard's stream is packed independently,
+shards in parallel), so the only window runs per-shard and the plan is
+one narrow projection + one window over ``NSHARDS``-way partitioned
+data. At 100 TB, shard count scales with the cluster, not the corpus.
+
+Determinism: shard = doc_id % NSHARDS, within-shard order is (doc_id)
+— engine-independent integer math, so the DuckDB oracle reproduces the
+exact bin layout. (With non-uniform production ids, swap the modulo
+for a hash of the id; only shard balance changes, not semantics.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rag_database_spark.functions.text import token_count_ws
+
+PACK_BUDGET = 2048  # tokens per training row
+PACK_NSHARDS = 32
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_NSHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document its [start, end) offsets in its shard's
+    token stream and the training-row (bin) span those offsets cover.
+
+    Output: (doc_id, shard, n_tokens, start_offset, end_offset,
+    first_bin, last_bin, spans_boundary) — enough to materialize the
+    packed rows with one groupBy(first_bin..last_bin explode) and to
+    audit fill (bin b of shard s holds stream tokens [b*budget,
+    (b+1)*budget)).
+    """
+    n_tokens = token_count_ws(F.col(text_col))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            n_tokens.cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "shard", (F.col("doc_id") % n_shards).cast("bigint")
+        )
+        .withColumn(
+            "end_offset", F.sum("n_tokens").over(w).cast("long")
+        )
+        .withColumn(
+            "start_offset", (F.col("end_offset") - F.col("n_tokens"))
+        )
+    )
+    first_bin = F.floor(F.col("start_offset") / budget)
+    # a doc ending exactly on a boundary belongs to the bin before it
+    last_bin = F.floor((F.col("end_offset") - 1) / budget)
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        "end_offset",
+        first_bin.cast("long").alias("first_bin"),
+        F.greatest(last_bin, first_bin).cast("long").alias("last_bin"),
+        (F.greatest(last_bin, first_bin) > first_bin).alias(
+            "spans_boundary"
+        ),
+    )
+
+
+def packing_stats(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_NSHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard packing audit: documents, tokens, full training rows
+    produced, and the fill ratio of the final partial row."""
+    packed = pack_sequences(docs, budget, n_shards, id_col, text_col)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.col("spans_boundary").cast("long")).alias(
+                "n_spanning"
+            ),
+            F.max("end_offset").alias("stream_len"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_spanning").cast("bigint").alias("n_spanning"),
+            F.floor(F.col("stream_len") / budget)
+            .cast("bigint")
+            .alias("n_full_rows"),
+            F.round(
+                (F.col("stream_len") % budget) / F.lit(float(budget)), 6
+            ).alias("tail_fill"),
+        )
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rag_database_spark.sources.tables import fan_out
 from rag_database_spark.functions.text import (
     SPLIT_RE,
     avg_word_length,
@@ -32,6 +33,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Language ID via stopword-marker hit ratios (argmax, ties by
     language name ascending, 'unknown' under 5% hit ratio)."""
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         detect_language(F.col(text_col)).alias("lang_pred"),
@@ -42,6 +44,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-document token counting: whitespace tokens, BPE-ish subword
     pieces, characters, average word length."""
+    docs = fan_out(docs)
     t = F.col(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -56,6 +59,7 @@ def doc_quality(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """A7 quality metrics + composite score + tier routing (F15
     thresholds .8/.5/.2, document_quality.py:356-365)."""
+    docs = fan_out(docs)
     t = F.col(text_col)
     score = quality_score(t)
     return docs.select(
@@ -78,6 +82,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
     One shuffle on the fingerprint (uniform 128-bit key — no skew);
     at 100 TB this is the standard exact-dedup plan."""
+    docs = fan_out(docs)
     w = Window.partitionBy("fingerprint")
     return (
         docs.select(
@@ -104,6 +109,7 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5,
     the groupBy(ngram) key space is large and uniform enough that no
     salting is needed, and the per-doc rollup is bounded by document
     length."""
+    docs = fan_out(docs)
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
         lambda t: F.length(t) > 0,
@@ -185,6 +191,7 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
     (``trim`` only strips spaces, so text ending in \\n or \\t would
     otherwise count an empty-string word, inflating n_words and
     deflating alpha_word_frac vs the Gopher definition)."""
+    docs = fan_out(docs)
     t = F.col(text_col)
     stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
     words = F.split(stripped, r"\s+")
@@ -228,6 +235,93 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
         & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
         & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
         & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC),
+    )
+
+
+# Benchmark decontamination defaults: the pseudo-eval set is the
+# deterministic doc_id < DECON_BENCH_MAX slice (stand-in for a real
+# benchmark table — swap the filter for a join against it); 8-gram
+# overlap with a 10% flag threshold follows the published
+# GPT-3/Llama-style n-gram decontamination recipes.
+DECON_BENCH_MAX = 20
+DECON_NGRAM = 8
+DECON_THRESHOLD = 0.10
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_max: int = DECON_BENCH_MAX,
+    n: int = DECON_NGRAM,
+    threshold: float = DECON_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    ``n``-gram overlap with a (small) evaluation set exceeds
+    ``threshold`` — the step that keeps eval answers out of a training
+    mix. Tokenization matches ``dup_ngram_fraction`` exactly.
+
+    Scale design: the benchmark gram set is tiny next to the corpus,
+    so it is the BROADCAST side of the membership join — the corpus
+    never shuffles for the probe; the only wide op is the per-doc
+    rollup keyed on doc_id (map-side partial aggs). At 100 TB this is
+    a scan + broadcast hash join, linear in the corpus.
+
+    Output: (doc_id, n_ngrams, n_hits, contam_frac, is_contaminated)
+    for every NON-benchmark document.
+    """
+    docs = fan_out(docs)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    ngrams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_toks = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    ng_rows = with_toks.select("doc_id", F.explode(ngrams).alias("ng"))
+    bench_grams = (
+        ng_rows.filter(F.col("doc_id") < bench_max)
+        .select("ng")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = ng_rows.filter(F.col("doc_id") >= bench_max)
+    per_doc = (
+        corpus.join(F.broadcast(bench_grams), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .filter(F.col("doc_id") >= bench_max)
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_ngrams"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.when(
+                    F.col("n_ngrams") > 0,
+                    F.col("n_hits") / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contam_frac"),
+        )
+        .withColumn(
+            "is_contaminated", F.col("contam_frac") >= threshold
+        )
     )
 
 

@@ -2473,6 +2473,107 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def pack_sequences_sql(
+    budget: int | None = None, n_shards: int | None = None
+) -> str:
+    """Twin of operators.packing.pack_sequences: per-shard token-stream
+    offsets and training-row spans (shard = doc_id % n_shards, order by
+    doc_id — engine-independent integer math throughout)."""
+    from rag_database_spark.functions.text import SPLIT_RE
+    from rag_database_spark.operators.packing import (
+        PACK_BUDGET,
+        PACK_NSHARDS,
+    )
+
+    budget = budget or PACK_BUDGET
+    n_shards = n_shards or PACK_NSHARDS
+    return f"""
+WITH nt AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '{SPLIT_RE}'),
+                         x -> length(x) > 0))::BIGINT AS n_tokens,
+         (doc_id % {n_shards})::BIGINT AS shard
+  FROM documents
+),
+off AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS end_offset
+  FROM nt
+)
+SELECT doc_id, shard, n_tokens,
+       (end_offset - n_tokens)::BIGINT AS start_offset,
+       end_offset,
+       ((end_offset - n_tokens) // {budget})::BIGINT AS first_bin,
+       greatest((end_offset - 1) // {budget},
+                (end_offset - n_tokens) // {budget})::BIGINT AS last_bin,
+       (greatest((end_offset - 1) // {budget},
+                 (end_offset - n_tokens) // {budget})
+        > (end_offset - n_tokens) // {budget}) AS spans_boundary
+FROM off
+"""
+
+
+def decontaminate_sql(
+    bench_max: int | None = None,
+    n: int | None = None,
+    threshold: float | None = None,
+) -> str:
+    """Twin of operators.text_analytics.decontaminate: n-gram overlap
+    of every non-benchmark doc against the benchmark gram set, same
+    tokenization as dup_ngram_fraction."""
+    from rag_database_spark.functions.text import SPLIT_RE
+    from rag_database_spark.operators.text_analytics import (
+        DECON_BENCH_MAX,
+        DECON_NGRAM,
+        DECON_THRESHOLD,
+    )
+
+    bench_max = bench_max or DECON_BENCH_MAX
+    n = n or DECON_NGRAM
+    threshold = threshold if threshold is not None else DECON_THRESHOLD
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {n} + 1)) AS i
+  FROM toks
+),
+ng AS (
+  SELECT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS ng
+  FROM pos
+),
+bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id < {bench_max}),
+per AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+         sum(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hits
+  FROM ng g LEFT JOIN bench b USING (ng)
+  WHERE g.doc_id >= {bench_max}
+  GROUP BY g.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         coalesce(p.n_ngrams, 0)::BIGINT AS n_ngrams,
+         coalesce(p.n_hits, 0)::BIGINT AS n_hits,
+         round(CASE WHEN coalesce(p.n_ngrams, 0) > 0
+                    THEN p.n_hits / p.n_ngrams ELSE 0.0 END, 6)
+           AS contam_frac
+  FROM documents d LEFT JOIN per p USING (doc_id)
+  WHERE d.doc_id >= {bench_max}
+)
+SELECT scored.*, (contam_frac >= {threshold}) AS is_contaminated
+FROM scored
+"""
+
+
 def redact_pii_sql() -> str:
     from rag_database_spark.operators.redaction import (
         PII_PATTERNS,

@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # The generated-class cache defaults to 100 entries; a workload
+        # running 60+ distinct queries interleaved (bench, a real query
+        # server) evicts constantly and pays seconds of Janino
+        # recompilation PER QUERY PER PASS — measured 2-5× inflation of
+        # steady-state times at sf0.1. Static conf: must be set here.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # bucketed tables (bm25.write_index_bucketed) land here; static
         # conf, so it must be set before the session exists
         .config(

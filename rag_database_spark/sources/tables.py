@@ -33,6 +33,34 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# fan_out target = this × defaultParallelism. Two tasks per core
+# smooths per-row cost skew (document lengths vary ~100×, so exactly
+# core-count partitions leave stragglers holding the stage open) while
+# keeping tasks big enough to amortize per-task setup of the very wide
+# generated projections — measured at sf0.1: factor 8 (19 rows/task)
+# was 5-20× SLOWER than factor 2 on the 19-regex quality scan.
+FAN_OUT_FACTOR = 2
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin reshard an under-parallel input before a CPU-heavy
+    per-row stage (regex banks, shingle hashing, embedding, chunking).
+
+    A small parquet table arrives as ONE input split (one file, one row
+    group), so without this every per-row-expensive projection — and the
+    map side of any groupBy that follows it — runs on a single core no
+    matter how many the cluster has. At production scale inputs arrive
+    in many files/row-groups, the partition count already exceeds the
+    target, and this returns the input unchanged — the extra exchange
+    exists only in the degenerate under-split case, where its cost
+    (shuffling the raw rows once) is dwarfed by the parallelism it buys.
+    """
+    spark = df.sparkSession
+    target = min_parts or FAN_OUT_FACTOR * spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 
 # columns stored as TIMESTAMP(NANOS) in the driver parquet; Spark reads
 # them as long (nanosAsLong) and we convert to micros-precision

@@ -1,0 +1,88 @@
+"""Sequence packing + benchmark decontamination (training-pipeline
+extensions; no reference counterpart — the packing/decontam recipes are
+the published GPT-3/Llama-style ones)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_database_spark.operators.packing import pack_sequences, packing_stats
+from rag_database_spark.operators.text_analytics import decontaminate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # shard 0 (ids 0,4,8 with n_shards=4): 3 + 5 + 2 tokens
+        (0, "a b c"),
+        (4, "one two three four five"),
+        (8, "x y"),
+        # shard 1: a doc longer than the budget
+        (1, " ".join(f"t{i}" for i in range(25))),
+        # shard 2: empty text
+        (2, ""),
+        (6, "p q r"),
+        # shard 3
+        (3, "m n o"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_offsets_are_contiguous_per_shard(spark, docs):
+    out = pack_sequences(docs, budget=8, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        expect_start = 0
+        for r in rows:
+            assert r["start_offset"] == expect_start
+            assert r["end_offset"] == expect_start + r["n_tokens"]
+            expect_start = r["end_offset"]
+
+
+def test_pack_bin_spans(spark, docs):
+    out = {r["doc_id"]: r for r in pack_sequences(docs, budget=8, n_shards=4).collect()}
+    # shard 0 stream: doc0 [0,3) bin 0; doc4 [3,8) bin 0 (ends ON the
+    # boundary -> stays in bin 0); doc8 [8,10) bin 1
+    assert (out[0]["first_bin"], out[0]["last_bin"]) == (0, 0)
+    assert (out[4]["first_bin"], out[4]["last_bin"]) == (0, 0)
+    assert not out[4]["spans_boundary"]
+    assert (out[8]["first_bin"], out[8]["last_bin"]) == (1, 1)
+    # 25-token doc with budget 8 spans bins 0..3
+    assert (out[1]["first_bin"], out[1]["last_bin"]) == (0, 3)
+    assert out[1]["spans_boundary"]
+    # empty doc: zero tokens, degenerate span pinned to first_bin
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["first_bin"] == out[2]["last_bin"]
+    assert not out[2]["spans_boundary"]
+
+
+def test_packing_stats_rollup(spark, docs):
+    stats = {r["shard"]: r for r in packing_stats(docs, budget=8, n_shards=4).collect()}
+    assert stats[0]["n_docs"] == 3
+    assert stats[0]["n_tokens"] == 10
+    assert stats[0]["n_full_rows"] == 1      # 10 tokens / budget 8
+    assert stats[0]["tail_fill"] == pytest.approx(2 / 8)
+    assert stats[1]["n_spanning"] == 1
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (0, bench_text),                      # benchmark doc (id < 5)
+        (10, bench_text),                     # fully contaminated copy
+        (11, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),   # clean
+        (12, "short text"),                   # < n tokens: no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench_max=5, n=8, threshold=0.5).collect()
+    }
+    assert set(out) == {10, 11, 12}           # benchmark doc excluded
+    assert out[10]["n_ngrams"] == 3 and out[10]["n_hits"] == 3
+    assert out[10]["is_contaminated"]
+    assert out[11]["n_hits"] == 0 and not out[11]["is_contaminated"]
+    assert out[12]["n_ngrams"] == 0 and not out[12]["is_contaminated"]
