@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _INDEX_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_IVF_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
 def _source_fingerprint(sf_dir: str, table: str = "documents") -> str:
@@ -93,6 +94,7 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     so timed runs measure the query paths."""
     _bm25_index(spark, sf_dir)
     _shingle_index(spark, sf_dir)
+    _ivf_index(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -131,18 +133,40 @@ def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Persisted IVF artifact (centroids + centroid-partitioned lists),
+    built once per corpus fingerprint — the k-means fit never runs in
+    the query path (pinned by tests/test_plans.py)."""
+    fp = _source_fingerprint(sf_dir, table="embeddings")
+    if fp in _IVF_CACHE:
+        return _IVF_CACHE[fp]
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "ivf_index" / fp
+    if not (cache_dir / "centroids" / "_SUCCESS").exists():
+        similarity.write_ivf_index(
+            load_table(spark, sf_dir, "embeddings"),
+            str(cache_dir),
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+    pair = similarity.read_ivf_index(spark, str(cache_dir))
+    _IVF_CACHE[fp] = pair
+    return pair
+
+
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: IVF coarse-quantizer top-k (k-means centroids,
-    n_probe lists scanned). Approximate by design → rows-only driver
-    check; recall vs brute force is pinned in tests/test_similarity."""
+    """ANN scale path: IVF coarse-quantizer top-k over the PERSISTED
+    index (k-means runs at build time only; the query is a partition-
+    pruned probe of n_probe centroid lists). Approximate by design →
+    rows-only driver check; recall vs brute force is pinned in
+    tests/test_similarity."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = workload.queries_df(spark)
     qvecs = queries.join(
         emb, queries["query_vec_id"] == emb["vec_id"]
     ).select("query_id", F.col("embedding").alias("qvec"))
-    return similarity.ivf_topk(
-        qvecs, emb, workload.HYBRID_LIMIT,
-        id_col="vec_id", vec_col="embedding",
+    centroids, lists = _ivf_index(spark, sf_dir)
+    return similarity.ivf_topk_indexed(
+        qvecs, centroids, lists, workload.HYBRID_LIMIT,
     ).select(
         "query_id",
         "id",
@@ -901,6 +925,22 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def _pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training rows, projected for comparison:
+    per-(shard, bin) doc/token counts + md5 of the space-joined packed
+    stream (the digest pins content equality without moving the full
+    token arrays through the compare)."""
+    from rag_database_spark.operators.packing import pack_rows
+
+    return pack_rows(load_table(spark, sf_dir, "documents")).select(
+        "shard",
+        "bin",
+        "n_docs",
+        "n_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("tokens_md5"),
+    )
+
+
 def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 8-gram overlap of every training doc
     against the (broadcast) benchmark gram set, flagged at 10%."""
@@ -1063,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_chunks": _semantic_chunks,
         "route_and_chunk": _route_and_chunk,
         "pack_sequences": _pack_sequences,
+        "pack_rows": _pack_rows,
         "decontam": _decontam,
     }
 
@@ -1174,5 +1215,6 @@ def oracle_sql() -> dict[str, str]:
         "route_stats": oracles.route_stats_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),
+        "pack_rows": oracles.pack_rows_sql(),
         "decontam": oracles.decontaminate_sql(),
     }

@@ -25,7 +25,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rag_database_spark.functions.text import SPLIT_RE
-from rag_database_spark.sources.tables import fan_out
 
 CHUNK_SIZE = 32  # words per chunk (scaled-down 512, config.py:27)
 OVERLAP = 8      # carried words   (scaled-down 128, config.py:28)
@@ -52,7 +51,10 @@ def _chunk_id(doc_id: Column, level: Column, idx: Column, text: Column) -> Colum
 
 
 def _base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    docs = fan_out(docs)
+    # No fan_out here: the chunk pipeline's per-row cost (one split +
+    # array ops) is too cheap to amortize a reshard of the raw text —
+    # measured at sf0.1, the exchange cost ~0.6-1 s per entry for no
+    # downstream win (r5 bench: chunk_documents 1.32→1.95 s with it).
     words = split_words(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"), words.alias("words")
@@ -379,7 +381,6 @@ def sentence_chunks(
 ) -> DataFrame:
     """C7 (hierarchical_chunker.py:511-539): sentence-boundary split,
     sentences shorter than 20 chars dropped (P11)."""
-    docs = fan_out(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), SENTENCE_SPLIT_RE)).alias(

@@ -26,10 +26,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rag_database_spark.functions.text import token_count_ws
+from rag_database_spark.functions.text import SPLIT_RE, token_count_ws
 
 PACK_BUDGET = 2048  # tokens per training row
 PACK_NSHARDS = 32
+
+def _shard_cumsum():
+    """Explicit ROWS frame for the per-shard running sum: Spark's
+    default with an orderBy is RANGE (peer rows share one value),
+    DuckDB's oracle pins ROWS — identical only while doc_id is unique
+    per shard, so spell out the frame both engines use. (A function,
+    not a module constant: building a WindowSpec needs an active
+    SparkContext.)"""
+    return (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
 
 def pack_sequences(
@@ -49,7 +62,7 @@ def pack_sequences(
     (b+1)*budget)).
     """
     n_tokens = token_count_ws(F.col(text_col))
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    w = _shard_cumsum()
     out = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -79,6 +92,99 @@ def pack_sequences(
         (F.greatest(last_bin, first_bin) > first_bin).alias(
             "spans_boundary"
         ),
+    )
+
+
+def pack_rows(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_NSHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the packed training rows themselves — the step a
+    training pipeline actually consumes (``pack_sequences`` emits the
+    offset audit; this emits the rows).
+
+    Plan: the same per-shard cumulative-sum window assigns offsets,
+    then each document EXPLODES its [first_bin..last_bin] span (a doc
+    touches ⌈n_tokens/budget⌉+1 bins at most — the fan-out is bounded
+    by document length, never corpus size), slices the token range it
+    contributes to each bin in codegen, and one groupBy (shard, bin)
+    reassembles every bin's stream in offset order. Two exchanges total
+    (window + groupBy), both keyed on the 32-way shard topology.
+
+    Output: (shard, bin, n_docs, n_tokens, tokens array<string>) — bin
+    b of shard s holds stream tokens [b·budget, (b+1)·budget); every
+    bin is exactly ``budget`` tokens except each shard's tail. Empty
+    documents are dropped (they contribute no tokens)."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .withColumn("shard", (F.col("doc_id") % n_shards).cast("bigint"))
+        .withColumn(
+            "end_offset",
+            F.sum("n_tokens").over(_shard_cumsum()).cast("long"),
+        )
+        .withColumn(
+            "start_offset", F.col("end_offset") - F.col("n_tokens")
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    first_bin = F.floor(F.col("start_offset") / budget).cast("long")
+    last_bin = F.greatest(
+        F.floor((F.col("end_offset") - 1) / budget), first_bin
+    ).cast("long")
+    spans = base.select(
+        "shard",
+        "toks",
+        "start_offset",
+        "end_offset",
+        F.explode(F.sequence(first_bin, last_bin)).alias("bin"),
+    )
+    seg_start = F.greatest(F.col("bin") * budget, F.col("start_offset"))
+    seg_end = F.least((F.col("bin") + 1) * budget, F.col("end_offset"))
+    segs = spans.select(
+        "shard",
+        "bin",
+        "start_offset",
+        F.slice(
+            "toks",
+            (seg_start - F.col("start_offset") + 1).cast("int"),
+            (seg_end - seg_start).cast("int"),
+        ).alias("seg"),
+    )
+    # array_sort on (start_offset, seg) structs: offsets are distinct
+    # within a (shard, bin) — each doc appears once — so the sort key
+    # is the stream order
+    assembled = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("start_offset").alias("o"),
+                             F.col("seg").alias("s"))
+                )
+            ),
+            lambda x: x["s"],
+        )
+    )
+    return (
+        segs.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            assembled.alias("tokens"),
+        )
+        .select(
+            "shard",
+            F.col("bin").cast("long").alias("bin"),
+            "n_docs",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
     )
 
 

@@ -168,13 +168,19 @@ def n_visual_targets(text: Column) -> Column:
     return n
 
 
-def suggested_weights(text: Column) -> Column:
-    """F8 weights: modality defaults, colpali boosted by targeted
-    element count (min(0.1·n, 0.15), cap 0.7) then renormalized
-    (query_analyzer.py:165-174)."""
-    vs = visual_score(text)
+def weights_from_signals(vs: Column, n: Column) -> Column:
+    """F8 weights from PRE-COMPUTED signal columns (visual score +
+    targeted-element count): modality defaults, colpali boosted by
+    min(0.1·n, 0.15), cap 0.7, then renormalized
+    (query_analyzer.py:165-174).
+
+    Taking columns rather than the query text matters for plan size:
+    every reference to ``vs``/``n`` here is an attribute lookup, not a
+    copy of the 16-regex visual-score expression tree — inlined, the
+    3-leg × renormalize structure instantiates that tree ~36×, and
+    Catalyst's analysis cost grows with the duplicated tree even
+    though codegen would CSE it."""
     mod = modality(vs)
-    n = n_visual_targets(text)
 
     def base(leg):
         return (
@@ -193,6 +199,13 @@ def suggested_weights(text: Column) -> Column:
         (base("dense") / total).alias("w_dense"),
         (colpali / total).alias("w_colpali"),
     )
+
+
+def suggested_weights(text: Column) -> Column:
+    """F8 weights straight from the query text — convenience form for
+    single-expression use; ``analyze_queries`` feeds
+    ``weights_from_signals`` materialized signal columns instead."""
+    return weights_from_signals(visual_score(text), n_visual_targets(text))
 
 
 # --- F7 query complexity → chunk level (hierarchical_chunker.py:550-610) ---
@@ -263,17 +276,22 @@ def detect_domain(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["domain"]).otherwise(F.lit("general"))
 
 
-def expand_acronyms(text: Column) -> Column:
+def expand_acronyms(text: Column, domain: Column | None = None) -> Column:
     """F2/F4 (acronym_database.py:402-486): for each known acronym
     present as a standalone uppercase token, choose the expansion by
     (domain match × 2 + context-keyword hits, ties by expansion asc)
     and rewrite occurrences as 'ACR (Expansion)'.
 
+    ``domain`` accepts a pre-computed ``detect_domain`` column so the
+    per-acronym disambiguation scores reference one attribute instead
+    of inlining the 21-keyword domain tree per candidate.
+
     Engine deviation (documented): ALL occurrences are rewritten, not
     just the first — the reference replaces the first only; queries
     repeat an acronym rarely, and global replace stays columnar."""
     low = F.lower(text)
-    domain = detect_domain(text)
+    if domain is None:
+        domain = detect_domain(text)
     out = text
     by_acr: dict[str, list[tuple[str, str, tuple[str, ...]]]] = {}
     for acr, exp, dom, kws in ACRONYMS:
@@ -299,20 +317,35 @@ def expand_acronyms(text: Column) -> Column:
     return out
 
 
-def analyze_queries(
-    queries: DataFrame, text_col: str = "query_text"
-) -> DataFrame:
-    """F3-F8 in one projection: (query_id, query_type, is_precision,
-    precision_type, reference, visual_score, modality, w_*, domain,
-    enhanced_query)."""
+# Prepared analysis projections, keyed by (SparkContext id, text_col).
+# Building the analysis tree costs ~1 s of pure driver time — thousands
+# of Column nodes, each a py4j round trip — so, like a prepared
+# statement, build once per context and reuse: Columns are unbound
+# expressions, valid against any DataFrame of the same context. Keying
+# on the context id drops refs from a stopped JVM.
+_PREPARED: dict[tuple[int, str], tuple[list[Column], list[Column]]] = {}
+
+
+def _prepared_cols(text_col: str) -> tuple[list[Column], list[Column]]:
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._active_spark_context), text_col)
+    if key in _PREPARED:
+        return _PREPARED[key]
     t = F.col(text_col)
-    prec = detect_precision(t)
-    vs = visual_score(t)
-    w = suggested_weights(t)
-    cx = query_complexity(t)
-    return queries.select(
-        "query_id",
-        classify_query(t).alias("query_type"),
+    stage1 = [
+        t.alias("__t"),
+        visual_score(t).alias("__vs"),
+        n_visual_targets(t).alias("__nv"),
+        detect_domain(t).alias("__domain"),
+    ]
+    tt = F.col("__t")
+    vs = F.col("__vs")
+    prec = detect_precision(tt)
+    w = weights_from_signals(vs, F.col("__nv"))
+    cx = query_complexity(tt)
+    stage2 = [
+        classify_query(tt).alias("query_type"),
         prec["is_precision"].alias("is_precision"),
         prec["precision_type"].alias("precision_type"),
         prec["reference"].alias("reference"),
@@ -323,8 +356,35 @@ def analyze_queries(
         F.round(w["w_bm25"], 6).alias("w_bm25"),
         F.round(w["w_dense"], 6).alias("w_dense"),
         F.round(w["w_colpali"], 6).alias("w_colpali"),
-        detect_domain(t).alias("domain"),
-        expand_acronyms(t).alias("enhanced_query"),
+        F.col("__domain").alias("domain"),
+        expand_acronyms(tt, domain=F.col("__domain")).alias(
+            "enhanced_query"
+        ),
+    ]
+    if len(_PREPARED) >= 16:
+        _PREPARED.clear()
+    _PREPARED[key] = (stage1, stage2)
+    return stage1, stage2
+
+
+def analyze_queries(
+    queries: DataFrame, text_col: str = "query_text"
+) -> DataFrame:
+    """F3-F8 as TWO stacked projections: stage 1 materializes the
+    shared signals (visual score, target count, domain) once each;
+    stage 2 derives everything else from those columns. Catalyst keeps
+    the projects separate (collapsing would duplicate non-cheap
+    expressions) and whole-stage codegen fuses them back into one pass
+    — so the scan count is unchanged but the analyzed tree shrinks
+    ~20× (the weights/acronym logic would otherwise inline dozens of
+    copies of the regex banks).
+
+    Output: (query_id, query_type, is_precision, precision_type,
+    reference, chunk_level, complexity_confidence, visual_score,
+    modality, w_*, domain, enhanced_query)."""
+    stage1, stage2 = _prepared_cols(text_col)
+    return queries.select("query_id", *stage1).select(
+        "query_id", *stage2
     )
 
 

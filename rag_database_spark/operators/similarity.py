@@ -36,17 +36,18 @@ from rag_database_spark.functions.vector import cosine, dot, to_double_array
 # Candidate membership at a top-k boundary must not depend on which
 # engine computed the pooled cosine (Spark fold-sum + numpy GEMM vs
 # DuckDB avg() + list_dot_product differ in the last few ulps); 12 dp
-# is far below any real score gap and far above double noise.
+# is far below any real score gap and far above double noise. The three
+# quantizers involved use different half-tie modes (np.round half-even,
+# F.round HALF_UP, DuckDB half-away) — a value landing EXACTLY on a
+# half-tie at the 12th decimal is assumed unreachable for real cosines,
+# so the modes never disagree in practice.
 PREFETCH_ROUND_DP = 12
 
 
-def _ranked(scored: DataFrame, k: int, round_dp: int | None = None) -> DataFrame:
-    order = (
-        F.desc(F.round(F.col("score"), round_dp))
-        if round_dp is not None
-        else F.desc("score")
+def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("id")
     )
-    w = Window.partitionBy("query_id").orderBy(order, F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
@@ -440,6 +441,140 @@ def maxsim_scores_pruned(
     )
 
 
+def _ivf_fit(
+    corpus: DataFrame,
+    n_centroids: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index BUILD: seeded MLlib k-means over the corpus, every
+    vector assigned to its nearest centroid. Returns
+    (centroids(centroid_id, cvec), lists(centroid_id, id, vec)).
+    The expensive multi-pass clustering lives ONLY here — the query
+    path consumes the returned/persisted tables."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("vec"),
+    )
+    ml_df = c.withColumn("features", array_to_vector("vec"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(
+        ml_df
+    )
+    centroids = spark.createDataFrame(
+        [
+            (i, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())
+        ],
+        "centroid_id int, cvec array<double>",
+    )
+    lists = model.transform(ml_df).select(
+        F.col("prediction").alias("centroid_id"), "id", "vec"
+    )
+    return centroids, lists
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> None:
+    """Persist the IVF artifact like ``bm25.write_index`` persists
+    postings (reference analog: Qdrant's persisted HNSW collections,
+    src/storage/vector_store.py:136-145): centroids as one tiny parquet,
+    inverted lists PARTITIONED BY centroid_id so a probe of p centroids
+    reads p directories — a partition-pruned scan, not a corpus pass."""
+    centroids, lists = _ivf_fit(corpus, n_centroids, seed, id_col, vec_col)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        lists.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, lists) from a ``write_ivf_index`` directory."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/lists"),
+    )
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    centroids: DataFrame,
+    lists: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF QUERY path over a built index — no clustering, no corpus
+    pass:
+
+    1. The centroid table (tiny: n_centroids rows) is collected and the
+       ``n_probe`` nearest centroids per query chosen driver-side.
+    2. The probed centroid ids become a static ``isin`` filter on the
+       lists scan — with ``write_ivf_index``'s partitionBy layout that
+       is partition pruning (only probed directories are read; pinned
+       by plan test).
+    3. Exact cosine over the ≤ queries × probe-list candidates, ranked.
+
+    Approximate exactly as the reference's ANN leg is: a true neighbor
+    assigned to an unprobed centroid is missed; recall vs brute force
+    is governed by n_probe (unit-pinned)."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, id long, score double, rank int"
+        )
+    cent_rows = centroids.collect()
+    cids = np.array([r["centroid_id"] for r in cent_rows])
+    C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r["qvec"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-30)
+        order = np.argsort(-(cn @ qv))[:n_probe]
+        for j in order:
+            probes.append((r["query_id"], int(cids[j])))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, centroid_id int"
+    )
+
+    probed_cids = sorted({cid for _, cid in probes})
+    cands = (
+        # static partition filter first → pruned scan; the broadcast
+        # join then fans each list row out to the queries probing it
+        lists.filter(F.col("centroid_id").isin(probed_cids))
+        .join(F.broadcast(probe_df), "centroid_id")
+        .select("query_id", "id", "vec")
+    )
+    qv_df = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    )
+    scored = cands.join(F.broadcast(qv_df), "query_id").select(
+        "query_id", "id", cosine(F.col("qvec"), F.col("vec")).alias("score")
+    )
+    return _ranked(scored, k)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -454,74 +589,12 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     scale path next to brute force and LSH (build brief: 'IVF or
-    LSH-bucketed variant'):
-
-    1. k-means centroids over the corpus (MLlib, seeded).
-    2. Each corpus vector is assigned to its nearest centroid — the
-       inverted lists, one keyed partition per centroid.
-    3. A query scores only the ``n_probe`` nearest centroids' lists,
-       exactly — so cost drops by ~n_centroids/n_probe while recall
-       stays high for clustered data.
-
-    At 100 TB the lists are written partitioned by centroid id and the
-    probe step is a partition-pruned scan. Approximate: a true
-    neighbor assigned to an unprobed centroid is missed (recall is
-    unit-tested against brute force)."""
-    import numpy as np
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    spark = corpus.sparkSession
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        to_double_array(F.col(vec_col)).alias("vec"),
+    LSH-bucketed variant'). Convenience form that fits and queries in
+    one call — for ad-hoc/unit use. Production callers persist once
+    with ``write_ivf_index`` and serve every query batch through
+    ``ivf_topk_indexed``; refitting k-means per query batch at 100 TB
+    would be a multi-pass MLlib job per call."""
+    centroids, lists = _ivf_fit(corpus, n_centroids, seed, id_col, vec_col)
+    return ivf_topk_indexed(
+        queries, centroids, lists, k, n_probe, query_id_col, query_vec_col
     )
-    ml_df = c.withColumn("features", array_to_vector("vec"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(
-        ml_df
-    )
-    centroids = np.array(
-        [np.asarray(ctr) for ctr in model.clusterCenters()]
-    )
-
-    assigned = model.transform(ml_df).select(
-        "id", "vec", F.col("prediction").alias("centroid_id")
-    )
-
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        to_double_array(F.col(query_vec_col)).alias("qvec"),
-    ).collect()
-    if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, id long, score double, rank int"
-        )
-    # probe list per query: n_probe nearest centroids by cosine
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
-    )
-    probes = []
-    for r in q_rows:
-        qv = np.asarray(r["qvec"], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-30)
-        order = np.argsort(-(cn @ qv))[:n_probe]
-        for cid in order:
-            probes.append((r["query_id"], int(cid)))
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, centroid_id int"
-    )
-
-    # candidates = inverted lists of probed centroids only (keyed join
-    # → partition-pruned scan when lists are stored by centroid_id)
-    cands = assigned.join(F.broadcast(probe_df), "centroid_id").select(
-        "query_id", "id", "vec"
-    )
-    qv_df = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        to_double_array(F.col(query_vec_col)).alias("qvec"),
-    )
-    scored = cands.join(F.broadcast(qv_df), "query_id").select(
-        "query_id", "id", cosine(F.col("qvec"), F.col("vec")).alias("score")
-    )
-    return _ranked(scored, k)

@@ -82,7 +82,9 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
     One shuffle on the fingerprint (uniform 128-bit key — no skew);
     at 100 TB this is the standard exact-dedup plan."""
-    docs = fan_out(docs)
+    # No fan_out: the md5 projection is one pass over the text and the
+    # groupBy shuffle that follows reshards anyway (r5 bench: the extra
+    # exchange took exact_dedup 0.45→0.81 s).
     w = Window.partitionBy("fingerprint")
     return (
         docs.select(
@@ -250,6 +252,7 @@ DECON_THRESHOLD = 0.10
 
 def decontaminate(
     docs: DataFrame,
+    bench_docs: DataFrame | None = None,
     bench_max: int = DECON_BENCH_MAX,
     n: int = DECON_NGRAM,
     threshold: float = DECON_THRESHOLD,
@@ -261,6 +264,12 @@ def decontaminate(
     ``threshold`` — the step that keeps eval answers out of a training
     mix. Tokenization matches ``dup_ngram_fraction`` exactly.
 
+    The eval set is ``bench_docs`` (any DataFrame with ``text_col`` —
+    a real benchmark table); every row of ``docs`` is then probed.
+    When ``bench_docs`` is None, the deterministic ``doc_id <
+    bench_max`` slice of ``docs`` stands in (the oracle's fixture) and
+    those benchmark rows are excluded from the probed corpus.
+
     Scale design: the benchmark gram set is tiny next to the corpus,
     so it is the BROADCAST side of the membership join — the corpus
     never shuffles for the probe; the only wide op is the per-doc
@@ -268,31 +277,40 @@ def decontaminate(
     a scan + broadcast hash join, linear in the corpus.
 
     Output: (doc_id, n_ngrams, n_hits, contam_frac, is_contaminated)
-    for every NON-benchmark document.
+    for every probed document.
     """
     docs = fan_out(docs)
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
-        lambda t: F.length(t) > 0,
-    )
-    ngrams = F.when(
-        F.size("__toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    with_toks = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks")
-    )
-    ng_rows = with_toks.select("doc_id", F.explode(ngrams).alias("ng"))
+
+    def _gram_rows(df: DataFrame, df_id_col: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+            lambda t: F.length(t) > 0,
+        )
+        ngrams = F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col(df_id_col).alias("doc_id"), toks.alias("__toks")
+        ).select("doc_id", F.explode(ngrams).alias("ng"))
+
+    ng_rows = _gram_rows(docs, id_col)
+    if bench_docs is not None:
+        bench_src = _gram_rows(bench_docs, id_col)
+        corpus = ng_rows
+        keep = docs.select(F.col(id_col).alias("doc_id"))
+    else:
+        bench_src = ng_rows.filter(F.col("doc_id") < bench_max)
+        corpus = ng_rows.filter(F.col("doc_id") >= bench_max)
+        keep = docs.select(F.col(id_col).alias("doc_id")).filter(
+            F.col("doc_id") >= bench_max
+        )
     bench_grams = (
-        ng_rows.filter(F.col("doc_id") < bench_max)
-        .select("ng")
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+        bench_src.select("ng").distinct().withColumn("__hit", F.lit(1))
     )
-    corpus = ng_rows.filter(F.col("doc_id") >= bench_max)
     per_doc = (
         corpus.join(F.broadcast(bench_grams), "ng", "left")
         .groupBy("doc_id")
@@ -302,9 +320,7 @@ def decontaminate(
         )
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .filter(F.col("doc_id") >= bench_max)
-        .join(per_doc, "doc_id", "left")
+        keep.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_ngrams", F.lit(0))

@@ -2516,6 +2516,71 @@ FROM off
 """
 
 
+def pack_rows_sql(
+    budget: int | None = None, n_shards: int | None = None
+) -> str:
+    """Twin of operators.packing.pack_rows projected for comparison:
+    per-(shard, bin) doc/token counts plus an md5 of the space-joined
+    packed token stream (the full array would bloat the compare; the
+    digest pins content equality). Same tokenization and ROWS-framed
+    cumulative sum as pack_sequences_sql; empty docs dropped."""
+    from rag_database_spark.functions.text import SPLIT_RE
+    from rag_database_spark.operators.packing import (
+        PACK_BUDGET,
+        PACK_NSHARDS,
+    )
+
+    budget = budget or PACK_BUDGET
+    n_shards = n_shards or PACK_NSHARDS
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS toks,
+         (doc_id % {n_shards})::BIGINT AS shard
+  FROM documents
+),
+off AS (
+  SELECT doc_id, shard, toks, len(toks)::BIGINT AS n_tokens,
+         sum(len(toks)) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS end_offset
+  FROM toks
+),
+base AS (
+  SELECT shard, toks, n_tokens,
+         (end_offset - n_tokens)::BIGINT AS start_offset, end_offset
+  FROM off WHERE n_tokens > 0
+),
+spans AS (
+  SELECT shard, toks, start_offset, end_offset,
+         unnest(range(start_offset // {budget},
+                      greatest((end_offset - 1) // {budget},
+                               start_offset // {budget}) + 1)) AS bin
+  FROM base
+),
+segs AS (
+  SELECT shard, bin, start_offset,
+         list_slice(
+           toks,
+           (greatest(bin * {budget}, start_offset)
+            - start_offset + 1)::BIGINT,
+           (least((bin + 1) * {budget}, end_offset)
+            - start_offset)::BIGINT
+         ) AS seg
+  FROM spans
+)
+SELECT shard, bin::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs,
+       len(flatten(list(seg ORDER BY start_offset)))::BIGINT AS n_tokens,
+       md5(array_to_string(flatten(list(seg ORDER BY start_offset)), ' '))
+         AS tokens_md5
+FROM segs
+GROUP BY shard, bin
+"""
+
+
 def decontaminate_sql(
     bench_max: int | None = None,
     n: int | None = None,

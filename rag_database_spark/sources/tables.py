@@ -41,10 +41,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # was 5-20× SLOWER than factor 2 on the 19-regex quality scan.
 FAN_OUT_FACTOR = 2
 
+# Memoized input partition counts keyed by the DataFrame's semantic
+# hash: probing via df.rdd.getNumPartitions() builds the full physical
+# plan + RDD lineage, which is pure driver overhead when the same scan
+# feeds many operators. The hash covers the analyzed plan (source path
+# included), so a repeat probe of the same input is a dict hit. Bounded
+# so a long-lived session can't grow it without limit; staleness (a
+# path re-written with more files between calls) only costs one
+# redundant exchange, never correctness.
+_FAN_OUT_MEMO: dict[int, int] = {}
+_FAN_OUT_MEMO_MAX = 256
+
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin reshard an under-parallel input before a CPU-heavy
-    per-row stage (regex banks, shingle hashing, embedding, chunking).
+    per-row stage (regex banks, shingle hashing, embedding).
 
     A small parquet table arrives as ONE input split (one file, one row
     group), so without this every per-row-expensive projection — and the
@@ -54,10 +65,24 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     target, and this returns the input unchanged — the extra exchange
     exists only in the degenerate under-split case, where its cost
     (shuffling the raw rows once) is dwarfed by the parallelism it buys.
+
+    Apply per-operator, only before genuinely CPU-bound projections
+    (the 19-regex quality scan, rolling-hash fingerprints, shingle
+    hashing, hash embedding): measured at sf0.1 the reshard wins 2-6×
+    there but costs ~0.6-1 s where the per-row work is one cheap split
+    (the chunk pipeline) or where a shuffle follows anyway (exact
+    dedup's groupBy).
     """
     spark = df.sparkSession
     target = min_parts or FAN_OUT_FACTOR * spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    key = df.semanticHash()
+    nparts = _FAN_OUT_MEMO.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if len(_FAN_OUT_MEMO) >= _FAN_OUT_MEMO_MAX:
+            _FAN_OUT_MEMO.clear()
+        _FAN_OUT_MEMO[key] = nparts
+    if nparts >= target:
         return df
     return df.repartition(target)
 

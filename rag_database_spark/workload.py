@@ -50,6 +50,10 @@ KNN_K = 10
 
 
 def queries_df(spark: SparkSession) -> DataFrame:
+    # plain LocalRelation — do NOT coalesce(1): a Coalesce over a
+    # LocalTableScan blocks the ConvertToLocalRelation fold AND makes
+    # every collect re-evaluate the wide analysis projections in one
+    # serial task (measured 4 s/run vs 0.5 s warm without it)
     return spark.createDataFrame(
         list(HYBRID_QUERIES), "query_id long, query_text string, query_vec_id long"
     )
@@ -130,6 +134,7 @@ def queries_values_sql() -> str:
 
 
 def analysis_queries_df(spark: SparkSession) -> DataFrame:
+    # plain LocalRelation — no coalesce(1); see queries_df
     return spark.createDataFrame(
         list(ANALYSIS_QUERIES), "query_id long, query_text string"
     )

@@ -86,3 +86,54 @@ def test_decontaminate_flags_overlap(spark):
     assert out[10]["is_contaminated"]
     assert out[11]["n_hits"] == 0 and not out[11]["is_contaminated"]
     assert out[12]["n_ngrams"] == 0 and not out[12]["is_contaminated"]
+
+
+def test_pack_rows_materializes_full_bins(spark, docs):
+    from rag_database_spark.operators.packing import pack_rows
+
+    out = {(r["shard"], r["bin"]): r
+           for r in pack_rows(docs, budget=8, n_shards=4).collect()}
+    # shard 0 stream: a b c | one two three four five | x y
+    assert out[(0, 0)]["tokens"] == [
+        "a", "b", "c", "one", "two", "three", "four", "five"
+    ]
+    assert out[(0, 0)]["n_docs"] == 2
+    assert out[(0, 1)]["tokens"] == ["x", "y"]
+    # shard 1: one 25-token doc split 8/8/8/1 across bins 0..3
+    for b in range(3):
+        assert out[(1, b)]["n_tokens"] == 8
+        assert out[(1, b)]["tokens"] == [f"t{i}" for i in range(b * 8, b * 8 + 8)]
+    assert out[(1, 3)]["tokens"] == ["t24"]
+    # shard 2: the empty doc contributes nothing (not even n_docs)
+    assert out[(2, 0)]["tokens"] == ["p", "q", "r"]
+    assert out[(2, 0)]["n_docs"] == 1
+    # every bin except each shard's tail holds exactly the budget
+    max_bin = {}
+    for (s, b) in out:
+        max_bin[s] = max(max_bin.get(s, -1), b)
+    for (s, b), r in out.items():
+        if b < max_bin[s]:
+            assert r["n_tokens"] == 8, (s, b)
+        assert r["n_tokens"] <= 8
+
+
+def test_decontaminate_with_external_bench_table(spark):
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    rows = [
+        (10, bench_text),                     # contaminated copy
+        (11, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),   # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            docs, bench_docs=bench, n=8, threshold=0.5
+        ).collect()
+    }
+    # every training doc is probed (no id-slice exclusion)
+    assert set(out) == {10, 11}
+    assert out[10]["n_hits"] == 3 and out[10]["is_contaminated"]
+    assert out[11]["n_hits"] == 0 and not out[11]["is_contaminated"]

@@ -58,9 +58,12 @@ def test_quality_scan_stays_in_codegen(spark):
 
     df = doc_quality(load_table(spark, SF_DIR, "documents"))
     p = plan_of(df)
-    assert "[codegen id :" in p  # whole-stage codegen span
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
     assert "ArrowEvalPython" not in p
+    # The formatted plan hides codegen ids under a pre-execution
+    # AdaptiveSparkPlan (the fan_out exchange triggers AQE), so assert
+    # the whole-stage span on the codegen dump instead.
+    assert "WholeStageCodegen" in plan_of(df, "codegen")
 
 
 def test_bm25_query_semijoin_before_vocab_agg(spark):
@@ -109,3 +112,30 @@ def test_date_partitioned_layout_prunes(spark, tmp_path):
     # correctness of the pruned read
     expected = events.filter(F.col("day") == F.lit(day)).count()
     assert back.count() == expected and expected > 0
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The IVF query path must read only the probed centroids'
+    directories: the static isin filter on the partitionBy(centroid_id)
+    layout becomes a PartitionFilter, so probing p of C lists costs
+    p/C of the scan — the difference between a pruned probe and a
+    corpus pass at 100 TB."""
+    from rag_database_spark.operators.similarity import (
+        ivf_topk_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_centroids=8, id_col="vec_id",
+                    vec_col="embedding")
+    centroids, lists = read_ivf_index(spark, path)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    out = ivf_topk_indexed(queries, centroids, lists, 5, n_probe=2)
+    p = plan_of(out)
+    assert "PartitionFilters: [centroid_id" in p
+    assert "BroadcastHashJoin" in plan_of(out, "simple")

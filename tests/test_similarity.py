@@ -178,3 +178,53 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(key(exact) & key(approx)) / len(key(exact))
     assert recall >= 0.9
+
+
+def test_ivf_persisted_index_matches_inline_fit(spark, tmp_path):
+    """write_ivf_index → ivf_topk_indexed returns exactly what the
+    one-call ivf_topk computes (same seed ⇒ same centroids ⇒ same
+    probes ⇒ same candidates), and the query path never touches
+    KMeans — refitting per query batch is the scale bug the split
+    removes."""
+    from pyspark.ml.clustering import KMeans
+
+    from rag_database_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 12)) * 5
+    rows = [
+        (i, (centers[i % 4] + rng.normal(scale=0.3, size=12)).tolist())
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    queries = spark.createDataFrame(
+        [(qi, (centers[qi] + rng.normal(scale=0.3, size=12)).tolist())
+         for qi in range(4)],
+        "query_id long, qvec array<double>",
+    )
+
+    inline = ivf_topk(queries, corpus, 10, n_centroids=8, n_probe=3)
+    inline_rows = {(r["query_id"], r["id"], round(r["score"], 9))
+                   for r in inline.collect()}
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_centroids=8)
+    centroids, lists = read_ivf_index(spark, path)
+
+    def boom(self, df):  # pragma: no cover - failure path
+        raise AssertionError("KMeans.fit ran in the IVF query path")
+
+    orig_fit = KMeans.fit
+    KMeans.fit = boom
+    try:
+        indexed = ivf_topk_indexed(queries, centroids, lists, 10, n_probe=3)
+        got = {(r["query_id"], r["id"], round(r["score"], 9))
+               for r in indexed.collect()}
+    finally:
+        KMeans.fit = orig_fit
+    assert got == inline_rows
