@@ -74,6 +74,14 @@ def main() -> int:
         "n_runs": N_RUNS,
         "sf": sf,
     }
+    # embed the latest scale-probe results (tools/scale_probe.py) so
+    # the per-round detail carries per-query scaling exponents
+    scaling_path = Path(__file__).resolve().parent / "SCALING.json"
+    if scaling_path.exists():
+        try:
+            detail["scaling"] = json.loads(scaling_path.read_text())
+        except (OSError, json.JSONDecodeError):
+            pass
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
     # The stdout line keeps the contract keys but adapts per-query
@@ -92,6 +100,21 @@ def main() -> int:
         )
         if len(line) <= 1800:
             break
+    if len(line) > 1800:
+        # final fallback: drop the per-query dict entirely (it lives in
+        # BENCH_DETAIL.json) rather than risk the driver truncating the
+        # line mid-JSON — contract keys stay present
+        line = json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": {},
+                "n_runs": N_RUNS,
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
+            }
+        )
     print(line, flush=True)
     return 0
 

@@ -59,10 +59,12 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
-def _real_decode(payload: bytes, kind: str) -> dict:  # pragma: no cover
+def _real_decode(payload: bytes, kind: str) -> dict:
     """Real decoder (document_processor.py:239-308 visual path): PIL for
     images; audio/video duration would come from ffmpeg probe — until
-    that library exists too, non-image kinds keep the stub fields."""
+    that library exists too, non-image kinds keep the stub fields.
+    Covered by a recorded-fixture test injecting a fake PIL
+    (tests/test_seams.py)."""
     import io
 
     import PIL.Image

@@ -49,11 +49,13 @@ def _doc_id(path: str, content: bytes) -> str:
     return f"{stem}_{hashlib.md5(content or b'').hexdigest()[:12]}"
 
 
-def _real_parse(content: bytes) -> list[tuple[str, str, int]]:  # pragma: no cover
+def _real_parse(content: bytes) -> list[tuple[str, str, int]]:
     """S1/S2 real path (document_processor.py:310-468): route the bytes
     through unstructured.partition.auto — same (category, text, page)
-    triples the stub emits, so downstream plumbing is identical. Only
-    reachable when the library is installed (see ``_parse_impl``)."""
+    triples the stub emits, so downstream plumbing is identical.
+    Dispatched to when the library is importable (see ``_parse_impl``);
+    the element-typing/page-number logic is covered by a recorded
+    fixture test that injects a fake module (tests/test_seams.py)."""
     from io import BytesIO
 
     from unstructured.partition.auto import partition

@@ -105,3 +105,81 @@ def test_embed_text_fallback_is_hash_projection(spark):
     row = embedder.embed_text(df).first()
     assert len(row["embedding"]) == embedder.EMBED_DIM
     assert any(v != 0.0 for v in row["embedding"])
+
+
+def test_real_parse_consumes_recorded_unstructured_elements(monkeypatch):
+    """The real-branch logic itself — element typing via the class
+    name, str() text extraction, page-number fallback — runs against a
+    RECORDED Unstructured-style element list (shape:
+    document_processor.py:337-368) without the library installed."""
+    from rag_database_spark.sources import ingest
+
+    class _Meta:
+        def __init__(self, page_number):
+            self.page_number = page_number
+
+    def make(cls_name, text, meta):
+        cls = type(cls_name, (), {"__str__": (lambda t: lambda self: t)(text)})
+        ob = cls()
+        if meta is not None:
+            ob.metadata = meta
+        return ob
+
+    recorded = [
+        make("Title", "Quarterly Report", _Meta(1)),
+        make("NarrativeText", "Revenue grew 12% in Q3.", _Meta(1)),
+        make("Table", "| a | b |", _Meta(2)),
+        make("NarrativeText", "element without metadata", None),
+        make("Footer", "page footer", _Meta(None)),  # page None -> 1
+    ]
+
+    seen = {}
+
+    def partition(file=None):
+        seen["bytes"] = file.read()
+        return recorded
+
+    fake_root = types.ModuleType("unstructured")
+    fake_part = types.ModuleType("unstructured.partition")
+    fake_auto = types.ModuleType("unstructured.partition.auto")
+    fake_auto.partition = partition
+    fake_part.auto = fake_auto
+    fake_root.partition = fake_part
+    monkeypatch.setitem(sys.modules, "unstructured", fake_root)
+    monkeypatch.setitem(sys.modules, "unstructured.partition", fake_part)
+    monkeypatch.setitem(sys.modules, "unstructured.partition.auto", fake_auto)
+
+    out = ingest._real_parse(b"raw pdf bytes")
+    assert seen["bytes"] == b"raw pdf bytes"
+    assert out == [
+        ("Title", "Quarterly Report", 1),
+        ("NarrativeText", "Revenue grew 12% in Q3.", 1),
+        ("Table", "| a | b |", 2),
+        ("NarrativeText", "element without metadata", 1),
+        ("Footer", "page footer", 1),
+    ]
+    # empty payload still routes through the library (BytesIO of b"")
+    assert ingest._real_parse(None) == out
+    assert seen["bytes"] == b""
+
+
+def test_real_decode_consumes_recorded_pil_image(monkeypatch):
+    from rag_database_spark.operators import multimodal
+
+    class _Im:
+        width = 640
+        height = 480
+
+    fake_img = types.ModuleType("PIL.Image")
+    fake_img.open = lambda bio: _Im()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_img
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
+
+    out = multimodal._real_decode(b"\x89PNGxxxx", "image")
+    assert out == {"width": 640, "height": 480, "duration_ms": 0, "ok": True}
+    # non-image kinds fall through to the deterministic stub fields
+    assert multimodal._real_decode(b"zz", "video") == multimodal._fake_decode(
+        b"zz", "video"
+    )
