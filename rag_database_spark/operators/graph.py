@@ -164,11 +164,30 @@ def undirected(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+def build_adjacency(
+    edges: DataFrame, min_confidence: float = MIN_CONFIDENCE
+) -> DataFrame:
+    """The traversal-ready adjacency list: undirected, confidence-
+    filtered, hash-partitioned on the join key. Query-independent —
+    serving callers build it once per graph (and persist it) and pass
+    it to every ``bfs_expand``/``augment_results`` call, the same
+    artifact discipline as the persisted BM25/IVF indexes; the
+    reference likewise holds its graph structure resident across
+    queries (document_graph.py:56-84) instead of re-deriving it per
+    walk."""
+    return (
+        undirected(edges)
+        .filter(F.col("confidence") >= min_confidence)
+        .repartition("me")
+    )
+
+
 def bfs_expand(
     edges: DataFrame,
     seeds: DataFrame,
     max_depth: int = 2,
     min_confidence: float = MIN_CONFIDENCE,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """J5/U5 (document_graph.py:352-426): multi-source BFS over the
     (src, dst, confidence) edge frame, depth ≤ ``max_depth``, edges
@@ -186,14 +205,21 @@ def bfs_expand(
     the whole upstream lineage (edge extraction included) once per hop.
     Measured at depth 4 on the bench graph: 18.5s → 3.3s warm (14s
     first call, dominated by one-time edge materialization); the win
-    grows with depth."""
-    # hash-partition the cached adjacency on the join key: every hop's
-    # equi-join reuses that partitioning instead of re-exchanging adj,
-    # and the cache holds shuffle-partition-count partitions rather than
-    # the union's concatenated micro-partitions
-    adj = undirected(edges).filter(
-        F.col("confidence") >= min_confidence
-    ).repartition("me").persist()
+    grows with depth.
+
+    ``adj``: a pre-built (and ideally already-persisted)
+    ``build_adjacency`` frame — callers serving many walks over one
+    graph pass it so the adjacency materializes once per graph, not
+    once per call. When given, ``edges``/``min_confidence`` are
+    ignored and its persistence is left untouched."""
+    own_adj = adj is None
+    if own_adj:
+        # hash-partition the cached adjacency on the join key: every
+        # hop's equi-join reuses that partitioning instead of
+        # re-exchanging adj, and the cache holds shuffle-partition-count
+        # partitions rather than the union's concatenated
+        # micro-partitions
+        adj = build_adjacency(edges, min_confidence).persist()
     frontier = seeds.select(
         F.col("start_id"), F.col("start_id").alias("doc_id")
     )
@@ -220,7 +246,8 @@ def bfs_expand(
     # partition — repeated callers in one session must not accumulate
     # adjacency + frontier caches for the session lifetime
     out = reduce(lambda a, b: a.unionByName(b), results).localCheckpoint()
-    adj.unpersist()
+    if own_adj:
+        adj.unpersist()
     for cached in hop_caches:
         cached.unpersist()
     return out
@@ -259,6 +286,7 @@ def shortest_chains(
     pairs: DataFrame,
     max_depth: int = 5,
     min_confidence: float = MIN_CONFIDENCE,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """J6 batch form (document_graph.py:469-513): shortest relation
     chain length for every (src, dst) pair in one BFS sweep.
@@ -269,7 +297,7 @@ def shortest_chains(
     Unreachable-within-``max_depth`` pairs keep a NULL ``chain_len``,
     the relational form of the reference's ``None`` return."""
     seeds = pairs.select(F.col("src").alias("start_id")).distinct()
-    reach = bfs_expand(edges, seeds, max_depth, min_confidence)
+    reach = bfs_expand(edges, seeds, max_depth, min_confidence, adj=adj)
     return pairs.join(
         reach,
         (pairs["src"] == reach["start_id"])
@@ -284,14 +312,19 @@ def augment_results(
     top_results: int = 5,
     max_augmented: int = 3,
     min_confidence: float = MIN_CONFIDENCE,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """J7 (document_graph.py:542-602): expand the top-N results per
     query by 1 hop; related docs score = avg edge confidence, keep the
-    best ``max_augmented`` new docs per query."""
+    best ``max_augmented`` new docs per query.
+
+    ``adj``: optional pre-built ``build_adjacency`` frame (same
+    contract as ``bfs_expand``)."""
     top = results.filter(F.col("rank") <= top_results).select(
         "query_id", F.col("id").alias("doc_id")
     )
-    adj = undirected(edges).filter(F.col("confidence") >= min_confidence)
+    if adj is None:
+        adj = undirected(edges).filter(F.col("confidence") >= min_confidence)
     related = (
         top.join(adj, top["doc_id"] == adj["me"])
         .groupBy("query_id", F.col("other").alias("id"))

@@ -91,3 +91,37 @@ def test_augment_results(spark, chain_edges):
     got = {r["id"]: (r["graph_score"], r["aug_rank"]) for r in rows}
     # neighbors of doc 2: 1 and 3 (conf .9 each), both new
     assert got == {1: (0.9, 1), 3: (0.9, 2)}
+
+
+def test_bfs_with_prebuilt_adjacency(spark, chain_edges):
+    """A supplied build_adjacency frame gives identical results to the
+    self-built path across all three traversal operators.
+
+    (No persistence assertion: Spark's cache manager keys cached data
+    by analyzed plan, so a self-built twin of the same adjacency plan
+    shares — and on unpersist clears — the same cache entry; only
+    results, never cache state, are guaranteed here.)"""
+    seeds = spark.createDataFrame([(1,)], ["start_id"])
+    adj = g.build_adjacency(chain_edges, 0.5).persist()
+    try:
+        own = g.bfs_expand(chain_edges, seeds, 2, 0.5)
+        given = g.bfs_expand(chain_edges, seeds, 2, 0.5, adj=adj)
+        assert sorted(map(tuple, own.collect())) == sorted(
+            map(tuple, given.collect())
+        )
+        chains = g.shortest_chains(
+            chain_edges,
+            spark.createDataFrame([(1, 4)], "src long, dst long"),
+            max_depth=3,
+            min_confidence=0.5,
+            adj=adj,
+        ).collect()
+        assert chains[0]["chain_len"] == 3
+        aug = g.augment_results(
+            spark.createDataFrame([(1, 2, 1)], "query_id long, id long, rank long"),
+            chain_edges,
+            adj=adj,
+        ).collect()
+        assert {r["id"] for r in aug} == {1, 3}
+    finally:
+        adj.unpersist()
