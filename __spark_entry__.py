@@ -117,11 +117,17 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 
 def prepare(spark: SparkSession, sf_dir: str) -> None:
     """Optional warmup hook (bench.py calls it): materialize the
-    persisted derived artifacts (BM25 index, shingle inverted index)
-    so timed runs measure the query paths."""
+    persisted derived artifacts (BM25 index, shingle inverted index,
+    IVF lists, near-dup pair set, graph adjacency) so timed runs
+    measure the query paths, not one-time index construction. The
+    jaccard/adjacency warms are ``count()``s because those artifacts
+    live as persisted in-session frames rather than parquet."""
     _bm25_index(spark, sf_dir)
     _shingle_index(spark, sf_dir)
     _ivf_index(spark, sf_dir)
+    _jaccard_pairs(spark, sf_dir).count()
+    for conf in (graph_ops.MIN_CONFIDENCE, GRAPH_MIN_CONF):
+        _adjacency(spark, sf_dir, conf).count()
 
 
 # --------------------------------------------------------------------------

@@ -88,10 +88,35 @@ def chunk_documents(
         .otherwise(F.floor((n - chunk_size + stride - 1) / stride) + 1)
         .cast("long")
     )
-    exploded = base.withColumn("n_chunks", n_chunks).select(
+    # char_start per chunk in O(doc_len) total: the naive form
+    # (re-joining the word prefix per chunk row) is O(doc_len²/stride)
+    # per document — ruinous for long documents at scale. Instead:
+    # per-stride segment char lengths in one pass over the words, then
+    # a prefix sum over the (tiny, ≤n_chunks) segment array; chunk k
+    # starts at prefix[k] = Σ_{i ≤ k·stride} (len(word_i) + 1), which
+    # is exactly length(join(words[1..k·stride])) + 1 for k > 0.
+    seg_lens = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1),
+        lambda k: F.aggregate(
+            F.slice(F.col("words"), (k * stride + 1).cast("int"), stride),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w) + 1,
+        ),
+    )
+    char_starts = F.aggregate(
+        seg_lens,
+        F.array(F.lit(0).cast("long")),
+        lambda acc, x: F.concat(
+            acc, F.array(F.element_at(acc, -1) + x)
+        ),
+    )
+    exploded = base.withColumn("n_chunks", n_chunks).withColumn(
+        "__char_starts", char_starts
+    ).select(
         "doc_id",
         "words",
         "n",
+        "__char_starts",
         F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
             "chunk_index"
         ),
@@ -99,10 +124,8 @@ def chunk_documents(
     start = (F.col("chunk_index") * stride).cast("int")
     chunk_words = F.slice(F.col("words"), start + 1, chunk_size)
     chunk_text = F.array_join(chunk_words, " ")
-    char_start = F.when(start == 0, F.lit(0).cast("long")).otherwise(
-        (F.length(F.array_join(F.slice(F.col("words"), 1, start), " ")) + 1).cast(
-            "long"
-        )
+    char_start = F.element_at(
+        F.col("__char_starts"), (F.col("chunk_index") + 1).cast("int")
     )
     return exploded.select(
         "doc_id",

@@ -347,21 +347,26 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint (Charikar '02): per-token 60-bit hash; bit j
     of the fingerprint is 1 iff Σ_tokens tf·(±1 by hash bit j) > 0.
-    One explode + two groupBys (term tf, then doc) — all JVM exprs."""
+
+    One explode + ONE groupBy: Σ_term tf(term)·sign_j(term) equals
+    Σ_occurrence sign_j(token), so the intermediate (doc, term) tf
+    aggregation — a full extra shuffle of every distinct term — is
+    algebraically redundant; per-occurrence ±1 contributions flow
+    straight into the doc-level sum, where map-side partial
+    aggregation collapses them to one row per (doc, partition) before
+    the only shuffle. All JVM exprs."""
     docs = fan_out(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(raw_tokens(F.col(text_col))).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     h = hash60(F.col("term"))
-    contribs = tf.select(
+    one = F.lit(1).cast("long")
+    contribs = toks.select(
         "doc_id",
         *[
-            F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf")
-            )
-            .otherwise(-F.col("tf"))
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, one)
+            .otherwise(-one)
             .alias(f"c_{j}")
             for j in range(bits)
         ],

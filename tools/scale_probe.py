@@ -1,6 +1,6 @@
-"""Per-query scaling probe: run every queries() entry once at the
-synthetic sf1 (tools/make_scale_probe.py) and at sf0.1, and record the
-scaling exponent of each —
+"""Per-query scaling probe: run every queries() entry at the synthetic
+sf1 (tools/make_scale_probe.py) and at sf0.1, and record the scaling
+exponent of each —
 
     exponent = log(t_sf1 / t_sf0.1) / log(10)
 
@@ -10,9 +10,22 @@ flag: work growing faster than data (quadratic candidate sets,
 unpruned scans). Results go to SCALING.json; bench.py embeds them in
 BENCH_DETAIL.json so every round's detail carries the latest probe.
 
-Times here are single-run (the probe wants decade-level ratios, not
-3-run medians), so exponents carry ±0.1-0.2 of noise; read >1.3 as
-"audit this plan", not as a precise complexity measurement.
+Each point is the MIN of two back-to-back runs: prepare() warms the
+persisted artifacts first, and the min damps one-off contamination
+(GC from a neighbor entry's artifact build, OS cache eviction) that a
+single pass charges to whichever entry runs next — a first probe run
+recorded chunk_documents at 62 s under exactly that contamination when
+its isolated cost at sf1 is ~5 s. Exponents still carry ±0.1-0.2 of
+noise; read >1.3 as "audit this plan", not as a precise complexity
+measurement.
+
+Known-inherent superlinear causes on THIS probe corpus are annotated
+in AUDIT_NOTES and excluded from the red-flag list: the 10×-replica
+corpus makes every document 9 true near-duplicates of itself, so any
+operator whose OUTPUT is the near-dup pair/edge set answers a
+genuinely ~quadratic question — work tracking output size is not a
+plan defect (candidate generation stays bucketed: shingle prefix,
+MinHash bands, hyperplane LSH).
 """
 
 from __future__ import annotations
@@ -32,16 +45,40 @@ import __spark_entry__ as entrymod  # noqa: E402
 from rag_database_spark.session import get_spark  # noqa: E402
 
 SF_SMALL = "/root/testdata/sf0.1"
+RUNS_PER_POINT = 2
+
+# Entries whose sf1 growth is dominated by genuine answer-size growth
+# on the replica corpus (every doc has 9 true near-dups → pair/edge
+# outputs grow ~quadratically with replica count). Their exponents are
+# reported but not flagged.
+AUDIT_NOTES = {
+    "near_dup_pairs": "output = true near-dup pair set; replica corpus "
+    "makes it grow ~quadratically by construction",
+    "dedup_clusters": "consumes the quadratically-grown pair set",
+    "embedding_near_dup": "replicated embeddings are exact dups → "
+    "cosine-pair output grows ~quadratically; LSH bucketing keeps "
+    "candidate generation keyed, work tracks output size",
+    "augment_results": "graph edges include the near-dup pair set → "
+    "adjacency (and 1-hop fan-out) grows superlinearly with replica "
+    "density",
+}
 
 
 def time_all(spark, sf_dir: str) -> dict[str, float]:
     entrymod.prepare(spark, sf_dir)
     out: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
-        t0 = time.time()
+        best = float("nan")
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 3)
+            for _ in range(RUNS_PER_POINT):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                if not best == best or dt < best:
+                    best = dt
+            out[name] = round(best, 3)
         except Exception as exc:  # keep the probe running
             print(f"{name}: FAILED {exc}", file=sys.stderr)
             out[name] = float("nan")
@@ -65,18 +102,28 @@ def main() -> int:
             else None
         )
         scaling[name] = {"t_sf0.1": ts, "t_sf1": tb, "exponent": exp}
+        if name in AUDIT_NOTES:
+            scaling[name]["audit"] = AUDIT_NOTES[name]
     blob = {
         "probe": "sf0.1 -> synthetic sf1 (10x rows, tools/make_scale_probe.py)",
-        "runs_per_point": 1,
+        "runs_per_point": RUNS_PER_POINT,
         "queries": scaling,
         "superlinear": sorted(
             n for n, s in scaling.items()
             if s["exponent"] is not None and s["exponent"] > 1.3
-            and s["t_sf1"] > 1.0
+            and s["t_sf1"] > 1.0 and n not in AUDIT_NOTES
+        ),
+        "audited_inherent": sorted(
+            n for n in AUDIT_NOTES
+            if scaling.get(n, {}).get("exponent") is not None
+            and scaling[n]["exponent"] > 1.3
         ),
     }
     (REPO / "SCALING.json").write_text(json.dumps(blob, indent=1) + "\n")
-    print(json.dumps({"superlinear": blob["superlinear"]}))
+    print(json.dumps({
+        "superlinear": blob["superlinear"],
+        "audited_inherent": blob["audited_inherent"],
+    }))
     return 0
 
 
