@@ -139,3 +139,41 @@ def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
     p = plan_of(out)
     assert "PartitionFilters: [centroid_id" in p
     assert "BroadcastHashJoin" in plan_of(out, "simple")
+
+
+def test_chunk_pipeline_has_no_extra_exchange(spark):
+    """Word-window chunking is pure column algebra: the only exchange
+    in the full pipeline is the one hash-partition by doc_id feeding
+    the page as-of window (+ its union leg). In particular the
+    char-offset computation must not introduce joins or shuffles —
+    it runs as an in-array prefix sum, O(doc_len) per document."""
+    from rag_database_spark.operators.chunking import (
+        chunk_documents,
+        chunk_pipeline,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # the raw word-window chunker alone: zero exchanges, zero joins
+    p = plan_of(chunk_documents(docs), "simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    # full pipeline (page as-of + hierarchy): exchanges only for the
+    # doc_id window partitioning, never a join-shaped shuffle per chunk
+    p_full = plan_of(chunk_pipeline(docs), "simple")
+    assert "SortMergeJoin" not in p_full
+
+
+def test_simhash_single_shuffle(spark):
+    """SimHash needs exactly ONE aggregation exchange (the doc-level
+    sign sum); the per-(doc, term) tf pre-aggregation was removed as
+    algebraically redundant, so a second shuffle of the distinct-term
+    space would be a regression."""
+    from rag_database_spark.operators.dedup import simhash
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = plan_of(simhash(docs), "simple")
+    # one aggregate exchange (+ optionally the fan_out round-robin
+    # reshard, which is not a hashpartitioning exchange)
+    assert p.count("Exchange hashpartitioning") == 1
+    p_full = plan_of(simhash(docs))
+    assert "partial_sum" in p_full  # map-side combine before it
