@@ -998,6 +998,16 @@ def _pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-stratified corpus sampling: tier from the
+    A7 quality pipeline, keep iff md5(seed:doc_id)'s 60-bit value falls
+    under the tier fraction — the reproducible mixing step of a
+    training-data pipeline (stable across partitioning and engines)."""
+    return text_analytics.stratified_sample(
+        load_table(spark, sf_dir, "documents"), deterministic=True
+    )
+
+
 def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 8-gram overlap of every training doc
     against the (broadcast) benchmark gram set, flagged at 10%."""
@@ -1102,7 +1112,7 @@ _PURE_LAZY = frozenset({
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
     "conversions", "route_stats", "gopher_rules", "ann_ivf_topk",
-    "pack_sequences", "pack_rows", "decontam",
+    "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
 
 
@@ -1198,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "pack_rows": _pack_rows,
         "decontam": _decontam,
+        "stratified_sample": _stratified_sample,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1314,4 +1325,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles.pack_sequences_sql(),
         "pack_rows": oracles.pack_rows_sql(),
         "decontam": oracles.decontaminate_sql(),
+        "stratified_sample": oracles.stratified_sample_sql(),
     }

@@ -396,18 +396,51 @@ def stratified_sample(docs: DataFrame,
                       fractions: dict[str, float] | None = None,
                       seed: int = 42,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      deterministic: bool = False) -> DataFrame:
     """Quality-stratified corpus sampling — the mixing step of a
     training-data pipeline: keep all high-tier text, down-sample the
-    middle, drop the garbage tier. ``sampleBy`` on the quality tier is
-    one scan with per-row Bernoulli draws (seeded), no shuffle; at
-    100 TB the sample streams out at scan speed.
+    middle, drop the garbage tier.
 
-    Sampling is probabilistic per partition split, so verification is
-    statistical (per-tier rates within binomial bounds,
-    tests/test_pipeline_text.py), not an equality oracle."""
+    Two modes, both one scan with per-row draws (no shuffle; at 100 TB
+    the sample streams out at scan speed):
+
+    - ``deterministic=False``: ``sampleBy`` on the quality tier —
+      seeded Bernoulli draws whose outcome depends on the partition
+      split, so verification is statistical (per-tier rates within
+      binomial bounds, tests/test_pipeline_text.py).
+    - ``deterministic=True``: content-hash sampling — keep a row iff
+      its md5-derived 60-bit hash of ``seed:doc_id`` falls below
+      ``fraction × 2^60``. The keep set is a pure function of the ids
+      (stable across partitioning, engines, and reruns — the
+      reproducible-pipeline form used when a 100 TB sample must be
+      re-derivable), and exactly reproducible by the DuckDB oracle
+      via the same integer threshold (``oracles.stratified_sample_sql``).
+    """
     if fractions is None:
         fractions = {"high": 1.0, "medium": 0.5, "low": 0.1, "garbage": 0.0}
     dq = doc_quality(docs, id_col, text_col).select("doc_id", "tier")
     keyed = docs.select(F.col(id_col).alias("doc_id")).join(dq, "doc_id")
-    return keyed.sampleBy("tier", fractions, seed)
+    if not deterministic:
+        return keyed.sampleBy("tier", fractions, seed)
+    # 60-bit uniform key from md5 (same construction as dedup.py: Spark
+    # conv(substr(md5(x),1,15),16,10) == DuckDB ('0x'||substr(..))::BIGINT);
+    # thresholds stay in exact integer space — no float round-trip.
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)),
+                              F.col("doc_id").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    thr = None
+    for tier, frac in fractions.items():
+        lim = F.lit(int(frac * (1 << 60)))
+        cond = F.col("tier") == tier
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    return (
+        keyed.withColumn("_h", h)
+        .filter(F.col("_h") < thr)
+        .select("doc_id", "tier")
+    )

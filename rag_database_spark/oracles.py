@@ -405,6 +405,29 @@ FROM scored
 """
 
 
+def stratified_sample_sql(
+    seed: int = 42, fractions: dict[str, float] | None = None
+) -> str:
+    """Deterministic quality-stratified sampling twin
+    (text_analytics.stratified_sample deterministic=True): tier from
+    the doc_quality pipeline, keep iff the 60-bit md5 hash of
+    ``seed:doc_id`` is below ``fraction × 2^60`` — integer-exact, so
+    both engines derive the identical keep set."""
+    if fractions is None:
+        fractions = {"high": 1.0, "medium": 0.5, "low": 0.1, "garbage": 0.0}
+    cases = " ".join(
+        f"WHEN '{tier}' THEN {int(frac * (1 << 60))}"
+        for tier, frac in fractions.items()
+    )
+    return f"""
+WITH dq AS ({doc_quality_sql()})
+SELECT doc_id, tier
+FROM dq
+WHERE ('0x' || substr(md5('{seed}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      < CASE tier {cases} END
+"""
+
+
 def gopher_rules_sql() -> str:
     from rag_database_spark.operators.text_analytics import (
         GOPHER_MAX_BULLET_LINE_FRAC,

@@ -197,3 +197,53 @@ def test_stratified_sample_rates_and_determinism(spark):
     a = sorted(r["doc_id"] for r in stratified_sample(docs, fr).collect())
     b = sorted(r["doc_id"] for r in stratified_sample(docs, fr).collect())
     assert a == b
+
+
+def test_stratified_sample_deterministic_mode(spark):
+    """Hash mode: the keep set is a pure function of (seed, doc_id,
+    tier) — invariant under repartitioning, tier-exact at the 0/1
+    fraction extremes, within binomial bounds in between, and changes
+    with the seed."""
+    from rag_database_spark.operators.text_analytics import (
+        doc_quality,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"high": 1.0, "medium": 0.5, "low": 0.1, "garbage": 0.0}
+    tiers = {
+        r["tier"]: r["n"]
+        for r in doc_quality(docs).groupBy("tier").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    base = sorted(
+        (r["doc_id"], r["tier"])
+        for r in stratified_sample(docs, fr, deterministic=True).collect()
+    )
+    # partitioning must not affect the keep set (sampleBy's Bernoulli
+    # draws DO shift with the split — that's exactly what this fixes)
+    resharded = sorted(
+        (r["doc_id"], r["tier"])
+        for r in stratified_sample(
+            docs.repartition(13), fr, deterministic=True
+        ).collect()
+    )
+    assert base == resharded
+    got = {}
+    for _, tier in base:
+        got[tier] = got.get(tier, 0) + 1
+    assert got.get("high", 0) == tiers.get("high", 0)
+    assert got.get("garbage", 0) == 0
+    import math
+
+    for tier in ("medium", "low"):
+        n, frac = tiers.get(tier, 0), fr[tier]
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(got.get(tier, 0) - n * frac) <= 4 * sigma + 1
+    other_seed = sorted(
+        (r["doc_id"], r["tier"])
+        for r in stratified_sample(
+            docs, fr, seed=7, deterministic=True
+        ).collect()
+    )
+    assert other_seed != base
