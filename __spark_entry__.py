@@ -208,6 +208,27 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets (index-free scale path
+    next to IVF): shared sign-pattern buckets → candidates → exact
+    cosine rescore. Seed-deterministic planes make the DuckDB oracle
+    an exact equality check, unlike k-means-based ann_ivf_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    qvecs = queries.join(
+        emb, queries["query_vec_id"] == emb["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    return similarity.lsh_topk(
+        qvecs, emb, workload.HYBRID_LIMIT, dim=64,
+        id_col="vec_id", vec_col="embedding",
+    ).select(
+        "query_id",
+        "id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: BM25 + dense legs fused with weighted RRF (k=60, .3/.5)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1112,6 +1133,7 @@ _PURE_LAZY = frozenset({
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
     "conversions", "route_stats", "gopher_rules", "ann_ivf_topk",
+    "ann_lsh_topk",
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
 
@@ -1203,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_stats": _route_stats,
         "gopher_rules": _gopher_rules,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
         "semantic_chunks": _semantic_chunks,
         "route_and_chunk": _route_and_chunk,
         "pack_sequences": _pack_sequences,
@@ -1326,4 +1349,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_rows": oracles.pack_rows_sql(),
         "decontam": oracles.decontaminate_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
+        "ann_lsh_topk": oracles.ann_lsh_topk_sql(workload.HYBRID_LIMIT),
     }

@@ -598,3 +598,73 @@ def ivf_topk(
     return ivf_topk_indexed(
         queries, centroids, lists, k, n_probe, query_id_col, query_vec_col
     )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k — the index-free ANN scale path
+    next to IVF (build brief: 'IVF or LSH-bucketed variant'), using the
+    same random-hyperplane machinery as the embedding near-dup operator
+    (``dedup.rp_blocks``).
+
+    Plan: sign-pattern buckets for corpus AND queries under the same
+    seeded hyperplanes → candidates = corpus vectors sharing any
+    (table, bucket) with the query → exact cosine rescore → top-k.
+
+    Scale story: the corpus is touched twice (one bucketize pass, one
+    candidate rescore via keyed join) and never all-pairs; the query
+    block/vector tables are tiny and broadcast, so the only corpus-wide
+    shuffle is the bucket-join's candidate fan-out, bounded by bucket
+    occupancy (2^n_planes buckets per table). Unlike IVF there is no
+    build phase to persist: the bucketize pass is one scan, so this is
+    the right path for one-shot batch queries over cold data, while a
+    served index should prefer ``write_ivf_index``/``ivf_topk_indexed``.
+
+    Recall: a true neighbor is missed only if its signs differ from the
+    query's in every table, P(miss) = (1-(1-θ/π)^p)^t — unit-pinned vs
+    brute force. Deterministic given the seed (planes from a seeded
+    driver RNG, broadcast), so the DuckDB oracle replays the identical
+    candidate set from the same plane literals
+    (``oracles.ann_lsh_topk_sql``)."""
+    from rag_database_spark.operators.dedup import rp_blocks
+
+    cb = rp_blocks(
+        corpus, dim, n_tables, n_planes, seed, id_col, vec_col
+    )
+    qb = rp_blocks(
+        queries, dim, n_tables, n_planes, seed, query_id_col, query_vec_col
+    ).withColumnRenamed("id", "query_id")
+    cands = (
+        cb.join(F.broadcast(qb), ["table_idx", "bucket"])
+        .select("query_id", "id")
+        .distinct()
+    )
+    qv_df = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    )
+    cv_df = corpus.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("cvec"),
+    )
+    scored = (
+        cands.join(F.broadcast(qv_df), "query_id")
+        .join(cv_df, "id")
+        .select(
+            "query_id",
+            "id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+        )
+    )
+    return _ranked(scored, k)

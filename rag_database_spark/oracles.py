@@ -108,6 +108,71 @@ dense_ranked AS (
 )"""
 
 
+def ann_lsh_topk_sql(
+    limit: int = HYBRID_LIMIT,
+    dim: int = 64,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> str:
+    """Exact twin of ``similarity.lsh_topk``: the hyperplanes come from
+    the same seeded numpy generator and are embedded as DOUBLE[]
+    literals, so DuckDB derives the identical sign-pattern buckets →
+    identical candidate set → identical exact-cosine top-k. (A sign
+    can only disagree across engines if a dot product lands within
+    ulps of zero — unreachable for real-valued embeddings.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    rows = ",\n    ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t][p])}]::DOUBLE[])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+WITH qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS qvec
+  FROM {queries_values_sql()}
+  JOIN embeddings e ON e.vec_id = q.query_vec_id
+),
+planes(table_idx, plane_idx, pvec) AS (
+  VALUES
+    {rows}
+),
+corpus_sig AS (
+  SELECT e.vec_id AS id, p.table_idx,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pvec) > 0
+                  THEN 1 << p.plane_idx ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.table_idx
+),
+query_sig AS (
+  SELECT qv.query_id, p.table_idx,
+         sum(CASE WHEN list_dot_product(qv.qvec, p.pvec) > 0
+                  THEN 1 << p.plane_idx ELSE 0 END) AS bucket
+  FROM qv CROSS JOIN planes p
+  GROUP BY qv.query_id, p.table_idx
+),
+cands AS (
+  SELECT DISTINCT q.query_id, c.id
+  FROM query_sig q JOIN corpus_sig c USING (table_idx, bucket)
+),
+scored AS (
+  SELECT cd.query_id, cd.id,
+         list_cosine_similarity(qv.qvec, e.embedding::DOUBLE[]) AS score
+  FROM cands cd
+  JOIN qv USING (query_id)
+  JOIN embeddings e ON e.vec_id = cd.id
+)
+SELECT query_id, id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {limit}
+"""
+
+
 def bm25_topk_sql(limit: int = HYBRID_LIMIT * FETCH_MULTIPLIER) -> str:
     return f"""
 WITH {_bm25_ctes(limit)}

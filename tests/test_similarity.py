@@ -228,3 +228,44 @@ def test_ivf_persisted_index_matches_inline_fit(spark, tmp_path):
     finally:
         KMeans.fit = orig_fit
     assert got == inline_rows
+
+
+def test_lsh_topk_recall_and_determinism(spark):
+    """LSH ANN: candidate scores are exact cosines (subset of brute
+    force), recall is high on a clustered corpus, and the result is a
+    pure function of the seed (stable across repartitioning)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 12)) * 5
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.normal(scale=0.3, size=12)).tolist()))
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    queries = spark.createDataFrame(
+        [(qi, (centers[qi] + rng.normal(scale=0.3, size=12)).tolist())
+         for qi in range(4)],
+        "query_id long, qvec array<double>",
+    )
+    from rag_database_spark.operators.similarity import lsh_topk
+
+    exact = cosine_topk(queries, corpus, 10).collect()
+    approx = lsh_topk(queries, corpus, 10, dim=12).collect()
+    key = lambda rs: {(r["query_id"], r["id"]) for r in rs}
+    recall = len(key(exact) & key(approx)) / len(key(exact))
+    assert recall >= 0.9
+    # every approx hit carries the exact brute-force score
+    brute = {(r["query_id"], r["id"]): r["score"] for r in exact}
+    for r in approx:
+        k = (r["query_id"], r["id"])
+        if k in brute:
+            assert r["score"] == pytest.approx(brute[k], rel=1e-12)
+    # seed-deterministic and partitioning-invariant
+    again = sorted(
+        (r["query_id"], r["id"], r["rank"])
+        for r in lsh_topk(
+            queries.repartition(7), corpus.repartition(13), 10, dim=12
+        ).collect()
+    )
+    assert again == sorted(
+        (r["query_id"], r["id"], r["rank"]) for r in approx
+    )
