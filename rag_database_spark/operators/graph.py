@@ -289,21 +289,54 @@ def shortest_chains(
     adj: DataFrame | None = None,
 ) -> DataFrame:
     """J6 batch form (document_graph.py:469-513): shortest relation
-    chain length for every (src, dst) pair in one BFS sweep.
+    chain length for every (src, dst) pair, bidirectionally.
 
-    One ``bfs_expand`` from the DISTINCT sources (max_depth keyed
-    shuffles total, shared across all pairs with the same source —
-    not a per-pair walk), then a single join onto the pair list.
+    Meet-in-the-middle: ONE ``bfs_expand`` from the distinct sources
+    AND destinations together at radius ``ceil(max_depth/2)``, then a
+    meet join — d(src, dst) = min over meeting nodes m of
+    d(src, m) + d(m, dst) (exact on the undirected graph: the sum is
+    ≥ the true distance by triangle inequality, and splitting the true
+    shortest path at its midpoint attains it). Halves the SEQUENTIAL
+    hop stages vs a radius-``max_depth`` walk — the BFS's per-hop
+    shuffles are an inherently serial chain, so at any scale latency
+    tracks radius, while the meet join is one extra keyed shuffle.
     Unreachable-within-``max_depth`` pairs keep a NULL ``chain_len``,
     the relational form of the reference's ``None`` return."""
-    seeds = pairs.select(F.col("src").alias("start_id")).distinct()
-    reach = bfs_expand(edges, seeds, max_depth, min_confidence, adj=adj)
-    return pairs.join(
-        reach,
-        (pairs["src"] == reach["start_id"])
-        & (pairs["dst"] == reach["doc_id"]),
-        "left",
-    ).select("src", "dst", F.col("depth").cast("long").alias("chain_len"))
+    radius = (max_depth + 1) // 2
+    src_ids = pairs.select(F.col("src").alias("start_id"))
+    dst_ids = pairs.select(F.col("dst").alias("start_id"))
+    seeds = src_ids.unionByName(dst_ids).distinct()
+    reach = bfs_expand(edges, seeds, radius, min_confidence, adj=adj)
+    # include depth-0 self rows (bfs_expand excludes the start) so a
+    # pair meets at src or dst itself
+    reach0 = reach.unionByName(
+        seeds.select(
+            "start_id",
+            F.col("start_id").alias("doc_id"),
+            F.lit(0).alias("depth"),
+        )
+    )
+    fwd = reach0.select(
+        F.col("start_id").alias("src"),
+        F.col("doc_id").alias("m"),
+        F.col("depth").alias("d_src"),
+    )
+    bwd = reach0.select(
+        F.col("start_id").alias("dst"),
+        F.col("doc_id").alias("m"),
+        F.col("depth").alias("d_dst"),
+    )
+    met = (
+        fwd.join(bwd, "m")
+        .groupBy("src", "dst")
+        .agg(F.min(F.col("d_src") + F.col("d_dst")).alias("chain_len"))
+        .filter(
+            (F.col("chain_len") <= max_depth) & (F.col("chain_len") > 0)
+        )
+    )
+    return pairs.join(met, ["src", "dst"], "left").select(
+        "src", "dst", F.col("chain_len").cast("long").alias("chain_len")
+    )
 
 
 def augment_results(
