@@ -994,6 +994,15 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 web-text cleaning signals (Raffel et al. 2020) — line
+    filters + page flags, one codegen scan. Runs over the multi-line
+    fixture corpus (the synthetic documents are single-line word soup,
+    which would leave every line rule untested — same pattern as
+    redact_pii/extract_relationships)."""
+    return text_analytics.c4_rules(text_analytics.c4_fixtures_df(spark))
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (training-batch assembly): per-shard contiguous
     token-stream offsets and the fixed-budget training-row span of each
@@ -1132,8 +1141,8 @@ _PURE_LAZY = frozenset({
     "table_cells", "table_summary", "table_texts", "extract_metadata",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
-    "conversions", "route_stats", "gopher_rules", "ann_ivf_topk",
-    "ann_lsh_topk",
+    "conversions", "route_stats", "gopher_rules", "c4_rules",
+    "ann_ivf_topk", "ann_lsh_topk",
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
 
@@ -1224,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_ids": _related_ids,
         "route_stats": _route_stats,
         "gopher_rules": _gopher_rules,
+        "c4_rules": _c4_rules,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "semantic_chunks": _semantic_chunks,
@@ -1345,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "table_texts": oracles.table_texts_sql(),
         "route_stats": oracles.route_stats_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
+        "c4_rules": oracles.c4_rules_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),
         "pack_rows": oracles.pack_rows_sql(),
         "decontam": oracles.decontaminate_sql(),

@@ -240,6 +240,115 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# C4 cleaning bounds (Raffel et al. 2020 §2.2): line kept iff it ends
+# in terminal punctuation, has ≥ 5 words, and doesn't mention
+# javascript; page kept iff ≥ 3 sentences survive and it contains
+# neither "lorem ipsum" nor a curly brace.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINAL_RE = r'[.!?"]\s*$'
+_C4_MIN_WORDS_RE = r"^\s*(\S+\s+){%d}\S" % (C4_MIN_LINE_WORDS - 1)
+_C4_JS_RE = r"(?i)javascript"
+
+
+def c4_rules(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """C4-style web-text cleaning signals (Raffel et al. 2020 §2.2) —
+    the other canonical raw-web curation pass next to ``gopher_rules``,
+    and like it one narrow scan of pure column expressions (no Python,
+    no shuffle — linear at any scale):
+
+    - line-level: keep lines ending in terminal punctuation
+      (``. ! ? "``), with ≥ {C4_MIN_LINE_WORDS} words, not mentioning
+      javascript → ``n_kept_lines`` / ``kept_chars``
+    - page-level: ``n_sentences`` (terminal marks in the kept text),
+      ``has_lorem_ipsum``, ``has_brace`` (the paper drops any page
+      with source code's '{')
+    - ``passes``: ≥ {C4_MIN_SENTENCES} sentences and neither page flag
+
+    The reference has no web-cleaning pass (its corpus is parsed
+    documents); this is the LLM-curation extension for raw-web data.
+    The paper's remaining steps are separate operators here: bad-word
+    filtering → ``redact_pii``-style regex chains, three-sentence
+    dedup → ``dup_ngram_fraction``/``winnow_fp``."""
+    docs = fan_out(docs)
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & l.rlike(_C4_MIN_WORDS_RE)
+        & ~l.rlike(_C4_JS_RE),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.length(kept_text) - F.length(
+        F.regexp_replace(kept_text, r"[.!?]", "")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+        n_sentences.cast("long").alias("n_sentences"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        t.contains("{").alias("has_brace"),
+    ).withColumn(
+        "passes",
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace"),
+    )
+
+
+# Fixture corpus for the C4 oracle entry — the synthetic documents
+# table is single-line word soup with no terminal punctuation, so
+# every line rule would trivially reject it; these pages fire each
+# branch (same pattern as redaction.PII_FIXTURES). Lines are stored
+# unjoined so the SQL twin can rebuild the text via chr(10) concat.
+# Apostrophe-free for SQL VALUES embedding.
+C4_FIXTURES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("This first sentence has more than five words and ends well.",
+         "Short line.",
+         "Another full sentence with plenty of words to keep here!",
+         "And a third proper sentence survives the cleaning pass.")),
+    (2, ("Navigation menu items without any terminal punctuation",
+         "Enable javascript to view this page properly today.",
+         "A real sentence with enough words stays in the corpus.")),
+    (3, ("Lorem ipsum dolor sit amet is boilerplate filler text.",
+         "A normal sentence that would otherwise have been kept.")),
+    (4, ("function init() { return 42; } is code, not prose.",
+         "This sentence is long enough and punctuated correctly.")),
+    (5, ("Only one good sentence lives on this sparse page today.",)),
+    (6, ("", "   ", "tiny.")),
+    (7, ('He said "the quoted ending counts as terminal too."',
+         "Numbers like 1 2 3 4 5 6 are still words, okay?",
+         "Third proper sentence pushes this page over the bar.")),
+    (8, ("one two three four five.",
+         "one two three four.",
+         "a b c d e f g h?")),
+)
+
+
+def c4_fixtures_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(d, "\n".join(lines)) for d, lines in C4_FIXTURES],
+        "doc_id long, text string",
+    )
+
+
+def c4_fixtures_values_sql() -> str:
+    rows = ", ".join(
+        "({}, {})".format(
+            d,
+            " || chr(10) || ".join(
+                "'{}'".format(line.replace("'", "''")) for line in lines
+            ),
+        )
+        for d, lines in C4_FIXTURES
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS v(doc_id, text))"
+
+
 # Benchmark decontamination defaults: the pseudo-eval set is the
 # deterministic doc_id < DECON_BENCH_MAX slice (stand-in for a real
 # benchmark table — swap the filter for a join against it); 8-gram

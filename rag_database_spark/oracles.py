@@ -470,6 +470,58 @@ FROM scored
 """
 
 
+def c4_rules_sql() -> str:
+    """Twin of ``text_analytics.c4_rules`` — list_filter over the same
+    three line regexes (RE2 ∩ Java syntax), page flags, sentence count
+    via terminal-mark counting."""
+    from rag_database_spark.operators.text_analytics import (
+        C4_MIN_SENTENCES,
+        _C4_JS_RE,
+        _C4_MIN_WORDS_RE,
+        _C4_TERMINAL_RE,
+        c4_fixtures_values_sql,
+    )
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM {c4_fixtures_values_sql()}
+),
+k AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+         coalesce(array_to_string(
+           list_filter(lines, l ->
+             regexp_matches(l, '{_C4_TERMINAL_RE}')
+             AND regexp_matches(l, '{_C4_MIN_WORDS_RE}')
+             AND NOT regexp_matches(l, '{_C4_JS_RE}')),
+           chr(10)), '') AS kept_text,
+         len(list_filter(lines, l ->
+             regexp_matches(l, '{_C4_TERMINAL_RE}')
+             AND regexp_matches(l, '{_C4_MIN_WORDS_RE}')
+             AND NOT regexp_matches(l, '{_C4_JS_RE}'))) AS n_kept_lines
+  FROM base
+),
+sig AS (
+  SELECT doc_id, n_lines, n_kept_lines,
+         length(kept_text) AS kept_chars,
+         length(kept_text)
+           - length(regexp_replace(kept_text, '[.!?]', '', 'g'))
+           AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{{') AS has_brace
+  FROM k
+)
+SELECT doc_id, n_lines::BIGINT AS n_lines,
+       n_kept_lines::BIGINT AS n_kept_lines,
+       kept_chars::BIGINT AS kept_chars,
+       n_sentences::BIGINT AS n_sentences,
+       has_lorem_ipsum, has_brace,
+       (n_sentences >= {C4_MIN_SENTENCES}
+        AND NOT has_lorem_ipsum AND NOT has_brace) AS passes
+FROM sig
+"""
+
+
 def stratified_sample_sql(
     seed: int = 42, fractions: dict[str, float] | None = None
 ) -> str:

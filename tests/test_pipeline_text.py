@@ -247,3 +247,35 @@ def test_stratified_sample_deterministic_mode(spark):
         ).collect()
     )
     assert other_seed != base
+
+
+def test_c4_rules_fixture_outcomes(spark):
+    """Hand-verified C4 page outcomes: only the clean multi-sentence
+    pages pass; javascript/short/unpunctuated lines are dropped at the
+    line level; lorem-ipsum and curly-brace pages fail page-level."""
+    from rag_database_spark.operators.text_analytics import (
+        c4_fixtures_df,
+        c4_rules,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in c4_rules(c4_fixtures_df(spark)).collect()
+    }
+    assert {d for d, r in rows.items() if r["passes"]} == {1, 7}
+    # page 1: the 2-word line is dropped, three sentences survive
+    assert rows[1]["n_lines"] == 4
+    assert rows[1]["n_kept_lines"] == 3
+    assert rows[1]["n_sentences"] == 3
+    # page 2: unpunctuated + javascript lines dropped, one survivor
+    assert rows[2]["n_kept_lines"] == 1
+    # page-level flags
+    assert rows[3]["has_lorem_ipsum"] and not rows[3]["has_brace"]
+    assert rows[4]["has_brace"] and not rows[4]["has_lorem_ipsum"]
+    # page 6: nothing survives, zero-length kept text
+    assert rows[6]["n_kept_lines"] == 0
+    assert rows[6]["kept_chars"] == 0
+    # page 7: a closing double-quote counts as terminal punctuation
+    assert rows[7]["n_kept_lines"] == 3
+    # page 8: the 4-word line is below the word floor
+    assert rows[8]["n_kept_lines"] == 2
