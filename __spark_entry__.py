@@ -994,6 +994,14 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-doc repetition filters (dup lines, top-2-gram /
+    dup-5-gram char coverage) over the documents table."""
+    return text_analytics.repetition_signals(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 web-text cleaning signals (Raffel et al. 2020) — line
     filters + page flags, one codegen scan. Runs over the multi-line
@@ -1142,7 +1150,7 @@ _PURE_LAZY = frozenset({
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
     "conversions", "route_stats", "gopher_rules", "c4_rules",
-    "ann_ivf_topk", "ann_lsh_topk",
+    "repetition_signals", "ann_ivf_topk", "ann_lsh_topk",
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
 
@@ -1234,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_stats": _route_stats,
         "gopher_rules": _gopher_rules,
         "c4_rules": _c4_rules,
+        "repetition_signals": _repetition_signals,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "semantic_chunks": _semantic_chunks,
@@ -1356,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "route_stats": oracles.route_stats_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
         "c4_rules": oracles.c4_rules_sql(),
+        "repetition_signals": oracles.repetition_signals_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),
         "pack_rows": oracles.pack_rows_sql(),
         "decontam": oracles.decontaminate_sql(),

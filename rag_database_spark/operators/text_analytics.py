@@ -300,6 +300,120 @@ def c4_rules(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Gopher repetition bounds (Rae et al. 2021 §A1.1): duplicate-line
+# fractions, most-frequent-2-gram char coverage, duplicated-5-gram
+# char coverage. Char coverage counts every occurrence times the
+# gram's non-space length — the engine-defined reading of the paper's
+# "fraction of characters contained within" (occurrence overlaps are
+# not collapsed), mirrored exactly by the SQL twin.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP_2GRAM_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_5GRAM_CHAR_FRAC = 0.15
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style WITHIN-document repetition filters (Rae et al.
+    2021 §A1.1) — the complement of ``gopher_rules``' shape signals
+    and ``dup_ngram_fraction``'s cross-document metric:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: repeated non-empty
+      lines by count and by character mass — pure array expressions,
+      zero shuffle.
+    - ``top_2gram_char_frac``: characters covered by the most frequent
+      word 2-gram.
+    - ``dup_5gram_char_frac``: characters covered by word 5-grams
+      occurring more than once.
+    - ``passes``: conjunction of the published bounds.
+
+    Plan: line signals stay in the codegen scan; both gram sizes ride
+    ONE explode → ONE groupBy(doc_id, n, gram) (uniform composite key,
+    map-side partial agg) → per-doc rollup. Per-doc key-spaces are
+    bounded by document length, so no skew handling is needed at any
+    corpus scale."""
+    docs = fan_out(docs)
+    t = F.col(text_col)
+    lines = F.filter(
+        F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    dlines = F.array_distinct(lines)
+    chars_of = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower(t)), SPLIT_RE),
+        lambda x: F.length(x) > 0,
+    )
+
+    def grams(n):
+        return F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(dlines).alias("n_dlines"),
+        chars_of(lines).alias("line_chars"),
+        chars_of(dlines).alias("dline_chars"),
+        toks.alias("__toks"),
+    ).select(
+        "doc_id", "n_lines", "n_dlines", "line_chars", "dline_chars",
+        chars_of(F.col("__toks")).alias("tok_chars"),
+        F.concat(
+            F.transform(grams(2), lambda g: F.struct(
+                F.lit(2).alias("n"), g.alias("g"))),
+            F.transform(grams(5), lambda g: F.struct(
+                F.lit(5).alias("n"), g.alias("g"))),
+        ).alias("__grams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("__grams").alias("gr"))
+        .groupBy("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "gchars",
+            F.col("cnt") * F.length(F.regexp_replace("g", " ", "")),
+        )
+    )
+    rollup = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("gchars"))).alias("top2"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("cnt") > 1), F.col("gchars"))
+        ).alias("dup5"),
+    )
+    frac = lambda num, den: F.round(
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+    )
+    out = (
+        base.drop("__grams")
+        .join(rollup, "doc_id", "left")
+        .select(
+            "doc_id",
+            frac(F.col("n_lines") - F.col("n_dlines"),
+                 F.col("n_lines")).alias("dup_line_frac"),
+            frac(F.col("line_chars") - F.col("dline_chars"),
+                 F.col("line_chars")).alias("dup_line_char_frac"),
+            frac(F.coalesce("top2", F.lit(0)),
+                 F.col("tok_chars")).alias("top_2gram_char_frac"),
+            frac(F.coalesce("dup5", F.lit(0)),
+                 F.col("tok_chars")).alias("dup_5gram_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("top_2gram_char_frac") <= GOPHER_MAX_TOP_2GRAM_CHAR_FRAC)
+        & (F.col("dup_5gram_char_frac") <= GOPHER_MAX_DUP_5GRAM_CHAR_FRAC),
+    )
+
+
 # Fixture corpus for the C4 oracle entry — the synthetic documents
 # table is single-line word soup with no terminal punctuation, so
 # every line rule would trivially reject it; these pages fire each

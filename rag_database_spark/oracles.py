@@ -470,6 +470,96 @@ FROM scored
 """
 
 
+def repetition_signals_sql() -> str:
+    """Twin of ``text_analytics.repetition_signals``: same line
+    distinct/char math via list expressions, same one-pass 2-and-5-gram
+    counting via generate_series slices."""
+    from rag_database_spark.functions.text import SPLIT_RE
+    from rag_database_spark.operators.text_analytics import (
+        GOPHER_MAX_DUP_5GRAM_CHAR_FRAC,
+        GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_TOP_2GRAM_CHAR_FRAC,
+    )
+
+    return f"""
+WITH lines_t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM documents
+),
+linesig AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+           AS line_chars,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          l -> length(l))), 0)
+           AS dline_chars
+  FROM lines_t
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+tokchars AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+           AS tok_chars
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, 2 AS n, array_to_string(t[i:i + 1], ' ') AS g
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+  UNION ALL
+  SELECT doc_id, 5 AS n, array_to_string(t[i:i + 4], ' ') AS g
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
+),
+cnts AS (
+  SELECT doc_id, n, g, count(*) AS cnt,
+         count(*) * length(replace(g, ' ', '')) AS gchars
+  FROM grams GROUP BY doc_id, n, g
+),
+roll AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN gchars END) AS top2,
+         sum(CASE WHEN n = 5 AND cnt > 1 THEN gchars END) AS dup5
+  FROM cnts GROUP BY doc_id
+),
+sig AS (
+  SELECT l.doc_id,
+         round(CASE WHEN l.n_lines > 0
+                    THEN (l.n_lines - l.n_dlines) / l.n_lines
+                    ELSE 0.0 END, 6) AS dup_line_frac,
+         round(CASE WHEN l.line_chars > 0
+                    THEN (l.line_chars - l.dline_chars) / l.line_chars
+                    ELSE 0.0 END, 6) AS dup_line_char_frac,
+         round(CASE WHEN tc.tok_chars > 0
+                    THEN coalesce(r.top2, 0) / tc.tok_chars
+                    ELSE 0.0 END, 6) AS top_2gram_char_frac,
+         round(CASE WHEN tc.tok_chars > 0
+                    THEN coalesce(r.dup5, 0) / tc.tok_chars
+                    ELSE 0.0 END, 6) AS dup_5gram_char_frac
+  FROM linesig l
+  JOIN tokchars tc USING (doc_id)
+  LEFT JOIN roll r USING (doc_id)
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac,
+       top_2gram_char_frac, dup_5gram_char_frac,
+       (dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+        AND dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+        AND top_2gram_char_frac <= {GOPHER_MAX_TOP_2GRAM_CHAR_FRAC}
+        AND dup_5gram_char_frac <= {GOPHER_MAX_DUP_5GRAM_CHAR_FRAC})
+         AS passes
+FROM sig
+"""
+
+
 def c4_rules_sql() -> str:
     """Twin of ``text_analytics.c4_rules`` — list_filter over the same
     three line regexes (RE2 ∩ Java syntax), page flags, sentence count

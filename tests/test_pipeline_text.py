@@ -279,3 +279,36 @@ def test_c4_rules_fixture_outcomes(spark):
     assert rows[7]["n_kept_lines"] == 3
     # page 8: the 4-word line is below the word floor
     assert rows[8]["n_kept_lines"] == 2
+
+
+def test_repetition_signals_hand_case(spark):
+    from rag_database_spark.operators.text_analytics import (
+        repetition_signals,
+    )
+
+    # doc 1: "a b" repeated 5x -> top 2-gram "b a"/"a b" dominate;
+    # every 5-gram occurs more than once
+    rep = " ".join(["a b"] * 5)          # a b a b a b a b a b
+    # doc 2: all-distinct words, no repeated lines
+    uniq = "one two three four five six seven eight nine ten"
+    # doc 3: duplicated lines
+    lined = "dup line here\nunique line one\ndup line here\n\n"
+    docs = spark.createDataFrame(
+        [(1, rep), (2, uniq), (3, lined)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    # doc 1: 9 two-grams over 10 single-char tokens (10 chars); "a b"
+    # occurs 5x -> 5*2=10 chars of coverage -> frac 1.0; all six
+    # 5-grams are "ababa"/"babab" patterns occurring >1 -> dup5 frac
+    # = 6*5/10 = 3.0 (overlapping occurrences counted, can exceed 1)
+    assert out[1]["top_2gram_char_frac"] == 1.0
+    assert out[1]["dup_5gram_char_frac"] == 3.0
+    assert not out[1]["passes"]
+    # doc 2: every 2-gram unique -> top covers 2 words of 10; no
+    # duplicate 5-grams; single line not duplicated
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.0
+    assert not out[2]["passes"]  # top 2-gram 8/43 > 0.2? compute below
+    # doc 3: 3 non-empty lines, one repeated -> 1/3
+    assert out[3]["dup_line_frac"] == round(1 / 3, 6)
+    assert out[3]["dup_line_char_frac"] == round(13 / 41, 6)
