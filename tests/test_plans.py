@@ -177,3 +177,42 @@ def test_simhash_single_shuffle(spark):
     assert p.count("Exchange hashpartitioning") == 1
     p_full = plan_of(simhash(docs))
     assert "partial_sum" in p_full  # map-side combine before it
+
+
+def test_lsh_topk_no_corpus_wide_join(spark):
+    """LSH ANN plan contract: the query-side block and vector tables
+    broadcast (tiny), the candidate join is keyed — never a cartesian
+    or sort-merge join of the corpus — and the top-k window carries a
+    WindowGroupLimit pushdown."""
+    from rag_database_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    p = plan_of(
+        lsh_topk(queries, emb, 10, dim=64,
+                 id_col="vec_id", vec_col="embedding"),
+        "simple",
+    )
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+
+
+def test_repetition_signals_partial_agg_and_single_gram_shuffle(spark):
+    """The gram count groupBy must combine map-side (partial_count
+    before its exchange); the per-doc rollup is the only other
+    aggregation exchange."""
+    from rag_database_spark.operators.text_analytics import (
+        repetition_signals,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p_full = plan_of(repetition_signals(docs))
+    assert "partial_count" in p_full
+    p = plan_of(repetition_signals(docs), "simple")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
