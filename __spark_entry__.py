@@ -994,6 +994,38 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+def _asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch AS-OF join (relational.asof_join, merge-union plan):
+    every purchase picks the latest prior view by the same user,
+    unbounded lookback — oracled against DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = relational.asof_join(
+        purchases, views, on="user_id",
+        left_ts="purchase_ts", right_ts="ts",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("matched.view_id").alias("view_id"),
+        F.col("matched.ts").alias("view_ts"),
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("matched.ts").cast("timestamp"))
+        ).cast("long").alias("gap_us"),
+    )
+
+
 def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher within-doc repetition filters (dup lines, top-2-gram /
     dup-5-gram char coverage) over the documents table."""
@@ -1150,7 +1182,8 @@ _PURE_LAZY = frozenset({
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
     "conversions", "route_stats", "gopher_rules", "c4_rules",
-    "repetition_signals", "ann_ivf_topk", "ann_lsh_topk",
+    "repetition_signals", "asof_attribution",
+    "ann_ivf_topk", "ann_lsh_topk",
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
 
@@ -1243,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _gopher_rules,
         "c4_rules": _c4_rules,
         "repetition_signals": _repetition_signals,
+        "asof_attribution": _asof_attribution,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "semantic_chunks": _semantic_chunks,
@@ -1366,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": oracles.gopher_rules_sql(),
         "c4_rules": oracles.c4_rules_sql(),
         "repetition_signals": oracles.repetition_signals_sql(),
+        "asof_attribution": oracles.asof_attribution_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),
         "pack_rows": oracles.pack_rows_sql(),
         "decontam": oracles.decontaminate_sql(),

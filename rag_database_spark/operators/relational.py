@@ -235,3 +235,74 @@ def events_profile_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
             F.percentile_approx("value", 0.99, 10000).alias("p99_value"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Generic batch AS-OF join: each left row picks the single right
+    row with the greatest ``right_ts`` ≤ its ``left_ts`` for the same
+    key (the time-series point-in-time join Spark lacks as a builtin;
+    DuckDB/kdb expose it natively — the oracle uses DuckDB ASOF JOIN).
+
+    Plan — merge-union, NOT an equi-join + filter: both sides are
+    tagged and unioned, ONE hash shuffle on the key, and a running
+    ``last(right, ignorenulls)`` over the (ts, side)-ordered window
+    carries the latest right payload forward to each left row. Work is
+    O(n log n) per key for the sort, independent of match fan-out — a
+    join-then-filter plan explodes on hot keys (every purchase × every
+    click of a power user) exactly where this stays linear; the same
+    skew-safety argument as streaming last-touch attribution
+    (streaming/events.py), generalized to unbounded lookback.
+
+    Equal timestamps match (``>=`` semantics): right rows sort before
+    left rows at the same instant. Callers wanting deterministic
+    results under duplicate (key, ts) right rows should pre-dedupe the
+    right side (the window keeps whichever sorted last).
+
+    ``tolerance_us``: optional max age (microseconds); older matches
+    become NULL, mirroring pandas ``merge_asof(tolerance=...)``."""
+    rstruct = F.struct(*[F.col(c) for c in right.columns])
+    r_side = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rstruct.alias("__r"),
+    )
+    rtype = r_side.schema["__r"].dataType
+    l_side = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rtype).alias("__r"),
+        *[F.col(c) for c in left.columns],
+    )
+    r_aligned = r_side.select(
+        "__k", "__ts", "__side", "__r",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_side.unionByName(r_aligned)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_us is not None:
+        too_old = (
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            - F.unix_micros(F.col(f"__m.{right_ts}").cast("timestamp"))
+        ) > tolerance_us
+        matched = matched.withColumn(
+            "__m", F.when(~too_old, F.col("__m"))
+        )
+    return matched.select(*left.columns, F.col("__m").alias("matched"))

@@ -2665,6 +2665,28 @@ QUALIFY row_number() OVER (
 """
 
 
+def asof_attribution_sql() -> str:
+    """Twin of the asof_attribution entry via DuckDB's NATIVE ASOF
+    JOIN — the engine's merge-union window plan
+    (relational.asof_join) must agree with the database-native
+    point-in-time join row for row."""
+    return """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       v.view_id, v.ts AS view_ts,
+       (epoch_us(p.purchase_ts) - epoch_us(v.ts))::BIGINT AS gap_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+"""
+
+
 def dup_ngram_fraction_sql(n: int = 5) -> str:
     from rag_database_spark.functions.text import SPLIT_RE
 
