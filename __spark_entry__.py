@@ -994,6 +994,18 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit over the embeddings table: the
+    quantized array is hashed (md5) because the driver compare cannot
+    hash list cells; error bounds are unit-pinned."""
+    return similarity.quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(
+        "id", F.round("scale", 6).alias("scale"),
+        "q_min", "q_max", "q_md5",
+    )
+
+
 def _asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch AS-OF join (relational.asof_join, merge-union plan):
     every purchase picks the latest prior view by the same user,
@@ -1182,7 +1194,7 @@ _PURE_LAZY = frozenset({
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
     "conversions", "route_stats", "gopher_rules", "c4_rules",
-    "repetition_signals", "asof_attribution",
+    "repetition_signals", "asof_attribution", "quantize_embeddings",
     "ann_ivf_topk", "ann_lsh_topk",
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
@@ -1277,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _c4_rules,
         "repetition_signals": _repetition_signals,
         "asof_attribution": _asof_attribution,
+        "quantize_embeddings": _quantize_embeddings,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "semantic_chunks": _semantic_chunks,
@@ -1401,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_rules": oracles.c4_rules_sql(),
         "repetition_signals": oracles.repetition_signals_sql(),
         "asof_attribution": oracles.asof_attribution_sql(),
+        "quantize_embeddings": oracles.quantize_embeddings_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),
         "pack_rows": oracles.pack_rows_sql(),
         "decontam": oracles.decontaminate_sql(),

@@ -668,3 +668,44 @@ def lsh_topk(
         )
     )
     return _ranked(scored, k)
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage/
+    bandwidth path for a 100 TB embedding column (4 bytes/dim float32
+    → 1 byte/dim + one scale): ``scale = max|v| / 127``,
+    ``q_i = round(v_i / scale)`` ∈ [-127, 127].
+
+    Pure column expressions (transform/array_max) — one codegen scan,
+    no shuffle, no Python. Dequantization error is bounded by scale/2
+    per component (unit-pinned along with cosine preservation); the
+    reference stores raw float vectors in Qdrant
+    (src/storage/vector_store.py:66-101), which offers the same
+    int8 scalar quantization as a server-side option.
+
+    Output carries the quantized array plus exact integer/hashable
+    audit columns (the driver's oracle compare cannot hash list cells,
+    so entries project ``q_md5`` instead of ``q``)."""
+    v = to_double_array(F.col(vec_col))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        q.alias("q"),
+    ).select(
+        "id",
+        "scale",
+        "q",
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.md5(F.array_join("q", " ")).alias("q_md5"),
+    )

@@ -2665,6 +2665,33 @@ QUALIFY row_number() OVER (
 """
 
 
+def quantize_embeddings_sql() -> str:
+    """Twin of ``similarity.quantize_embeddings``: same per-vector
+    symmetric int8 math over DOUBLE lists; both engines round half
+    away from zero, and the quantized array is compared via md5 of the
+    space-joined ints (exact), with the scale at 6dp."""
+    return """
+WITH q AS (
+  SELECT vec_id AS id,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+quant AS (
+  SELECT id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> round(x / scale)::INT)
+              ELSE list_transform(v, x -> 0) END AS qa
+  FROM q
+)
+SELECT id, round(scale, 6) AS scale,
+       list_min(qa)::INT AS q_min, list_max(qa)::INT AS q_max,
+       md5(array_to_string(qa, ' ')) AS q_md5
+FROM quant
+"""
+
+
 def asof_attribution_sql() -> str:
     """Twin of the asof_attribution entry via DuckDB's NATIVE ASOF
     JOIN — the engine's merge-union window plan

@@ -269,3 +269,30 @@ def test_lsh_topk_recall_and_determinism(spark):
     assert again == sorted(
         (r["query_id"], r["id"], r["rank"]) for r in approx
     )
+
+
+def test_quantize_embeddings_error_bounds(spark):
+    """Int8 scalar quantization: values clamp to [-127, 127], per-
+    component dequantization error is bounded by scale/2, and cosine
+    similarity survives quantization to ~1e-2."""
+    from pyspark.sql import functions as F
+
+    from rag_database_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = quantize_embeddings(emb).join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        q = np.asarray(r["q"], dtype=np.float64)
+        recon = q * r["scale"]
+        assert np.max(np.abs(v - recon)) <= r["scale"] / 2 + 1e-12
+        nv, nr = np.linalg.norm(v), np.linalg.norm(recon)
+        if nv > 0 and nr > 0:
+            cos = float(v @ recon / (nv * nr))
+            assert cos > 0.99
