@@ -1006,6 +1006,25 @@ def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over int8-quantized vectors (scales cancel →
+    integer dot products in codegen): the compute path paired with
+    quantize_embeddings storage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    qvecs = queries.join(
+        emb, queries["query_vec_id"] == emb["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    return similarity.quantized_topk(
+        qvecs, emb, workload.HYBRID_LIMIT
+    ).select(
+        "query_id",
+        "id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch AS-OF join (relational.asof_join, merge-union plan):
     every purchase picks the latest prior view by the same user,
@@ -1195,7 +1214,7 @@ _PURE_LAZY = frozenset({
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
     "conversions", "route_stats", "gopher_rules", "c4_rules",
     "repetition_signals", "asof_attribution", "quantize_embeddings",
-    "ann_ivf_topk", "ann_lsh_topk",
+    "quantized_topk", "ann_ivf_topk", "ann_lsh_topk",
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
 
@@ -1290,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _repetition_signals,
         "asof_attribution": _asof_attribution,
         "quantize_embeddings": _quantize_embeddings,
+        "quantized_topk": _quantized_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "semantic_chunks": _semantic_chunks,
@@ -1415,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": oracles.repetition_signals_sql(),
         "asof_attribution": oracles.asof_attribution_sql(),
         "quantize_embeddings": oracles.quantize_embeddings_sql(),
+        "quantized_topk": oracles.quantized_topk_sql(workload.HYBRID_LIMIT),
         "pack_sequences": oracles.pack_sequences_sql(),
         "pack_rows": oracles.pack_rows_sql(),
         "decontam": oracles.decontaminate_sql(),

@@ -2692,6 +2692,49 @@ FROM quant
 """
 
 
+def quantized_topk_sql(limit: int = HYBRID_LIMIT) -> str:
+    """Twin of ``similarity.quantized_topk``: same int8 quantization of
+    both sides, integer dot products (exact in doubles at these
+    magnitudes), one sqrt/divide, rank by (score DESC, id)."""
+    quant = """
+  SELECT {out_id},
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_transform(
+                v, x -> round(
+                  x / (list_max(list_transform(v, y -> abs(y))) / 127.0)
+                )::BIGINT)
+              ELSE list_transform(v, x -> 0::BIGINT) END AS q
+  FROM {src}
+"""
+    return f"""
+WITH qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS v
+  FROM {queries_values_sql()}
+  JOIN embeddings e ON e.vec_id = q.query_vec_id
+),
+cv AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+qq AS ({quant.format(out_id="query_id", src="qv")}),
+cq AS ({quant.format(out_id="id", src="cv")}),
+scored AS (
+  SELECT qq.query_id, cq.id,
+         CASE WHEN list_dot_product(cq.q, cq.q) > 0
+                AND list_dot_product(qq.q, qq.q) > 0
+              THEN list_dot_product(qq.q, cq.q)
+                   / sqrt(list_dot_product(cq.q, cq.q)
+                          * list_dot_product(qq.q, qq.q))
+              ELSE 0.0 END AS score
+  FROM cq CROSS JOIN qq
+)
+SELECT query_id, id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {limit}
+"""
+
+
 def asof_attribution_sql() -> str:
     """Twin of the asof_attribution entry via DuckDB's NATIVE ASOF
     JOIN — the engine's merge-union window plan

@@ -296,3 +296,26 @@ def test_quantize_embeddings_error_bounds(spark):
         if nv > 0 and nr > 0:
             cos = float(v @ recon / (nv * nr))
             assert cos > 0.99
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """Int8-quantized cosine ranking tracks float cosine: high overlap
+    of the top-k sets and near-identical scores."""
+    from rag_database_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.limit(5).select(
+        emb["vec_id"].alias("query_id"), emb["embedding"].alias("qvec")
+    )
+    exact = cosine_topk(
+        queries, emb, 10, id_col="vec_id", vec_col="embedding"
+    ).collect()
+    quant = quantized_topk(queries, emb, 10).collect()
+    key = lambda rs: {(r["query_id"], r["id"]) for r in rs}
+    recall = len(key(exact) & key(quant)) / len(key(exact))
+    assert recall >= 0.9
+    fscore = {(r["query_id"], r["id"]): r["score"] for r in exact}
+    for r in quant:
+        k = (r["query_id"], r["id"])
+        if k in fscore:
+            assert abs(r["score"] - fscore[k]) < 0.02
