@@ -80,21 +80,35 @@ def lexical_overlap_rerank(
     by swapping the score expression.
 
     ``results``: (query_id, id, ...) candidates (already top-k-bounded
-    → both join sides are small)."""
+    → both join sides are small).
+
+    Scale note: the candidate ids broadcast-semi-join into the
+    documents scan BEFORE tokenization, so only candidate documents
+    are tokenized and the corpus-wide token arrays never shuffle — the
+    unpruned form sort-merge-joined every document's token array
+    against a 180-row candidate list (flagged superlinear by the sf1
+    scale probe: 0.8 s → 19.5 s). The candidate subtree is evaluated
+    twice (once for the broadcast filter, once streamed) — the
+    standard dynamic-partition-pruning trade, cheap next to a corpus
+    shuffle."""
     q = queries.select(
         "query_id",
         F.array_distinct(tokenize(F.col(query_text_col))).alias("q_toks"),
     )
-    d = documents.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(tokenize(F.col(text_col))).alias("d_toks"),
+    cand_ids = results.select(F.col("id").alias(id_col)).distinct()
+    d = (
+        documents.join(F.broadcast(cand_ids), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokenize(F.col(text_col))).alias("d_toks"),
+        )
     )
     inter = F.size(F.array_intersect(F.col("q_toks"), F.col("d_toks")))
     union = F.size(F.array_union(F.col("q_toks"), F.col("d_toks")))
     scored = (
         results.select("query_id", "id")
         .join(F.broadcast(q), "query_id")
-        .join(d, "id")
+        .join(F.broadcast(d), "id")
         .select(
             "query_id",
             "id",
