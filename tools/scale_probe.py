@@ -64,10 +64,12 @@ AUDIT_NOTES = {
 }
 
 
-def time_all(spark, sf_dir: str) -> dict[str, float]:
+def time_all(spark, sf_dir: str, only=None) -> dict[str, float]:
     entrymod.prepare(spark, sf_dir)
     out: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
+        if only is not None and name not in only:
+            continue
         best = float("nan")
         try:
             for _ in range(RUNS_PER_POINT):
@@ -86,14 +88,25 @@ def time_all(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> int:
+    # optional entry names: re-probe ONLY those and merge into the
+    # existing SCALING.json — for re-measuring a point the full sweep
+    # contaminated (a neighbor's GC/artifact build charged to it)
+    only = set(sys.argv[1:]) or None
     sf1_dir = str(build())
     spark = get_spark("scale_probe")
     # warm pass at the small sf so JIT/codegen caches are hot before
     # either timed pass
-    time_all(spark, SF_SMALL)
-    t_small = time_all(spark, SF_SMALL)
-    t_big = time_all(spark, sf1_dir)
+    time_all(spark, SF_SMALL, only)
+    t_small = time_all(spark, SF_SMALL, only)
+    t_big = time_all(spark, sf1_dir, only)
     scaling = {}
+    if only is not None:
+        try:
+            scaling = json.loads(
+                (REPO / "SCALING.json").read_text()
+            )["queries"]
+        except (OSError, KeyError, json.JSONDecodeError):
+            scaling = {}
     for name in sorted(t_small):
         ts, tb = t_small[name], t_big.get(name, float("nan"))
         exp = (
