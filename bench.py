@@ -98,9 +98,13 @@ def main() -> int:
                 "detail": "BENCH_DETAIL.json",
             }
         )
-        if len(line) <= 1800:
+        # the driver keeps the LAST 2000 stdout chars and parses the
+        # final line; 1950 leaves newline margin while fitting the
+        # 76-entry dict at dp=1 (1834 chars) that the old 1800 cap
+        # needlessly dropped to the empty-dict fallback
+        if len(line) <= 1950:
             break
-    if len(line) > 1800:
+    if len(line) > 1950:
         # final fallback: drop the per-query dict entirely (it lives in
         # BENCH_DETAIL.json) rather than risk the driver truncating the
         # line mid-JSON — contract keys stay present
