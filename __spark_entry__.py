@@ -420,6 +420,33 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized deduplicated corpus: one representative
+    (component-min doc) per near-dup cluster, with the duplicate count
+    it absorbs — the filtered corpus a training pipeline ships."""
+    return dedup.keep_representatives(
+        load_table(spark, sf_dir, "documents"),
+        dedup.dedup_clusters(
+            _jaccard_pairs(spark, sf_dir),
+            load_table(spark, sf_dir, "documents"),
+        ),
+    )
+
+
+def _fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: best shingle-Jaccard eval-set match per
+    corpus doc (eval slice broadcast; exact inverted-index candidates)."""
+    return dedup.fuzzy_decontam(load_table(spark, sf_dir, "documents"))
+
+
+def _frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top word n-grams by occurrence count
+    (boilerplate/template-phrase probe)."""
+    return text_analytics.frequent_ngrams(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (one md5 + Kirsch-Mitzenmacher per shingle,
     oracle-reproducible), over the persisted shingle index (S7)."""
@@ -1206,6 +1233,7 @@ _PURE_LAZY = frozenset({
     "lang_id", "quality_report", "exact_dedup", "winnow_fp",
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
+    "fuzzy_decontam", "frequent_ngrams",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1270,6 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _winnow_fp,
         "near_dup_pairs": _near_dup_pairs,
         "dedup_clusters": _dedup_clusters,
+        "dedup_keep": _dedup_keep,
+        "fuzzy_decontam": _fuzzy_decontam,
+        "frequent_ngrams": _frequent_ngrams,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
@@ -1357,6 +1388,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": oracles.dedup_clusters_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
+        "dedup_keep": oracles.dedup_keep_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
+        "fuzzy_decontam": oracles.fuzzy_decontam_sql(
+            dedup.FUZZY_CONTAM_BENCH_MAX,
+            dedup.FUZZY_CONTAM_THRESHOLD,
+            dedup.SHINGLE_K,
+        ),
+        "frequent_ngrams": oracles.frequent_ngrams_sql(
+            text_analytics.FREQ_NGRAM_N, text_analytics.FREQ_NGRAM_TOP
         ),
         "minhash_sigs": oracles.minhash_signatures_sql(
             dedup.N_MINHASHES, dedup.SHINGLE_K

@@ -601,3 +601,144 @@ def dedup_clusters(
     return labels.select(
         F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def keep_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialized deduplicated corpus: one representative per
+    near-dup cluster — the component-min document ``dedup_clusters``
+    labels with its own id — plus the number of duplicates that
+    representative absorbs. This is the step a training pipeline
+    actually ships: the *filtered corpus*, not just the audit of pairs
+    or cluster labels.
+
+    Plan: one groupBy(cluster_id) for component sizes (uniform small
+    keys, map-side partials), a codegen filter ``doc_id == cluster_id``
+    for the representatives, and one keyed join back to the corpus row.
+    At 100 TB the cluster-label table is one narrow row per document,
+    so every op here is linear with a single shuffle each — no step
+    touches document text except the final join's projected columns.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).join(
+        sizes, "cluster_id"
+    )
+    return (
+        reps.select(
+            "doc_id",
+            "cluster_size",
+            (F.col("cluster_size") - F.lit(1)).alias("n_dupes_removed"),
+        )
+        .join(
+            docs.select(F.col(id_col).alias("doc_id"), "n_chars"),
+            "doc_id",
+        )
+    )
+
+
+# fuzzy-decontamination defaults: eval slice mirrors the exact-overlap
+# decontaminate() fixture (doc_id < 20); the Jaccard bar is deliberately
+# lower than the 0.8 near-dup threshold — contamination checks want
+# "suspiciously similar", not "almost identical"
+FUZZY_CONTAM_BENCH_MAX = 20
+FUZZY_CONTAM_THRESHOLD = 0.5
+
+
+def fuzzy_decontam(
+    docs: DataFrame,
+    bench_docs: DataFrame | None = None,
+    bench_max: int = FUZZY_CONTAM_BENCH_MAX,
+    k: int = SHINGLE_K,
+    threshold: float = FUZZY_CONTAM_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: for every training document,
+    its best shingle-Jaccard match in the evaluation set — the fuzzy
+    sibling of ``text_analytics.decontaminate`` (which flags exact
+    n-gram overlap). NeMo-Curator-style pipelines run both: exact
+    grams catch verbatim leakage, set-level Jaccard catches
+    reformatted/reordered copies of eval items.
+
+    The candidate join is EXACT (inverted index on shingles: any pair
+    with Jaccard > 0 shares a shingle) — no LSH recall loss on the
+    contamination decision. ``bench_docs`` is any DataFrame with
+    ``id_col``/``text_col``; when None, the deterministic
+    ``doc_id < bench_max`` slice stands in (the oracle's fixture) and
+    those rows are excluded from the probed corpus.
+
+    Scale design: the eval set is tiny next to the corpus, so its
+    exploded shingles and sizes are BROADCAST — the corpus never
+    shuffles for candidate generation; the only wide ops are the
+    (doc_id, bench_id) intersection count and the per-doc argmax
+    rollup, both keyed on corpus doc_id with map-side partials. The
+    argmax is a struct-max aggregate (jaccard desc, bench_id asc via
+    negated id), not a window — one shuffle, no per-partition sort.
+
+    Output: one row per probed document —
+    (doc_id, bench_id | NULL, best_jaccard, is_contaminated).
+    """
+    if bench_docs is None:
+        bench_docs = docs.filter(F.col(id_col) < bench_max)
+        corpus = docs.filter(F.col(id_col) >= bench_max)
+    else:
+        corpus = docs
+    c_sh = _doc_shingles(corpus, id_col, text_col, k)
+    b_sh = _doc_shingles(bench_docs, id_col, text_col, k)
+    c_ex = c_sh.select("doc_id", F.explode("sh").alias("s"))
+    c_sz = c_sh.select("doc_id", F.size("sh").alias("n_a"))
+    b_ex = b_sh.select(
+        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s")
+    )
+    b_sz = b_sh.select(
+        F.col("doc_id").alias("bench_id"), F.size("sh").alias("n_b")
+    )
+    inter = (
+        c_ex.join(F.broadcast(b_ex), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(F.broadcast(b_sz), "bench_id")
+        .join(c_sz, "doc_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    # argmax by (jaccard desc, bench_id asc): lexicographic struct max
+    # with the id negated — rounding BEFORE ranking keeps the winner
+    # identical across engines when two eval docs tie to 6dp
+    best = jac.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard"),
+                (-F.col("bench_id")).alias("neg_id"),
+            )
+        ).alias("b")
+    ).select(
+        "doc_id",
+        (-F.col("b.neg_id")).alias("bench_id"),
+        F.col("b.jaccard").alias("best_jaccard"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            (
+                F.coalesce("best_jaccard", F.lit(0.0)) >= F.lit(threshold)
+            ).alias("is_contaminated"),
+        )
+    )

@@ -664,3 +664,53 @@ def stratified_sample(docs: DataFrame,
         .filter(F.col("_h") < thr)
         .select("doc_id", "tier")
     )
+
+
+# corpus-wide n-gram heavy hitters: trigram phrases, top-50 by count
+FREQ_NGRAM_N = 3
+FREQ_NGRAM_TOP = 50
+
+
+def frequent_ngrams(docs: DataFrame, n: int = FREQ_NGRAM_N,
+                    top: int = FREQ_NGRAM_TOP,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide heavy hitters: the ``top`` word ``n``-grams by total
+    occurrence count (ties broken lexicographically), with the number
+    of distinct documents each appears in. The data-quality probe that
+    surfaces boilerplate headers/footers and template phrases worth a
+    cleaning rule. Tokenization matches ``dup_ngram_fraction`` exactly
+    (trim → lower → whitespace split).
+
+    Scale design: the occurrence count is a plain groupBy(ngram) —
+    hot keys (exactly the heavy hitters we want) are absorbed by
+    map-side partial aggregation, so skew is harmless; the doc count
+    is a two-phase distinct on (ngram, doc_id). The final top-k is a
+    sort-limit — Spark plans TakeOrderedAndProject: per-partition
+    heaps of ``top`` rows merged on the driver, never a global sort.
+    """
+    docs = fan_out(docs)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    ngrams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng_rows = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select("doc_id", F.explode(ngrams).alias("ng"))
+    )
+    return (
+        ng_rows.groupBy("ng")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ng"))
+        .limit(top)
+    )

@@ -2985,12 +2985,12 @@ def redact_pii_sql() -> str:
     )
 
 
-def dedup_clusters_sql(threshold: float, k: int) -> str:
-    """Connected components over the jaccard edge set via recursive
-    transitive closure — exponential in path count but exact at the
-    verification scale; cluster_id = min doc_id in the component."""
-    return f"""
-WITH RECURSIVE {_shingle_ctes(k)},
+def _cluster_ctes(threshold: float, k: int) -> str:
+    """Shared CTE chain: shingles → jaccard edges → recursive transitive
+    closure → per-doc component label ``cl(doc_id, cluster_id)`` —
+    exponential in path count but exact at the verification scale;
+    cluster_id = min doc_id in the component."""
+    return f"""{_shingle_ctes(k)},
 inter AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -3006,11 +3006,102 @@ reach(a, b) AS (
   SELECT a, b FROM und
   UNION
   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+cl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)"""
+
+
+def dedup_clusters_sql(threshold: float, k: int) -> str:
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold, k)}
+SELECT doc_id, cluster_id FROM cl
+"""
+
+
+def dedup_keep_sql(threshold: float, k: int) -> str:
+    """Deduplicated-corpus materialization: the component-min document
+    of every near-dup cluster plus the duplicate count it absorbs."""
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold, k)},
+cs AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1
 )
-SELECT d.doc_id,
-       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-GROUP BY d.doc_id
+SELECT c.doc_id, cs.cluster_size,
+       (cs.cluster_size - 1)::BIGINT AS n_dupes_removed, d.n_chars
+FROM cl c
+JOIN cs USING (cluster_id)
+JOIN documents d USING (doc_id)
+WHERE c.doc_id = c.cluster_id
+"""
+
+
+def fuzzy_decontam_sql(bench_max: int, threshold: float, k: int) -> str:
+    """Best shingle-Jaccard eval-set match per probed corpus document;
+    argmax tie-break (jaccard desc, bench_id asc) on 6dp-rounded scores
+    mirrors the engine's struct-max exactly."""
+    return f"""
+WITH {_shingle_ctes(k)},
+ce AS (SELECT doc_id, s FROM ex WHERE doc_id >= {bench_max}),
+be AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id < {bench_max}),
+cz AS (SELECT doc_id, n FROM sz WHERE doc_id >= {bench_max}),
+bz AS (SELECT doc_id AS bench_id, n FROM sz WHERE doc_id < {bench_max}),
+i AS (
+  SELECT ce.doc_id, be.bench_id, count(*) AS c
+  FROM ce JOIN be USING (s) GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_id, i.bench_id,
+         round(c / (cz.n + bz.n - c), 6) AS jaccard
+  FROM i JOIN cz ON cz.doc_id = i.doc_id
+         JOIN bz ON bz.bench_id = i.bench_id
+),
+best AS (
+  SELECT doc_id, bench_id, jaccard,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY jaccard DESC, bench_id
+         ) AS rn
+  FROM jac
+)
+SELECT d.doc_id, b.bench_id,
+       coalesce(b.jaccard, 0.0) AS best_jaccard,
+       coalesce(b.jaccard, 0.0) >= {threshold} AS is_contaminated
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+WHERE d.doc_id >= {bench_max}
+"""
+
+
+def frequent_ngrams_sql(n: int, top: int) -> str:
+    """Corpus-wide top word n-grams; (count desc, ngram asc) is a total
+    order, so the LIMIT boundary is engine-independent. Tokenization
+    mirrors ``dup_ngram_fraction_sql``."""
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {n} + 1)) AS i
+  FROM toks
+),
+ng AS (
+  SELECT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS ng
+  FROM pos
+)
+SELECT ng, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM ng GROUP BY ng
+ORDER BY n_occurrences DESC, ng
+LIMIT {top}
 """
 
 

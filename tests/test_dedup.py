@@ -191,3 +191,66 @@ def test_dedup_clusters_long_chain_converges(spark):
     docs = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
     rows = dedup.dedup_clusters(pairs, docs).collect()
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_keep_representatives_hand_case(spark):
+    # cluster {1,2,3} keeps 1 (absorbs 2), pair {10,11} keeps 10
+    # (absorbs 1), singleton 20 keeps itself (absorbs 0)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i, i * 100) for i in (1, 2, 3, 10, 11, 20)],
+        "doc_id long, n_chars long",
+    )
+    clusters = dedup.dedup_clusters(pairs, docs)
+    rows = dedup.keep_representatives(docs, clusters).collect()
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["n_dupes_removed"], r["n_chars"])
+        for r in rows
+    }
+    assert got == {1: (3, 2, 100), 10: (2, 1, 1000), 20: (1, 0, 2000)}
+
+
+def test_fuzzy_decontam_hand_case(spark):
+    # bench slice: doc_id < 2. Doc 5 is an exact copy of bench doc 0
+    # (jaccard 1.0 → contaminated); doc 6 shares nothing (0.0, NULL
+    # match); doc 7 partially overlaps bench doc 1 below threshold.
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six seven"),
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (6, "completely unrelated corpus document text here"),
+        (7, "one two three nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.fuzzy_decontam(docs, bench_max=2).collect()
+    }
+    assert set(got) == {5, 6, 7}
+    assert got[5]["bench_id"] == 0
+    assert got[5]["best_jaccard"] == 1.0
+    assert got[5]["is_contaminated"] is True
+    assert got[6]["bench_id"] is None
+    assert got[6]["best_jaccard"] == 0.0
+    assert got[6]["is_contaminated"] is False
+    # doc 7 vs bench 1: shingles 5 each, shared {"one two three"} → 1/9
+    assert got[7]["bench_id"] == 1
+    assert got[7]["best_jaccard"] == pytest.approx(round(1 / 9, 6))
+    assert got[7]["is_contaminated"] is False
+
+
+def test_fuzzy_decontam_tie_breaks_min_bench_id(spark):
+    # two identical bench docs tie at jaccard 1.0 → argmax picks the
+    # smaller bench_id deterministically
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),
+        (9, "alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.fuzzy_decontam(docs, bench_max=2).collect()
+    assert len(got) == 1
+    assert got[0]["bench_id"] == 0
+    assert got[0]["best_jaccard"] == 1.0

@@ -312,3 +312,27 @@ def test_repetition_signals_hand_case(spark):
     # doc 3: 3 non-empty lines, one repeated -> 1/3
     assert out[3]["dup_line_frac"] == round(1 / 3, 6)
     assert out[3]["dup_line_char_frac"] == round(13 / 41, 6)
+
+
+def test_frequent_ngrams_hand_case(spark):
+    from rag_database_spark.operators.text_analytics import frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox the quick fox jumps"),
+            (2, "the quick fox appears again"),
+            (3, "no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = frequent_ngrams(docs, n=3, top=3).collect()
+    # (count desc, ngram asc) total order; "the quick fox" occurs 3x
+    # across 2 docs, everything else once
+    assert (rows[0]["ng"], rows[0]["n_occurrences"], rows[0]["n_docs"]) == (
+        "the quick fox", 3, 2
+    )
+    assert rows[1]["n_occurrences"] == 1
+    assert [r["ng"] for r in rows] == sorted(
+        [r["ng"] for r in rows],
+        key=lambda g: (-dict((x["ng"], x["n_occurrences"]) for x in rows)[g], g),
+    )
