@@ -447,6 +447,21 @@ def _frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans per doc: token intervals
+    covered by cross-document n-grams, merged into maximal islands."""
+    return text_analytics.dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold quality filter: drop the bottom ⌊N·p⌋ docs
+    by composite score under a discrete total order (exact twin of the
+    approx_percentile scale path)."""
+    return text_analytics.quality_filter(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (one md5 + Kirsch-Mitzenmacher per shingle,
     oracle-reproducible), over the persisted shingle index (S7)."""
@@ -1233,7 +1248,7 @@ _PURE_LAZY = frozenset({
     "lang_id", "quality_report", "exact_dedup", "winnow_fp",
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
-    "fuzzy_decontam", "frequent_ngrams",
+    "fuzzy_decontam", "frequent_ngrams", "dup_spans",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1301,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": _dedup_keep,
         "fuzzy_decontam": _fuzzy_decontam,
         "frequent_ngrams": _frequent_ngrams,
+        "dup_spans": _dup_spans,
+        "quality_filter": _quality_filter,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
@@ -1399,6 +1416,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "frequent_ngrams": oracles.frequent_ngrams_sql(
             text_analytics.FREQ_NGRAM_N, text_analytics.FREQ_NGRAM_TOP
+        ),
+        "dup_spans": oracles.dup_spans_sql(text_analytics.DUP_SPAN_N),
+        "quality_filter": oracles.quality_filter_sql(
+            text_analytics.QUALITY_FILTER_P
         ),
         "minhash_sigs": oracles.minhash_signatures_sql(
             dedup.N_MINHASHES, dedup.SHINGLE_K

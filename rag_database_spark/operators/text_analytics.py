@@ -714,3 +714,145 @@ def frequent_ngrams(docs: DataFrame, n: int = FREQ_NGRAM_N,
         .orderBy(F.col("n_occurrences").desc(), F.col("ng"))
         .limit(top)
     )
+
+
+DUP_SPAN_N = 5  # same n-gram order as dup_ngram_fraction
+
+
+def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public paper): the token intervals of each document covered by any
+    word ``n``-gram that also appears in at least one OTHER document,
+    merged into maximal spans. Where ``dup_ngram_fraction`` counts
+    duplicated grams, this localizes them — the signal a pipeline
+    needs to CUT the duplicated passage instead of dropping the doc.
+
+    Plan: one codegen projection builds (position, n-gram) pairs, one
+    groupBy(ngram) for the cross-doc document frequency, a join back
+    on the same key (partitioning reused), then the classic
+    running-max-end island merge per document: two windows and a
+    rollup, all keyed on doc_id. At 100 TB the ngram groupBy is the
+    only wide op over corpus-sized data (uniform key space, map-side
+    partials); the window partitions are single documents — bounded by
+    document length, never corpus-sized.
+    """
+    docs = fan_out(docs)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice("__toks", i, n)).alias("ng"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,ng:string>>"))
+    rows = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("n_tokens"),
+            F.explode(grams).alias("g"),
+        )
+        .select("doc_id", "n_tokens", "g.pos", "g.ng")
+    )
+    dup_ngs = (
+        rows.groupBy("ng")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("ng")
+    )
+    dup = rows.join(dup_ngs, "ng").select(
+        "doc_id",
+        "n_tokens",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(n - 1)).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "__new",
+        (prev_max_end.isNull() | (F.col("s") > prev_max_end)).cast("long"),
+    ).withColumn(
+        "grp",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "n_tokens", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.coalesce("covered", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.round(
+                F.coalesce(
+                    F.col("covered") / F.col("n_tokens"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+QUALITY_FILTER_P = 0.25  # drop the bottom quartile by composite score
+
+
+def quality_filter(docs: DataFrame, p: float = QUALITY_FILTER_P,
+                   approx: bool = False,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Percentile-threshold quality filtering: keep the top ``1 - p``
+    of the corpus by composite quality score — the "drop the worst
+    quartile" step of a training mix. The cutoff is DISCRETE: the
+    ⌊N·p⌋ lowest-ranked documents under the total order
+    (q_score asc, doc_id asc) are dropped, so ties at the boundary
+    resolve identically in any engine — no interpolated quantile whose
+    last-ulp float could flip a boundary document.
+
+    Exact path: one count + a bottom-k selection that Spark plans as
+    TakeOrderedAndProject (per-partition heaps merged on the driver —
+    no global sort) + a broadcast anti-join. k grows with the corpus,
+    so at 100 TB pass ``approx=True``: the cutoff comes from
+    ``approx_percentile`` (one aggregation pass, bounded error,
+    documented drift at the boundary) and the filter is a scan —
+    the same exact-twin-vs-sketch split as ``events_profile``.
+    """
+    scored = doc_quality(docs, id_col, text_col).select("doc_id", "q_score")
+    if approx:
+        thr = scored.agg(
+            F.expr(f"approx_percentile(q_score, {p})").alias("__thr")
+        )
+        return (
+            scored.join(F.broadcast(thr))
+            .filter(F.col("q_score") >= F.col("__thr"))
+            .select("doc_id", "q_score")
+        )
+    import math
+
+    k = math.floor(scored.count() * p)
+    bottom = (
+        scored.orderBy("q_score", "doc_id").limit(k).select("doc_id")
+    )
+    return scored.join(F.broadcast(bottom), "doc_id", "left_anti")

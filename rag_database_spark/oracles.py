@@ -3185,3 +3185,79 @@ SELECT doc_id, source, q_score, rank_in_source FROM (
 )
 WHERE rank_in_source <= {per_source}
 """
+
+
+def dup_spans_sql(n: int) -> str:
+    """Twin of ``text_analytics.dup_spans``: same tokenization as
+    ``dup_ngram_fraction_sql``, same running-max-end island merge."""
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {n} + 1)) AS i
+  FROM toks
+),
+ng AS (
+  SELECT doc_id, len(t) AS n_tokens, i,
+         array_to_string(t[i:i + {n - 1}], ' ') AS ng
+  FROM pos
+),
+dup_ngs AS (
+  SELECT ng FROM (
+    SELECT ng, count(DISTINCT doc_id) AS ndocs FROM ng GROUP BY ng
+  ) WHERE ndocs > 1
+),
+dup AS (
+  SELECT g.doc_id, g.n_tokens, g.i AS s, g.i + {n - 1} AS e
+  FROM ng g JOIN dup_ngs USING (ng)
+),
+m AS (
+  SELECT *, max(e) OVER (
+    PARTITION BY doc_id ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS pme
+  FROM dup
+),
+isl AS (
+  SELECT *, sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER (
+    PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING
+  ) AS grp
+  FROM m
+),
+sp AS (
+  SELECT doc_id, n_tokens, grp, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id, n_tokens, count(*) AS n_dup_spans,
+         sum(e - s + 1) AS covered
+  FROM sp GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(p.covered, 0)::BIGINT AS covered_tokens,
+       round(coalesce(p.covered / p.n_tokens, 0.0), 6) AS dup_span_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def quality_filter_sql(p: float) -> str:
+    """Discrete-rank percentile filter: drop the ⌊N·p⌋ lowest docs
+    under the total order (q_score asc, doc_id asc) — engine-identical
+    at the boundary, unlike interpolated quantiles."""
+    return f"""
+SELECT doc_id, q_score FROM (
+  SELECT dq.doc_id, dq.q_score,
+         row_number() OVER (ORDER BY dq.q_score, dq.doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM ({doc_quality_sql()}) dq
+)
+WHERE rn > floor(n * {p})
+"""

@@ -3,6 +3,7 @@ duplicate-n-gram fraction and PII redaction."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_database_spark.operators import redaction
@@ -336,3 +337,88 @@ def test_frequent_ngrams_hand_case(spark):
         [r["ng"] for r in rows],
         key=lambda g: (-dict((x["ng"], x["n_occurrences"]) for x in rows)[g], g),
     )
+
+
+def test_dup_spans_hand_case(spark):
+    from rag_database_spark.operators.text_analytics import dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1/2 share exactly one 5-gram ("a b c d e", pos 1)
+            (1, "a b c d e f g h"),
+            (2, "a b c d e z y x"),
+            # docs 4/5 share two OVERLAPPING 5-grams → one merged span
+            (4, "p q r s t u v"),
+            (5, "p q r s t u w"),
+            (3, "nothing shared with anybody else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_dup_spans"], r["covered_tokens"], r["dup_span_frac"]
+        )
+        for r in dup_spans(docs, n=5).collect()
+    }
+    assert got[1] == (1, 5, pytest.approx(round(5 / 8, 6)))
+    assert got[2] == (1, 5, pytest.approx(round(5 / 8, 6)))
+    # [1,5] and [2,6] merge into [1,6]: 6 of 7 tokens covered
+    assert got[4] == (1, 6, pytest.approx(round(6 / 7, 6)))
+    assert got[5] == (1, 6, pytest.approx(round(6 / 7, 6)))
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_dup_spans_disjoint_islands(spark):
+    from rag_database_spark.operators.text_analytics import dup_spans
+
+    # two shared trigrams separated by unique middles → two spans
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z unique1 filler1 middle1 a b c"),
+            (2, "x y z unique2 filler2 middle2 a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["covered_tokens"])
+        for r in dup_spans(docs, n=3).collect()
+    }
+    assert got[1] == (2, 6)  # spans [1,3] and [7,9]
+    assert got[2] == (2, 6)
+
+
+def test_quality_filter_drops_bottom_quartile(spark):
+    from rag_database_spark.operators.text_analytics import (
+        doc_quality, quality_filter,
+    )
+
+    texts = [
+        (i, ("the quick brown fox jumps over the lazy dog " * (i + 1))[:400])
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    kept = quality_filter(docs, p=0.25).collect()
+    assert len(kept) == 6  # 8 - floor(8 * .25)
+    all_scores = {
+        r["doc_id"]: r["q_score"] for r in doc_quality(docs).collect()
+    }
+    kept_ids = {r["doc_id"] for r in kept}
+    dropped = [
+        (all_scores[i], i) for i in all_scores if i not in kept_ids
+    ]
+    # every dropped doc orders before every kept doc under
+    # (q_score, doc_id)
+    assert max(dropped) <= min((all_scores[i], i) for i in kept_ids)
+
+
+def test_quality_filter_approx_respects_threshold(spark):
+    from rag_database_spark.operators.text_analytics import quality_filter
+
+    texts = [
+        (i, ("alpha beta gamma delta " * (i + 1))[:300]) for i in range(10)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = quality_filter(docs, p=0.3, approx=True).collect()
+    assert 0 < len(rows) <= 10
+    thr = min(r["q_score"] for r in rows)
+    assert all(r["q_score"] >= thr for r in rows)
