@@ -462,6 +462,12 @@ def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep probe: top-V vocab induction + per-doc OOV rate
+    (vocab broadcast; corpus token stream never shuffles)."""
+    return text_analytics.vocab_oov(load_table(spark, sf_dir, "documents"))
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (one md5 + Kirsch-Mitzenmacher per shingle,
     oracle-reproducible), over the persisted shingle index (S7)."""
@@ -1248,7 +1254,7 @@ _PURE_LAZY = frozenset({
     "lang_id", "quality_report", "exact_dedup", "winnow_fp",
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
-    "fuzzy_decontam", "frequent_ngrams", "dup_spans",
+    "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1318,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_ngrams": _frequent_ngrams,
         "dup_spans": _dup_spans,
         "quality_filter": _quality_filter,
+        "vocab_oov": _vocab_oov,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
@@ -1418,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
             text_analytics.FREQ_NGRAM_N, text_analytics.FREQ_NGRAM_TOP
         ),
         "dup_spans": oracles.dup_spans_sql(text_analytics.DUP_SPAN_N),
+        "vocab_oov": oracles.vocab_oov_sql(text_analytics.VOCAB_SIZE),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P
         ),

@@ -856,3 +856,66 @@ def quality_filter(docs: DataFrame, p: float = QUALITY_FILTER_P,
         scored.orderBy("q_score", "doc_id").limit(k).select("doc_id")
     )
     return scored.join(F.broadcast(bottom), "doc_id", "left_anti")
+
+
+VOCAB_SIZE = 512  # top-V tokens by corpus frequency
+
+
+def vocab_oov(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Vocabulary-coverage probe for tokenizer prep: induce the top
+    ``vocab_size`` tokens by corpus occurrence count (ties broken
+    lexicographically — a total order, so the vocabulary set is
+    engine-independent), then report each document's out-of-vocabulary
+    rate. The pre-flight that estimates UNK rates before committing to
+    a vocab size. Tokenization matches ``dup_ngram_fraction``.
+
+    Scale design: the induction is one groupBy(token) with map-side
+    partials plus a TakeOrderedAndProject top-V; the induced vocab is
+    tiny by construction, so the coverage pass joins it BROADCAST —
+    the corpus token stream never shuffles for the probe; the per-doc
+    rollup keys on doc_id."""
+    docs = fan_out(docs)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    tok_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    )
+    vocab = (
+        tok_rows.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        tok_rows.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                (F.col("__in_vocab").isNull()).cast("long")
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_oov") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

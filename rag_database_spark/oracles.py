@@ -3261,3 +3261,37 @@ SELECT doc_id, q_score FROM (
 )
 WHERE rn > floor(n * {p})
 """
+
+
+def vocab_oov_sql(vocab_size: int) -> str:
+    """Twin of ``text_analytics.vocab_oov``: same tokenization as
+    ``dup_ngram_fraction_sql``, same (count desc, token asc) vocab
+    induction order."""
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+tok_rows AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM tok_rows GROUP BY tok
+  ) ORDER BY cnt DESC, tok LIMIT {vocab_size}
+),
+per AS (
+  SELECT r.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok_rows r LEFT JOIN vocab v USING (tok)
+  GROUP BY r.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+       round(CASE WHEN p.n_tokens > 0 THEN p.n_oov / p.n_tokens
+                  ELSE 0.0 END, 6) AS oov_rate
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""

@@ -422,3 +422,25 @@ def test_quality_filter_approx_respects_threshold(spark):
     assert 0 < len(rows) <= 10
     thr = min(r["q_score"] for r in rows)
     assert all(r["q_score"] >= thr for r in rows)
+
+
+def test_vocab_oov_hand_case(spark):
+    from rag_database_spark.operators.text_analytics import vocab_oov
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),
+            (2, "aa bb dd"),
+            (3, "ee ff"),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: aa=4 bb=3 cc=1 dd=1 ee=1 ff=1 → top-3 = aa, bb, cc
+    # (count desc then token asc breaks the 4-way tie at count 1)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_oov(docs, vocab_size=3).collect()
+    }
+    assert got[1] == (6, 0, 0.0)
+    assert got[2] == (3, 1, pytest.approx(round(1 / 3, 6)))
+    assert got[3] == (2, 2, 1.0)
