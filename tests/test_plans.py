@@ -216,3 +216,46 @@ def test_repetition_signals_partial_agg_and_single_gram_shuffle(spark):
     p = plan_of(repetition_signals(docs), "simple")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_decontam_broadcasts_eval_side(spark):
+    """The eval-set shingles and sizes must be the broadcast side —
+    the corpus never shuffles for candidate generation."""
+    from rag_database_spark.operators.dedup import fuzzy_decontam
+
+    df = fuzzy_decontam(load_table(spark, SF_DIR, "documents"))
+    p = plan_of(df, "simple")
+    assert p.count("BroadcastHashJoin") >= 2  # shingle join + size join
+
+
+def test_vocab_oov_coverage_join_broadcasts(spark):
+    """The induced vocab is tiny by construction; the coverage pass
+    must broadcast it so the token stream never shuffles."""
+    from rag_database_spark.operators.text_analytics import vocab_oov
+
+    p = plan_of(
+        vocab_oov(load_table(spark, SF_DIR, "documents")), "simple"
+    )
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_entries_plan_as_take_ordered(spark):
+    """frequent_ngrams' top-k must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global Sort + Limit."""
+    from rag_database_spark.operators.text_analytics import frequent_ngrams
+
+    p = plan_of(
+        frequent_ngrams(load_table(spark, SF_DIR, "documents")), "simple"
+    )
+    assert "TakeOrderedAndProject" in p
+
+
+def test_quality_filter_bottom_k_is_take_ordered(spark):
+    """The exact percentile path selects the bottom-k via
+    TakeOrderedAndProject and anti-joins it broadcast."""
+    from rag_database_spark.operators.text_analytics import quality_filter
+
+    df = quality_filter(load_table(spark, SF_DIR, "documents"))
+    p = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
