@@ -462,6 +462,14 @@ def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut corpus materialization: token streams with every
+    cross-document duplication island removed (md5 of the rewrite)."""
+    return text_analytics.cut_dup_spans(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep probe: top-V vocab induction + per-doc OOV rate
     (vocab broadcast; corpus token stream never shuffles)."""
@@ -1255,6 +1263,7 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
+    "cut_dup_spans",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1325,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _dup_spans,
         "quality_filter": _quality_filter,
         "vocab_oov": _vocab_oov,
+        "cut_dup_spans": _cut_dup_spans,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
@@ -1426,6 +1436,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_spans": oracles.dup_spans_sql(text_analytics.DUP_SPAN_N),
         "vocab_oov": oracles.vocab_oov_sql(text_analytics.VOCAB_SIZE),
+        "cut_dup_spans": oracles.cut_dup_spans_sql(
+            text_analytics.DUP_SPAN_N
+        ),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P
         ),

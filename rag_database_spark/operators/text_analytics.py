@@ -719,16 +719,13 @@ def frequent_ngrams(docs: DataFrame, n: int = FREQ_NGRAM_N,
 DUP_SPAN_N = 5  # same n-gram order as dup_ngram_fraction
 
 
-def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
-              id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """Exact-substring duplication spans (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better" —
-    public paper): the token intervals of each document covered by any
-    word ``n``-gram that also appears in at least one OTHER document,
-    merged into maximal spans. Where ``dup_ngram_fraction`` counts
-    duplicated grams, this localizes them — the signal a pipeline
-    needs to CUT the duplicated passage instead of dropping the doc.
+def _dup_span_islands(docs: DataFrame, n: int,
+                      id_col: str, text_col: str) -> DataFrame:
+    """Merged duplication spans per document —
+    (doc_id, n_tokens, s, e) token intervals covered by any word
+    n-gram that also appears in at least one OTHER document, merged
+    into maximal islands (running-max-end window merge). Shared core
+    of ``dup_spans`` (the audit) and ``cut_dup_spans`` (the rewrite).
 
     Plan: one codegen projection builds (position, n-gram) pairs, one
     groupBy(ngram) for the cross-doc document frequency, a join back
@@ -788,9 +785,22 @@ def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    spans = islands.groupBy("doc_id", "n_tokens", "grp").agg(
+    return islands.groupBy("doc_id", "n_tokens", "grp").agg(
         F.min("s").alias("s"), F.max("e").alias("e")
     )
+
+
+def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public paper): per-doc count/coverage of the merged duplication
+    islands (``_dup_span_islands``). Where ``dup_ngram_fraction``
+    counts duplicated grams, this localizes them — the signal a
+    pipeline needs to CUT the duplicated passage instead of dropping
+    the doc."""
+    spans = _dup_span_islands(docs, n, id_col, text_col)
     per_doc = spans.groupBy("doc_id", "n_tokens").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("covered"),
@@ -917,5 +927,68 @@ def vocab_oov(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("oov_rate"),
+        )
+    )
+
+
+def cut_dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Materialize the span-cut corpus: each document's token stream
+    with every cross-document duplication island (``_dup_span_islands``)
+    removed — the actual rewrite step of exact-substring dedup (Lee et
+    al. 2022), where ``dup_spans`` is only the audit. Returns
+    (doc_id, n_kept_tokens, clean_md5): the md5 stands in for the
+    rewritten text so the result is hashable at any scale; the full
+    text is one ``concat_ws`` away in the same plan.
+
+    Plan: covered positions explode from the merged spans (output
+    bounded by Σ span lengths ≤ corpus tokens), token positions come
+    from one posexplode scan, and the cut is a LEFT ANTI join keyed
+    (doc_id, pos) — partitioning shared with the final doc_id rollup.
+    Reassembly sorts each doc's kept (pos, token) pairs inside the
+    aggregate (array_sort over a collect_list bounded by document
+    length — never corpus-sized)."""
+    spans = _dup_span_islands(docs, n, id_col, text_col)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    tokpos = (
+        fan_out(docs)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select(
+            "doc_id", F.posexplode("__toks").alias("pos0", "tok")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    empty_md5 = F.md5(F.lit(""))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_tokens"),
+            F.coalesce("clean_md5", empty_md5).alias("clean_md5"),
         )
     )

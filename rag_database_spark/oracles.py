@@ -3187,13 +3187,14 @@ WHERE rank_in_source <= {per_source}
 """
 
 
-def dup_spans_sql(n: int) -> str:
-    """Twin of ``text_analytics.dup_spans``: same tokenization as
-    ``dup_ngram_fraction_sql``, same running-max-end island merge."""
+def _dup_span_ctes(n: int) -> str:
+    """CTE chain through ``sp`` — the merged duplication islands per
+    document (same tokenization as ``dup_ngram_fraction_sql``, same
+    running-max-end island merge as ``_dup_span_islands``). Shared by
+    ``dup_spans_sql`` and ``cut_dup_spans_sql``."""
     from rag_database_spark.functions.text import SPLIT_RE
 
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
                      x -> length(x) > 0) AS t
@@ -3234,7 +3235,14 @@ isl AS (
 sp AS (
   SELECT doc_id, n_tokens, grp, min(s) AS s, max(e) AS e
   FROM isl GROUP BY 1, 2, 3
-),
+)"""
+
+
+def dup_spans_sql(n: int) -> str:
+    """Twin of ``text_analytics.dup_spans``: per-doc rollup over the
+    merged duplication islands."""
+    return f"""
+WITH {_dup_span_ctes(n)},
 per AS (
   SELECT doc_id, n_tokens, count(*) AS n_dup_spans,
          sum(e - s + 1) AS covered
@@ -3245,6 +3253,36 @@ SELECT d.doc_id,
        coalesce(p.covered, 0)::BIGINT AS covered_tokens,
        round(coalesce(p.covered / p.n_tokens, 0.0), 6) AS dup_span_frac
 FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def cut_dup_spans_sql(n: int) -> str:
+    """Twin of ``text_analytics.cut_dup_spans``: remove every covered
+    token position and reassemble the kept stream in position order."""
+    return f"""
+WITH {_dup_span_ctes(n)},
+covered AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS p
+  FROM sp
+),
+tokpos AS (
+  SELECT doc_id, i AS p, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM toks)
+),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp ANTI JOIN covered c ON c.doc_id = tp.doc_id AND c.p = tp.p
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
+       coalesce(r.clean_md5, md5('')) AS clean_md5
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 

@@ -444,3 +444,46 @@ def test_vocab_oov_hand_case(spark):
     assert got[1] == (6, 0, 0.0)
     assert got[2] == (3, 1, pytest.approx(round(1 / 3, 6)))
     assert got[3] == (2, 2, 1.0)
+
+
+def test_cut_dup_spans_hand_case(spark):
+    import hashlib
+
+    from rag_database_spark.operators.text_analytics import cut_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            # share the trigram "a b c" at the START; tails differ
+            (1, "a b c tail one here"),
+            (2, "a b c other tail words"),
+            (3, "untouched document stays whole"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_kept_tokens"], r["clean_md5"])
+        for r in cut_dup_spans(docs, n=3).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[1] == (3, md5("tail one here"))
+    assert got[2] == (3, md5("other tail words"))
+    assert got[3] == (4, md5("untouched document stays whole"))
+
+
+def test_cut_dup_spans_fully_covered_doc(spark):
+    import hashlib
+
+    from rag_database_spark.operators.text_analytics import cut_dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_kept_tokens"], r["clean_md5"])
+        for r in cut_dup_spans(docs, n=3).collect()
+    }
+    empty = hashlib.md5(b"").hexdigest()
+    assert got == {1: (0, empty), 2: (0, empty)}
