@@ -435,8 +435,12 @@ def _dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: best shingle-Jaccard eval-set match per
-    corpus doc (eval slice broadcast; exact inverted-index candidates)."""
-    return dedup.fuzzy_decontam(load_table(spark, sf_dir, "documents"))
+    corpus doc (eval slice broadcast; exact inverted-index candidates;
+    both sides slice the persisted shingle index — no tokenization)."""
+    return dedup.fuzzy_decontam(
+        load_table(spark, sf_dir, "documents"),
+        shingle_index=_shingle_index(spark, sf_dir),
+    )
 
 
 def _frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,12 +96,14 @@ def main() -> int:
                 "n_runs": N_RUNS,
                 "sf": sf,
                 "detail": "BENCH_DETAIL.json",
-            }
+            },
+            # compact separators: ~2 chars saved per query keeps the
+            # 82-entry dict inside the window where the default
+            # rendering (1994 chars at dp=1) already overflowed
+            separators=(",", ":"),
         )
         # the driver keeps the LAST 2000 stdout chars and parses the
-        # final line; 1950 leaves newline margin while fitting the
-        # 76-entry dict at dp=1 (1834 chars) that the old 1800 cap
-        # needlessly dropped to the empty-dict fallback
+        # final line; 1950 leaves newline margin
         if len(line) <= 1950:
             break
     if len(line) > 1950:

@@ -657,6 +657,7 @@ def fuzzy_decontam(
     threshold: float = FUZZY_CONTAM_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_index: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy benchmark decontamination: for every training document,
     its best shingle-Jaccard match in the evaluation set — the fuzzy
@@ -672,6 +673,11 @@ def fuzzy_decontam(
     ``doc_id < bench_max`` slice stands in (the oracle's fixture) and
     those rows are excluded from the probed corpus.
 
+    Pass a persisted ``shingle_index`` (``write_shingle_index``,
+    (doc_id, s) rows) to skip tokenization entirely — in fixture mode
+    BOTH sides slice the index, so the probe is two index scans, no
+    regex work (measured 6.7 s → index-driven at sf0.1).
+
     Scale design: the eval set is tiny next to the corpus, so its
     exploded shingles and sizes are BROADCAST — the corpus never
     shuffles for candidate generation; the only wide ops are the
@@ -683,21 +689,33 @@ def fuzzy_decontam(
     Output: one row per probed document —
     (doc_id, bench_id | NULL, best_jaccard, is_contaminated).
     """
-    if bench_docs is None:
+    fixture_mode = bench_docs is None
+    if fixture_mode:
         bench_docs = docs.filter(F.col(id_col) < bench_max)
         corpus = docs.filter(F.col(id_col) >= bench_max)
     else:
         corpus = docs
-    c_sh = _doc_shingles(corpus, id_col, text_col, k)
-    b_sh = _doc_shingles(bench_docs, id_col, text_col, k)
-    c_ex = c_sh.select("doc_id", F.explode("sh").alias("s"))
-    c_sz = c_sh.select("doc_id", F.size("sh").alias("n_a"))
-    b_ex = b_sh.select(
-        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s")
-    )
-    b_sz = b_sh.select(
-        F.col("doc_id").alias("bench_id"), F.size("sh").alias("n_b")
-    )
+    if shingle_index is not None and fixture_mode:
+        # index-driven fixture mode: both sides are slices of the
+        # persisted exploded index — no tokenization in the plan.
+        # (Only valid when the eval set IS the doc_id < bench_max
+        # slice of the indexed corpus.)
+        c_ex = shingle_index.filter(F.col("doc_id") >= bench_max)
+        c_sz = c_ex.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+        b_rows = shingle_index.filter(F.col("doc_id") < bench_max)
+        b_ex = b_rows.select(F.col("doc_id").alias("bench_id"), "s")
+        b_sz = b_ex.groupBy("bench_id").agg(F.count("*").alias("n_b"))
+    else:
+        c_sh = _doc_shingles(corpus, id_col, text_col, k)
+        b_sh = _doc_shingles(bench_docs, id_col, text_col, k)
+        c_ex = c_sh.select("doc_id", F.explode("sh").alias("s"))
+        c_sz = c_sh.select("doc_id", F.size("sh").alias("n_a"))
+        b_ex = b_sh.select(
+            F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s")
+        )
+        b_sz = b_sh.select(
+            F.col("doc_id").alias("bench_id"), F.size("sh").alias("n_b")
+        )
     inter = (
         c_ex.join(F.broadcast(b_ex), "s")
         .groupBy("doc_id", "bench_id")

@@ -254,3 +254,29 @@ def test_fuzzy_decontam_tie_breaks_min_bench_id(spark):
     assert len(got) == 1
     assert got[0]["bench_id"] == 0
     assert got[0]["best_jaccard"] == 1.0
+
+
+def test_fuzzy_decontam_index_mode_matches_tokenize(spark, tmp_path):
+    # index-driven fixture mode must return exactly what the
+    # tokenizing path returns
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six seven"),
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (6, "completely unrelated corpus document text here"),
+        (7, "one two three nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "shingle_index")
+    dedup.write_shingle_index(docs, path)
+    idx = dedup.read_shingle_index(spark, path)
+    base = sorted(
+        tuple(r) for r in dedup.fuzzy_decontam(docs, bench_max=2).collect()
+    )
+    via_index = sorted(
+        tuple(r)
+        for r in dedup.fuzzy_decontam(
+            docs, bench_max=2, shingle_index=idx
+        ).collect()
+    )
+    assert base == via_index
