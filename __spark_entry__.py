@@ -474,6 +474,22 @@ def _cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INGEST_GATE_MOD = 25  # doc_id % 25 == 0 → the simulated incoming batch
+
+
+def _ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup admission gate (batch twin of stream_dedup_gate): for
+    each simulated incoming doc, its best Jaccard match in the
+    accepted corpus — both sides sliced from the persisted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _shingle_index(spark, sf_dir).filter(
+        F.col("doc_id") % INGEST_GATE_MOD != 0
+    )
+    return dedup.best_jaccard_vs_index(
+        docs.filter(F.col("doc_id") % INGEST_GATE_MOD == 0), idx
+    )
+
+
 def _vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep probe: top-V vocab induction + per-doc OOV rate
     (vocab broadcast; corpus token stream never shuffles)."""
@@ -1267,7 +1283,7 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
-    "cut_dup_spans",
+    "cut_dup_spans", "ingest_gate",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1339,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _quality_filter,
         "vocab_oov": _vocab_oov,
         "cut_dup_spans": _cut_dup_spans,
+        "ingest_gate": _ingest_gate,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
@@ -1442,6 +1459,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov": oracles.vocab_oov_sql(text_analytics.VOCAB_SIZE),
         "cut_dup_spans": oracles.cut_dup_spans_sql(
             text_analytics.DUP_SPAN_N
+        ),
+        "ingest_gate": oracles.ingest_gate_sql(
+            INGEST_GATE_MOD, dedup.SHINGLE_K
         ),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P

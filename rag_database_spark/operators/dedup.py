@@ -760,3 +760,80 @@ def fuzzy_decontam(
             ).alias("is_contaminated"),
         )
     )
+
+
+def best_jaccard_vs_index(
+    batch_docs: DataFrame,
+    shingle_index: DataFrame,
+    index_sizes: DataFrame | None = None,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Admission-gate probe: for each INCOMING document, its best
+    shingle-Jaccard match in the existing corpus (represented by its
+    persisted ``(doc_id, s)`` shingle index). The batch twin of
+    ``stream_dedup_gate`` — an ingest pipeline calls this per
+    micro-batch to quarantine near-duplicates of already-accepted
+    documents before they enter the corpus.
+
+    Scale design: the incoming batch is tiny next to the corpus, so
+    its exploded shingles/sizes are BROADCAST — the index never
+    shuffles for candidate generation (exact: any pair with
+    Jaccard > 0 shares a shingle). Corpus-side set sizes come from
+    ``index_sizes`` (a (doc_id, n_a) table the gate maintains
+    alongside the index); when None they are derived by one
+    partial-aggregated pass over the index. The argmax is the same
+    struct-max rollup as ``fuzzy_decontam``, keyed on the batch id.
+
+    Output: one row per incoming document —
+    (doc_id, match_id | NULL, best_jaccard).
+    """
+    b_sh = _doc_shingles(batch_docs, id_col, text_col, k)
+    b_ex = b_sh.select(
+        F.col("doc_id").alias("new_id"), F.explode("sh").alias("s")
+    )
+    b_sz = b_sh.select(
+        F.col("doc_id").alias("new_id"), F.size("sh").alias("n_b")
+    )
+    if index_sizes is None:
+        index_sizes = shingle_index.groupBy("doc_id").agg(
+            F.count("*").alias("n_a")
+        )
+    inter = (
+        shingle_index.join(F.broadcast(b_ex), "s")
+        .groupBy("new_id", "doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(index_sizes, "doc_id")
+        .join(F.broadcast(b_sz), "new_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    best = jac.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard"), (-F.col("doc_id")).alias("neg_id")
+            )
+        ).alias("b")
+    ).select(
+        "new_id",
+        (-F.col("b.neg_id")).alias("match_id"),
+        F.col("b.jaccard").alias("best_jaccard"),
+    )
+    return (
+        batch_docs.select(F.col(id_col).alias("doc_id"))
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            "match_id",
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        )
+    )

@@ -3333,3 +3333,39 @@ SELECT d.doc_id,
                   ELSE 0.0 END, 6) AS oov_rate
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+
+def ingest_gate_sql(mod: int, k: int) -> str:
+    """Twin of ``dedup.best_jaccard_vs_index`` on the fixture split:
+    docs with doc_id % mod == 0 are the incoming batch, the rest are
+    the accepted corpus/index; per incoming doc, the best-Jaccard
+    corpus match under (jaccard desc, doc_id asc)."""
+    return f"""
+WITH {_shingle_ctes(k)},
+ce AS (SELECT doc_id, s FROM ex WHERE doc_id % {mod} <> 0),
+be AS (SELECT doc_id AS new_id, s FROM ex WHERE doc_id % {mod} = 0),
+cz AS (SELECT doc_id, n FROM sz WHERE doc_id % {mod} <> 0),
+bz AS (SELECT doc_id AS new_id, n FROM sz WHERE doc_id % {mod} = 0),
+i AS (
+  SELECT be.new_id, ce.doc_id, count(*) AS c
+  FROM ce JOIN be USING (s) GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.new_id, i.doc_id,
+         round(c / (cz.n + bz.n - c), 6) AS jaccard
+  FROM i JOIN cz ON cz.doc_id = i.doc_id
+         JOIN bz ON bz.new_id = i.new_id
+),
+best AS (
+  SELECT new_id, doc_id, jaccard,
+         row_number() OVER (
+           PARTITION BY new_id ORDER BY jaccard DESC, doc_id
+         ) AS rn
+  FROM jac
+)
+SELECT d.doc_id, b.doc_id AS match_id,
+       coalesce(b.jaccard, 0.0) AS best_jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+WHERE d.doc_id % {mod} = 0
+"""

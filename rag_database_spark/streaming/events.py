@@ -429,3 +429,70 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def stream_dedup_gate(
+    spark: SparkSession,
+    src_path: str,
+    accept_path: str,
+    quarantine_path: str,
+    schema: str,
+    index_path: str,
+    threshold: float = 0.8,
+    max_files_per_trigger: int | None = None,
+):
+    """Online near-duplicate admission gate: each micro-batch of
+    incoming documents is probed against the persisted shingle index
+    of the already-accepted corpus (``dedup.best_jaccard_vs_index`` —
+    batch/stream semantics identical by construction). Documents whose
+    best Jaccard ≥ ``threshold`` are written to ``quarantine_path``
+    (with their match id and score); the rest are appended to
+    ``accept_path`` AND their shingles to the index — so later batches
+    dedup against everything accepted before them, not just the
+    bootstrap corpus. Intra-batch duplicates are deliberately out of
+    scope (that is the batch ``near_dup_pairs`` job's step); the gate
+    guards the corpus boundary.
+
+    Scale: the probe broadcasts only the micro-batch's shingles; the
+    index is scanned, never shuffled, and grows by appended parquet
+    (same merge-on-read shape as ``bm25.append_index``)."""
+    from pathlib import Path
+
+    from rag_database_spark.operators import dedup as dd
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if (Path(index_path) / "_SUCCESS").exists():
+                idx = dd.read_shingle_index(spark, index_path)
+                verdict = dd.best_jaccard_vs_index(batch_df, idx).persist()
+                dup_ids = verdict.filter(
+                    F.col("best_jaccard") >= threshold
+                )
+                accepted = batch_df.join(
+                    dup_ids.select("doc_id"), "doc_id", "left_anti"
+                )
+                (
+                    batch_df.join(dup_ids, "doc_id")
+                    .write.mode("append")
+                    .parquet(quarantine_path)
+                )
+            else:
+                accepted = batch_df
+            accepted.write.mode("append").parquet(accept_path)
+            dd._doc_shingles(accepted, "doc_id", "text", dd.SHINGLE_K).select(
+                "doc_id", F.explode("sh").alias("s")
+            ).write.mode("append").parquet(index_path)
+        finally:
+            batch_df.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(src_path)
+        .writeStream.foreachBatch(_gate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", accept_path + "_checkpoint")
+        .start()
+    )

@@ -257,3 +257,52 @@ def test_sessionize_stream_expire_state_matches_batch(spark, event_dir):
         for r in se.sessionize(spark.read.parquet(event_dir)).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_stream_dedup_gate_quarantines_and_learns(spark, tmp_path):
+    """Two micro-batches: batch 1 bootstraps the corpus+index; batch 2
+    holds a near-dup of an accepted doc (quarantined with its match)
+    and a fresh doc (accepted and indexed)."""
+    import time as _time
+
+    from rag_database_spark.operators import dedup as dd
+
+    src = str(tmp_path / "gate_src")
+    accept = str(tmp_path / "gate_accept")
+    quarantine = str(tmp_path / "gate_quarantine")
+    index = str(tmp_path / "gate_index")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mod-times pin micro-batch order
+    spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta"),  # dup of 1
+            (11, "completely fresh new document text content here"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = se.stream_dedup_gate(
+        spark, src, accept, quarantine, schema, index,
+        threshold=0.8, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(accept).collect()}
+    assert accepted == {1, 2, 11}
+    quar = spark.read.parquet(quarantine).collect()
+    assert [(r["doc_id"], r["match_id"], r["best_jaccard"]) for r in quar] \
+        == [(10, 1, 1.0)]
+    # the index holds shingles for accepted docs only
+    idx_ids = {
+        r["doc_id"]
+        for r in dd.read_shingle_index(spark, index)
+        .select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 2, 11}
