@@ -490,6 +490,12 @@ def _ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing recipe: per-source doc/token totals + the uniform
+    sampling weight that caps each source at a token budget."""
+    return text_analytics.source_mix(load_table(spark, sf_dir, "documents"))
+
+
 def _vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep probe: top-V vocab induction + per-doc OOV rate
     (vocab broadcast; corpus token stream never shuffles)."""
@@ -1283,7 +1289,7 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
-    "cut_dup_spans", "ingest_gate",
+    "cut_dup_spans", "ingest_gate", "source_mix",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1356,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": _vocab_oov,
         "cut_dup_spans": _cut_dup_spans,
         "ingest_gate": _ingest_gate,
+        "source_mix": _source_mix,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
@@ -1462,6 +1469,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ingest_gate": oracles.ingest_gate_sql(
             INGEST_GATE_MOD, dedup.SHINGLE_K
+        ),
+        "source_mix": oracles.source_mix_sql(
+            text_analytics.MIX_TOKEN_BUDGET
         ),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P

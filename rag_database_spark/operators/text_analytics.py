@@ -992,3 +992,35 @@ def cut_dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
             F.coalesce("clean_md5", empty_md5).alias("clean_md5"),
         )
     )
+
+
+MIX_TOKEN_BUDGET = 1_300  # per-source token cap for the mixing fixture
+
+
+def source_mix(docs: DataFrame, token_budget: int = MIX_TOKEN_BUDGET,
+               source_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Data-mixing weights: per-source document/token totals and the
+    uniform sampling weight that caps every source at ``token_budget``
+    tokens — the "down-weight over-represented sources" step that turns
+    corpus stats into a training-mix recipe (weights feed
+    ``stratified_sample``-style keeps). Token counting matches
+    ``token_stats``'s whitespace definition.
+
+    One groupBy(source) with map-side partials over a single scan; the
+    output is one row per source — tiny at any corpus scale."""
+    per = fan_out(docs).groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return per.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.least(F.lit(1.0), F.lit(token_budget) / F.col("n_tokens")),
+            6,
+        ).alias("sample_weight"),
+    )

@@ -3369,3 +3369,20 @@ FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
 WHERE d.doc_id % {mod} = 0
 """
+
+
+def source_mix_sql(token_budget: int) -> str:
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    return f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(
+           string_split_regex(trim(text), '{SPLIT_RE}'),
+           x -> length(x) > 0)))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(least(1.0, {token_budget} / n_tokens), 6) AS sample_weight
+FROM per
+"""

@@ -487,3 +487,22 @@ def test_cut_dup_spans_fully_covered_doc(spark):
     }
     empty = hashlib.md5(b"").hexdigest()
     assert got == {1: (0, empty), 2: (0, empty)}
+
+
+def test_source_mix_weights(spark):
+    from rag_database_spark.operators.text_analytics import source_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "big"),
+            (2, "e f g h", "big"),       # big: 8 tokens
+            (3, "only two", "small"),    # small: 2 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["sample_weight"])
+        for r in source_mix(docs, token_budget=4).collect()
+    }
+    assert got["big"] == (2, 8, 0.5)     # capped: 4/8
+    assert got["small"] == (1, 2, 1.0)   # under budget: uncapped
