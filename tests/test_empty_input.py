@@ -1,0 +1,46 @@
+"""Engine robustness: every batch text/dedup operator must return an
+EMPTY result with its normal schema on an empty corpus — not raise.
+(Degenerate inputs are routine at 100 TB: an empty partition, a
+filtered-out tenant, a bootstrap run before any ingest.)"""
+
+from __future__ import annotations
+
+from rag_database_spark.operators import dedup
+from rag_database_spark.operators import text_analytics as ta
+
+
+def test_operators_tolerate_empty_corpus(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    ops = {
+        "lang_id": lambda: ta.lang_id(empty),
+        "token_stats": lambda: ta.token_stats(empty),
+        "doc_quality": lambda: ta.doc_quality(empty),
+        "exact_dedup": lambda: ta.exact_dedup(empty),
+        "dup_ngram_fraction": lambda: ta.dup_ngram_fraction(empty),
+        "gopher_rules": lambda: ta.gopher_rules(empty),
+        "dup_spans": lambda: ta.dup_spans(empty),
+        "cut_dup_spans": lambda: ta.cut_dup_spans(empty),
+        "frequent_ngrams": lambda: ta.frequent_ngrams(empty),
+        "vocab_oov": lambda: ta.vocab_oov(empty),
+        "quality_filter": lambda: ta.quality_filter(empty),
+        "source_mix": lambda: ta.source_mix(empty),
+        "decontaminate": lambda: ta.decontaminate(empty),
+        "shingle_jaccard_pairs": lambda: dedup.shingle_jaccard_pairs(
+            empty, 0.8
+        ),
+        "minhash_signatures": lambda: dedup.minhash_signatures(empty),
+        "simhash": lambda: dedup.simhash(empty),
+        "fuzzy_decontam": lambda: dedup.fuzzy_decontam(empty),
+    }
+    failures = []
+    for name, fn in ops.items():
+        try:
+            df = fn()
+            assert df.count() == 0
+            assert df.schema.fields  # schema survives the empty input
+        except Exception as exc:  # noqa: BLE001 - collect, then report
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, failures
