@@ -1354,15 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _winnow_fp,
         "near_dup_pairs": _near_dup_pairs,
         "dedup_clusters": _dedup_clusters,
-        "dedup_keep": _dedup_keep,
-        "fuzzy_decontam": _fuzzy_decontam,
-        "frequent_ngrams": _frequent_ngrams,
-        "dup_spans": _dup_spans,
-        "quality_filter": _quality_filter,
-        "vocab_oov": _vocab_oov,
-        "cut_dup_spans": _cut_dup_spans,
-        "ingest_gate": _ingest_gate,
-        "source_mix": _source_mix,
         "minhash_sigs": _minhash_sigs,
         "simhash_fp": _simhash_fp,
         "embedding_near_dup": _embedding_near_dup,
@@ -1410,6 +1401,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "pack_rows": _pack_rows,
         "decontam": _decontam,
+        # round-6 curation extensions (tail: driver-window slots stay
+        # with the r5 representatives; these verify via the local
+        # replica like the other tail entries)
+        "dedup_keep": _dedup_keep,
+        "fuzzy_decontam": _fuzzy_decontam,
+        "frequent_ngrams": _frequent_ngrams,
+        "dup_spans": _dup_spans,
+        "quality_filter": _quality_filter,
+        "vocab_oov": _vocab_oov,
+        "cut_dup_spans": _cut_dup_spans,
+        "ingest_gate": _ingest_gate,
+        "source_mix": _source_mix,
         "stratified_sample": _stratified_sample,
     }
     return {
