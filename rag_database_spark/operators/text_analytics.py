@@ -861,7 +861,10 @@ def quality_filter(docs: DataFrame, p: float = QUALITY_FILTER_P,
         )
     import math
 
-    k = math.floor(scored.count() * p)
+    # count the INPUT, not the scored projection: doc_quality is 1:1
+    # per doc, and a bare parquet count is metadata-only while
+    # scored.count() would execute the full quality scan just for N
+    k = math.floor(docs.count() * p)
     bottom = (
         scored.orderBy("q_score", "doc_id").limit(k).select("doc_id")
     )
