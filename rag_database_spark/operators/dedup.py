@@ -837,3 +837,108 @@ def best_jaccard_vs_index(
             F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
         )
     )
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond" — public paper): converges in O(log n) rounds on ANY
+    component topology, where ``dedup_clusters``'s min-label
+    propagation needs O(diameter) rounds. Same contract: one row per
+    corpus document, cluster_id = component-min doc_id.
+
+    Use this form when components can be long chains or giant
+    (pathological near-dup graphs — boilerplate-heavy web crawls);
+    min-label stays the default because near-dup components are
+    typically tiny and its per-round plan is cheaper.
+
+    Each round is one groupBy + one join per star op, with
+    ``localCheckpoint`` truncating lineage; the fixpoint test compares
+    an order-insensitive (count, hash-sum) signature of the edge set —
+    two scans, no subtract join.
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        # bit_xor is order-insensitive and cannot overflow (ANSI mode
+        # raises on a long sum of hashes); edges are distinct so xor
+        # cancellation cannot collide two different edge SETS silently
+        # beyond ordinary 64-bit hash collision odds
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient every edge (hi → lo), group by hi
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = o.join(mins, "u")
+        out = joined.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(
+            mins.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    sig = _signature(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters_star: no fixpoint within {max_rounds} "
+            "rounds; labels may be unsettled",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # at the fixpoint every node points directly at its component min
+    labels = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            labels.select(F.col("u").alias("doc_id"), "label"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+    )

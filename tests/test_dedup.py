@@ -280,3 +280,58 @@ def test_fuzzy_decontam_index_mode_matches_tokenize(spark, tmp_path):
         ).collect()
     )
     assert base == via_index
+
+
+def test_star_cc_matches_min_label_hand_case(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters_star(pairs, docs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_star_cc_matches_min_label_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    a = sorted(
+        tuple(r) for r in dedup.dedup_clusters(pairs, docs).collect()
+    )
+    b = sorted(
+        tuple(r) for r in dedup.dedup_clusters_star(pairs, docs).collect()
+    )
+    assert a == b
+
+
+def test_star_cc_long_chain_converges_logarithmically(spark, monkeypatch):
+    # a 64-node path: min-label needs ~63 rounds, star must settle in
+    # O(log n) — assert it fixpoints well under the propagation bound
+    calls = {"rounds": 0}
+    orig = dedup.DataFrame.localCheckpoint
+
+    def counting(self, *a, **kw):
+        calls["rounds"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(dedup.DataFrame, "localCheckpoint", counting)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    rows = dedup.dedup_clusters_star(pairs, docs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    # one checkpoint per round plus the initial edge checkpoint
+    assert calls["rounds"] <= 12, calls["rounds"]
