@@ -420,6 +420,16 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (CC-MR, O(log n) rounds) — same labels as dedup_clusters, so it
+    shares that entry's oracle verbatim."""
+    return dedup.dedup_clusters_star(
+        _jaccard_pairs(spark, sf_dir),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
 def _dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized deduplicated corpus: one representative
     (component-min doc) per near-dup cluster, with the duplicate count
@@ -1404,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 curation extensions (tail: driver-window slots stay
         # with the r5 representatives; these verify via the local
         # replica like the other tail entries)
+        "dedup_clusters_cc": _dedup_clusters_cc,
         "dedup_keep": _dedup_keep,
         "fuzzy_decontam": _fuzzy_decontam,
         "frequent_ngrams": _frequent_ngrams,
@@ -1455,6 +1466,9 @@ def oracle_sql() -> dict[str, str]:
             JACCARD_THRESHOLD, dedup.SHINGLE_K
         ),
         "dedup_keep": oracles.dedup_keep_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
+        "dedup_clusters_cc": oracles.dedup_clusters_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K
         ),
         "fuzzy_decontam": oracles.fuzzy_decontam_sql(
