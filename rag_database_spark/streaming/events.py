@@ -462,6 +462,7 @@ def stream_dedup_gate(
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
+        verdict = None
         try:
             if (Path(index_path) / "_SUCCESS").exists():
                 idx = dd.read_shingle_index(spark, index_path)
@@ -484,6 +485,10 @@ def stream_dedup_gate(
                 "doc_id", F.explode("sh").alias("s")
             ).write.mode("append").parquet(index_path)
         finally:
+            # drop per-batch cache entries — a long-running stream would
+            # otherwise accumulate one pinned verdict per micro-batch
+            if verdict is not None:
+                verdict.unpersist()
             batch_df.unpersist()
 
     reader = spark.readStream.schema(schema)
