@@ -55,6 +55,8 @@ AUDIT_NOTES = {
     "near_dup_pairs": "output = true near-dup pair set; replica corpus "
     "makes it grow ~quadratically by construction",
     "dedup_clusters": "consumes the quadratically-grown pair set",
+    "dedup_clusters_cc": "consumes the quadratically-grown pair set",
+    "dedup_keep": "consumes the quadratically-grown pair set",
     "embedding_near_dup": "replicated embeddings are exact dups → "
     "cosine-pair output grows ~quadratically; LSH bucketing keeps "
     "candidate generation keyed, work tracks output size",
