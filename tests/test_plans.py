@@ -259,3 +259,26 @@ def test_quality_filter_bottom_k_is_take_ordered(spark):
     p = plan_of(df, "simple")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_ingest_gate_broadcasts_batch_side(spark, tmp_path):
+    """The incoming batch's shingles/sizes broadcast; the corpus index
+    is scanned, never shuffled for candidate generation."""
+    from rag_database_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "idx")
+    dedup.write_shingle_index(docs.limit(30), path)
+    idx = dedup.read_shingle_index(spark, path)
+    df = dedup.best_jaccard_vs_index(docs.limit(5), idx)
+    assert plan_of(df, "simple").count("BroadcastHashJoin") >= 2
+
+
+def test_cut_dup_spans_cut_is_keyed_anti_join(spark):
+    """The span cut must be a (doc_id, pos)-keyed LEFT ANTI join — not
+    a nested-loop interval probe."""
+    from rag_database_spark.operators.text_analytics import cut_dup_spans
+
+    p = plan_of(cut_dup_spans(load_table(spark, SF_DIR, "documents")))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
