@@ -500,6 +500,14 @@ def _ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-cleaning markup strip over the deterministic HTML-wrapped
+    corpus fixture; round_trip pins strip(wrap(text)) == text."""
+    return text_analytics.strip_markup(
+        text_analytics.wrap_markup(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def _source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing recipe: per-source doc/token totals + the uniform
     sampling weight that caps each source at a token budget."""
@@ -1299,7 +1307,7 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
-    "cut_dup_spans", "ingest_gate", "source_mix",
+    "cut_dup_spans", "ingest_gate", "source_mix", "strip_markup",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1424,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_dup_spans": _cut_dup_spans,
         "ingest_gate": _ingest_gate,
         "source_mix": _source_mix,
+        "strip_markup": _strip_markup,
         "stratified_sample": _stratified_sample,
     }
     return {
@@ -1490,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mix": oracles.source_mix_sql(
             text_analytics.MIX_TOKEN_BUDGET
         ),
+        "strip_markup": oracles.strip_markup_sql(),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P
         ),

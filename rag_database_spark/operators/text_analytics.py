@@ -1027,3 +1027,82 @@ def source_mix(docs: DataFrame, token_budget: int = MIX_TOKEN_BUDGET,
             6,
         ).alias("sample_weight"),
     )
+
+
+def wrap_markup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministic HTML-wrapped twin of the corpus — the fixture
+    producer for ``strip_markup``'s oracle (same pattern as
+    ``synthetic_regions``/``c4_fixtures``: both engines derive the
+    identical markup from the same rows, so the stripper has real tags
+    and entities to remove at ANY scale). Every inter-word space
+    becomes a paragraph boundary plus a ``&nbsp;`` entity, so
+    stripping must undo both to round-trip the text."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("original"),
+        F.concat(
+            F.lit('<div id="d'),
+            F.col(id_col).cast("string"),
+            F.lit('"><p>'),
+            F.regexp_replace(t, " ", '&nbsp;</p><p class="x">'),
+            F.lit("</p></div>"),
+        ).alias("html"),
+    )
+
+
+# entity map applied AFTER tag removal, in fixed order
+_MARKUP_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so &amp;lt; does not double-decode
+)
+
+
+def strip_markup(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Markup stripping — the web-cleaning step upstream of the C4/
+    Gopher rules: remove tags, decode the common entities, collapse
+    whitespace. One codegen projection (regexp + chained replaces),
+    no shuffle, linear at any scale.
+
+    Output per page: tag count, cleaned text, and (when an
+    ``original`` column is present) a round-trip flag — stripping the
+    deterministic ``wrap_markup`` fixture must reproduce the original
+    text exactly."""
+    from rag_database_spark.functions.text import WS_CLASS
+
+    cleaned = F.regexp_replace(F.col(html_col), "<[^>]+>", " ")
+    for ent, rep in _MARKUP_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(rep))
+    cleaned = F.trim(
+        F.regexp_replace(cleaned, rf"[{WS_CLASS}]+", " ")
+    )
+    out = pages.withColumn(
+        "n_tags",
+        F.size(
+            F.regexp_extract_all(F.col(html_col), F.lit("<[^>]+>"), 0)
+        ),
+    ).withColumn("clean_text", cleaned)
+    if "original" in pages.columns:
+        out = out.withColumn(
+            "round_trip",
+            F.col("clean_text")
+            == F.trim(
+                F.regexp_replace(
+                    F.col("original"), rf"[{WS_CLASS}]+", " "
+                )
+            ),
+        )
+        return out.select(
+            "doc_id",
+            "n_tags",
+            F.md5("clean_text").alias("clean_md5"),
+            "round_trip",
+        )
+    return out.select(
+        "doc_id", "n_tags", F.md5("clean_text").alias("clean_md5")
+    )

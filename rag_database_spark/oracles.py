@@ -3386,3 +3386,35 @@ SELECT source, n_docs, n_tokens,
        round(least(1.0, {token_budget} / n_tokens), 6) AS sample_weight
 FROM per
 """
+
+
+def strip_markup_sql() -> str:
+    """Twin of ``text_analytics.strip_markup`` over the deterministic
+    ``wrap_markup`` fixture: same tag regex, same entity order, same
+    whitespace collapse."""
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    return f"""
+WITH wrapped AS (
+  SELECT doc_id, text AS original,
+         '<div id="d' || doc_id || '"><p>' ||
+           replace(text, ' ', '&nbsp;</p><p class="x">') ||
+           '</p></div>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, original,
+         len(regexp_extract_all(html, '<[^>]+>'))::BIGINT AS n_tags,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(html, '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '{SPLIT_RE}', ' ', 'g')) AS clean_text
+  FROM wrapped
+)
+SELECT doc_id, n_tags, md5(clean_text) AS clean_md5,
+       clean_text = trim(regexp_replace(original, '{SPLIT_RE}', ' ', 'g'))
+         AS round_trip
+FROM stripped
+"""

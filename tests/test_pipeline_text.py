@@ -506,3 +506,40 @@ def test_source_mix_weights(spark):
     }
     assert got["big"] == (2, 8, 0.5)     # capped: 4/8
     assert got["small"] == (1, 2, 1.0)   # under budget: uncapped
+
+
+def test_strip_markup_hand_case(spark):
+    from rag_database_spark.operators.text_analytics import strip_markup
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<html><body class="m"><h1>Title</h1>'
+                '<p>hello&nbsp;world &amp; more</p><br/></body></html>'),
+            (2, "no markup at   all"),
+            (3, "&lt;tag&gt; is &quot;escaped&quot; &#39;here&#39;"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in strip_markup(pages).collect()}
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[1]["n_tags"] == 9
+    assert got[1]["clean_md5"] == md5("Title hello world & more")
+    assert got[2]["n_tags"] == 0
+    assert got[2]["clean_md5"] == md5("no markup at all")
+    assert got[3]["n_tags"] == 0
+    assert got[3]["clean_md5"] == md5("<tag> is \"escaped\" 'here'")
+
+
+def test_strip_markup_round_trips_wrapped_corpus(spark):
+    from rag_database_spark.operators.text_analytics import (
+        strip_markup, wrap_markup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = strip_markup(wrap_markup(docs))
+    assert out.filter(~F.col("round_trip")).count() == 0
+    assert out.filter(F.col("n_tags") < 4).count() == 0
