@@ -500,6 +500,32 @@ def _ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DENSE_FILTER_LABELS = (1, 4, 7)  # the queried tenant's label scope
+
+
+def _dense_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the Qdrant filter-during-search
+    surface, vector_store.py payload filters): cosine top-k restricted
+    to a label scope, filter applied BEFORE scoring — candidates
+    prune at the parquet scan, and the top-k is always full (post-
+    filtering would under-fill it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    qvecs = queries.join(
+        emb, queries["query_vec_id"] == emb["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    eligible = emb.filter(F.col("label").isin(*DENSE_FILTER_LABELS))
+    return similarity.cosine_topk(
+        qvecs, eligible, workload.HYBRID_LIMIT,
+        id_col="vec_id", vec_col="embedding",
+    ).select(
+        "query_id",
+        "id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-cleaning markup strip over the deterministic HTML-wrapped
     corpus fixture; round_trip pins strip(wrap(text)) == text."""
@@ -1308,6 +1334,7 @@ _PURE_LAZY = frozenset({
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
     "cut_dup_spans", "ingest_gate", "source_mix", "strip_markup",
+    "dense_filtered_topk",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1433,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_gate": _ingest_gate,
         "source_mix": _source_mix,
         "strip_markup": _strip_markup,
+        "dense_filtered_topk": _dense_filtered_topk,
         "stratified_sample": _stratified_sample,
     }
     return {
@@ -1500,6 +1528,9 @@ def oracle_sql() -> dict[str, str]:
             text_analytics.MIX_TOKEN_BUDGET
         ),
         "strip_markup": oracles.strip_markup_sql(),
+        "dense_filtered_topk": oracles.dense_filtered_topk_sql(
+            DENSE_FILTER_LABELS
+        ),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P
         ),

@@ -3418,3 +3418,31 @@ SELECT doc_id, n_tags, md5(clean_text) AS clean_md5,
          AS round_trip
 FROM stripped
 """
+
+
+def dense_filtered_topk_sql(labels: tuple, limit: int = HYBRID_LIMIT) -> str:
+    """Filtered vector search twin: the label scope prunes candidates
+    BEFORE scoring, so the top-k is ranked over eligible vectors only."""
+    in_list = ", ".join(str(x) for x in labels)
+    return f"""
+WITH qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS qvec
+  FROM {queries_values_sql()}
+  JOIN embeddings e ON e.vec_id = q.query_vec_id
+),
+scored AS (
+  SELECT qv.query_id, e.vec_id AS id,
+         list_cosine_similarity(qv.qvec, e.embedding::DOUBLE[]) AS score
+  FROM qv CROSS JOIN embeddings e
+  WHERE e.label IN ({in_list})
+),
+ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, id, round(score, 6) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {limit}
+"""

@@ -282,3 +282,13 @@ def test_cut_dup_spans_cut_is_keyed_anti_join(spark):
     p = plan_of(cut_dup_spans(load_table(spark, SF_DIR, "documents")))
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dense_filtered_topk_pushes_label_filter(spark):
+    """Filter-during-search: the label scope must reach the parquet
+    scan (pre-filter), not apply after scoring (post-filter)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dense_filtered_topk"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "In(label, [1,4,7])" in p or "PushedFilters: [In(label" in p
