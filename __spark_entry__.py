@@ -526,6 +526,41 @@ def _dense_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TIME_TRAVEL_DELETE_MOD = 10  # DELETE WHERE doc_id % 10 == 3
+
+
+def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID read-path math, oracle-checked: a merge-on-read
+    TombstoneTable seeded from the corpus with one epoch-stamped
+    DELETE WHERE; snapshot reads at epoch 0 (pre-delete) and current
+    must count exactly what plain SQL predicates count. The table is
+    a fingerprint-keyed cached artifact, so repeated invocations read
+    the same two snapshots (idempotent under bench reruns)."""
+    from rag_database_spark.sources import acid
+
+    root = (
+        Path(__file__).resolve().parent
+        / ".cache" / "tt_table" / _source_fingerprint(sf_dir)
+    )
+    tbl = acid.TombstoneTable(spark, str(root), key_col="doc_id")
+    if tbl._current_epoch() < 2:  # epoch 1 = append, epoch 2 = delete
+        tbl.append(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "n_chars"
+            )
+        )
+        tbl.delete_where(
+            F.col("doc_id") % TIME_TRAVEL_DELETE_MOD == 3
+        )
+    pre = tbl.read(as_of_epoch=1).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(F.lit(1).alias("epoch"), "n_rows")
+    cur = tbl.read().agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit(2).alias("epoch"), "n_rows"
+    )
+    return pre.unionByName(cur)
+
+
 def _strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-cleaning markup strip over the deterministic HTML-wrapped
     corpus fixture; round_trip pins strip(wrap(text)) == text."""
@@ -1461,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": _source_mix,
         "strip_markup": _strip_markup,
         "dense_filtered_topk": _dense_filtered_topk,
+        "time_travel": _time_travel,
         "stratified_sample": _stratified_sample,
     }
     return {
@@ -1531,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "dense_filtered_topk": oracles.dense_filtered_topk_sql(
             DENSE_FILTER_LABELS
         ),
+        "time_travel": oracles.time_travel_sql(TIME_TRAVEL_DELETE_MOD),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P
         ),

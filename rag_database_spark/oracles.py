@@ -3446,3 +3446,15 @@ ranked AS (
 SELECT query_id, id, round(score, 6) AS score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {limit}
 """
+
+
+def time_travel_sql(mod: int) -> str:
+    """Twin of the TombstoneTable snapshot entry: epoch 1 (pre-delete)
+    sees the whole corpus, epoch 2 (post DELETE WHERE doc_id % mod == 3)
+    sees everything else."""
+    return f"""
+SELECT 1 AS epoch, count(*)::BIGINT AS n_rows FROM documents
+UNION ALL
+SELECT 2 AS epoch, count(*)::BIGINT AS n_rows
+FROM documents WHERE doc_id % {mod} <> 3
+"""
