@@ -526,6 +526,43 @@ def _dense_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composition the individual
+    operators exist for: exact dedup (keep md5-canonical docs) →
+    near-dup retention (keep component-min reps) → quality filter
+    (drop the bottom ⌊N·p⌋ of the SURVIVORS) → decontamination (drop
+    eval-overlapping docs and the eval slice itself). Output: the
+    final training corpus as (doc_id, q_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_keep = (
+        text_analytics.exact_dedup(docs)
+        .filter(~F.col("is_dupe"))
+        .select("doc_id")
+    )
+    nd_keep = (
+        dedup.dedup_clusters(_jaccard_pairs(spark, sf_dir), docs)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(exact_keep, "doc_id").join(nd_keep, "doc_id")
+    scored = text_analytics.doc_quality(survivors).select(
+        "doc_id", "q_score"
+    )
+    import math
+
+    k = math.floor(
+        survivors.count() * text_analytics.QUALITY_FILTER_P
+    )
+    bottom = scored.orderBy("q_score", "doc_id").limit(k).select("doc_id")
+    qkept = scored.join(F.broadcast(bottom), "doc_id", "left_anti")
+    clean = (
+        text_analytics.decontaminate(docs)
+        .filter(~F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    return qkept.join(clean, "doc_id")
+
+
 TIME_TRAVEL_DELETE_MOD = 10  # DELETE WHERE doc_id % 10 == 3
 
 
@@ -1497,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_markup": _strip_markup,
         "dense_filtered_topk": _dense_filtered_topk,
         "time_travel": _time_travel,
+        "curate_corpus": _curate_corpus,
         "stratified_sample": _stratified_sample,
     }
     return {
@@ -1568,6 +1606,11 @@ def oracle_sql() -> dict[str, str]:
             DENSE_FILTER_LABELS
         ),
         "time_travel": oracles.time_travel_sql(TIME_TRAVEL_DELETE_MOD),
+        "curate_corpus": oracles.curate_corpus_sql(
+            JACCARD_THRESHOLD,
+            dedup.SHINGLE_K,
+            text_analytics.QUALITY_FILTER_P,
+        ),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P
         ),

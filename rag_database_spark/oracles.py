@@ -3458,3 +3458,41 @@ UNION ALL
 SELECT 2 AS epoch, count(*)::BIGINT AS n_rows
 FROM documents WHERE doc_id % {mod} <> 3
 """
+
+
+def curate_corpus_sql(jaccard_threshold: float, k: int, p: float) -> str:
+    """Twin of the end-to-end curation composite: exact-canonical ∩
+    near-dup-representative survivors, quality-ranked with the bottom
+    ⌊N·p⌋ dropped, minus contaminated (and eval-slice) docs. Built by
+    nesting the per-stage oracle builders, so each stage's semantics
+    stay pinned to its standalone entry."""
+    return f"""
+WITH RECURSIVE {_cluster_ctes(jaccard_threshold, k)},
+exact AS (
+  SELECT doc_id FROM ({exact_dedup_sql()}) e
+  WHERE e.doc_id = e.canonical_id
+),
+survivors AS (
+  SELECT c.doc_id FROM cl c
+  JOIN exact USING (doc_id)
+  WHERE c.doc_id = c.cluster_id
+),
+q AS (
+  SELECT dq.doc_id, dq.q_score
+  FROM ({doc_quality_sql()}) dq JOIN survivors USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, q_score,
+         row_number() OVER (ORDER BY q_score, doc_id) AS rn,
+         count(*) OVER () AS nn
+  FROM q
+),
+qkept AS (
+  SELECT doc_id, q_score FROM ranked WHERE rn > floor(nn * {p})
+),
+clean AS (
+  SELECT doc_id FROM ({decontaminate_sql()}) dc
+  WHERE NOT dc.is_contaminated
+)
+SELECT k.doc_id, k.q_score FROM qkept k JOIN clean USING (doc_id)
+"""
