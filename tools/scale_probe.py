@@ -57,6 +57,7 @@ AUDIT_NOTES = {
     "dedup_clusters": "consumes the quadratically-grown pair set",
     "dedup_clusters_cc": "consumes the quadratically-grown pair set",
     "dedup_keep": "consumes the quadratically-grown pair set",
+    "curate_corpus": "consumes the quadratically-grown pair set",
     "embedding_near_dup": "replicated embeddings are exact dups → "
     "cosine-pair output grows ~quadratically; LSH bucketing keeps "
     "candidate generation keyed, work tracks output size",
