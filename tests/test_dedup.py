@@ -335,3 +335,18 @@ def test_star_cc_long_chain_converges_logarithmically(spark, monkeypatch):
     assert {r["cluster_id"] for r in rows} == {0}
     # one checkpoint per round plus the initial edge checkpoint
     assert calls["rounds"] <= 12, calls["rounds"]
+
+
+def test_keep_representatives_agrees_across_cc_algorithms(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i, i * 10) for i in (1, 2, 3, 10, 11, 20)],
+        "doc_id long, n_chars long",
+    )
+    a = sorted(tuple(r) for r in dedup.keep_representatives(
+        docs, dedup.dedup_clusters(pairs, docs)).collect())
+    b = sorted(tuple(r) for r in dedup.keep_representatives(
+        docs, dedup.dedup_clusters_star(pairs, docs)).collect())
+    assert a == b
