@@ -545,6 +545,10 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     survivors = docs.join(exact_keep, "doc_id").join(nd_keep, "doc_id")
+    # three downstream actions (count, bottom-k, final join) share the
+    # exact-dedup window + cluster joins — truncate once instead of
+    # recomputing that ancestry per action
+    survivors = survivors.localCheckpoint()
     scored = text_analytics.doc_quality(survivors).select(
         "doc_id", "q_score"
     )
