@@ -526,6 +526,17 @@ def _dense_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over the decomposed-fixture corpus —
+    the one Arrow-batched Python scan in the text family (Spark has no
+    NFC builtin); DuckDB's nfc_normalize is the oracle."""
+    return text_analytics.normalize_unicode(
+        text_analytics.decompose_fixture(
+            load_table(spark, sf_dir, "documents")
+        )
+    )
+
+
 def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline — the composition the individual
     operators exist for: exact dedup (keep md5-canonical docs) →
@@ -1410,7 +1421,7 @@ _PURE_LAZY = frozenset({
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
     "cut_dup_spans", "ingest_gate", "source_mix", "strip_markup",
-    "dense_filtered_topk",
+    "dense_filtered_topk", "nfc_normalize",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
@@ -1539,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_filtered_topk": _dense_filtered_topk,
         "time_travel": _time_travel,
         "curate_corpus": _curate_corpus,
+        "nfc_normalize": _nfc_normalize,
         "stratified_sample": _stratified_sample,
     }
     return {
@@ -1615,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
             dedup.SHINGLE_K,
             text_analytics.QUALITY_FILTER_P,
         ),
+        "nfc_normalize": oracles.nfc_normalize_sql(),
         "quality_filter": oracles.quality_filter_sql(
             text_analytics.QUALITY_FILTER_P
         ),

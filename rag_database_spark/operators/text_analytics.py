@@ -1106,3 +1106,59 @@ def strip_markup(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return out.select(
         "doc_id", "n_tags", F.md5("clean_text").alias("clean_md5")
     )
+
+
+def decompose_fixture(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Deterministic decomposed-Unicode twin of the corpus (fixture
+    producer for ``normalize_unicode``'s oracle): inject NFD sequences
+    — e+COMBINING ACUTE, o+COMBINING DIAERESIS — after every matching
+    letter, so normalization has real composition work in both engines
+    at any scale."""
+    t = F.col(text_col)
+    deco = F.replace(
+        F.replace(t, F.lit("e"), F.lit("e\u0301")),
+        F.lit("o"),
+        F.lit("o\u0308"),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), deco.alias("raw"))
+
+
+def normalize_unicode(pages: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "raw") -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step upstream
+    of hashing/dedup (decomposed and composed spellings of the same
+    grapheme must fingerprint identically). Spark has no NFC builtin,
+    so this is the documented Python slow path done right: one
+    Arrow-batched ``mapInPandas`` scan (stdlib ``unicodedata``), no
+    shuffle, linear at any scale — never a row-at-a-time UDF.
+
+    Output: (doc_id, n_chars_raw, n_chars_nfc, nfc_md5) — the md5
+    stands in for the normalized text so results stay hashable."""
+    import pandas as pd
+
+    schema = (
+        "doc_id long, n_chars_raw bigint, n_chars_nfc bigint, "
+        "nfc_md5 string"
+    )
+
+    def batches(it):
+        import hashlib
+        import unicodedata
+
+        for pdf in it:
+            norm = pdf[text_col].map(
+                lambda s: unicodedata.normalize("NFC", s)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_chars_raw": pdf[text_col].str.len().astype("int64"),
+                    "n_chars_nfc": norm.str.len().astype("int64"),
+                    "nfc_md5": norm.map(
+                        lambda s: hashlib.md5(s.encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return pages.mapInPandas(batches, schema)

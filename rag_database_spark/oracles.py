@@ -3496,3 +3496,22 @@ clean AS (
 )
 SELECT k.doc_id, k.q_score FROM qkept k JOIN clean USING (doc_id)
 """
+
+
+def nfc_normalize_sql() -> str:
+    """Twin of ``normalize_unicode`` over the ``decompose_fixture``
+    corpus: chr(769)/chr(776) are the same combining marks the Spark
+    fixture injects; DuckDB's nfc_normalize == Python unicodedata NFC."""
+    return """
+WITH deco AS (
+  SELECT doc_id,
+         replace(replace(text, 'e', 'e' || chr(769)),
+                 'o', 'o' || chr(776)) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       length(raw)::BIGINT AS n_chars_raw,
+       length(nfc_normalize(raw))::BIGINT AS n_chars_nfc,
+       md5(nfc_normalize(raw)) AS nfc_md5
+FROM deco
+"""

@@ -543,3 +543,33 @@ def test_strip_markup_round_trips_wrapped_corpus(spark):
     out = strip_markup(wrap_markup(docs))
     assert out.filter(~F.col("round_trip")).count() == 0
     assert out.filter(F.col("n_tags") < 4).count() == 0
+
+
+def test_normalize_unicode_composes_nfd(spark):
+    import hashlib
+    import unicodedata
+
+    from rag_database_spark.operators.text_analytics import (
+        normalize_unicode,
+    )
+
+    # explicit NFD escapes: e+U+0301 and A+U+030A compose under NFC
+    nfd = "cafe\u0301 and A\u030a"
+    rows = [
+        (1, nfd),
+        (2, "plain ascii"),                    # identity
+        (3, "\u00e9 already composed"),        # NFC fixpoint
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, raw string")
+    got = {r["doc_id"]: r for r in normalize_unicode(pages).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[1]["n_chars_raw"] == 12
+    assert got[1]["n_chars_nfc"] == 10  # two marks composed away
+    assert got[1]["nfc_md5"] == md5("caf\u00e9 and \u00c5")
+    assert got[2]["n_chars_raw"] == got[2]["n_chars_nfc"] == 11
+    assert got[3]["nfc_md5"] == md5(
+        unicodedata.normalize("NFC", rows[2][1])
+    )
