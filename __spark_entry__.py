@@ -42,7 +42,7 @@ from rag_database_spark.operators.hybrid import (
     hybrid_search3,
     hybrid_search3_adaptive,
 )
-from rag_database_spark.sources.tables import TABLES, fan_out, load_table, load_tables
+from rag_database_spark.sources.tables import fan_out, load_table, load_tables
 
 
 def entry(spark: SparkSession) -> DataFrame:
