@@ -107,20 +107,33 @@ def main() -> int:
         if len(line) <= 1950:
             break
     if len(line) > 1950:
-        # final fallback: drop the per-query dict entirely (it lives in
-        # BENCH_DETAIL.json) rather than risk the driver truncating the
-        # line mid-JSON — contract keys stay present
-        line = json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {},
-                "n_runs": N_RUNS,
-                "sf": sf,
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
+        # partial fallback: the full dict no longer fits even at dp=1
+        # (first hit at 91 entries: 1965 chars), so pack the SLOWEST
+        # entries that fit — an informative subset beats the old
+        # empty-dict fallback; the complete dict lives in
+        # BENCH_DETAIL.json and `queries_omitted` makes the truncation
+        # explicit instead of silent.
+        def _render(kept: dict) -> str:
+            return json.dumps(
+                {
+                    "metric": "total_query_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": kept,
+                    "queries_omitted": len(medians) - len(kept),
+                    "n_runs": N_RUNS,
+                    "sf": sf,
+                    "detail": "BENCH_DETAIL.json",
+                },
+                separators=(",", ":"),
+            )
+
+        kept: dict[str, float] = {}
+        for name, v in sorted(medians.items(), key=lambda kv: -kv[1]):
+            kept[name] = round(v, 1)
+            if len(_render(kept)) > 1950:
+                del kept[name]  # overflowed; shorter names may still fit
+        line = _render(kept)
     print(line, flush=True)
     return 0
 
