@@ -543,7 +543,17 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup retention (keep component-min reps) → quality filter
     (drop the bottom ⌊N·p⌋ of the SURVIVORS) → decontamination (drop
     eval-overlapping docs and the eval slice itself). Output: the
-    final training corpus as (doc_id, q_score)."""
+    final training corpus as (doc_id, q_score).
+
+    The quality stage is the EXACT discrete cutoff, but computed via
+    sketch-bracketed selection (``text_analytics.bottom_k_boundary``)
+    rather than an O(N) bottom-k relation: the boundary tuple comes
+    back as one row and the returned plan filters on LITERALS — no
+    TakeOrderedAndProject, no broadcast that grows with the corpus
+    (pinned by tests/test_plans.py). The scored survivor set is
+    localCheckpointed once so the dedup-join ancestry and the
+    19-regex quality scan run exactly once across the boundary jobs
+    and the final join."""
     docs = load_table(spark, sf_dir, "documents")
     exact_keep = (
         text_analytics.exact_dedup(docs)
@@ -556,20 +566,27 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     survivors = docs.join(exact_keep, "doc_id").join(nd_keep, "doc_id")
-    # three downstream actions (count, bottom-k, final join) share the
-    # exact-dedup window + cluster joins — truncate once instead of
-    # recomputing that ancestry per action
-    survivors = survivors.localCheckpoint()
-    scored = text_analytics.doc_quality(survivors).select(
-        "doc_id", "q_score"
+    scored = (
+        text_analytics.doc_quality(survivors)
+        .select("doc_id", "q_score")
+        .localCheckpoint()
     )
     import math
 
-    k = math.floor(
-        survivors.count() * text_analytics.QUALITY_FILTER_P
-    )
-    bottom = scored.orderBy("q_score", "doc_id").limit(k).select("doc_id")
-    qkept = scored.join(F.broadcast(bottom), "doc_id", "left_anti")
+    n = scored.count()  # post-checkpoint: a cached-partition count
+    k = math.floor(n * text_analytics.QUALITY_FILTER_P)
+    boundary = text_analytics.bottom_k_boundary(scored, k, n)
+    if boundary is None:
+        qkept = scored
+    else:
+        bq, bid = boundary
+        qkept = scored.filter(
+            (F.col("q_score") > F.lit(bq))
+            | (
+                (F.col("q_score") == F.lit(bq))
+                & (F.col("doc_id") > F.lit(bid))
+            )
+        )
     clean = (
         text_analytics.decontaminate(docs)
         .filter(~F.col("is_contaminated"))

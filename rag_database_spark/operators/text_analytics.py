@@ -828,9 +828,84 @@ def dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
 
 QUALITY_FILTER_P = 0.25  # drop the bottom quartile by composite score
 
+# sketch-bracketed exact selection: half-width of the percentile
+# bracket around p, and the matching approx_percentile accuracy
+# (error = 1/accuracy must be < band half-width for the bracket to
+# contain the true k-th row on the first attempt)
+BOUNDARY_BAND_EPS = 1e-3
+BOUNDARY_ACCURACY = 10_000
+
+
+def bottom_k_boundary(scored: DataFrame, k: int, n: int,
+                      score_col: str = "q_score",
+                      id_col: str = "doc_id",
+                      eps: float = BOUNDARY_BAND_EPS):
+    """EXACT k-th smallest ``(score, id)`` tuple — the discrete cutoff
+    of a bottom-k drop — computed without materializing a bottom-k
+    relation, so the plan survives k = O(N).
+
+    ``orderBy().limit(k)`` is a TakeOrderedAndProject: per-partition
+    heaps of size k merged on the driver, and any join against the
+    result ships k rows. Fine for top-10; wrong when k is a fixed
+    FRACTION of the corpus (quality filtering drops 25%). This is the
+    classic sketch-bracketed selection instead:
+
+    1. one ``approx_percentile`` pass brackets the k-th score in
+       ``[t_lo, t_hi]`` (sketch error 1/BOUNDARY_ACCURACY ≪ eps);
+    2. one aggregation counts rows strictly below the band (c_lo) and
+       rows inside it;
+    3. the k-th tuple overall is the (k - c_lo)-th inside the band —
+       a TakeOrderedAndProject over ~2·eps·N rows, then max-of-struct.
+
+    If the sketch misses (band doesn't straddle rank k), the band is
+    doubled and retried; the last resort is the full range, which
+    degenerates to the exact bottom-k and cannot miss. Total cost:
+    3 jobs per attempt over the (score, id) projection, driver traffic
+    ONE row. Returns ``(score, id)`` or None when k <= 0.
+    """
+    if k <= 0:
+        return None
+    p = k / max(n, 1)
+    attempt_eps = eps
+    for _ in range(6):
+        lo_p = max(0.0, p - attempt_eps)
+        hi_p = min(1.0, p + attempt_eps)
+        t_lo, t_hi = scored.agg(
+            F.expr(
+                f"approx_percentile({score_col}, array({lo_p}, {hi_p}),"
+                f" {BOUNDARY_ACCURACY})"
+            )
+        ).first()[0]
+        c_lo, c_band = scored.agg(
+            F.sum((F.col(score_col) < t_lo).cast("long")),
+            F.sum(F.col(score_col).between(t_lo, t_hi).cast("long")),
+        ).first()
+        j = k - (c_lo or 0)
+        if 1 <= j <= (c_band or 0):
+            band = scored.filter(F.col(score_col).between(t_lo, t_hi))
+            row = (
+                band.orderBy(score_col, id_col)
+                .limit(j)
+                .agg(F.max(F.struct(score_col, id_col)).alias("b"))
+                .first()["b"]
+            )
+            return (row[score_col], row[id_col])
+        attempt_eps *= 2.0
+        if lo_p == 0.0 and hi_p == 1.0:
+            break
+    # unreachable in practice: the full-range band contains every rank
+    row = (
+        scored.orderBy(score_col, id_col)
+        .limit(k)
+        .agg(F.max(F.struct(score_col, id_col)).alias("b"))
+        .first()["b"]
+    )
+    return (row[score_col], row[id_col])
+
 
 def quality_filter(docs: DataFrame, p: float = QUALITY_FILTER_P,
                    approx: bool = False,
+                   bracket: bool = False,
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Percentile-threshold quality filtering: keep the top ``1 - p``
@@ -844,12 +919,27 @@ def quality_filter(docs: DataFrame, p: float = QUALITY_FILTER_P,
     Exact path: one count + a bottom-k selection that Spark plans as
     TakeOrderedAndProject (per-partition heaps merged on the driver —
     no global sort) + a broadcast anti-join. k grows with the corpus,
-    so at 100 TB pass ``approx=True``: the cutoff comes from
-    ``approx_percentile`` (one aggregation pass, bounded error,
-    documented drift at the boundary) and the filter is a scan —
-    the same exact-twin-vs-sketch split as ``events_profile``.
+    so at 100 TB pass either ``bracket=True`` — the SAME exact result
+    via :func:`bottom_k_boundary` (sketch-bracketed band selection;
+    the returned plan is a literal-threshold scan, no bottom-k
+    relation anywhere) — or ``approx=True``: cutoff straight from
+    ``approx_percentile`` (one pass, bounded error, documented drift
+    at the boundary), the same exact-twin-vs-sketch split as
+    ``events_profile``. ``bracket`` is eager (3 bounded driver jobs).
     """
     scored = doc_quality(docs, id_col, text_col).select("doc_id", "q_score")
+    if bracket:
+        import math
+
+        n = docs.count()
+        b = bottom_k_boundary(scored, math.floor(n * p), n)
+        if b is None:
+            return scored
+        bq, bid = b
+        return scored.filter(
+            (F.col("q_score") > F.lit(bq))
+            | ((F.col("q_score") == F.lit(bq)) & (F.col("doc_id") > F.lit(bid)))
+        )
     if approx:
         thr = scored.agg(
             F.expr(f"approx_percentile(q_score, {p})").alias("__thr")

@@ -411,6 +411,45 @@ def test_quality_filter_drops_bottom_quartile(spark):
     assert max(dropped) <= min((all_scores[i], i) for i in kept_ids)
 
 
+def test_quality_filter_bracket_equals_exact(spark):
+    """bracket=True is the SAME exact discrete cutoff as the default
+    path — sketch-bracketed selection must not drift by a single doc,
+    including under q_score ties at the boundary."""
+    from rag_database_spark.operators.text_analytics import quality_filter
+
+    # 12 distinct lengths + 8 exact repeats of one text → heavy score
+    # ties straddling the 25% boundary, resolved by doc_id
+    texts = [
+        (i, ("the quick brown fox jumps over the lazy dog " * (i + 1))[:500])
+        for i in range(12)
+    ] + [(100 + i, "tied tied tied identical text body here") for i in range(8)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    for p in (0.25, 0.5, 0.05):
+        exact = {
+            r["doc_id"] for r in quality_filter(docs, p=p).collect()
+        }
+        bracket = {
+            r["doc_id"]
+            for r in quality_filter(docs, p=p, bracket=True).collect()
+        }
+        assert bracket == exact, f"p={p}"
+
+
+def test_bottom_k_boundary_edges(spark):
+    from rag_database_spark.operators.text_analytics import bottom_k_boundary
+
+    scored = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(9)], "doc_id long, q_score double"
+    )
+    assert bottom_k_boundary(scored, 0, 9) is None
+    # k = n: boundary is the global max tuple
+    assert bottom_k_boundary(scored, 9, 9) == (2.0, 8)
+    # k = 1: boundary is the global min tuple
+    assert bottom_k_boundary(scored, 1, 9) == (0.0, 0)
+    # mid-k lands inside a tie run: doc_ids 0,3,6 share score 0.0
+    assert bottom_k_boundary(scored, 2, 9) == (0.0, 3)
+
+
 def test_quality_filter_approx_respects_threshold(spark):
     from rag_database_spark.operators.text_analytics import quality_filter
 

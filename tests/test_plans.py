@@ -261,6 +261,34 @@ def test_quality_filter_bottom_k_is_take_ordered(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
+def test_curate_corpus_quality_stage_is_literal_threshold(spark):
+    """The curation composite's quality cutoff must be a literal
+    threshold filter (sketch-bracketed exact selection), NOT an O(N)
+    bottom-k: no TakeOrderedAndProject anywhere in the returned plan,
+    and no broadcast of a limit()-derived relation. The only broadcasts
+    allowed are the keyed doc_id joins Spark picks at this tiny SF."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["curate_corpus"](spark, SF_DIR)
+    p = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" not in p
+    assert "GlobalLimit" not in p and "LocalLimit" not in p
+    # the boundary came back as literals: the filter references q_score
+    # against a constant, not a joined threshold column
+    assert "__thr" not in p
+
+
+def test_quality_filter_bracket_plan_is_scan_filter(spark):
+    """bracket=True returns a plan with no bottom-k relation and no
+    anti-join — a literal-threshold scan over the scored projection."""
+    from rag_database_spark.operators.text_analytics import quality_filter
+
+    df = quality_filter(load_table(spark, SF_DIR, "documents"), bracket=True)
+    p = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" not in p
+    assert "LeftAnti" not in p
+
+
 def test_ingest_gate_broadcasts_batch_side(spark, tmp_path):
     """The incoming batch's shingles/sizes broadcast; the corpus index
     is scanned, never shuffled for candidate generation."""
