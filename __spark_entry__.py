@@ -118,10 +118,11 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 def prepare(spark: SparkSession, sf_dir: str) -> None:
     """Optional warmup hook (bench.py calls it): materialize the
     persisted derived artifacts (BM25 index, shingle inverted index,
-    IVF lists, near-dup pair set, graph adjacency) so timed runs
-    measure the query paths, not one-time index construction. The
-    jaccard/adjacency warms are ``count()``s because those artifacts
-    live as persisted in-session frames rather than parquet."""
+    IVF lists, near-dup pair set, graph adjacency — ALL parquet-backed
+    per corpus fingerprint) so timed runs measure the query paths, not
+    one-time index construction. The jaccard/adjacency ``count()``s
+    additionally pin the read-back frames in the session cache so
+    every consumer reuses one scan + exchange."""
     _bm25_index(spark, sf_dir)
     _shingle_index(spark, sf_dir)
     _ivf_index(spark, sf_dir)
@@ -396,12 +397,28 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair set as a PERSISTED parquet artifact (same
+    discipline as the BM25/IVF/shingle stores): built once per corpus
+    fingerprint, read back key-clustered; a restarted session serves
+    every dedup/graph consumer from disk instead of re-running the
+    inverted-index self-join. The in-memory memo on top keeps the
+    read-back frame persisted across the session's many consumers."""
     fp = _source_fingerprint(sf_dir)
     if fp not in _JACCARD_CACHE:
-        _JACCARD_CACHE[fp] = dedup.shingle_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"),
-            JACCARD_THRESHOLD,
-            shingle_index=_shingle_index(spark, sf_dir),
+        cache_dir = (
+            Path(__file__).resolve().parent / ".cache" / "jaccard_pairs" / fp
+        )
+        if not (cache_dir / "_SUCCESS").exists():
+            dedup.write_pair_index(
+                dedup.shingle_jaccard_pairs(
+                    load_table(spark, sf_dir, "documents"),
+                    JACCARD_THRESHOLD,
+                    shingle_index=_shingle_index(spark, sf_dir),
+                ),
+                str(cache_dir),
+            )
+        _JACCARD_CACHE[fp] = dedup.read_pair_index(
+            spark, str(cache_dir)
         ).persist()
     return _JACCARD_CACHE[fp]
 
@@ -1087,9 +1104,25 @@ def _adjacency(spark: SparkSession, sf_dir: str, min_conf: float) -> DataFrame:
     key = (_source_fingerprint(sf_dir), min_conf)
     adj = _ADJ_CACHE.get(key)
     if adj is None:
-        adj = graph_ops.build_adjacency(
-            _doc_edge_table(spark, sf_dir), min_conf
-        ).persist()
+        cache_dir = (
+            Path(__file__).resolve().parent
+            / ".cache" / "adjacency" / f"{key[0]}_c{int(min_conf * 100)}"
+        )
+        if not (cache_dir / "_SUCCESS").exists():
+            graph_ops.write_adjacency(
+                graph_ops.build_adjacency(
+                    _doc_edge_table(spark, sf_dir), min_conf
+                ),
+                str(cache_dir),
+            )
+        # repartition("me") restores the join-key clustering the
+        # parquet round-trip drops from the plan's partitioning info;
+        # the persist pins it so every BFS wave reuses one exchange
+        adj = (
+            graph_ops.read_adjacency(spark, str(cache_dir))
+            .repartition("me")
+            .persist()
+        )
         _ADJ_CACHE[key] = adj
     return adj
 

@@ -71,6 +71,22 @@ def read_shingle_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_pair_index(pairs: DataFrame, path: str) -> None:
+    """Persist the near-dup pair set (id_a, id_b, jaccard) — the most
+    expensive derived artifact (the inverted-index self-join over the
+    whole corpus). Same discipline as the persisted BM25/IVF/shingle
+    stores (reference: every index persists, bm25_store.py:290-324): a
+    restarted session serves clustering/retention/audit queries from
+    this parquet instead of recomputing the O(corpus) join. Layout is
+    clustered by ``id_a`` so read-back joins against doc-keyed frames
+    scan key-local files."""
+    pairs.repartition("id_a").write.mode("overwrite").parquet(path)
+
+
+def read_pair_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 # Candidate-row ceiling for the direct inverted-index self-join: the
 # join emits Σ_s df·(df−1)/2 pair rows before the groupBy, so a few hot
 # shingles (df ~ corpus size) detonate it quadratically. Under the

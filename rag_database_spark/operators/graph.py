@@ -182,6 +182,20 @@ def build_adjacency(
     )
 
 
+def write_adjacency(adj: DataFrame, path: str) -> None:
+    """Persist the traversal-ready adjacency (me, other, confidence)
+    per (graph, cutoff) — the reference keeps its graph resident
+    (document_graph.py:56-84) but rebuilds on restart; the parquet
+    artifact lets a fresh session serve BFS/augmentation without
+    re-deriving edge extraction. ``build_adjacency`` already
+    repartitioned on ``me``, so the files land key-clustered."""
+    adj.write.mode("overwrite").parquet(path)
+
+
+def read_adjacency(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def bfs_expand(
     edges: DataFrame,
     seeds: DataFrame,

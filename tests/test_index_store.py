@@ -26,6 +26,44 @@ def test_plain_index_roundtrip(spark, tmp_path):
     assert doclens.count() == 3
 
 
+def test_pair_index_roundtrip_equals_rebuild(spark, tmp_path):
+    """The persisted near-dup pair set must read back identical to a
+    fresh shingle_jaccard_pairs build (a restarted session serves the
+    same pairs)."""
+    from rag_database_spark.operators import dedup
+
+    texts = [
+        (i, "the quick brown fox jumps over the lazy dog every day " * 3)
+        for i in range(4)
+    ] + [(10 + i, f"totally unrelated text body number {i} here") for i in range(3)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    built = dedup.shingle_jaccard_pairs(docs, 0.5)
+    path = str(tmp_path / "pairs")
+    dedup.write_pair_index(built, path)
+    back = dedup.read_pair_index(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, built.collect())
+    )
+
+
+def test_adjacency_roundtrip_equals_rebuild(spark, tmp_path):
+    """The persisted adjacency must read back identical to a fresh
+    build_adjacency over the same edges."""
+    from rag_database_spark.operators import graph as graph_ops
+
+    edges = spark.createDataFrame(
+        [(1, 2, "next", 0.9), (2, 3, "next", 0.6), (3, 4, "ref", 0.95)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    built = graph_ops.build_adjacency(edges, 0.7)
+    path = str(tmp_path / "adj")
+    graph_ops.write_adjacency(built, path)
+    back = graph_ops.read_adjacency(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, built.collect())
+    )
+
+
 def test_bucketed_index_join_is_exchange_free(spark):
     # warehouse dir is a static conf set by session.get_spark (.cache/)
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
