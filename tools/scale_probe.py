@@ -47,6 +47,14 @@ from rag_database_spark.session import get_spark  # noqa: E402
 SF_SMALL = "/root/testdata/sf0.1"
 RUNS_PER_POINT = 2
 
+# Exponent above which an un-audited entry is flagged. 1.15 (not 1.3):
+# ±0.1-0.2 of ambient noise is real, but a flag is a prompt to re-probe
+# the entry in ISOLATION (``python tools/scale_probe.py <name>``) — the
+# r6 doc_quality "1.27" dissolved to ~0.9 exactly that way (a neighbor
+# entry's artifact build had been charged to its sf1 point), and a
+# looser alarm would have kept hiding it.
+ALARM_EXPONENT = 1.15
+
 # Entries whose sf1 growth is dominated by genuine answer-size growth
 # on the replica corpus (every doc has 9 true near-dups → pair/edge
 # outputs grow ~quadratically with replica count). Their exponents are
@@ -126,13 +134,13 @@ def main() -> int:
         "queries": scaling,
         "superlinear": sorted(
             n for n, s in scaling.items()
-            if s["exponent"] is not None and s["exponent"] > 1.3
+            if s["exponent"] is not None and s["exponent"] > ALARM_EXPONENT
             and s["t_sf1"] > 1.0 and n not in AUDIT_NOTES
         ),
         "audited_inherent": sorted(
             n for n in AUDIT_NOTES
             if scaling.get(n, {}).get("exponent") is not None
-            and scaling[n]["exponent"] > 1.3
+            and scaling[n]["exponent"] > ALARM_EXPONENT
         ),
     }
     (REPO / "SCALING.json").write_text(json.dumps(blob, indent=1) + "\n")
