@@ -40,6 +40,72 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+STDOUT_BUDGET = 1950  # driver keeps the LAST 2000 chars; newline margin
+
+
+def render_stdout_line(medians: dict[str, float], total: float,
+                       sf: float, n_runs: int) -> str:
+    """Render the single driver-parsed JSON line, guaranteed to fit the
+    driver's 2000-char stdout window whatever the entry count:
+
+    1. full dict at 3/2/1 decimal places;
+    2. pack the SLOWEST entries that fit, with ``queries_omitted``
+       making the truncation explicit;
+    3. last resort (pathological name lengths): headline numbers only,
+       empty ``queries`` dict + detail pointer — still schema-complete
+       and parseable.
+    """
+    for dp in (3, 2, 1):
+        line = json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": {n: round(v, dp) for n, v in medians.items()},
+                "n_runs": n_runs,
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
+            },
+            # compact separators: ~2 chars saved per query keeps the
+            # 82-entry dict inside the window where the default
+            # rendering (1994 chars at dp=1) already overflowed
+            separators=(",", ":"),
+        )
+        if len(line) <= STDOUT_BUDGET:
+            return line
+
+    # partial fallback: the full dict no longer fits even at dp=1
+    # (first hit at 91 entries: 1965 chars), so pack the SLOWEST
+    # entries that fit — an informative subset beats an empty dict;
+    # the complete dict lives in BENCH_DETAIL.json.
+    def _render(kept: dict) -> str:
+        return json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": kept,
+                "queries_omitted": len(medians) - len(kept),
+                "n_runs": n_runs,
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
+        )
+
+    kept: dict[str, float] = {}
+    for name, v in sorted(medians.items(), key=lambda kv: -kv[1]):
+        kept[name] = round(v, 1)
+        if len(_render(kept)) > STDOUT_BUDGET:
+            del kept[name]  # overflowed; shorter names may still fit
+    line = _render(kept)
+    if len(line) <= STDOUT_BUDGET:
+        return line
+    # absolute floor: even the scaffolding overflowed (only possible
+    # with absurd entry-count-to-budget ratios) — headline only
+    return _render({})
+
+
 def main() -> int:
     spark = get_spark("bench")
     # warmup: materialize the persisted BM25 index (S7) so timings
@@ -84,57 +150,7 @@ def main() -> int:
             pass
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
-    # The stdout line keeps the contract keys but adapts per-query
-    # precision so the LINE stays under the driver's capture window.
-    for dp in (3, 2, 1):
-        line = json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: round(v, dp) for n, v in medians.items()},
-                "n_runs": N_RUNS,
-                "sf": sf,
-                "detail": "BENCH_DETAIL.json",
-            },
-            # compact separators: ~2 chars saved per query keeps the
-            # 82-entry dict inside the window where the default
-            # rendering (1994 chars at dp=1) already overflowed
-            separators=(",", ":"),
-        )
-        # the driver keeps the LAST 2000 stdout chars and parses the
-        # final line; 1950 leaves newline margin
-        if len(line) <= 1950:
-            break
-    if len(line) > 1950:
-        # partial fallback: the full dict no longer fits even at dp=1
-        # (first hit at 91 entries: 1965 chars), so pack the SLOWEST
-        # entries that fit — an informative subset beats the old
-        # empty-dict fallback; the complete dict lives in
-        # BENCH_DETAIL.json and `queries_omitted` makes the truncation
-        # explicit instead of silent.
-        def _render(kept: dict) -> str:
-            return json.dumps(
-                {
-                    "metric": "total_query_seconds",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": kept,
-                    "queries_omitted": len(medians) - len(kept),
-                    "n_runs": N_RUNS,
-                    "sf": sf,
-                    "detail": "BENCH_DETAIL.json",
-                },
-                separators=(",", ":"),
-            )
-
-        kept: dict[str, float] = {}
-        for name, v in sorted(medians.items(), key=lambda kv: -kv[1]):
-            kept[name] = round(v, 1)
-            if len(_render(kept)) > 1950:
-                del kept[name]  # overflowed; shorter names may still fit
-        line = _render(kept)
-    print(line, flush=True)
+    print(render_stdout_line(medians, total, sf, N_RUNS), flush=True)
     return 0
 
 

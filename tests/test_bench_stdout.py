@@ -1,0 +1,52 @@
+"""The driver keeps only the last 2000 chars of bench stdout and
+parses the final line — the rendering must stay parseable and under
+budget at ANY entry count (the contract that nulled rounds 3-4's
+parsed blob when the query count passed ~50)."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import STDOUT_BUDGET, render_stdout_line
+
+
+def _check(line: str, n_entries: int):
+    assert len(line) <= STDOUT_BUDGET
+    blob = json.loads(line)
+    assert blob["metric"] == "total_query_seconds"
+    assert blob["unit"] == "sec"
+    assert isinstance(blob["queries"], dict)
+    omitted = blob.get("queries_omitted", 0)
+    assert len(blob["queries"]) + omitted == n_entries
+    return blob
+
+
+def test_current_entry_count_fits():
+    medians = {f"entry_name_{i:03d}": 1.234 for i in range(91)}
+    blob = _check(render_stdout_line(medians, 112.3, 0.1, 3), 91)
+    # at today's scale the packed form must carry a non-empty subset
+    assert len(blob["queries"]) > 50
+
+
+def test_120_entry_dry_run_emits_parseable_line():
+    medians = {f"some_longer_operator_name_{i:03d}": i * 0.137 for i in range(120)}
+    blob = _check(render_stdout_line(medians, 987.6, 0.1, 3), 120)
+    assert blob["value"] == 987.6
+    # the slowest entries are the ones kept
+    if blob.get("queries_omitted"):
+        kept_min = min(blob["queries"].values())
+        dropped = set(medians) - set(blob["queries"])
+        assert all(medians[n] <= kept_min + 0.1 for n in dropped)
+
+
+def test_pathological_names_fall_back_to_headline_only():
+    # names so long not even one fits: the absolute-floor fallback
+    # must still emit a schema-complete parseable line
+    medians = {"x" * 3000 + str(i): 1.0 for i in range(5)}
+    blob = _check(render_stdout_line(medians, 5.0, 0.01, 1), 5)
+    assert blob["queries"] == {}
+    assert blob["queries_omitted"] == 5
