@@ -51,6 +51,79 @@ def test_parse_seam_flips_with_injected_module(monkeypatch):
     assert ingest._parse_impl() is ingest._real_parse
 
 
+def _element_fixture():
+    """Recorded element-list fixture shaped like unstructured's output
+    (reference document_processor.py:337-368): typed element objects
+    whose class name is the category, str() is the text, and
+    ``.metadata.page_number`` carries pagination — including the edge
+    shapes the mapping must survive (missing metadata, page_number
+    None, an empty PageBreak)."""
+
+    class _Meta:
+        def __init__(self, page_number=None):
+            self.page_number = page_number
+
+    def _el(cls_name, text, meta):
+        cls = type(cls_name, (), {
+            "__init__": lambda self, t, m: (
+                setattr(self, "_t", t),
+                setattr(self, "metadata", m),
+            ) and None,
+            "__str__": lambda self: self._t,
+        })
+        el = cls(text, meta)
+        if meta is None:
+            del el.metadata
+        return el
+
+    return [
+        _el("Title", "Quarterly Report", _Meta(1)),
+        _el("NarrativeText", "Revenue grew 12% year over year.", _Meta(1)),
+        _el("Table", "Region | Revenue\nEMEA | 40", _Meta(2)),
+        _el("Image", "chart: revenue by region", _Meta(2)),
+        _el("FigureCaption", "Figure 1: revenue trend", _Meta(2)),
+        _el("PageBreak", "", _Meta(None)),  # page_number None -> 1
+        _el("NarrativeText", "Outlook remains positive.", None),  # no metadata
+    ]
+
+
+def test_real_parse_maps_recorded_elements_to_rows(monkeypatch):
+    """The real-branch element→row mapping, line for line: category
+    from the element's class name, text from str(), page from
+    metadata.page_number with a 1 default — against a recorded
+    fixture, not just an empty fake."""
+    from rag_database_spark.sources import ingest
+
+    recorded = _element_fixture()
+    captured = {}
+
+    def fake_partition(file=None):
+        captured["payload"] = file.read()
+        return recorded
+
+    fake_root = types.ModuleType("unstructured")
+    fake_part = types.ModuleType("unstructured.partition")
+    fake_auto = types.ModuleType("unstructured.partition.auto")
+    fake_auto.partition = fake_partition
+    monkeypatch.setitem(sys.modules, "unstructured", fake_root)
+    monkeypatch.setitem(sys.modules, "unstructured.partition", fake_part)
+    monkeypatch.setitem(sys.modules, "unstructured.partition.auto", fake_auto)
+
+    rows = ingest._real_parse(b"%PDF-1.7 fake body")
+    assert captured["payload"] == b"%PDF-1.7 fake body"
+    assert rows == [
+        ("Title", "Quarterly Report", 1),
+        ("NarrativeText", "Revenue grew 12% year over year.", 1),
+        ("Table", "Region | Revenue\nEMEA | 40", 2),
+        ("Image", "chart: revenue by region", 2),
+        ("FigureCaption", "Figure 1: revenue trend", 2),
+        ("PageBreak", "", 1),
+        ("NarrativeText", "Outlook remains positive.", 1),
+    ]
+    # None content must not blow up the BytesIO wrap
+    assert ingest._real_parse(None) == rows
+
+
 def test_decode_seam_flips_with_injected_module(monkeypatch):
     from rag_database_spark.operators import multimodal
 
