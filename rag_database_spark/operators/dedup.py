@@ -503,19 +503,49 @@ def rp_blocks(
     )
 
 
+# target average LSH bucket occupancy when the plane count is chosen
+# adaptively: bucket count scales with the corpus so candidate volume
+# stays ~linear (occupancy² per bucket × n/occupancy buckets)
+LSH_TARGET_OCCUPANCY = 16
+
+
+def adaptive_n_planes(n_rows: int, target: int = LSH_TARGET_OCCUPANCY,
+                      floor: int = 8) -> int:
+    """Planes so that 2^planes ≈ n_rows / target. A FIXED plane count
+    is quadratic at scale — 8 planes is 256 buckets whether the corpus
+    has 2e3 or 2e9 vectors, so per-bucket pairs grow as (n/256)²; the
+    r7 distinct-doc probe measured exponent 1.66 on exactly that.
+    Growing planes with log2(n) pins bucket occupancy, making
+    candidate volume ~n·target. Recall stays high for NEAR-DUP
+    thresholds: at cos ≥ .99 the per-plane split probability is ~θ/π ≈
+    0.03, so even 16 planes keep per-table collision ≈ .97^16 ≈ .6 and
+    4 tables ≈ 0.97+ overall (exact verification removes all false
+    positives regardless)."""
+    import math
+
+    if n_rows <= target:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target)))
+
+
 def embedding_near_dupes_lsh(
     corpus: DataFrame,
     threshold: float,
     dim: int,
     n_tables: int = 4,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
     """Scale path for embedding near-dup: LSH buckets → candidate pairs
     (keyed join, never N²) → exact cosine verification. Recall misses a
-    true pair only if it splits in every table: P ≈ (1−(1−θ/π)^p)^t."""
+    true pair only if it splits in every table: P ≈ (1−(1−θ/π)^p)^t.
+    ``n_planes=None`` (default) sizes the plane count off the corpus
+    row count (``adaptive_n_planes``) so bucket occupancy — and with
+    it candidate volume per row — stays constant as the corpus grows."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count())
     from rag_database_spark.functions.vector import cosine, to_double_array
 
     blocks = rp_blocks(

@@ -189,6 +189,15 @@ def cosine_topk_blocked(
 # to the LSH candidate join, which never materializes the matrix.
 GEMM_MAX_CELLS = 50_000_000
 
+# ceiling on N²·d multiply-adds for the exact path. The broadcast
+# budget alone misses the other axis: a 20k×64 corpus fits the matrix
+# easily (1.3M cells) but the GEMM still performs 2.6e10 flops — the
+# r7 distinct-doc probe measured exponent 1.66 there because exact
+# all-pairs COMPUTE is inherently quadratic even when output and
+# memory are linear. Above this budget auto routes to LSH, whose
+# candidate join scales with true-pair density instead of N².
+GEMM_MAX_COMPARE = 5_000_000_000
+
 
 def embedding_near_dupes(
     corpus: DataFrame,
@@ -205,8 +214,10 @@ def embedding_near_dupes(
     as one numpy GEMM per Arrow batch against a broadcast normalized
     matrix (~25× the per-pair JVM expression path). The broadcast bounds
     this exact path to corpora whose matrix fits an executor (~10⁷×d);
-    the default ``impl='auto'`` counts rows×dim and, above
-    ``GEMM_MAX_CELLS``, routes to ``dedup.embedding_near_dupes_lsh`` —
+    the default ``impl='auto'`` routes to
+    ``dedup.embedding_near_dupes_lsh`` when either budget is exceeded —
+    rows×dim over ``GEMM_MAX_CELLS`` (broadcast memory) or N²·d over
+    ``GEMM_MAX_COMPARE`` (quadratic compute) —
     candidate pairs from random-hyperplane buckets, exact cosine
     verification — so the default plan never driver-collects an
     unbounded corpus. Pass ``impl='gemm'`` to force the exact path.
@@ -218,13 +229,20 @@ def embedding_near_dupes(
                 F.size(to_double_array(F.col(vec_col))).alias("d")
             ).first()
             dim = int(first["d"]) if first is not None else 0
-            if dim and corpus.count() * dim > GEMM_MAX_CELLS:
+            n = corpus.count()
+            if dim and (
+                n * dim > GEMM_MAX_CELLS
+                or n * n * dim > GEMM_MAX_COMPARE
+            ):
                 from rag_database_spark.operators.dedup import (
+                    adaptive_n_planes,
                     embedding_near_dupes_lsh,
                 )
 
                 return embedding_near_dupes_lsh(
-                    corpus, threshold, dim, id_col=id_col, vec_col=vec_col
+                    corpus, threshold, dim,
+                    n_planes=adaptive_n_planes(n),
+                    id_col=id_col, vec_col=vec_col,
                 )
         return _near_dupes_gemm(corpus, threshold, id_col, vec_col)
     a = corpus.select(

@@ -23,7 +23,25 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = Path(__file__).resolve().parent.parent / ".cache" / "scale_probe" / "sf1"
+DST_DISTINCT = DST.parent / "sf1_distinct"
 REPLICAS = 10
+
+# Distinct-doc mode: the default replica corpus keeps each document a
+# true near-duplicate of its 9 replicas (tiny suffix), so pair-set
+# outputs grow ~quadratically BY CONSTRUCTION — right for stressing
+# worst-case duplication, wrong for measuring how the dedup family
+# scales on organically distinct data. Distinct mode instead rewrites
+# each replica's text through a per-replica letter rotation (length-
+# preserving, deterministic): cross-replica shingle overlap collapses
+# below the Jaccard threshold while the corpus's own within-replica
+# near-dups are preserved verbatim under every rotation — the pair set
+# grows ~linearly (10x), like real data. Embeddings rotate positions
+# per replica for the same reason (cosine(v, rot_k(v)) is far from 1).
+_ROT_ALPHABET = "aeiounrstlc"  # 11 letters -> 10 distinct rotations
+
+
+def _rotation(k: int) -> str:
+    return _ROT_ALPHABET[k:] + _ROT_ALPHABET[:k]
 
 # per-table key shifts: column -> rows-per-replica of the table that
 # owns the key (FKs shift by the PARENT table's period)
@@ -53,14 +71,25 @@ SHIFTS: dict[str, dict[str, int]] = {
 }
 
 
-def build(force: bool = False) -> Path:
-    DST.mkdir(parents=True, exist_ok=True)
+def _distinct_text_expr(base: str) -> str:
+    """Per-replica letter-rotation rewrite of ``base`` (a text-typed
+    SQL expression): one CASE branch per replica, identity at k=0."""
+    branches = " ".join(
+        f"WHEN {k} THEN translate({base}, '{_ROT_ALPHABET}', '{_rotation(k)}')"
+        for k in range(1, REPLICAS)
+    )
+    return f"CASE k.k WHEN 0 THEN {base} {branches} END"
+
+
+def build(force: bool = False, distinct: bool = False) -> Path:
+    dst = DST_DISTINCT if distinct else DST
+    dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     for table in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        out = DST / f"{table}.parquet"
+        out = dst / f"{table}.parquet"
         if out.exists() and not force:
             continue
         src = f"read_parquet('{SRC}/{table}.parquet')"
@@ -76,15 +105,29 @@ def build(force: bool = False) -> Path:
             if c in SHIFTS[table]:
                 sel.append(f"({c} + k.k * {SHIFTS[table][c]}) AS {c}")
             elif table == "documents" and c == "text":
-                sel.append(
+                suffixed = (
                     "(text || CASE WHEN k.k = 0 THEN '' "
-                    "ELSE ' r' || k.k END) AS text"
+                    "ELSE ' r' || k.k END)"
                 )
+                if distinct:
+                    sel.append(f"{_distinct_text_expr(suffixed)} AS text")
+                else:
+                    sel.append(f"{suffixed} AS text")
             elif table == "documents" and c == "n_chars":
                 # keep the stored length consistent with the suffix
+                # (the distinct-mode rotation is length-preserving)
                 sel.append(
                     "(n_chars + CASE WHEN k.k = 0 THEN 0 "
                     "ELSE length(' r' || k.k) END)::BIGINT AS n_chars"
+                )
+            elif table == "embeddings" and c == "embedding" and distinct:
+                # rotate vector positions per replica: cosine between a
+                # vector and its rotation is far from 1, so replicas
+                # stop being embedding near-dups (k=0 slice is empty →
+                # identity)
+                sel.append(
+                    "list_concat(embedding[k.k + 1:], "
+                    "embedding[1:k.k]) AS embedding"
                 )
             else:
                 sel.append(c)
@@ -96,8 +139,13 @@ def build(force: bool = False) -> Path:
         con.execute(q)
         n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{table}: {n} rows", file=sys.stderr)
-    return DST
+    return dst
 
 
 if __name__ == "__main__":
-    print(build(force="--force" in sys.argv))
+    print(
+        build(
+            force="--force" in sys.argv,
+            distinct="--distinct" in sys.argv,
+        )
+    )

@@ -98,7 +98,74 @@ def time_all(spark, sf_dir: str, only=None) -> dict[str, float]:
     return out
 
 
+# The dedup family for the --distinct probe: entries whose default-
+# probe exponents are output-driven on the replica corpus. Against the
+# distinct-doc corpus (per-replica letter rotation, pair set grows
+# ~linearly like real data) their exponents measure PLAN scaling.
+DEDUP_FAMILY = (
+    "near_dup_pairs", "dedup_clusters", "dedup_clusters_cc", "dedup_keep",
+    "curate_corpus", "fuzzy_decontam", "embedding_near_dup", "minhash_sigs",
+)
+
+# Distinct-probe exponents explained by an algorithm-path switch at
+# the decade boundary rather than a scaling curve (excluded from the
+# red-flag list; the within-path exponents are the evidence).
+DISTINCT_AUDIT_NOTES = {
+    "embedding_near_dup": "crosses the GEMM->LSH compute budget at "
+    "this decade (exact 0.23s @2k rows vs adaptive-plane LSH @20k); "
+    "LSH-vs-LSH measures 1.30s -> 3.58s for 10x rows (exponent ~0.44, "
+    "sublinear) - the in-path plan is linear, the step is the "
+    "documented exact->approximate switch",
+}
+
+
+def run_distinct_probe() -> dict:
+    """sf0.1 → distinct-doc sf1 probe of the dedup family; results
+    merge into SCALING.json under ``distinct_doc_probe``."""
+    sf1_dir = str(build(distinct=True))
+    spark = get_spark("scale_probe_distinct")
+    only = set(DEDUP_FAMILY)
+    time_all(spark, SF_SMALL, only)  # warm
+    t_small = time_all(spark, SF_SMALL, only)
+    t_big = time_all(spark, sf1_dir, only)
+    out = {}
+    for name in sorted(t_small):
+        ts, tb = t_small[name], t_big.get(name, float("nan"))
+        exp = (
+            round(math.log(tb / ts) / math.log(10), 2)
+            if ts and ts > 0 and tb == tb and tb > 0
+            else None
+        )
+        out[name] = {"t_sf0.1": ts, "t_sf1": tb, "exponent": exp}
+        if name in DISTINCT_AUDIT_NOTES:
+            out[name]["audit"] = DISTINCT_AUDIT_NOTES[name]
+    path = REPO / "SCALING.json"
+    blob = json.loads(path.read_text()) if path.exists() else {}
+    blob["distinct_doc_probe"] = {
+        "probe": "sf0.1 -> distinct-doc sf1 (10x rows, per-replica "
+        "letter rotation: replicas are NOT near-dups, pair set grows "
+        "~linearly — exponents measure plan scaling, not output size)",
+        "queries": out,
+        "superlinear": sorted(
+            n for n, s in out.items()
+            if s["exponent"] is not None and s["exponent"] > ALARM_EXPONENT
+            and s["t_sf1"] > 1.0 and n not in DISTINCT_AUDIT_NOTES
+        ),
+        "audited_inherent": sorted(
+            n for n in DISTINCT_AUDIT_NOTES
+            if out.get(n, {}).get("exponent") is not None
+            and out[n]["exponent"] > ALARM_EXPONENT
+        ),
+    }
+    path.write_text(json.dumps(blob, indent=1) + "\n")
+    print(json.dumps({"distinct_superlinear": blob["distinct_doc_probe"]["superlinear"]}))
+    return blob
+
+
 def main() -> int:
+    if "--distinct" in sys.argv:
+        run_distinct_probe()
+        return 0
     # optional entry names: re-probe ONLY those and merge into the
     # existing SCALING.json — for re-measuring a point the full sweep
     # contaminated (a neighbor's GC/artifact build charged to it)
@@ -128,9 +195,22 @@ def main() -> int:
         scaling[name] = {"t_sf0.1": ts, "t_sf1": tb, "exponent": exp}
         if name in AUDIT_NOTES:
             scaling[name]["audit"] = AUDIT_NOTES[name]
+    # preserve sections other probes own (distinct_doc_probe)
+    try:
+        prior = json.loads((REPO / "SCALING.json").read_text())
+    except (OSError, json.JSONDecodeError):
+        prior = {}
     blob = {
         "probe": "sf0.1 -> synthetic sf1 (10x rows, tools/make_scale_probe.py)",
         "runs_per_point": RUNS_PER_POINT,
+        **{
+            k: v
+            for k, v in prior.items()
+            if k not in (
+                "probe", "runs_per_point", "queries", "superlinear",
+                "audited_inherent",
+            )
+        },
         "queries": scaling,
         "superlinear": sorted(
             n for n, s in scaling.items()
