@@ -885,6 +885,86 @@ def best_jaccard_vs_index(
     )
 
 
+def pairs_vs_index(
+    batch_docs: DataFrame,
+    shingle_index: DataFrame,
+    threshold: float,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ALL cross pairs (existing-corpus doc, incoming doc) with
+    Jaccard ≥ threshold — the set form of ``best_jaccard_vs_index``'s
+    argmax. Same scale shape: the batch's exploded shingles broadcast,
+    the corpus index never shuffles. Output matches the pair-set
+    schema (id_a < id_b orientation, 6dp jaccard) so it appends
+    directly onto the persisted pair index."""
+    b_sh = _doc_shingles(batch_docs, id_col, text_col, k)
+    b_ex = b_sh.select(
+        F.col("doc_id").alias("new_id"), F.explode("sh").alias("s")
+    )
+    b_sz = b_sh.select(
+        F.col("doc_id").alias("new_id"), F.size("sh").alias("n_b")
+    )
+    index_sizes = shingle_index.groupBy("doc_id").agg(
+        F.count("*").alias("n_a")
+    )
+    inter = (
+        shingle_index.join(F.broadcast(b_ex), "s")
+        .groupBy("new_id", "doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(index_sizes, "doc_id")
+        .join(F.broadcast(b_sz), "new_id")
+        .select(
+            F.least("doc_id", "new_id").alias("id_a"),
+            F.greatest("doc_id", "new_id").alias("id_b"),
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def append_pair_index(
+    batch_docs: DataFrame,
+    pair_path: str,
+    shingle_path: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental pair-index maintenance — the near-dup analog of
+    ``bm25.append_index``: admitting a batch appends exactly the NEW
+    pairs (batch×corpus via the broadcast index probe, batch×batch via
+    the self-join over the batch alone) plus the batch's shingle rows,
+    and the invariant pairs(corpus ∪ batch) = pairs(corpus) ∪ appended
+    holds because every new pair has at least one endpoint in the
+    batch (unit-pinned). Cost ∝ delta, never ∝ corpus — the reference
+    instead rebuilds full indexes on every add
+    (bm25_store.py:176-188). Batch doc_ids must be new (the gate's
+    admission contract)."""
+    spark = batch_docs.sparkSession
+    idx = read_shingle_index(spark, shingle_path)
+    cross = pairs_vs_index(
+        batch_docs, idx, threshold, k, id_col, text_col
+    )
+    within = shingle_jaccard_pairs(
+        batch_docs, threshold, id_col, text_col, k
+    )
+    cross.unionByName(within).repartition("id_a").write.mode(
+        "append"
+    ).parquet(pair_path)
+    _doc_shingles(batch_docs, id_col, text_col, k).select(
+        "doc_id", F.explode("sh").alias("s")
+    ).write.mode("append").parquet(shingle_path)
+
+
 def dedup_clusters_star(
     pairs: DataFrame,
     docs: DataFrame,

@@ -46,6 +46,45 @@ def test_pair_index_roundtrip_equals_rebuild(spark, tmp_path):
     )
 
 
+def test_append_pair_index_equals_full_rebuild(spark, tmp_path):
+    """Incremental admission invariant: pairs(corpus) on disk + the
+    appended batch pairs must equal a full rebuild over corpus ∪ batch
+    — cross pairs via the index probe, within-batch pairs via the
+    self-join, no pair missed or duplicated."""
+    from rag_database_spark.operators import dedup
+
+    dup = "the quick brown fox jumps over the lazy dog every single day "
+    corpus = spark.createDataFrame(
+        [(1, dup * 3), (2, dup * 3 + "tail marker one"),
+         (3, "completely different text body with other words here now")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, dup * 3 + "incoming twin"), (11, dup * 3 + "incoming twin bis"),
+         (12, "unrelated incoming document text")],
+        "doc_id long, text string",
+    )
+    pair_path = str(tmp_path / "pairs")
+    sh_path = str(tmp_path / "shingles")
+    dedup.write_shingle_index(corpus, sh_path)
+    dedup.write_pair_index(
+        dedup.shingle_jaccard_pairs(corpus, 0.5), pair_path
+    )
+    dedup.append_pair_index(batch, pair_path, sh_path, 0.5)
+
+    incremental = sorted(
+        map(tuple, dedup.read_pair_index(spark, pair_path).collect())
+    )
+    rebuilt = sorted(
+        map(tuple, dedup.shingle_jaccard_pairs(corpus.union(batch), 0.5).collect())
+    )
+    assert incremental == rebuilt
+    assert len(rebuilt) > 3  # cross AND within-batch pairs exist
+    # the shingle index was maintained too: a second batch sees doc 10
+    idx = dedup.read_shingle_index(spark, sh_path)
+    assert idx.filter(idx.doc_id == 10).count() > 0
+
+
 def test_adjacency_roundtrip_equals_rebuild(spark, tmp_path):
     """The persisted adjacency must read back identical to a fresh
     build_adjacency over the same edges."""
