@@ -526,6 +526,81 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def assign_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Nearest-centroid assignment under FROZEN centroids — the same
+    Euclidean argmin (ties → lowest centroid_id) MLlib's KMeans
+    transform applies at fit time, so appended rows land in exactly
+    the list a rebuild-with-these-centroids would put them. Centroids
+    broadcast (tiny by construction); one numpy distance GEMM per
+    Arrow batch; the vectors never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    ctr = sorted(
+        (r["centroid_id"], r["cvec"]) for r in centroids.collect()
+    )
+    ids = np.array([c[0] for c in ctr])
+    C = np.array([c[1] for c in ctr])  # (k, d)
+    bc = spark.sparkContext.broadcast((ids, C))
+
+    c = vectors.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("vec"),
+    )
+
+    def batches(it):
+        cids, M = bc.value
+        c_sq = (M * M).sum(axis=1)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.array(pdf["vec"].tolist())  # (n, d)
+            # argmin ||v-c||² = argmin (|c|² - 2 v·c); |v|² is constant
+            d2 = c_sq[None, :] - 2.0 * (V @ M.T)
+            nearest = cids[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "centroid_id": nearest.astype("int32"),
+                    "id": pdf["id"],
+                    "vec": pdf["vec"],
+                }
+            )
+
+    return c.mapInPandas(
+        batches, schema="centroid_id int, id long, vec array<double>"
+    )
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> None:
+    """Incremental IVF maintenance — the vector-side analog of
+    ``bm25.append_index``: new vectors are assigned under the FROZEN
+    persisted centroids and appended into the centroid-partitioned
+    lists (dynamic partition append touches only the lists that gain
+    rows). No k-means refit — cost ∝ batch, never ∝ corpus; the
+    trade-off (centroids drift from the true means as the corpus
+    grows) is the standard serving-index compromise, fixed by a
+    periodic offline ``write_ivf_index`` rebuild."""
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    (
+        assign_centroids(new_vectors, centroids, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+
+
 def ivf_topk_indexed(
     queries: DataFrame,
     centroids: DataFrame,

@@ -103,6 +103,43 @@ def test_adjacency_roundtrip_equals_rebuild(spark, tmp_path):
     )
 
 
+def test_append_ivf_index_assigns_like_kmeans(spark, tmp_path):
+    """Appended vectors must land in the list a rebuild with the same
+    (frozen) centroids would choose — Euclidean argmin, verified
+    independently with numpy — and the probe must then find them."""
+    import numpy as np
+
+    from rag_database_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = [(i, rng.normal(size=8).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(base, "id long, vec array<double>")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(corpus, path, n_centroids=4)
+
+    batch_rows = [(100 + i, rng.normal(size=8).tolist()) for i in range(10)]
+    batch = spark.createDataFrame(batch_rows, "id long, vec array<double>")
+    similarity.append_ivf_index(batch, path)
+
+    centroids, lists = similarity.read_ivf_index(spark, path)
+    ctr = {r["centroid_id"]: np.array(r["cvec"]) for r in centroids.collect()}
+    got = {
+        r["id"]: r["centroid_id"]
+        for r in lists.filter(lists.id >= 100).collect()
+    }
+    assert set(got) == {100 + i for i in range(10)}
+    for vid, vec in batch_rows:
+        d2 = {cid: float(((np.array(vec) - c) ** 2).sum()) for cid, c in ctr.items()}
+        assert got[vid] == min(sorted(d2), key=lambda c: (d2[c], c)), vid
+    # the probe serves the appended vector: querying with its own
+    # value must return it at rank 1
+    q = spark.createDataFrame(
+        [(1, batch_rows[0][1])], "query_id long, qvec array<double>"
+    )
+    top = similarity.ivf_topk_indexed(q, centroids, lists, 3).collect()
+    assert top[0]["id"] == batch_rows[0][0]
+
+
 def test_bucketed_index_join_is_exchange_free(spark):
     # warehouse dir is a static conf set by session.get_spark (.cache/)
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
