@@ -470,6 +470,25 @@ def _fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INGEST_BATCH_MOD = 10  # incoming batch = doc_id % 10 == 0
+
+
+def _ingest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission, pinned cross-engine: the cross near-dup
+    pair set a batch append (dedup.append_pair_index) writes — the
+    batch's shingles broadcast-probed against the PERSISTED shingle
+    index sliced to the standing corpus; the corpus never shuffles.
+    Within-batch pairs are near_dup_pairs restricted to the batch, so
+    this entry certifies the index-probe half of the append."""
+    idx = _shingle_index(spark, sf_dir).filter(
+        F.col("doc_id") % INGEST_BATCH_MOD != 0
+    )
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % INGEST_BATCH_MOD == 0
+    )
+    return dedup.pairs_vs_index(batch, idx, JACCARD_THRESHOLD)
+
+
 def _frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy hitters: top word n-grams by occurrence count
     (boilerplate/template-phrase probe)."""
@@ -1470,7 +1489,8 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
-    "cut_dup_spans", "ingest_gate", "source_mix", "strip_markup",
+    "cut_dup_spans", "ingest_gate", "ingest_pairs", "source_mix",
+    "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
     "graph_stats", "augment_results", "resolve_references",
@@ -1603,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _dup_spans,
         "strip_markup": _strip_markup,
         "dense_filtered_topk": _dense_filtered_topk,
+        "ingest_pairs": _ingest_pairs,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1664,6 +1685,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ingest_gate": oracles.ingest_gate_sql(
             INGEST_GATE_MOD, dedup.SHINGLE_K
+        ),
+        "ingest_pairs": oracles.ingest_pairs_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K, INGEST_BATCH_MOD
         ),
         "source_mix": oracles.source_mix_sql(
             text_analytics.MIX_TOKEN_BUDGET

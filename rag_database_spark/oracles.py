@@ -856,6 +856,31 @@ WHERE round(c / (x.n + y.n - c), 6) >= {threshold}
 """
 
 
+def ingest_pairs_sql(threshold: float, k: int, mod: int) -> str:
+    """Cross pairs only (standing corpus = doc_id % mod != 0, incoming
+    batch = doc_id % mod = 0) — the exact pair set
+    ``dedup.append_pair_index`` writes for the batch via the broadcast
+    index probe (within-batch pairs are near_dup_pairs restricted to
+    the batch; this entry pins the index-probe side)."""
+    return f"""
+WITH {_shingle_ctes(k)},
+inter AS (
+  SELECT least(a.doc_id, b.doc_id) AS ia,
+         greatest(a.doc_id, b.doc_id) AS ib,
+         a.doc_id AS corp_id, b.doc_id AS batch_id, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s
+  WHERE a.doc_id % {mod} != 0 AND b.doc_id % {mod} = 0
+  GROUP BY 1, 2, 3, 4
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(c / (x.n + y.n - c), 6) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = corp_id
+JOIN sz y ON y.doc_id = batch_id
+WHERE round(c / (x.n + y.n - c), 6) >= {threshold}
+"""
+
+
 def minhash_signatures_sql(n_hashes: int, k: int) -> str:
     # Kirsch-Mitzenmacher family mirroring dedup.minhash_signatures:
     # one md5 per shingle → (h1, h2 mod 2^56), sig_i = min(h1 + i·h2)
