@@ -440,6 +440,8 @@ def stream_dedup_gate(
     index_path: str,
     threshold: float = 0.8,
     max_files_per_trigger: int | None = None,
+    pair_path: str | None = None,
+    pair_threshold: float = 0.5,
 ):
     """Online near-duplicate admission gate: each micro-batch of
     incoming documents is probed against the persisted shingle index
@@ -452,6 +454,14 @@ def stream_dedup_gate(
     bootstrap corpus. Intra-batch duplicates are deliberately out of
     scope (that is the batch ``near_dup_pairs`` job's step); the gate
     guards the corpus boundary.
+
+    With ``pair_path`` the gate also maintains the persisted near-dup
+    PAIR index online (``dedup.append_pair_index``): each accepted
+    slice appends its cross pairs vs the pre-batch corpus plus its
+    within-slice pairs at ``pair_threshold`` (typically below the
+    quarantine threshold — accepted docs can still be pair-linked),
+    keeping the artifact equal to a full rebuild over everything
+    accepted so far (unit-pinned).
 
     Scale: the probe broadcasts only the micro-batch's shingles; the
     index is scanned, never shuffled, and grows by appended parquet
@@ -481,9 +491,28 @@ def stream_dedup_gate(
             else:
                 accepted = batch_df
             accepted.write.mode("append").parquet(accept_path)
-            dd._doc_shingles(accepted, "doc_id", "text", dd.SHINGLE_K).select(
-                "doc_id", F.explode("sh").alias("s")
-            ).write.mode("append").parquet(index_path)
+            if pair_path is not None and (
+                Path(index_path) / "_SUCCESS"
+            ).exists():
+                # appends the accepted slice's cross+within pairs AND
+                # its shingle rows (the index grows inside the call)
+                dd.append_pair_index(
+                    accepted, pair_path, index_path, pair_threshold
+                )
+            else:
+                if pair_path is not None:
+                    # bootstrap: no standing index yet — only
+                    # within-slice pairs exist
+                    dd.shingle_jaccard_pairs(
+                        accepted, pair_threshold
+                    ).repartition("id_a").write.mode("append").parquet(
+                        pair_path
+                    )
+                dd._doc_shingles(
+                    accepted, "doc_id", "text", dd.SHINGLE_K
+                ).select(
+                    "doc_id", F.explode("sh").alias("s")
+                ).write.mode("append").parquet(index_path)
         finally:
             # drop per-batch cache entries — a long-running stream would
             # otherwise accumulate one pinned verdict per micro-batch

@@ -306,3 +306,49 @@ def test_stream_dedup_gate_quarantines_and_learns(spark, tmp_path):
         .select("doc_id").distinct().collect()
     }
     assert idx_ids == {1, 2, 11}
+
+
+def test_stream_gate_maintains_pair_index(spark, tmp_path):
+    """With pair_path the gate's online pair maintenance must leave
+    the artifact equal to a full shingle_jaccard_pairs rebuild over
+    everything it accepted — across the bootstrap batch (within-slice
+    only) and a later batch (cross + within via append_pair_index)."""
+    import time as _time
+
+    from rag_database_spark.operators import dedup as dd
+
+    src = str(tmp_path / "src")
+    accept = str(tmp_path / "accept")
+    quarantine = str(tmp_path / "quar")
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    schema = "doc_id long, text string"
+    dup = "the quick brown fox jumps over the lazy dog daily "
+    spark.createDataFrame(
+        [(1, dup * 3), (2, dup * 3 + "small tail variation one two")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [
+            (10, dup * 3),  # exact dup of 1 -> quarantined
+            (11, dup * 2 + "different continuation text entirely here now"),
+            (12, "unrelated fresh content with other words only"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = se.stream_dedup_gate(
+        spark, src, accept, quarantine, schema, index,
+        threshold=0.9, max_files_per_trigger=1,
+        pair_path=pairs, pair_threshold=0.3,
+    )
+    q.awaitTermination(120)
+
+    accepted_df = spark.read.parquet(accept)
+    online = sorted(map(tuple, spark.read.parquet(pairs).collect()))
+    rebuilt = sorted(
+        map(tuple, dd.shingle_jaccard_pairs(accepted_df, 0.3).collect())
+    )
+    assert online == rebuilt
+    assert len(rebuilt) > 0  # the 1-2 and cross 11 pairs exist
