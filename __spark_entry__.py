@@ -493,6 +493,16 @@ def _fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOC_KEYWORDS_K = 3
+
+
+def _doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keyword extraction served from the
+    persisted BM25 postings/doclens artifact (no re-tokenization)."""
+    postings, doclens = _bm25_index(spark, sf_dir)
+    return bm25_ops.tfidf_keywords(postings, doclens, DOC_KEYWORDS_K)
+
+
 INGEST_BATCH_MOD = 10  # incoming batch = doc_id % 10 == 0
 
 
@@ -1512,7 +1522,8 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
-    "cut_dup_spans", "ingest_gate", "ingest_pairs", "source_mix",
+    "cut_dup_spans", "ingest_gate", "ingest_pairs", "doc_keywords",
+    "source_mix",
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
@@ -1647,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_markup": _strip_markup,
         "dense_filtered_topk": _dense_filtered_topk,
         "ingest_pairs": _ingest_pairs,
+        "doc_keywords": _doc_keywords,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1712,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_pairs": oracles.ingest_pairs_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K, INGEST_BATCH_MOD
         ),
+        "doc_keywords": oracles.doc_keywords_sql(DOC_KEYWORDS_K),
         "source_mix": oracles.source_mix_sql(
             text_analytics.MIX_TOKEN_BUDGET
         ),

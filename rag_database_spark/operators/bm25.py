@@ -134,6 +134,53 @@ def score_queries(
     )
 
 
+def tfidf_keywords(
+    postings: DataFrame, doclens: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by tf-idf
+    (smoothed idf ln((N+1)/(df+1)) + 1, ties → term ascending) over
+    the PERSISTED postings artifact — no re-tokenization; the doc-level
+    twin of the reference's query-side keyword surface (F1 tokenizer,
+    bm25_store.py:38-100; search-term extraction, hybrid_search.py).
+
+    Scale: df is one groupBy(term) with map-side partials (exchange-
+    free over the bucketed index layout); the 1-row corpus count
+    broadcasts; the rank window partitions by doc_id and is bounded by
+    per-document vocabulary, never corpus size."""
+    n_docs = doclens.agg(F.count("*").alias("n_docs"))
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def write_index(
     docs: DataFrame,
     path: str,

@@ -181,6 +181,41 @@ FROM bm25_ranked WHERE rank <= {limit}
 """
 
 
+def doc_keywords_sql(k: int) -> str:
+    """Twin of bm25.tfidf_keywords over the same F1 tokenization:
+    top-k terms per document by tf * (ln((N+1)/(df+1)) + 1), ties by
+    term ascending."""
+    doc_tok = _TOKENIZE.format(text="text")
+    return f"""
+WITH tok_raw AS (
+  SELECT doc_id, {doc_tok} AS term FROM documents
+),
+tok AS (
+  SELECT doc_id, term FROM tok_raw
+  WHERE length(term) >= {MIN_TOKEN_LEN} AND term NOT IN ({_STOPLIST})
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term,
+         p.tf * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0) AS tfidf
+  FROM postings p JOIN dfreq f USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def dense_topk_sql(limit: int = HYBRID_LIMIT) -> str:
     return f"""
 WITH {_dense_ctes(limit)}
