@@ -126,6 +126,89 @@ def lexical_overlap_rerank(
     )
 
 
+DEFAULT_CROSS_ENCODER = "cross-encoder/ms-marco-MiniLM-L-6-v2"
+
+
+def model_rerank(
+    results: DataFrame,
+    queries: DataFrame,
+    documents: DataFrame,
+    limit: int,
+    model_name: str = DEFAULT_CROSS_ENCODER,
+    batch_size: int = 64,
+    id_col: str = "id",
+    text_col: str = "text",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """M8 real-model path (hybrid_search.py:576-625): cross-encoder
+    pair scoring via sentence-transformers' CrossEncoder through an
+    Arrow-batched mapInPandas — the model loads once per Python
+    worker, each Arrow batch is one forward pass over its
+    (query_text, doc_text) pairs, and only the scores cross back to
+    the JVM. Identical topology to ``lexical_overlap_rerank`` (the
+    deterministic default): candidate ids broadcast-semi-join into the
+    documents scan BEFORE any text moves, so only the top-k-bounded
+    candidate pairs ever reach Python.
+
+    Raises ImportError when sentence-transformers is absent (the
+    deterministic scorer is the fallback); the smoke test injects a
+    fake CrossEncoder to verify the pair plumbing without weights."""
+    from rag_database_spark.seams import optional_import
+
+    st_mod = optional_import("sentence_transformers")
+    if st_mod is None:
+        raise ImportError(
+            "sentence_transformers not installed — use "
+            "lexical_overlap_rerank() as the deterministic fallback"
+        )
+    # captured at driver time: a real installed class pickles by
+    # reference, the smoke test's fake ships by value
+    model_cls = st_mod.CrossEncoder
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    q = queries.select("query_id", query_text_col)
+    cand_ids = results.select(F.col("id").alias(id_col)).distinct()
+    d = documents.join(F.broadcast(cand_ids), id_col).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__doc_text")
+    )
+    pairs = (
+        results.select("query_id", "id")
+        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(d), "id")
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = model_cls(model_name)  # once per partition
+        for pdf in it:
+            if pdf.empty:
+                continue
+            preds = model.predict(
+                list(zip(pdf[query_text_col], pdf["__doc_text"])),
+                batch_size=batch_size,
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "id": pdf["id"],
+                    "rerank_score": [round(float(s), 6) for s in preds],
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        score, schema="query_id long, id long, rerank_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= limit)
+    )
+
+
 def bm25_index_stats(postings: DataFrame, doclens: DataFrame) -> DataFrame:
     """A4 (bm25_store.py:326-334): corpus size, average doc length,
     vocabulary size, postings count. ``approx_vocabulary`` shows the

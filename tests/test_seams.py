@@ -136,6 +136,51 @@ def test_decode_seam_flips_with_injected_module(monkeypatch):
     assert multimodal._decode_impl() is multimodal._real_decode
 
 
+def test_model_rerank_raises_without_library(spark):
+    from rag_database_spark.operators import lifecycle
+
+    df = spark.createDataFrame([(1, 2)], "query_id long, id long")
+    with pytest.raises(ImportError, match="sentence_transformers"):
+        lifecycle.model_rerank(df, df, df, 5)
+
+
+def test_model_rerank_plumbing_with_fake_cross_encoder(spark, monkeypatch):
+    """Inject a deterministic fake CrossEncoder: proves the candidate-
+    pruned pair join, batch shape, and re-ranking — the M8 real-model
+    topology — without weights."""
+    from rag_database_spark.operators import lifecycle
+
+    fake = types.ModuleType("sentence_transformers")
+
+    class FakeCE:
+        def __init__(self, name):
+            self.name = name
+
+        def predict(self, pairs, batch_size=64):
+            # longer doc text -> higher score; deterministic
+            return [float(len(q) + 2 * len(d)) for q, d in pairs]
+
+    fake.CrossEncoder = FakeCE
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    results = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12)], "query_id long, id long"
+    )
+    queries = spark.createDataFrame(
+        [(1, "short query")], "query_id long, query_text string"
+    )
+    documents = spark.createDataFrame(
+        [(10, "tiny"), (11, "a much longer document body"), (12, "medium text"),
+         (99, "non-candidate must never be scored")],
+        "id long, text string",
+    )
+    rows = lifecycle.model_rerank(
+        results, queries, documents, limit=2
+    ).orderBy("rank").collect()
+    assert [(r["id"], r["rank"]) for r in rows] == [(11, 1), (12, 2)]
+    assert rows[0]["rerank_score"] == float(len("short query") + 2 * len("a much longer document body"))
+
+
 def test_model_embed_raises_without_library(spark):
     from rag_database_spark.functions import embedder
 
