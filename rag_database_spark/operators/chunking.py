@@ -475,6 +475,7 @@ def semantic_chunks(
     text_col: str = "text",
     threshold: float = SEMANTIC_THRESHOLD,
     skip_window: int = 0,
+    embedder=None,
 ) -> DataFrame:
     """C4 (chunking_service.py:286-312): sentences grouped by embedding
     similarity — a sentence joins the open chunk while its cosine to
@@ -483,12 +484,19 @@ def semantic_chunks(
     ``skip_window`` sentences would (double-pass merging).
 
     Sequential within a document (like the reference's Chonkie
-    chunkers) → applyInPandas per doc, parallel across docs. The
-    embedder is the engine's deterministic hash projection, so results
-    are stable; a model embedder slots into ``_hash_embed_py``."""
+    chunkers) → applyInPandas per doc, parallel across docs.
+    ``embedder`` is the model seam: a ``sentences -> list[vector]``
+    callable (e.g. a sentence-transformers ``encode`` wrapper) ships
+    to the workers by closure; ``None`` uses the engine's
+    deterministic hash projection so default results stay stable and
+    golden-testable."""
     import re as _re
 
     import pandas as pd
+
+    embed_batch = embedder or (
+        lambda sentences: [_hash_embed_py(s) for s in sentences]
+    )
 
     def chunk_one(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -500,7 +508,7 @@ def semantic_chunks(
             ]
             if not sentences:
                 continue
-            vecs = [_hash_embed_py(s) for s in sentences]
+            vecs = [list(map(float, v)) for v in embed_batch(sentences)]
             chunks: list[list[int]] = [[0]]
             for i in range(1, len(sentences)):
                 centroid = [

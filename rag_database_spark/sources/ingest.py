@@ -164,22 +164,55 @@ def full_text(elements: DataFrame) -> DataFrame:
     )
 
 
+def _real_render(content: bytes, dpi: int) -> list[tuple[int, int, int, bytes]]:
+    """S4 real path (document_processor.py:219-237): pdf2image page
+    rendering → (page_number, width, height, png_bytes) rows, the same
+    shape the stub emits. Dispatched to by ``_render_impl`` when the
+    library is importable; the page→row mapping is covered by a
+    fake-module injection test (tests/test_seams.py)."""
+    from io import BytesIO
+
+    from pdf2image import convert_from_bytes
+
+    out = []
+    for p, img in enumerate(convert_from_bytes(content or b"", dpi=dpi), 1):
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        out.append((p, int(img.width), int(img.height), buf.getvalue()))
+    return out
+
+
+def _render_impl():
+    """Real renderer when pdf2image is importable, deterministic stub
+    otherwise — same call-time dispatch as ``_parse_impl``."""
+    from rag_database_spark.seams import have
+
+    return _real_render if have("pdf2image") else _fake_render
+
+
+def _fake_render(content: bytes, dpi: int) -> list[tuple[int, int, int, bytes]]:
+    """Deterministic render stub: letter-size dimensions, one page per
+    PAGE_CHARS of content, md5-derived fake bytes."""
+    n_pages = max(1, len(content or b"") // PAGE_CHARS)
+    return [
+        (p, 612, 792, hashlib.md5(f"page|{p}|{dpi}".encode()).digest())
+        for p in range(1, n_pages + 1)
+    ]
+
+
 def page_images_stub(files: DataFrame, dpi: int = 150) -> DataFrame:
-    """S4 (document_processor.py:219-237 pdf2image): page-image rows
-    with deterministic fake dimensions — binary plumbing only; a real
-    renderer replaces the inner loop."""
+    """S4 (document_processor.py:219-237 pdf2image): binary files →
+    page-image rows; the renderer is the only seam-stubbed piece
+    (``_render_impl`` dispatches executor-side)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        render = _render_impl()  # resolved once per partition
         for pdf in it:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 did = _doc_id(path, content)
-                n_pages = max(1, len(content or b"") // PAGE_CHARS)
-                for p in range(1, n_pages + 1):
-                    h = hashlib.md5(f"{did}|{p}".encode()).digest()
-                    rows.append(
-                        (did, p, 612, 792, h)  # letter-size points + fake bytes
-                    )
+                for p, w, h, img in render(content, dpi):
+                    rows.append((did, p, w, h, img))
             if rows:
                 yield pd.DataFrame(
                     rows,

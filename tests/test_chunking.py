@@ -163,6 +163,31 @@ def test_sdpm_skip_window_bridges_gap(spark):
     assert sdpm < plain
 
 
+def test_semantic_chunks_custom_embedder_seam(spark):
+    """The C4 model seam: an injected sentence->vector embedder (the
+    shape a sentence-transformers encode wrapper has) must drive the
+    grouping — orthogonal vectors per topic word split exactly where
+    the model says, independent of the hash embedder's geometry."""
+    from rag_database_spark.operators.chunking import semantic_chunks
+
+    text = "apple one. apple two. banana one. banana two."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    def embed(sentences):
+        return [
+            [1.0, 0.0] if "apple" in s else [0.0, 1.0] for s in sentences
+        ]
+
+    rows = (
+        semantic_chunks(df, threshold=0.5, embedder=embed)
+        .orderBy("chunk_index")
+        .collect()
+    )
+    assert len(rows) == 2
+    assert rows[0]["n_sentences"] == 2 and "apple" in rows[0]["chunk_text"]
+    assert rows[1]["n_sentences"] == 2 and "banana" in rows[1]["chunk_text"]
+
+
 def test_route_and_chunk_by_tier(spark):
     from rag_database_spark.operators.chunking import route_and_chunk
 

@@ -136,6 +136,40 @@ def test_decode_seam_flips_with_injected_module(monkeypatch):
     assert multimodal._decode_impl() is multimodal._real_decode
 
 
+def test_render_seam_flips_and_maps_pages(monkeypatch):
+    """S4 seam: dispatch flips with an injected pdf2image, and the
+    real branch's page→row mapping (1-based page numbers, dimensions,
+    PNG bytes) runs against fake page images."""
+    from rag_database_spark.sources import ingest
+
+    assert ingest._render_impl() is ingest._fake_render
+
+    class FakeImage:
+        def __init__(self, w, h, tag):
+            self.width, self.height, self._tag = w, h, tag
+
+        def save(self, buf, format=None):
+            buf.write(f"PNG:{self._tag}:{format}".encode())
+
+    fake = types.ModuleType("pdf2image")
+    captured = {}
+
+    def convert_from_bytes(content, dpi=None):
+        captured["args"] = (content, dpi)
+        return [FakeImage(600, 800, "a"), FakeImage(300, 400, "b")]
+
+    fake.convert_from_bytes = convert_from_bytes
+    monkeypatch.setitem(sys.modules, "pdf2image", fake)
+    assert ingest._render_impl() is ingest._real_render
+
+    rows = ingest._real_render(b"%PDF fake", dpi=72)
+    assert captured["args"] == (b"%PDF fake", 72)
+    assert rows == [
+        (1, 600, 800, b"PNG:a:PNG"),
+        (2, 300, 400, b"PNG:b:PNG"),
+    ]
+
+
 def test_model_rerank_raises_without_library(spark):
     from rag_database_spark.operators import lifecycle
 
