@@ -493,6 +493,38 @@ def _fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINDOW_JOIN_COUNT = 20  # overlapping analysis windows over the ts span
+
+
+def _events_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: events matched to overlapping time windows
+    via the bucketized band join (`relational.interval_join`) — a keyed
+    equi-join on the band id plus a residual filter, never a
+    nested-loop (plan-tested). Windows are derived with integer epoch
+    math (span/20 steps, 1.5-step length → adjacent windows overlap),
+    so both engines build the identical window table. Eager bounds
+    lookup (one min/max scan) keeps the band width data-derived."""
+    from rag_database_spark.operators import relational
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").alias("es"),
+        "value",
+    )
+    t0, t1 = ev.agg(F.min("es"), F.max("es")).first()
+    step = max((t1 - t0) // WINDOW_JOIN_COUNT, 1)
+    wlen = (3 * step) // 2
+    windows = spark.range(WINDOW_JOIN_COUNT).select(
+        F.col("id").cast("long").alias("window_id"),
+        (F.lit(t0) + F.col("id") * step).cast("long").alias("w_start_s"),
+        (F.lit(t0) + F.col("id") * step + wlen).cast("long").alias("w_end_s"),
+    )
+    j = relational.interval_join(ev, windows, band=wlen + 1)
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 DOC_KEYWORDS_K = 3
 
 
@@ -1659,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_filtered_topk": _dense_filtered_topk,
         "ingest_pairs": _ingest_pairs,
         "doc_keywords": _doc_keywords,
+        "events_window_join": _events_window_join,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1725,6 +1758,9 @@ def oracle_sql() -> dict[str, str]:
             JACCARD_THRESHOLD, dedup.SHINGLE_K, INGEST_BATCH_MOD
         ),
         "doc_keywords": oracles.doc_keywords_sql(DOC_KEYWORDS_K),
+        "events_window_join": oracles.events_window_join_sql(
+            WINDOW_JOIN_COUNT
+        ),
         "source_mix": oracles.source_mix_sql(
             text_analytics.MIX_TOKEN_BUDGET
         ),

@@ -237,6 +237,49 @@ def events_profile_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def interval_join(
+    events: DataFrame,
+    windows: DataFrame,
+    band: int,
+    ts_col: str = "es",
+    start_col: str = "w_start_s",
+    end_col: str = "w_end_s",
+) -> DataFrame:
+    """Bucketized range join: every event row matched to every window
+    whose ``[start, end]`` (integer keys, e.g. epoch seconds) contains
+    its ``ts`` — the custom operator Spark lacks natively (a naive
+    formulation plans as BroadcastNestedLoopJoin and is O(|events| ×
+    |windows|)).
+
+    Band trick (the standard range-join optimization): with ``band`` ≥
+    the longest window, each window overlaps at most
+    ``len/band + 1 ≤ 2`` bands, so the window side explodes to ~2 rows
+    while each event belongs to exactly ONE band — the join becomes a
+    keyed equi-join on the band id plus a residual between-filter, and
+    a matching (event, window) pair meets in exactly the event's band
+    (no dedup needed, result is exact). At 100 TB this is one shuffle
+    on a uniform integer key instead of a nested-loop scan; plan-tested
+    to contain no BroadcastNestedLoopJoin.
+    """
+    w_banded = windows.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / band).cast("long"),
+                F.floor(F.col(end_col) / band).cast("long"),
+            )
+        ),
+    )
+    e_banded = events.withColumn(
+        "__band", F.floor(F.col(ts_col) / band).cast("long")
+    )
+    return (
+        e_banded.join(w_banded, "__band")
+        .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__band")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -181,6 +181,34 @@ FROM bm25_ranked WHERE rank <= {limit}
 """
 
 
+def events_window_join_sql(n_windows: int) -> str:
+    """Twin of the bucketized interval join entry: identical integer
+    window construction (span/n steps, 1.5-step length), BETWEEN join,
+    per-window rollup. DuckDB plans this as its native IEJoin — same
+    results, different physical strategy, which is the point."""
+    return f"""
+WITH ev AS (
+  SELECT floor(epoch(ts))::BIGINT AS es, value FROM events
+),
+b AS (
+  SELECT min(es) AS t0,
+         greatest((max(es) - min(es)) // {n_windows}, 1) AS step
+  FROM ev
+),
+w AS (
+  SELECT wid::BIGINT AS window_id,
+         (t0 + wid * step)::BIGINT AS w_start_s,
+         (t0 + wid * step + (3 * step) // 2)::BIGINT AS w_end_s
+  FROM b, (SELECT unnest(range({n_windows})) AS wid)
+)
+SELECT w.window_id,
+       count(*)::BIGINT AS n_events,
+       round(sum(e.value), 6) AS total_value
+FROM ev e JOIN w ON e.es BETWEEN w.w_start_s AND w.w_end_s
+GROUP BY w.window_id
+"""
+
+
 def doc_keywords_sql(k: int) -> str:
     """Twin of bm25.tfidf_keywords over the same F1 tokenization:
     top-k terms per document by tf * (ln((N+1)/(df+1)) + 1), ties by

@@ -62,3 +62,54 @@ def test_asof_join_tolerance_and_partition_invariance(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_interval_join_equals_naive(spark):
+    """The band-bucketized range join must return exactly the naive
+    cross-join-filter pairs, across band boundaries and overlapping
+    windows, at several band widths."""
+    from rag_database_spark.operators.relational import interval_join
+
+    events = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(40)], "event_id long, es long"
+    )
+    windows = spark.createDataFrame(
+        [(0, 0, 30), (1, 25, 55), (2, 50, 99), (3, 98, 100), (4, 200, 300)],
+        "window_id long, w_start_s long, w_end_s long",
+    )
+    naive = sorted(
+        (r["event_id"], r["window_id"])
+        for r in events.crossJoin(windows)
+        .filter(F.col("es").between(F.col("w_start_s"), F.col("w_end_s")))
+        .collect()
+    )
+    assert naive  # fixture produces matches
+    for band in (31, 50, 101, 7):
+        # band >= longest window keeps the explode bounded; smaller
+        # bands still produce exact results (just more window rows)
+        got = sorted(
+            (r["event_id"], r["window_id"])
+            for r in interval_join(events, windows, band=band).collect()
+        )
+        assert got == naive, band
+
+
+def test_interval_join_plan_is_keyed_not_nested_loop(spark):
+    import contextlib
+    import io
+
+    from rag_database_spark.operators.relational import interval_join
+
+    events = spark.range(100).select(F.col("id").alias("es"))
+    windows = spark.range(10).select(
+        F.col("id").alias("window_id"),
+        (F.col("id") * 10).alias("w_start_s"),
+        (F.col("id") * 10 + 14).alias("w_end_s"),
+    )
+    df = interval_join(events, windows, band=15)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # a keyed join on the band id
