@@ -15,7 +15,7 @@ import sys
 from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -1231,6 +1231,29 @@ def _graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.graph_stats(_doc_edge_table(spark, sf_dir))
 
 
+PAGERANK_TOPK = 20
+
+
+def _doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference LLM-pipeline op: document-importance PageRank
+    over the doc graph (fixed 5-round power iteration, dangling mass
+    redistributed; oracle = unrolled SQL chain). Top-k is a
+    TakeOrderedAndProject over the rounded score, and the 1..k rank
+    is stamped on the k survivors only — never a global window.
+    Eager (one scalar aggregate per round) — stays out of
+    ``_PURE_LAZY``."""
+    edges = _doc_edge_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ranks = graph_ops.pagerank(docs, edges).select(
+        "doc_id", F.round("rank", 6).alias("score")
+    )
+    top = ranks.orderBy(F.desc("score"), "doc_id").limit(PAGERANK_TOPK)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).orderBy("rank")
+
+
 CHAIN_SRC_MAX = 3
 # destinations sit on the synthetic corpus's +20 sequence lattice so
 # the pair list mixes every depth 1..CHAIN_MAX_DEPTH with unreachable
@@ -1692,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pairs": _ingest_pairs,
         "doc_keywords": _doc_keywords,
         "events_window_join": _events_window_join,
+        "doc_pagerank": _doc_pagerank,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1760,6 +1784,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": oracles.doc_keywords_sql(DOC_KEYWORDS_K),
         "events_window_join": oracles.events_window_join_sql(
             WINDOW_JOIN_COUNT
+        ),
+        "doc_pagerank": oracles.pagerank_sql(
+            JACCARD_THRESHOLD,
+            dedup.SHINGLE_K,
+            PAGERANK_TOPK,
+            graph_ops.PAGERANK_DAMPING,
+            graph_ops.PAGERANK_ITERATIONS,
         ),
         "source_mix": oracles.source_mix_sql(
             text_analytics.MIX_TOKEN_BUDGET

@@ -389,6 +389,85 @@ def augment_results(
     )
 
 
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERATIONS = 5
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+    node_col: str = "doc_id",
+) -> DataFrame:
+    """Document-importance PageRank over the undirected doc graph —
+    the curation signal a training pipeline uses to up-weight hub
+    documents (beyond-reference LLM-pipeline op; the reference's
+    graph analytics stop at degree stats, document_graph.py:515-528).
+
+    Power iteration with a fixed round count so the result is
+    deterministic and oracle-able as an unrolled SQL chain. Each round
+    is one keyed join (ranks ⋈ out-edges on the source) plus one
+    groupBy on the destination — Pregel's message-passing shape, two
+    shuffles per round regardless of corpus size, with the degree
+    pre-joined into the edge list once so it never re-shuffles.
+    Dangling mass (docs with no out-edges) is redistributed uniformly
+    each round — the scalar aggregate rides along as a broadcast
+    1-row cross join, so a round is a single job (no separate driver
+    collect), keeping the ranks a true probability distribution.
+    ``localCheckpoint`` per round truncates the lineage (same
+    discipline as ``dedup_clusters``) so the plan does not grow with
+    the iteration count.
+
+    Returns one row per node: (``node_col``, rank) with the raw
+    double rank; callers round/rank at the entry boundary.
+    """
+    sym = undirected(edges)
+    und = (
+        sym.filter(F.col("me") != F.col("other"))
+        .select("me", "other")
+        .distinct()
+    )
+    deg = und.groupBy("me").agg(F.count("*").cast("double").alias("deg"))
+    # out-edge list with the degree folded in, partitioned on the
+    # rank-join key and persisted: every round reuses one exchange
+    out = und.join(deg, "me").repartition("me").persist()
+    n = nodes.count()
+    ranks = nodes.select(
+        F.col(node_col).alias("id"), F.lit(1.0 / n).alias("r")
+    ).localCheckpoint()
+    has_out = deg.select(F.col("me").alias("id"))
+    for _ in range(iterations):
+        dang = (
+            ranks.join(has_out, "id", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dangling"))
+        )
+        contrib = (
+            ranks.join(out, ranks["id"] == out["me"])
+            .groupBy(F.col("other").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            ranks.select("id")
+            .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    out.unpersist()
+    return ranks.select(F.col("id").alias(node_col), F.col("r").alias("rank"))
+
+
 def graph_stats(edges: DataFrame) -> DataFrame:
     """A10 (document_graph.py:515-528): per-relation-type edge counts,
     avg confidence, distinct endpoint counts."""

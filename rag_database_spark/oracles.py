@@ -1205,6 +1205,61 @@ HAVING min(depth) > 0
 """
 
 
+def pagerank_sql(
+    jaccard_threshold: float,
+    k: int,
+    topk: int,
+    damping: float,
+    iterations: int,
+) -> str:
+    """Unrolled power iteration mirroring ``graph.pagerank``: the
+    fixed round count makes the chain finite, so each round is one
+    CTE trio (dangling mass, per-destination contribution sum, new
+    rank vector) and the engines differ only in summation order —
+    absorbed by the 6dp boundary rounding both sides apply."""
+    d = repr(damping)
+    parts = [
+        """sym AS (
+  SELECT src AS me, dst AS other FROM edges
+  UNION ALL
+  SELECT dst, src FROM edges
+),
+und AS (SELECT DISTINCT me, other FROM sym WHERE me <> other),
+deg AS (SELECT me, count(*)::DOUBLE AS deg FROM und GROUP BY me),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+r0 AS (
+  SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r FROM documents
+)"""
+    ]
+    for i in range(iterations):
+        parts.append(f"""dang{i} AS (
+  SELECT coalesce(sum(r), 0.0) AS m FROM r{i}
+  WHERE id NOT IN (SELECT me FROM deg)
+),
+c{i} AS (
+  SELECT u.other AS id, sum(p.r / g.deg) AS contrib
+  FROM r{i} p JOIN und u ON u.me = p.id JOIN deg g ON g.me = u.me
+  GROUP BY u.other
+),
+r{i + 1} AS (
+  SELECT b.id,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.contrib, 0.0)
+                  + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS r
+  FROM r0 b LEFT JOIN c{i} c USING (id)
+)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_edges_ctes(jaccard_threshold, k)},
+{chain}
+SELECT id AS doc_id, round(r, 6) AS score,
+       row_number() OVER (ORDER BY round(r, 6) DESC, id) AS rank
+FROM r{iterations}
+ORDER BY score DESC, doc_id
+LIMIT {topk}
+"""
+
+
 def graph_stats_sql(jaccard_threshold: float, k: int) -> str:
     return f"""
 WITH {_edges_ctes(jaccard_threshold, k)}

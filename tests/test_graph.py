@@ -125,3 +125,38 @@ def test_bfs_with_prebuilt_adjacency(spark, chain_edges):
         assert {r["id"] for r in aug} == {1, 3}
     finally:
         adj.unpersist()
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """pagerank == a dense numpy power iteration on the same graph:
+    same damping, same dangling redistribution, same round count.
+    Node 5 is isolated (dangling), node 2 is the hub."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2, "t", 1.0), (2, 3, "t", 1.0), (2, 4, "t", 1.0)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in g.pagerank(nodes, edges, iterations=5).collect()
+    }
+
+    adj = {1: [2], 2: [1, 3, 4], 3: [2], 4: [2], 5: []}
+    n, d = 5, 0.85
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(5):
+        dangling = sum(r[v] for v in adj if not adj[v])
+        contrib = {v: 0.0 for v in adj}
+        for u, outs in adj.items():
+            for v in outs:
+                contrib[v] += r[u] / len(outs)
+        r = {
+            v: (1.0 - d) / n + d * (contrib[v] + dangling / n)
+            for v in adj
+        }
+
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] == max(got.values())
