@@ -751,6 +751,14 @@ def _vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.vocab_oov(load_table(spark, sf_dir, "documents"))
 
 
+def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency filter signal: per-doc mean log-prob +
+    perplexity under a corpus-trained add-k bigram LM (bigrams form
+    array-side — no positional self-join; model tables keyed, vocab
+    size broadcast)."""
+    return text_analytics.lm_score(load_table(spark, sf_dir, "documents"))
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (one md5 + Kirsch-Mitzenmacher per shingle,
     oracle-reproducible), over the persisted shingle index (S7)."""
@@ -1577,6 +1585,7 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
+    "lm_perplexity",
     "cut_dup_spans", "ingest_gate", "ingest_pairs", "doc_keywords",
     "source_mix",
     "strip_markup",
@@ -1716,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _doc_keywords,
         "events_window_join": _events_window_join,
         "doc_pagerank": _doc_pagerank,
+        "lm_perplexity": _lm_perplexity,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1785,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_join": oracles.events_window_join_sql(
             WINDOW_JOIN_COUNT
         ),
+        "lm_perplexity": oracles.lm_score_sql(text_analytics.LM_ALPHA),
         "doc_pagerank": oracles.pagerank_sql(
             JACCARD_THRESHOLD,
             dedup.SHINGLE_K,

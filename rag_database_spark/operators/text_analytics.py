@@ -1024,6 +1024,87 @@ def vocab_oov(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
     )
 
 
+LM_ALPHA = 0.5  # add-k smoothing mass per bigram type
+
+
+def lm_score(docs: DataFrame, alpha: float = LM_ALPHA,
+             id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Bigram-LM fluency score per document — the deterministic,
+    self-trained stand-in for CCNet-style perplexity filtering
+    (Wenzek et al. 2020: rank web text by LM perplexity, drop the
+    worst tail). The model is an add-k-smoothed bigram LM induced from
+    the corpus itself: P(w2|w1) = (c(w1,w2)+k) / (ctx(w1)+k·V), with
+    ctx(w1) = Σ bigram counts starting at w1 and V = corpus distinct
+    token count. Per doc: mean log-prob over its bigram occurrences
+    and the corresponding perplexity exp(−mean). Tokenization matches
+    ``vocab_oov``/``dup_ngram_fraction``.
+
+    Scale design: bigrams form INSIDE the token array (a ``transform``
+    over the sliced array — no positional self-join, no shuffle to
+    pair neighbors); the per-(doc, w1, w2) multiplicity rollup shrinks
+    the stream before the count joins, the model tables key on
+    (w1, w2)/(w1) with map-side partials, the 1-row vocab size rides a
+    broadcast cross join, and the final rollup keys on doc_id. The
+    mean is computed in weighted form Σm·lp / Σm on BOTH engines so
+    the two sides differ only in summation order (absorbed by the 6dp
+    rounding); perplexity exponentiates the already-rounded mean."""
+    docs = fan_out(docs)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    big = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t)-1),"
+                    " (x, i) -> struct(x AS w1, element_at(t, i+2) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    per = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("m")
+    )
+    cnt = per.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
+    ctx = cnt.groupBy("w1").agg(F.sum("c").alias("cx"))
+    vsize = base.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    lp = F.log(
+        (F.col("c") + F.lit(alpha))
+        / (F.col("cx") + F.lit(alpha) * F.col("v"))
+    )
+    rolled = (
+        per.join(cnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", "m", (F.col("m") * lp).alias("mlp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("mlp") / F.sum("m"), 6).alias("avg_logp"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rolled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
+            F.round(
+                F.exp(-F.coalesce("avg_logp", F.lit(0.0))), 6
+            ).alias("ppl"),
+        )
+    )
+
+
 def cut_dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

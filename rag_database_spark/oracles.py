@@ -3478,6 +3478,54 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def lm_score_sql(alpha: float) -> str:
+    """Twin of ``text_analytics.lm_score``: same tokenization as
+    ``vocab_oov_sql``, bigrams via the positional self-join (the
+    engine forms them array-side; the join is the oracle's clearer
+    equivalent), same weighted-mean form Σm·lp / Σm so the engines
+    differ only in summation order, perplexity from the rounded
+    mean."""
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    a = repr(alpha)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+tok_rows AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+  FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM tok_rows a JOIN tok_rows b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+per AS (
+  SELECT doc_id, w1, w2, count(*)::DOUBLE AS m FROM big GROUP BY 1, 2, 3
+),
+cnt AS (SELECT w1, w2, sum(m) AS c FROM per GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c) AS cx FROM cnt GROUP BY 1),
+vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM tok_rows),
+rolled AS (
+  SELECT p.doc_id,
+         sum(p.m)::BIGINT AS n_bigrams,
+         round(sum(p.m * ln((c.c + {a}) / (x.cx + {a} * (SELECT v FROM vv))))
+               / sum(p.m), 6) AS avg_logp
+  FROM per p JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(r.avg_logp, 0.0) AS avg_logp,
+       round(exp(-coalesce(r.avg_logp, 0.0)), 6) AS ppl
+FROM documents d LEFT JOIN rolled r USING (doc_id)
+"""
+
+
 def ingest_gate_sql(mod: int, k: int) -> str:
     """Twin of ``dedup.best_jaccard_vs_index`` on the fixture split:
     docs with doc_id % mod == 0 are the incoming batch, the rest are

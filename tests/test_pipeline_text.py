@@ -612,3 +612,47 @@ def test_normalize_unicode_composes_nfd(spark):
     assert got[3]["nfc_md5"] == md5(
         unicodedata.normalize("NFC", rows[2][1])
     )
+
+
+def test_lm_score_matches_hand_model(spark):
+    """lm_score == a hand-built add-k bigram model on a 2-doc corpus,
+    and a fluent (in-distribution) doc scores lower perplexity than a
+    one-off token sequence."""
+    import math
+
+    from rag_database_spark.operators.text_analytics import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat the cat sat the cat"),
+         (2, "dog ran fast"),
+         (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_score(docs).collect()}
+
+    seqs = {1: "the cat sat the cat sat the cat".split(),
+            2: "dog ran fast".split()}
+    bigrams = [(s[i], s[i + 1]) for s in seqs.values()
+               for i in range(len(s) - 1)]
+    vocab = {t for s in list(seqs.values()) + [["x"]] for t in s}
+    cnt: dict = {}
+    for b in bigrams:
+        cnt[b] = cnt.get(b, 0) + 1
+    ctx: dict = {}
+    for (w1, _), c in cnt.items():
+        ctx[w1] = ctx.get(w1, 0) + c
+    a, v = 0.5, len(vocab)
+
+    for doc_id, s in seqs.items():
+        lps = [math.log((cnt[(s[i], s[i + 1])] + a)
+                        / (ctx[s[i]] + a * v))
+               for i in range(len(s) - 1)]
+        want = sum(lps) / len(lps)
+        assert got[doc_id]["n_bigrams"] == len(lps)
+        assert abs(got[doc_id]["avg_logp"] - round(want, 6)) < 1e-9
+        assert abs(
+            got[doc_id]["ppl"] - round(math.exp(-round(want, 6)), 6)
+        ) < 1e-9
+
+    assert got[3]["n_bigrams"] == 0 and got[3]["ppl"] == 1.0
+    assert got[1]["ppl"] < got[2]["ppl"]
