@@ -751,6 +751,15 @@ def _vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.vocab_oov(load_table(spark, sf_dir, "documents"))
 
 
+def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=2 temperature source-mixing rollup: per-source keep rate ∝
+    √size/size under a half-corpus char budget, deterministic md5
+    keep set (rate table broadcast; doc stream never shuffles)."""
+    return text_analytics.temperature_sample(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style fluency filter signal: per-doc mean log-prob +
     perplexity under a corpus-trained add-k bigram LM (bigrams form
@@ -1585,7 +1594,7 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
-    "lm_perplexity",
+    "lm_perplexity", "temperature_mix",
     "cut_dup_spans", "ingest_gate", "ingest_pairs", "doc_keywords",
     "source_mix",
     "strip_markup",
@@ -1726,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_join": _events_window_join,
         "doc_pagerank": _doc_pagerank,
         "lm_perplexity": _lm_perplexity,
+        "temperature_mix": _temperature_mix,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1796,6 +1806,9 @@ def oracle_sql() -> dict[str, str]:
             WINDOW_JOIN_COUNT
         ),
         "lm_perplexity": oracles.lm_score_sql(text_analytics.LM_ALPHA),
+        "temperature_mix": oracles.temperature_sample_sql(
+            text_analytics.TEMP_BUDGET_FRAC, text_analytics.TEMP_SEED
+        ),
         "doc_pagerank": oracles.pagerank_sql(
             JACCARD_THRESHOLD,
             dedup.SHINGLE_K,

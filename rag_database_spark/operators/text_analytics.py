@@ -666,6 +666,95 @@ def stratified_sample(docs: DataFrame,
     )
 
 
+TEMP_BUDGET_FRAC = 0.5  # char budget as a fraction of the corpus
+TEMP_SEED = 7
+
+
+def temperature_sample(docs: DataFrame,
+                       budget_frac: float = TEMP_BUDGET_FRAC,
+                       seed: int = TEMP_SEED,
+                       id_col: str = "doc_id",
+                       source_col: str = "source",
+                       size_col: str = "n_chars") -> DataFrame:
+    """Temperature-based source mixing (τ = 2) — the multilingual /
+    multi-source rebalancing step of a training-data pipeline: sample
+    sources proportionally to size^(1/τ) instead of size, so small
+    sources are up-weighted relative to their share and no single
+    source dominates the mix (the standard temperature-sampling
+    scheme from multilingual pretraining, exponent fixed at 1/2 so
+    both engines evaluate it as IEEE-exact ``sqrt`` — fractional
+    ``pow`` is not correctly rounded across libms).
+
+    Per source s with total size n_s: share q_s = √n_s / Σ√n_t and
+    keep rate r_s = min(1, B·q_s / n_s) with B = budget_frac × Σn_t.
+    The Σ√ denominator is rounded to 6dp so both engines proceed from
+    the identical double; every later op is an IEEE basic op on
+    identical inputs, so the rates — and the integer keep thresholds
+    floor(r_s·2^60) — are bit-identical cross-engine. Keep decisions
+    reuse the ``stratified_sample`` content-hash construction (60-bit
+    md5 key vs integer threshold: partition-stable, re-derivable).
+
+    Scale: the rate table is one per-source rollup (map-side
+    partials) broadcast back onto the corpus — the doc stream never
+    shuffles; the keep filter is a scan-side predicate. Returns the
+    per-source audit rollup (source, n_sz, n_docs, keep_rate,
+    n_kept)."""
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(size_col).alias("n_sz"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    denom = per_src.agg(
+        F.round(
+            F.sum(F.sqrt(F.col("n_sz").cast("double"))), 6
+        ).alias("denom"),
+        F.sum("n_sz").cast("double").alias("total"),
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(denom))
+        .select(
+            "source", "n_sz", "n_docs",
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("total")
+                * F.sqrt(F.col("n_sz").cast("double"))
+                / F.col("denom")
+                / F.col("n_sz").cast("double"),
+            ).alias("rate"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)),
+                              F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    kept = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(source_col).alias("source"))
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .withColumn("_h", h)
+        .filter(
+            F.col("_h")
+            < F.floor(F.col("rate") * F.lit(float(1 << 60))).cast("long")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_sz").cast("bigint").alias("n_sz"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("rate", 6).alias("keep_rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 # corpus-wide n-gram heavy hitters: trigram phrases, top-50 by count
 FREQ_NGRAM_N = 3
 FREQ_NGRAM_TOP = 50

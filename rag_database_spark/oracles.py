@@ -698,6 +698,44 @@ WHERE ('0x' || substr(md5('{seed}:' || doc_id::VARCHAR), 1, 15))::BIGINT
 """
 
 
+def temperature_sample_sql(budget_frac: float, seed: int) -> str:
+    """Twin of ``text_analytics.temperature_sample`` (τ = 2): same
+    rounded-Σ√ denominator, same left-associated IEEE op chain for
+    the rates, same 60-bit md5 keep threshold — bit-identical keep
+    sets cross-engine."""
+    b = repr(budget_frac)
+    return f"""
+WITH per_src AS (
+  SELECT source, sum(n_chars) AS n_sz, count(*) AS n_docs
+  FROM documents GROUP BY source
+),
+den AS (
+  SELECT round(sum(sqrt(n_sz::DOUBLE)), 6) AS denom,
+         sum(n_sz)::DOUBLE AS total
+  FROM per_src
+),
+rates AS (
+  SELECT source, n_sz, n_docs,
+         least(1.0, {b} * d.total * sqrt(n_sz::DOUBLE)
+                    / d.denom / n_sz::DOUBLE) AS rate
+  FROM per_src, den d
+),
+kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5('{seed}:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+        < floor(r.rate * 1152921504606846976.0)::BIGINT
+  GROUP BY d.source
+)
+SELECT r.source,
+       r.n_sz::BIGINT AS n_sz,
+       r.n_docs::BIGINT AS n_docs,
+       round(r.rate, 6) AS keep_rate,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
 def gopher_rules_sql() -> str:
     from rag_database_spark.operators.text_analytics import (
         GOPHER_MAX_BULLET_LINE_FRAC,

@@ -656,3 +656,34 @@ def test_lm_score_matches_hand_model(spark):
 
     assert got[3]["n_bigrams"] == 0 and got[3]["ppl"] == 1.0
     assert got[1]["ppl"] < got[2]["ppl"]
+
+
+def test_temperature_sample_flattens_source_skew(spark):
+    """τ=2 sampling keeps a larger FRACTION of the small source than
+    of the big one (flattening), the per-source audit is exact, and
+    the keep set is partition-invariant."""
+    from rag_database_spark.operators.text_analytics import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big", 100) for i in range(900)] + [
+        (900 + i, "small", 100) for i in range(100)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in temperature_sample(docs).collect()}
+
+    assert out["big"]["n_docs"] == 900 and out["small"]["n_docs"] == 100
+    # √-weighting: small source's keep rate strictly above the big one's
+    assert out["small"]["keep_rate"] > out["big"]["keep_rate"]
+    # kept counts land near rate × n (hash is uniform)
+    for s in ("big", "small"):
+        expect = out[s]["keep_rate"] * out[s]["n_docs"]
+        assert abs(out[s]["n_kept"] - expect) < 4 * (expect ** 0.5) + 3
+
+    again = {
+        r["source"]: r["n_kept"]
+        for r in temperature_sample(docs.repartition(7)).collect()
+    }
+    assert again == {s: out[s]["n_kept"] for s in out}
