@@ -1271,6 +1271,27 @@ def _doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+PPR_SEED_MAX = 5
+
+
+def _ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed result set — graph-proximity
+    re-ranking for retrieval augmentation (random-walk-with-restart;
+    teleport + dangling mass concentrate on the seeds). Same engine
+    loop as ``doc_pagerank``; eager, stays out of ``_PURE_LAZY``."""
+    edges = _doc_edge_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = docs.filter(F.col("doc_id") < PPR_SEED_MAX).select("doc_id")
+    ranks = graph_ops.pagerank(docs, edges, seeds=seeds).select(
+        "doc_id", F.round("rank", 6).alias("score")
+    )
+    top = ranks.orderBy(F.desc("score"), "doc_id").limit(PAGERANK_TOPK)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).orderBy("rank")
+
+
 CHAIN_SRC_MAX = 3
 # destinations sit on the synthetic corpus's +20 sequence lattice so
 # the pair list mixes every depth 1..CHAIN_MAX_DEPTH with unreachable
@@ -1734,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _doc_keywords,
         "events_window_join": _events_window_join,
         "doc_pagerank": _doc_pagerank,
+        "ppr_topk": _ppr_topk,
         "lm_perplexity": _lm_perplexity,
         "temperature_mix": _temperature_mix,
     }
@@ -1815,6 +1837,14 @@ def oracle_sql() -> dict[str, str]:
             PAGERANK_TOPK,
             graph_ops.PAGERANK_DAMPING,
             graph_ops.PAGERANK_ITERATIONS,
+        ),
+        "ppr_topk": oracles.pagerank_sql(
+            JACCARD_THRESHOLD,
+            dedup.SHINGLE_K,
+            PAGERANK_TOPK,
+            graph_ops.PAGERANK_DAMPING,
+            graph_ops.PAGERANK_ITERATIONS,
+            seed_max=PPR_SEED_MAX,
         ),
         "source_mix": oracles.source_mix_sql(
             text_analytics.MIX_TOKEN_BUDGET

@@ -399,11 +399,16 @@ def pagerank(
     iterations: int = PAGERANK_ITERATIONS,
     damping: float = PAGERANK_DAMPING,
     node_col: str = "doc_id",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Document-importance PageRank over the undirected doc graph —
     the curation signal a training pipeline uses to up-weight hub
     documents (beyond-reference LLM-pipeline op; the reference's
     graph analytics stop at degree stats, document_graph.py:515-528).
+    With ``seeds``, the teleport distribution concentrates uniformly
+    on the seed set instead of all nodes — personalized PageRank, the
+    graph-proximity re-ranking signal for retrieval augmentation
+    (random-walk-with-restart from the result set).
 
     Power iteration with a fixed round count so the result is
     deterministic and oracle-able as an unrolled SQL chain. Each round
@@ -432,10 +437,28 @@ def pagerank(
     # out-edge list with the degree folded in, partitioned on the
     # rank-join key and persisted: every round reuses one exchange
     out = und.join(deg, "me").repartition("me").persist()
-    n = nodes.count()
-    ranks = nodes.select(
-        F.col(node_col).alias("id"), F.lit(1.0 / n).alias("r")
-    ).localCheckpoint()
+    # teleport vector e: uniform over all nodes, or over the seed set
+    # (personalized). r0 = e in both cases; dangling mass follows e.
+    if seeds is None:
+        n = nodes.count()
+        base = nodes.select(
+            F.col(node_col).alias("id"), F.lit(1.0 / n).alias("e")
+        )
+    else:
+        s = seeds.select(F.col(node_col).alias("id"), F.lit(True).alias("_s"))
+        k = s.count()
+        base = (
+            nodes.select(F.col(node_col).alias("id"))
+            .join(F.broadcast(s), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_s"), F.lit(1.0 / k))
+                .otherwise(F.lit(0.0))
+                .alias("e"),
+            )
+        )
+    base = base.repartition("id").persist()
+    ranks = base.select("id", F.col("e").alias("r")).localCheckpoint()
     has_out = deg.select(F.col("me").alias("id"))
     for _ in range(iterations):
         dang = (
@@ -448,23 +471,23 @@ def pagerank(
             .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
         )
         ranks = (
-            ranks.select("id")
-            .join(contrib, "id", "left")
+            base.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("e")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dangling") / F.lit(float(n))
+                        + F.col("dangling") * F.col("e")
                     )
                 ).alias("r"),
             )
             .localCheckpoint()
         )
     out.unpersist()
+    base.unpersist()
     return ranks.select(F.col("id").alias(node_col), F.col("r").alias("rank"))
 
 

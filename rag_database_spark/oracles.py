@@ -1249,25 +1249,42 @@ def pagerank_sql(
     topk: int,
     damping: float,
     iterations: int,
+    seed_max: int | None = None,
 ) -> str:
     """Unrolled power iteration mirroring ``graph.pagerank``: the
     fixed round count makes the chain finite, so each round is one
     CTE trio (dangling mass, per-destination contribution sum, new
     rank vector) and the engines differ only in summation order —
-    absorbed by the 6dp boundary rounding both sides apply."""
+    absorbed by the 6dp boundary rounding both sides apply. The
+    teleport vector e (r_{i+1} = (1−d)·e + d·(contrib + dangling·e),
+    r0 = e) is uniform over all documents, or — with ``seed_max`` —
+    uniform over the seed set (personalized PageRank)."""
     d = repr(damping)
+    if seed_max is None:
+        e_cte = """nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+b AS (
+  SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS e FROM documents
+)"""
+    else:
+        e_cte = f"""sk AS (
+  SELECT count(*)::DOUBLE AS kk FROM documents WHERE doc_id < {seed_max}
+),
+b AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id < {seed_max}
+              THEN 1.0 / (SELECT kk FROM sk) ELSE 0.0 END AS e
+  FROM documents
+)"""
     parts = [
-        """sym AS (
+        f"""sym AS (
   SELECT src AS me, dst AS other FROM edges
   UNION ALL
   SELECT dst, src FROM edges
 ),
 und AS (SELECT DISTINCT me, other FROM sym WHERE me <> other),
 deg AS (SELECT me, count(*)::DOUBLE AS deg FROM und GROUP BY me),
-nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-r0 AS (
-  SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r FROM documents
-)"""
+{e_cte},
+r0 AS (SELECT id, e AS r FROM b)"""
     ]
     for i in range(iterations):
         parts.append(f"""dang{i} AS (
@@ -1281,10 +1298,10 @@ c{i} AS (
 ),
 r{i + 1} AS (
   SELECT b.id,
-         (1.0 - {d}) / (SELECT n FROM nn)
+         (1.0 - {d}) * b.e
          + {d} * (coalesce(c.contrib, 0.0)
-                  + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS r
-  FROM r0 b LEFT JOIN c{i} c USING (id)
+                  + (SELECT m FROM dang{i}) * b.e) AS r
+  FROM b LEFT JOIN c{i} c USING (id)
 )""")
     chain = ",\n".join(parts)
     return f"""

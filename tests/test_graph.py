@@ -160,3 +160,25 @@ def test_pagerank_matches_dense_reference(spark):
         assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[2] == max(got.values())
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """With a seed teleport set, mass concentrates on the seed and its
+    neighborhood; a node disconnected from the seeds scores 0."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2, "t", 1.0), (2, 3, "t", 1.0), (4, 5, "t", 1.0)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    seeds = spark.createDataFrame([(1,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in g.pagerank(nodes, edges, seeds=seeds).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # seed holds at least the undamped teleport share; its hub
+    # neighbor may legitimately exceed it (mass funnels through 2)
+    assert got[1] >= 0.15
+    assert got[4] == 0.0 and got[5] == 0.0
+    assert got[2] > got[3] > 0.0
+    assert got[1] + got[2] + got[3] > 0.999999
