@@ -1271,6 +1271,13 @@ def _doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (degree-oriented compact-forward wedge join — hub-degree-bounded
+    at scale)."""
+    return graph_ops.triangles(_doc_edge_table(spark, sf_dir))
+
+
 PPR_SEED_MAX = 5
 
 
@@ -1621,7 +1628,8 @@ _PURE_LAZY = frozenset({
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
-    "graph_stats", "augment_results", "resolve_references",
+    "graph_stats", "graph_triangles", "augment_results",
+    "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
     "table_cells", "table_summary", "table_texts", "extract_metadata",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
@@ -1756,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_join": _events_window_join,
         "doc_pagerank": _doc_pagerank,
         "ppr_topk": _ppr_topk,
+        "graph_triangles": _graph_triangles,
         "lm_perplexity": _lm_perplexity,
         "temperature_mix": _temperature_mix,
     }
@@ -1828,6 +1837,9 @@ def oracle_sql() -> dict[str, str]:
             WINDOW_JOIN_COUNT
         ),
         "lm_perplexity": oracles.lm_score_sql(text_analytics.LM_ALPHA),
+        "graph_triangles": oracles.triangles_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
         "temperature_mix": oracles.temperature_sample_sql(
             text_analytics.TEMP_BUDGET_FRAC, text_analytics.TEMP_SEED
         ),

@@ -491,6 +491,80 @@ def pagerank(
     return ranks.select(F.col("id").alias(node_col), F.col("r").alias("rank"))
 
 
+def triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the undirected doc graph — the cohesion signal that separates
+    tight near-dup/topic clusters from chains (beyond-reference graph
+    analytics; the reference stops at degree stats,
+    document_graph.py:515-528).
+
+    Compact-forward enumeration: edges are ORIENTED from the
+    lower-(degree, id) endpoint to the higher, so every wedge is
+    generated at its minimum-rank apex and each triangle exactly once
+    — the orientation bounds out-degrees by O(√m) on skewed graphs,
+    which is what keeps the wedge join from exploding on hub nodes at
+    corpus scale (the plain neighbor-join is quadratic in the hub
+    degree). The wedge → closing-edge check is one keyed equi-join on
+    the canonical (min, max) pair. All counts are integer-exact; the
+    clustering ratio 2·tri / (deg·(deg−1)) is a single rounded
+    division, identical cross-engine.
+
+    Returns (node, degree, n_triangles, clustering)."""
+    und = (
+        undirected(edges)
+        .filter(F.col("me") != F.col("other"))
+        .select("me", "other")
+        .distinct()
+    )
+    deg = und.groupBy("me").agg(F.count("*").alias("d"))
+    ce = und.filter(F.col("me") < F.col("other")).select(
+        F.col("me").alias("a"), F.col("other").alias("b")
+    )
+    withdeg = (
+        ce.join(deg.select(F.col("me").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("me").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    x = o.select(F.col("u"), F.col("v").alias("v1"))
+    y = o.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = x.join(y, "u").filter(F.col("v1") < F.col("v2"))
+    tri = wedges.join(
+        ce,
+        (F.col("a") == F.col("v1")) & (F.col("b") == F.col("v2")),
+    ).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("me"))
+        .groupBy("me")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "me", "left")
+        .select(
+            F.col("me").alias("node"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    2.0
+                    * F.coalesce("n_tri", F.lit(0)).cast("double")
+                    / (
+                        F.col("d").cast("double")
+                        * (F.col("d").cast("double") - 1.0)
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
 def graph_stats(edges: DataFrame) -> DataFrame:
     """A10 (document_graph.py:515-528): per-relation-type edge counts,
     avg confidence, distinct endpoint counts."""

@@ -1315,6 +1315,53 @@ LIMIT {topk}
 """
 
 
+def triangles_sql(jaccard_threshold: float, k: int) -> str:
+    """Twin of ``graph.triangles``: same (degree, id) edge
+    orientation, wedge join at the minimum-rank apex, canonical-pair
+    closing check; counts integer-exact, clustering one rounded
+    division."""
+    return f"""
+WITH {_edges_ctes(jaccard_threshold, k)},
+sym AS (
+  SELECT src AS me, dst AS other FROM edges
+  UNION ALL
+  SELECT dst, src FROM edges
+),
+und AS (SELECT DISTINCT me, other FROM sym WHERE me <> other),
+deg AS (SELECT me, count(*) AS d FROM und GROUP BY me),
+ce AS (SELECT me AS a, other AS b FROM und WHERE me < other),
+wd AS (
+  SELECT ce.a, ce.b, x.d AS da, y.d AS db
+  FROM ce JOIN deg x ON x.me = ce.a JOIN deg y ON y.me = ce.b
+),
+o AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+  FROM wd
+),
+w AS (
+  SELECT x.u, x.v AS v1, y.v AS v2
+  FROM o x JOIN o y ON y.u = x.u AND x.v < y.v
+),
+tri AS (SELECT w.u, w.v1, w.v2 FROM w JOIN ce ON ce.a = w.v1 AND ce.b = w.v2),
+pn AS (
+  SELECT me, count(*) AS n_tri FROM (
+    SELECT u AS me FROM tri
+    UNION ALL SELECT v1 FROM tri
+    UNION ALL SELECT v2 FROM tri
+  ) GROUP BY me
+)
+SELECT deg.me AS node,
+       deg.d::BIGINT AS degree,
+       coalesce(pn.n_tri, 0)::BIGINT AS n_triangles,
+       round(CASE WHEN deg.d >= 2
+                  THEN 2.0 * coalesce(pn.n_tri, 0)::DOUBLE
+                       / (deg.d::DOUBLE * (deg.d::DOUBLE - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg LEFT JOIN pn USING (me)
+"""
+
+
 def graph_stats_sql(jaccard_threshold: float, k: int) -> str:
     return f"""
 WITH {_edges_ctes(jaccard_threshold, k)}

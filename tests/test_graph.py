@@ -182,3 +182,23 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     assert got[4] == 0.0 and got[5] == 0.0
     assert got[2] > got[3] > 0.0
     assert got[1] + got[2] + got[3] > 0.999999
+
+
+def test_triangles_counts_and_clustering(spark):
+    """Triangle {1,2,3} with pendant 4 off node 3: per-node counts and
+    clustering coefficients are exact; each triangle is counted once
+    despite the degree orientation."""
+    edges = spark.createDataFrame(
+        [(1, 2, "t", 1.0), (2, 3, "t", 1.0), (1, 3, "t", 1.0),
+         (3, 4, "t", 1.0)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    got = {r["node"]: r for r in g.triangles(edges).collect()}
+    assert (got[1]["degree"], got[1]["n_triangles"], got[1]["clustering"]) \
+        == (2, 1, 1.0)
+    assert (got[2]["degree"], got[2]["n_triangles"], got[2]["clustering"]) \
+        == (2, 1, 1.0)
+    assert (got[3]["degree"], got[3]["n_triangles"]) == (3, 1)
+    assert abs(got[3]["clustering"] - round(2 / 6, 6)) < 1e-9
+    assert (got[4]["degree"], got[4]["n_triangles"], got[4]["clustering"]) \
+        == (1, 0, 0.0)
