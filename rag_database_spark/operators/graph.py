@@ -460,32 +460,38 @@ def pagerank(
     base = base.repartition("id").persist()
     ranks = base.select("id", F.col("e").alias("r")).localCheckpoint()
     has_out = deg.select(F.col("me").alias("id"))
+    # dangling mass is EXACTLY zero on a graph with no isolated nodes
+    # (undirected: any edge gives both endpoints out-degree), so detect
+    # that once with an integer count and skip the per-round dangling
+    # aggregate+broadcast job — adding a literal 0.0 is an exact no-op,
+    # so the guarded fast path is bit-identical to the general one.
+    n_dangling = base.join(has_out, "id", "left_anti").count()
     for _ in range(iterations):
-        dang = (
-            ranks.join(has_out, "id", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dangling"))
-        )
         contrib = (
             ranks.join(out, ranks["id"] == out["me"])
             .groupBy(F.col("other").alias("id"))
             .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
         )
-        ranks = (
-            base.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping) * F.col("e")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dangling") * F.col("e")
-                    )
-                ).alias("r"),
+        if n_dangling:
+            dang = (
+                ranks.join(has_out, "id", "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dangling"))
             )
-            .localCheckpoint()
-        )
+            mass = F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col(
+                "dangling"
+            ) * F.col("e")
+            stepped = base.join(contrib, "id", "left").crossJoin(
+                F.broadcast(dang)
+            )
+        else:
+            mass = F.coalesce(F.col("contrib"), F.lit(0.0))
+            stepped = base.join(contrib, "id", "left")
+        ranks = stepped.select(
+            "id",
+            (
+                F.lit(1.0 - damping) * F.col("e") + F.lit(damping) * mass
+            ).alias("r"),
+        ).localCheckpoint()
     out.unpersist()
     base.unpersist()
     return ranks.select(F.col("id").alias(node_col), F.col("r").alias("rank"))

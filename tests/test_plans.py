@@ -320,3 +320,19 @@ def test_dense_filtered_topk_pushes_label_filter(spark):
     df = entrymod.queries()["dense_filtered_topk"](spark, SF_DIR)
     p = plan_of(df)
     assert "In(label, [1,4,7])" in p or "PushedFilters: [In(label" in p
+
+
+def test_triangles_plan_is_all_equi_joins(spark):
+    """Triangle enumeration must stay keyed: the degree orientation
+    exists precisely so the wedge and closing joins are equi-joins —
+    a BroadcastNestedLoopJoin/CartesianProduct here is the quadratic
+    hub blowup the orientation prevents."""
+    from rag_database_spark.operators import graph as graph_ops
+
+    edges = spark.createDataFrame(
+        [(1, 2, "t", 1.0), (2, 3, "t", 1.0), (1, 3, "t", 1.0)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    p = plan_of(graph_ops.triangles(edges), "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
