@@ -439,14 +439,24 @@ def pagerank(
     out = und.join(deg, "me").repartition("me").persist()
     # teleport vector e: uniform over all nodes, or over the seed set
     # (personalized). r0 = e in both cases; dangling mass follows e.
+    empty = nodes.select(
+        F.col(node_col).alias(node_col),
+        F.lit(0.0).alias("rank"),
+    ).limit(0)
     if seeds is None:
         n = nodes.count()
+        if n == 0:
+            out.unpersist()
+            return empty
         base = nodes.select(
             F.col(node_col).alias("id"), F.lit(1.0 / n).alias("e")
         )
     else:
         s = seeds.select(F.col(node_col).alias("id"), F.lit(True).alias("_s"))
         k = s.count()
+        if k == 0:
+            out.unpersist()
+            return empty
         base = (
             nodes.select(F.col(node_col).alias("id"))
             .join(F.broadcast(s), "id", "left")

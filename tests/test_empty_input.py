@@ -44,3 +44,38 @@ def test_operators_tolerate_empty_corpus(spark):
         except Exception as exc:  # noqa: BLE001 - collect, then report
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, failures
+
+
+def test_graph_and_mixing_ops_tolerate_empty_input(spark):
+    """r7 operators: empty corpus / edge set yields an empty result
+    with the normal schema (pagerank guards its 1/n teleport)."""
+    from rag_database_spark.operators import graph as g
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    empty_edges = spark.createDataFrame(
+        [], "src long, dst long, relation_type string, confidence double"
+    )
+    some_nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    ops = {
+        "lm_score": lambda: ta.lm_score(empty_docs),
+        "temperature_sample": lambda: ta.temperature_sample(empty_docs),
+        "triangles": lambda: g.triangles(empty_edges),
+        "pagerank_no_nodes": lambda: g.pagerank(
+            empty_docs.select("doc_id"), empty_edges
+        ),
+        "pagerank_no_seeds": lambda: g.pagerank(
+            some_nodes, empty_edges, seeds=some_nodes.limit(0)
+        ),
+    }
+    failures = []
+    for name, fn in ops.items():
+        try:
+            df = fn()
+            assert df.count() == 0
+            assert df.schema.fields
+        except Exception as exc:  # noqa: BLE001 - collect, then report
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, failures
