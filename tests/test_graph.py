@@ -202,3 +202,39 @@ def test_triangles_counts_and_clustering(spark):
     assert abs(got[3]["clustering"] - round(2 / 6, 6)) < 1e-9
     assert (got[4]["degree"], got[4]["n_triangles"], got[4]["clustering"]) \
         == (1, 0, 0.0)
+
+
+def test_triangles_match_brute_force_on_random_graph(spark):
+    """Compact-forward counts == naive all-triple enumeration on a
+    30-node pseudo-random graph (deterministic md5-derived edge set),
+    including the degree-tie orientation branch."""
+    import hashlib
+    from itertools import combinations
+
+    pairs = sorted(
+        (a, b)
+        for a, b in combinations(range(1, 31), 2)
+        if int(hashlib.md5(f"{a}:{b}".encode()).hexdigest(), 16) % 5 == 0
+    )
+    edges = spark.createDataFrame(
+        [(a, b, "t", 1.0) for a, b in pairs],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    got = {r["node"]: r for r in g.triangles(edges).collect()}
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in nbrs}
+    for a, b, c in combinations(sorted(nbrs), 3):
+        if b in nbrs[a] and c in nbrs[a] and c in nbrs[b]:
+            for v in (a, b, c):
+                tri[v] += 1
+    assert set(got) == set(nbrs)
+    for v in nbrs:
+        assert got[v]["degree"] == len(nbrs[v]), v
+        assert got[v]["n_triangles"] == tri[v], v
+        d = len(nbrs[v])
+        want = round(2 * tri[v] / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert abs(got[v]["clustering"] - want) < 1e-9, v
