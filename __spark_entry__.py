@@ -1253,8 +1253,30 @@ PAGERANK_TOPK = 20
 
 # global pagerank scores are query-independent per corpus — a derived
 # artifact like the BM25/IVF/adjacency indexes, so serving reads the
-# persisted parquet instead of re-running the 5-round iteration
+# persisted parquet instead of re-running the 5-round iteration. The
+# PageRank-ready out-edge list (undirected + degree, the walk
+# structure every pagerank/PPR call needs) persists the same way so
+# personalized runs skip the per-call edge prep too.
 _PAGERANK_CACHE: dict[str, DataFrame] = {}
+_PAGERANK_OUT_CACHE: dict[str, DataFrame] = {}
+
+
+def _pagerank_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _source_fingerprint(sf_dir)
+    out = _PAGERANK_OUT_CACHE.get(fp)
+    if out is None:
+        cache_dir = (
+            Path(__file__).resolve().parent / ".cache" / "pagerank_edges" / fp
+        )
+        if not (cache_dir / "_SUCCESS").exists():
+            graph_ops.pagerank_edges(
+                _doc_edge_table(spark, sf_dir)
+            ).write.mode("overwrite").parquet(str(cache_dir))
+        out = (
+            spark.read.parquet(str(cache_dir)).repartition("me").persist()
+        )
+        _PAGERANK_OUT_CACHE[fp] = out
+    return out
 
 
 def _pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,7 +1289,7 @@ def _pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (cache_dir / "_SUCCESS").exists():
             graph_ops.pagerank(
                 load_table(spark, sf_dir, "documents"),
-                _doc_edge_table(spark, sf_dir),
+                out=_pagerank_out(spark, sf_dir),
             ).write.mode("overwrite").parquet(str(cache_dir))
         scores = spark.read.parquet(str(cache_dir))
         _PAGERANK_CACHE[fp] = scores
@@ -1306,12 +1328,11 @@ def _ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranking for retrieval augmentation (random-walk-with-restart;
     teleport + dangling mass concentrate on the seeds). Same engine
     loop as ``doc_pagerank``; eager, stays out of ``_PURE_LAZY``."""
-    edges = _doc_edge_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     seeds = docs.filter(F.col("doc_id") < PPR_SEED_MAX).select("doc_id")
-    ranks = graph_ops.pagerank(docs, edges, seeds=seeds).select(
-        "doc_id", F.round("rank", 6).alias("score")
-    )
+    ranks = graph_ops.pagerank(
+        docs, seeds=seeds, out=_pagerank_out(spark, sf_dir)
+    ).select("doc_id", F.round("rank", 6).alias("score"))
     top = ranks.orderBy(F.desc("score"), "doc_id").limit(PAGERANK_TOPK)
     w = Window.orderBy(F.desc("score"), "doc_id")
     return top.withColumn(

@@ -393,13 +393,30 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERATIONS = 5
 
 
+def pagerank_edges(edges: DataFrame) -> DataFrame:
+    """The PageRank-ready out-edge list: undirected, deduped, with the
+    out-degree folded in — query-independent per graph, so serving
+    callers build it once (and persist it) and pass it to every
+    ``pagerank`` call, the same artifact discipline as
+    ``build_adjacency``."""
+    und = (
+        undirected(edges)
+        .filter(F.col("me") != F.col("other"))
+        .select("me", "other")
+        .distinct()
+    )
+    deg = und.groupBy("me").agg(F.count("*").cast("double").alias("deg"))
+    return und.join(deg, "me").repartition("me")
+
+
 def pagerank(
     nodes: DataFrame,
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     iterations: int = PAGERANK_ITERATIONS,
     damping: float = PAGERANK_DAMPING,
     node_col: str = "doc_id",
     seeds: DataFrame | None = None,
+    out: DataFrame | None = None,
 ) -> DataFrame:
     """Document-importance PageRank over the undirected doc graph —
     the curation signal a training pipeline uses to up-weight hub
@@ -427,16 +444,19 @@ def pagerank(
     Returns one row per node: (``node_col``, rank) with the raw
     double rank; callers round/rank at the entry boundary.
     """
-    sym = undirected(edges)
-    und = (
-        sym.filter(F.col("me") != F.col("other"))
-        .select("me", "other")
-        .distinct()
-    )
-    deg = und.groupBy("me").agg(F.count("*").cast("double").alias("deg"))
     # out-edge list with the degree folded in, partitioned on the
-    # rank-join key and persisted: every round reuses one exchange
-    out = und.join(deg, "me").repartition("me").persist()
+    # rank-join key and persisted: every round reuses one exchange.
+    # Serving callers pass a prebuilt (persisted) ``pagerank_edges``
+    # frame instead; it is left untouched on exit.
+    own_out = out is None
+    if own_out:
+        out = pagerank_edges(edges).persist()
+
+    def _done(result: DataFrame) -> DataFrame:
+        if own_out:
+            out.unpersist()
+        return result
+
     # teleport vector e: uniform over all nodes, or over the seed set
     # (personalized). r0 = e in both cases; dangling mass follows e.
     empty = nodes.select(
@@ -446,8 +466,7 @@ def pagerank(
     if seeds is None:
         n = nodes.count()
         if n == 0:
-            out.unpersist()
-            return empty
+            return _done(empty)
         base = nodes.select(
             F.col(node_col).alias("id"), F.lit(1.0 / n).alias("e")
         )
@@ -455,8 +474,7 @@ def pagerank(
         s = seeds.select(F.col(node_col).alias("id"), F.lit(True).alias("_s"))
         k = s.count()
         if k == 0:
-            out.unpersist()
-            return empty
+            return _done(empty)
         base = (
             nodes.select(F.col(node_col).alias("id"))
             .join(F.broadcast(s), "id", "left")
@@ -469,7 +487,7 @@ def pagerank(
         )
     base = base.repartition("id").persist()
     ranks = base.select("id", F.col("e").alias("r")).localCheckpoint()
-    has_out = deg.select(F.col("me").alias("id"))
+    has_out = out.select(F.col("me").alias("id")).distinct()
     # dangling mass is EXACTLY zero on a graph with no isolated nodes
     # (undirected: any edge gives both endpoints out-degree), so detect
     # that once with an integer count and skip the per-round dangling
@@ -502,9 +520,10 @@ def pagerank(
                 F.lit(1.0 - damping) * F.col("e") + F.lit(damping) * mass
             ).alias("r"),
         ).localCheckpoint()
-    out.unpersist()
     base.unpersist()
-    return ranks.select(F.col("id").alias(node_col), F.col("r").alias("rank"))
+    return _done(
+        ranks.select(F.col("id").alias(node_col), F.col("r").alias("rank"))
+    )
 
 
 def triangles(edges: DataFrame) -> DataFrame:
