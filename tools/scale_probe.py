@@ -105,6 +105,9 @@ def time_all(spark, sf_dir: str, only=None) -> dict[str, float]:
 DEDUP_FAMILY = (
     "near_dup_pairs", "dedup_clusters", "dedup_clusters_cc", "dedup_keep",
     "curate_corpus", "fuzzy_decontam", "embedding_near_dup", "minhash_sigs",
+    # graph consumers of the near-dup pair set: their join/wedge
+    # volume tracks edge count, which the replica corpus inflates
+    "ppr_topk", "graph_triangles",
 )
 
 # Distinct-probe exponents explained by an algorithm-path switch at
