@@ -887,6 +887,21 @@ def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per-step first-occurrence
+    chaining (strictly-after), user-keyed joins, 1-row totals
+    broadcast for the conversion column."""
+    return streaming_events.funnel(load_table(spark, sf_dir, "events"))
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (first-event cohort × activity
+    week, distinct users; offsets exact via Monday alignment)."""
+    return streaming_events.cohort_retention(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def _events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distribution profile (exact percentiles +
     distinct users); the sketch twin is pinned in tests/test_sketches."""
@@ -1675,6 +1690,7 @@ _PURE_LAZY = frozenset({
     "table_cells", "table_summary", "table_texts", "extract_metadata",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
+    "event_funnel", "cohort_retention",
     "conversions", "route_stats", "gopher_rules", "c4_rules",
     "repetition_signals", "asof_attribution", "quantize_embeddings",
     "quantized_topk", "ann_ivf_topk", "ann_lsh_topk",
@@ -1808,6 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _graph_triangles,
         "lm_perplexity": _lm_perplexity,
         "temperature_mix": _temperature_mix,
+        "event_funnel": _event_funnel,
+        "cohort_retention": _cohort_retention,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1884,6 +1902,8 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": oracles.temperature_sample_sql(
             text_analytics.TEMP_BUDGET_FRAC, text_analytics.TEMP_SEED
         ),
+        "event_funnel": oracles.funnel_sql(streaming_events.FUNNEL_STEPS),
+        "cohort_retention": oracles.cohort_retention_sql(),
         "doc_pagerank": oracles.pagerank_sql(
             JACCARD_THRESHOLD,
             dedup.SHINGLE_K,

@@ -1856,6 +1856,57 @@ FROM events GROUP BY 1, 2
 """
 
 
+def funnel_sql(steps: tuple[str, ...]) -> str:
+    """Twin of ``events.funnel``: step-k first-occurrence times chain
+    strictly after step-(k-1); counts integer-exact, conversion one
+    rounded division of identical integers."""
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"t1 AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"t{i + 1} AS (SELECT e.user_id, min(e.ts) AS t "
+                f"FROM events e JOIN t{i} p ON p.user_id = e.user_id "
+                f"AND e.ts > p.t WHERE e.event_type = '{s}' "
+                f"GROUP BY e.user_id)"
+            )
+        ctes.append(f"c{i + 1} AS (SELECT count(*) AS n FROM t{i + 1})")
+    selects = [
+        f"SELECT {i + 1}::BIGINT AS step_idx, '{s}' AS step,\n"
+        f"       (SELECT n FROM c{i + 1})::BIGINT AS n_users,\n"
+        f"       round(CASE WHEN (SELECT n FROM c1) > 0\n"
+        f"                  THEN (SELECT n FROM c{i + 1}) / (SELECT n FROM c1)\n"
+        f"                  ELSE 0.0 END, 6) AS conversion"
+        for i, s in enumerate(steps)
+    ]
+    return "\nWITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects) + "\n"
+
+
+def cohort_retention_sql() -> str:
+    """Twin of ``events.cohort_retention``: Monday-truncated weeks,
+    exact day-difference / 7 offsets, distinct-user counts."""
+    return """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id,
+         date_trunc('week', f.first_ts) AS cohort_week,
+         date_trunc('week', e.ts) AS activity_week
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week,
+       floor(date_diff('day', cohort_week, activity_week) / 7)::BIGINT
+         AS week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM j GROUP BY 1, 2
+"""
+
+
 def media_stats_sql() -> str:
     return """
 SELECT doc_id AS media_id, 'text' AS kind,

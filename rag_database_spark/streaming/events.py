@@ -530,3 +530,100 @@ def stream_dedup_gate(
         .option("checkpointLocation", accept_path + "_checkpoint")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: ordered funnel + weekly cohort retention
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k only via an
+    event of that type STRICTLY AFTER their step-(k-1) time (earliest
+    qualifying occurrence wins, so the result is deterministic and
+    oracle-able). Returns one row per step: (step_idx, step, n_users,
+    conversion-vs-step-1 rounded 6dp).
+
+    Scale: each step is one equi-join on user_id plus a keyed min —
+    the step chain stays co-partitioned on the user key after the
+    first shuffle, and the per-step totals are 1-row aggregates
+    (broadcast for the rate column). Event volume per step shrinks
+    monotonically; nothing corpus-sized crosses the driver."""
+    prev = None
+    step_counts = []
+    for i, s in enumerate(steps):
+        ev = events.filter(F.col("event_type") == s).select("user_id", "ts")
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(prev, "user_id")
+                .filter(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        step_counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                "n",
+            )
+        )
+        prev = cur
+    from functools import reduce
+
+    res = reduce(lambda a, b: a.unionByName(b), step_counts)
+    base = step_counts[0].select(F.col("n").alias("n1"))
+    return res.crossJoin(F.broadcast(base)).select(
+        "step_idx",
+        "step",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(
+            F.when(
+                F.col("n1") > 0, F.col("n") / F.col("n1")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("conversion"),
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the Monday-truncated
+    week of their FIRST event, counted distinct in each later activity
+    week — the (cohort_week, week_offset, n_users) retention triangle.
+    Week offsets are exact (both weeks are Monday-aligned, so the day
+    difference is an exact multiple of 7).
+
+    Scale: one keyed min per user, one join back on user_id, one
+    (cohort, offset) rollup — three shuffles total, all map-side
+    combinable."""
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = events.select("user_id", "ts").join(firsts, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            # to_date: DuckDB's date_trunc('week') yields DATE, Spark's
+            # a midnight TIMESTAMP — align the hash representation
+            F.to_date(F.date_trunc("week", F.col("first_ts"))).alias(
+                "cohort_week"
+            ),
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias(
+                "activity_week"
+            ),
+        )
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )

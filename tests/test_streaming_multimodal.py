@@ -352,3 +352,63 @@ def test_stream_gate_maintains_pair_index(spark, tmp_path):
     )
     assert online == rebuilt
     assert len(rebuilt) > 0  # the 1-2 and cross 11 pairs exist
+
+
+def test_funnel_requires_strict_order(spark):
+    """A user whose click precedes their first view does NOT reach
+    step 2; a correctly-ordered user converts through all steps; the
+    rates are exact."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def ev(i, user, kind, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, kind, 1.0, "{}")
+
+    rows = [
+        # user 1: view -> click -> purchase (full conversion)
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 10),
+        # user 2: click BEFORE first view -> stops at step 1
+        ev(4, 2, "click", 0), ev(5, 2, "view", 5),
+        # user 3: view only
+        ev(6, 3, "view", 0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["step"]: r for r in se.funnel(events).collect()}
+    assert got["view"]["n_users"] == 3 and got["view"]["conversion"] == 1.0
+    assert got["click"]["n_users"] == 1
+    assert abs(got["click"]["conversion"] - round(1 / 3, 6)) < 1e-9
+    assert got["purchase"]["n_users"] == 1
+
+
+def test_cohort_retention_triangle(spark):
+    """Two cohorts a week apart: offsets count from each user's own
+    first week and users are distinct within a cell."""
+    import datetime as dt
+
+    mon1 = dt.datetime(2024, 1, 1, 10, 0, 0)   # Monday
+    mon2 = dt.datetime(2024, 1, 8, 10, 0, 0)
+    rows = [
+        (1, mon1, 1, "view", 1.0, "{}"),
+        (2, mon1 + dt.timedelta(days=1), 1, "view", 1.0, "{}"),  # same week
+        (3, mon2, 1, "view", 1.0, "{}"),                          # offset 1
+        (4, mon2, 2, "view", 1.0, "{}"),                          # cohort 2
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in se.cohort_retention(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
