@@ -281,3 +281,38 @@ def write_jsonl_documents(df: DataFrame, path: str) -> None:
     """JSONL sink, gzip-compressed (text sources support a narrower
     codec set than parquet — no zstd for JSON lines)."""
     df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def read_csv_documents(
+    spark: SparkSession, path: str, schema: str = DOCUMENT_SCHEMA
+) -> DataFrame:
+    """CSV document source with the same dirty-at-scale posture as the
+    JSONL reader: explicit schema (no sampling pass), corrupt rows
+    quarantined into ``_corrupt``. ``multiLine`` + RFC-4180 quoting so
+    embedded newlines/commas/quotes in document text survive.
+
+    Scale caveat: multiLine CSV files are NOT splittable (one task per
+    file) — acceptable for many-file interchange drops; convert to
+    JSONL/parquet for single-huge-file corpora."""
+    return (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_csv_documents(df: DataFrame, path: str) -> None:
+    """CSV sink, RFC-4180 quoted (quoteAll + double-quote escape) so
+    the reader round-trips embedded delimiters/newlines exactly."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .option("compression", "gzip")
+        .csv(path)
+    )

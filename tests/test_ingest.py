@@ -146,3 +146,24 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     back = ingest.read_jsonl_documents(spark, d).cache()
     back.count()
     assert back.filter("_corrupt IS NULL").count() == 2
+
+
+def test_csv_roundtrip_with_hostile_text(spark, tmp_path):
+    """CSV round-trip preserves embedded commas, quotes and newlines
+    (RFC-4180 quoting both ways); corrupt rows quarantine instead of
+    failing the read."""
+    docs = spark.createDataFrame(
+        [
+            (1, 'has,commas, and "quotes" inside', "en", "s1", 31),
+            (2, "line one\nline two\nline three", "en", "s2", 27),
+            (3, 'trailing backslash \\ and ""double""', "de", "s1", 34),
+        ],
+        ingest.DOCUMENT_SCHEMA,
+    )
+    d = str(tmp_path / "docs_csv")
+    ingest.write_csv_documents(docs, d)
+    back = ingest.read_csv_documents(spark, d).cache()
+    assert back.filter(F.col("_corrupt").isNotNull()).count() == 0
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.drop("_corrupt").collect()))
+    assert a == b
