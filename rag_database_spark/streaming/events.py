@@ -627,3 +627,62 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+def funnel_stream(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Streaming form of ``funnel`` via applyInPandasWithState: per
+    user, the state is the tuple of step-attainment times (µs, None
+    for unreached); each micro-batch folds its events in (ts,
+    event_id) order — the first qualifying occurrence of step k
+    strictly after the step-(k-1) time is exactly the batch form's
+    per-step min when events arrive in event-time order. Emits the
+    user's contiguous steps-reached count per micro-batch; the latest
+    row per user is the funnel position (the per-step totals are one
+    groupBy over that snapshot).
+
+    State is O(steps) longs per user — bounded regardless of event
+    volume. Ordering caveat (inherent to one-pass streaming funnels):
+    an event arriving AFTER a later-step event that it would have
+    re-qualified is not reconsidered; feed event-time-ordered batches
+    (or replay) for exact batch agreement, as the agreement test
+    does."""
+    import pandas as pd
+
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    state_schema = ", ".join(f"t{i} long" for i in range(k))
+
+    def fold(key, pdf_iter, state):
+        (user_id,) = key
+        reached = list(state.get) if state.exists else [None] * k
+        chunks = [p for p in pdf_iter if not p.empty]
+        if chunks:
+            merged = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, et in zip(merged["ts"], merged["event_type"]):
+                i = step_idx.get(et)
+                if i is None or reached[i] is not None:
+                    continue
+                us = int(ts.value // 1000)
+                if i == 0:
+                    reached[0] = us
+                elif reached[i - 1] is not None and us > reached[i - 1]:
+                    reached[i] = us
+        state.update(tuple(reached))
+        n = 0
+        for t in reached:
+            if t is None:
+                break
+            n += 1
+        yield pd.DataFrame(
+            [(user_id, n)], columns=["user_id", "steps_reached"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, steps_reached integer",
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

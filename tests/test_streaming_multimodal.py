@@ -412,3 +412,29 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_stream_funnel_matches_batch(spark, event_dir):
+    """Single availableNow micro-batch (event-time-complete input):
+    the streaming funnel's per-user snapshot reproduces the batch
+    funnel's per-step totals exactly."""
+    batch = {
+        r["step_idx"]: r["n_users"]
+        for r in se.funnel(spark.read.parquet(event_dir)).collect()
+    }
+    q = (
+        se.funnel_stream(se.read_event_stream(spark, event_dir))
+        .writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = spark.sql("SELECT * FROM funnel_test").collect()
+    reached = {r["user_id"]: r["steps_reached"] for r in snap}
+    got = {
+        i: sum(1 for n in reached.values() if n >= i)
+        for i in (1, 2, 3)
+    }
+    assert got == batch and got[1] > 0
