@@ -540,13 +540,17 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 
 
 def funnel(
-    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    within_us: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: a user reaches step k only via an
     event of that type STRICTLY AFTER their step-(k-1) time (earliest
     qualifying occurrence wins, so the result is deterministic and
-    oracle-able). Returns one row per step: (step_idx, step, n_users,
-    conversion-vs-step-1 rounded 6dp).
+    oracle-able). ``within_us`` additionally caps each step-to-step
+    gap (the "click within an hour of the view" business rule) —
+    integer µs arithmetic, engine-portable. Returns one row per step:
+    (step_idx, step, n_users, conversion-vs-step-1 rounded 6dp).
 
     Scale: each step is one equi-join on user_id plus a keyed min —
     the step chain stays co-partitioned on the user key after the
@@ -560,9 +564,15 @@ def funnel(
         if prev is None:
             cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
         else:
+            after = F.col("ts") > F.col("t")
+            if within_us is not None:
+                after = after & (
+                    F.unix_micros(F.col("ts"))
+                    <= F.unix_micros(F.col("t")) + F.lit(within_us)
+                )
             cur = (
                 ev.join(prev, "user_id")
-                .filter(F.col("ts") > F.col("t"))
+                .filter(after)
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("t"))
             )

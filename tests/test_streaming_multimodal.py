@@ -438,3 +438,27 @@ def test_stream_funnel_matches_batch(spark, event_dir):
         for i in (1, 2, 3)
     }
     assert got == batch and got[1] > 0
+
+
+def test_funnel_conversion_window(spark):
+    """within_us caps the step-to-step gap: a click 2h after the view
+    is outside a 1h window (user stops at step 1), inside a 3h one."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=2), 1, "click", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    hour_us = 3600 * 1_000_000
+    tight = {r["step"]: r["n_users"]
+             for r in se.funnel(events, within_us=hour_us).collect()}
+    loose = {r["step"]: r["n_users"]
+             for r in se.funnel(events, within_us=3 * hour_us).collect()}
+    assert tight == {"view": 1, "click": 0, "purchase": 0}
+    assert loose == {"view": 1, "click": 1, "purchase": 0}
