@@ -1294,20 +1294,31 @@ def _pagerank_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pagerank_scores(
+    spark: SparkSession, sf_dir: str, weighted: bool = False
+) -> DataFrame:
     fp = _source_fingerprint(sf_dir)
-    scores = _PAGERANK_CACHE.get(fp)
+    key = fp + ("_w" if weighted else "")
+    scores = _PAGERANK_CACHE.get(key)
     if scores is None:
         cache_dir = (
-            Path(__file__).resolve().parent / ".cache" / "pagerank" / fp
+            Path(__file__).resolve().parent / ".cache" / "pagerank" / key
         )
         if not (cache_dir / "_SUCCESS").exists():
+            out = (
+                graph_ops.pagerank_edges(
+                    _doc_edge_table(spark, sf_dir), weighted=True
+                ).persist()
+                if weighted
+                else _pagerank_out(spark, sf_dir)
+            )
             graph_ops.pagerank(
-                load_table(spark, sf_dir, "documents"),
-                out=_pagerank_out(spark, sf_dir),
+                load_table(spark, sf_dir, "documents"), out=out
             ).write.mode("overwrite").parquet(str(cache_dir))
+            if weighted:
+                out.unpersist()
         scores = spark.read.parquet(str(cache_dir))
-        _PAGERANK_CACHE[fp] = scores
+        _PAGERANK_CACHE[key] = scores
     return scores
 
 
@@ -1318,14 +1329,24 @@ def _doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact. Top-k is a TakeOrderedAndProject over the rounded
     score, and the 1..k rank is stamped on the k survivors only —
     never a global window."""
-    ranks = _pagerank_scores(spark, sf_dir).select(
-        "doc_id", F.round("rank", 6).alias("score")
-    )
+    return _pagerank_top(_pagerank_scores(spark, sf_dir))
+
+
+def _pagerank_top(scores: DataFrame) -> DataFrame:
+    ranks = scores.select("doc_id", F.round("rank", 6).alias("score"))
     top = ranks.orderBy(F.desc("score"), "doc_id").limit(PAGERANK_TOPK)
     w = Window.orderBy(F.desc("score"), "doc_id")
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).orderBy("rank")
+
+
+def _pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-weighted PageRank: transition probability ∝ edge
+    confidence (max over parallel edges; weight-sum degree rounded 6dp
+    for cross-engine bit-identity), served from the weighted score
+    artifact."""
+    return _pagerank_top(_pagerank_scores(spark, sf_dir, weighted=True))
 
 
 def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,7 +1705,8 @@ _PURE_LAZY = frozenset({
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "domain_cap", "media_stats", "dedup_regions", "events_profile",
-    "graph_stats", "graph_triangles", "doc_pagerank", "augment_results",
+    "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
+    "augment_results",
     "resolve_references",
     "extract_relationships", "related_ids", "doc_edges",
     "table_cells", "table_summary", "table_texts", "extract_metadata",
@@ -1826,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _temperature_mix,
         "event_funnel": _event_funnel,
         "cohort_retention": _cohort_retention,
+        "pagerank_weighted": _pagerank_weighted,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1904,6 +1927,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_funnel": oracles.funnel_sql(streaming_events.FUNNEL_STEPS),
         "cohort_retention": oracles.cohort_retention_sql(),
+        "pagerank_weighted": oracles.pagerank_sql(
+            JACCARD_THRESHOLD,
+            dedup.SHINGLE_K,
+            PAGERANK_TOPK,
+            graph_ops.PAGERANK_DAMPING,
+            graph_ops.PAGERANK_ITERATIONS,
+            weighted=True,
+        ),
         "doc_pagerank": oracles.pagerank_sql(
             JACCARD_THRESHOLD,
             dedup.SHINGLE_K,

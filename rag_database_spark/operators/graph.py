@@ -393,19 +393,28 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERATIONS = 5
 
 
-def pagerank_edges(edges: DataFrame) -> DataFrame:
+def pagerank_edges(edges: DataFrame, weighted: bool = False) -> DataFrame:
     """The PageRank-ready out-edge list: undirected, deduped, with the
     out-degree folded in — query-independent per graph, so serving
     callers build it once (and persist it) and pass it to every
     ``pagerank`` call, the same artifact discipline as
-    ``build_adjacency``."""
-    und = (
-        undirected(edges)
-        .filter(F.col("me") != F.col("other"))
-        .select("me", "other")
-        .distinct()
-    )
-    deg = und.groupBy("me").agg(F.count("*").cast("double").alias("deg"))
+    ``build_adjacency``.
+
+    ``weighted=True`` keeps the edge confidence (max over parallel
+    edges — deterministic) as the transition weight ``w`` and replaces
+    the count degree with the weight sum, ROUNDED to 6dp so both
+    engines proceed from the identical double despite summation
+    order. The unweighted frame carries no ``w`` column; ``pagerank``
+    treats that as weight 1.0 (an exact IEEE no-op in the update)."""
+    sym = undirected(edges).filter(F.col("me") != F.col("other"))
+    if weighted:
+        und = sym.groupBy("me", "other").agg(F.max("confidence").alias("w"))
+        deg = und.groupBy("me").agg(F.round(F.sum("w"), 6).alias("deg"))
+    else:
+        und = sym.select("me", "other").distinct()
+        deg = und.groupBy("me").agg(
+            F.count("*").cast("double").alias("deg")
+        )
     return und.join(deg, "me").repartition("me")
 
 
@@ -417,6 +426,7 @@ def pagerank(
     node_col: str = "doc_id",
     seeds: DataFrame | None = None,
     out: DataFrame | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Document-importance PageRank over the undirected doc graph —
     the curation signal a training pipeline uses to up-weight hub
@@ -450,7 +460,7 @@ def pagerank(
     # frame instead; it is left untouched on exit.
     own_out = out is None
     if own_out:
-        out = pagerank_edges(edges).persist()
+        out = pagerank_edges(edges, weighted=weighted).persist()
 
     def _done(result: DataFrame) -> DataFrame:
         if own_out:
@@ -494,11 +504,15 @@ def pagerank(
     # aggregate+broadcast job — adding a literal 0.0 is an exact no-op,
     # so the guarded fast path is bit-identical to the general one.
     n_dangling = base.join(has_out, "id", "left_anti").count()
+    # transition weight: 1.0 when the edge list is unweighted — an
+    # exact IEEE no-op (r*1.0/deg == r/deg bit-for-bit), so one update
+    # expression serves both forms
+    wcol = F.col("w") if "w" in out.columns else F.lit(1.0)
     for _ in range(iterations):
         contrib = (
             ranks.join(out, ranks["id"] == out["me"])
             .groupBy(F.col("other").alias("id"))
-            .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
+            .agg(F.sum(F.col("r") * wcol / F.col("deg")).alias("contrib"))
         )
         if n_dangling:
             dang = (

@@ -1250,6 +1250,7 @@ def pagerank_sql(
     damping: float,
     iterations: int,
     seed_max: int | None = None,
+    weighted: bool = False,
 ) -> str:
     """Unrolled power iteration mirroring ``graph.pagerank``: the
     fixed round count makes the chain finite, so each round is one
@@ -1275,14 +1276,29 @@ b AS (
               THEN 1.0 / (SELECT kk FROM sk) ELSE 0.0 END AS e
   FROM documents
 )"""
-    parts = [
-        f"""sym AS (
+    if weighted:
+        graph_ctes = """sym AS (
+  SELECT src AS me, dst AS other, confidence FROM edges
+  UNION ALL
+  SELECT dst, src, confidence FROM edges
+),
+und AS (
+  SELECT me, other, max(confidence) AS w FROM sym
+  WHERE me <> other GROUP BY me, other
+),
+deg AS (SELECT me, round(sum(w), 6) AS deg FROM und GROUP BY me)"""
+        contrib_expr = "sum(p.r * u.w / g.deg)"
+    else:
+        graph_ctes = """sym AS (
   SELECT src AS me, dst AS other FROM edges
   UNION ALL
   SELECT dst, src FROM edges
 ),
 und AS (SELECT DISTINCT me, other FROM sym WHERE me <> other),
-deg AS (SELECT me, count(*)::DOUBLE AS deg FROM und GROUP BY me),
+deg AS (SELECT me, count(*)::DOUBLE AS deg FROM und GROUP BY me)"""
+        contrib_expr = "sum(p.r / g.deg)"
+    parts = [
+        f"""{graph_ctes},
 {e_cte},
 r0 AS (SELECT id, e AS r FROM b)"""
     ]
@@ -1292,7 +1308,7 @@ r0 AS (SELECT id, e AS r FROM b)"""
   WHERE id NOT IN (SELECT me FROM deg)
 ),
 c{i} AS (
-  SELECT u.other AS id, sum(p.r / g.deg) AS contrib
+  SELECT u.other AS id, {contrib_expr} AS contrib
   FROM r{i} p JOIN und u ON u.me = p.id JOIN deg g ON g.me = u.me
   GROUP BY u.other
 ),

@@ -238,3 +238,40 @@ def test_triangles_match_brute_force_on_random_graph(spark):
         d = len(nbrs[v])
         want = round(2 * tri[v] / (d * (d - 1)), 6) if d >= 2 else 0.0
         assert abs(got[v]["clustering"] - want) < 1e-9, v
+
+
+def test_weighted_pagerank_matches_dense_reference(spark):
+    """Weighted pagerank == a dense reference with confidence-weighted
+    transitions (max over parallel edges, 6dp-rounded weight-sum
+    degree); the strong edge pulls more mass than the weak one."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2, "a", 0.9), (1, 2, "b", 0.5),   # parallel: max -> 0.9
+         (1, 3, "a", 0.1), (2, 4, "a", 0.7)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in g.pagerank(nodes, edges, weighted=True).collect()
+    }
+
+    w = {}
+    for a, b, c in ((1, 2, 0.9), (1, 3, 0.1), (2, 4, 0.7)):
+        w[(a, b)] = c
+        w[(b, a)] = c
+    deg = {}
+    for (a, _), c in w.items():
+        deg[a] = deg.get(a, 0.0) + c
+    deg = {k: round(v, 6) for k, v in deg.items()}
+    n, d = 4, 0.85
+    r = {v: 1.0 / n for v in range(1, 5)}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in r}
+        for (a, b), c in w.items():
+            contrib[b] += r[a] * c / deg[a]
+        r = {v: (1.0 - d) / n + d * contrib[v] for v in r}
+
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    # node 2 (strong 0.9 link from the hub) outranks node 3 (weak 0.1)
+    assert got[2] > got[3]
