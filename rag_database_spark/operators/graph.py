@@ -508,7 +508,7 @@ def pagerank(
     # exact IEEE no-op (r*1.0/deg == r/deg bit-for-bit), so one update
     # expression serves both forms
     wcol = F.col("w") if "w" in out.columns else F.lit(1.0)
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ranks.join(out, ranks["id"] == out["me"])
             .groupBy(F.col("other").alias("id"))
@@ -533,7 +533,13 @@ def pagerank(
             (
                 F.lit(1.0 - damping) * F.col("e") + F.lit(damping) * mass
             ).alias("r"),
-        ).localCheckpoint()
+        )
+        # checkpoint every SECOND round (and the last): lineage depth 2
+        # is still constant-bounded, and halving the materializations
+        # halves the fixed per-round job cost — the numbers are
+        # identical, only the plan boundary moves
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
     base.unpersist()
     return _done(
         ranks.select(F.col("id").alias(node_col), F.col("r").alias("rank"))
