@@ -131,6 +131,7 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     for conf in (graph_ops.MIN_CONFIDENCE, GRAPH_MIN_CONF):
         _adjacency(spark, sf_dir, conf).count()
     _pagerank_scores(spark, sf_dir)
+    _pagerank_scores(spark, sf_dir, weighted=True)
 
 
 # --------------------------------------------------------------------------
@@ -1272,25 +1273,28 @@ PAGERANK_TOPK = 20
 # PageRank-ready out-edge list (undirected + degree, the walk
 # structure every pagerank/PPR call needs) persists the same way so
 # personalized runs skip the per-call edge prep too.
-_PAGERANK_CACHE: dict[str, DataFrame] = {}
-_PAGERANK_OUT_CACHE: dict[str, DataFrame] = {}
+# values are (session, frame): a cached DataFrame is session-bound, so
+# a stopped/replaced SparkSession must rebuild (same staleness rule as
+# _PREPARED — without it the _PREPARED guard would rebuild into a dead
+# frame served from here)
+_PAGERANK_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+_PAGERANK_OUT_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _pagerank_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _source_fingerprint(sf_dir)
-    out = _PAGERANK_OUT_CACHE.get(fp)
-    if out is None:
-        cache_dir = (
-            Path(__file__).resolve().parent / ".cache" / "pagerank_edges" / fp
-        )
-        if not (cache_dir / "_SUCCESS").exists():
-            graph_ops.pagerank_edges(
-                _doc_edge_table(spark, sf_dir)
-            ).write.mode("overwrite").parquet(str(cache_dir))
-        out = (
-            spark.read.parquet(str(cache_dir)).repartition("me").persist()
-        )
-        _PAGERANK_OUT_CACHE[fp] = out
+    hit = _PAGERANK_OUT_CACHE.get(fp)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = (
+        Path(__file__).resolve().parent / ".cache" / "pagerank_edges" / fp
+    )
+    if not (cache_dir / "_SUCCESS").exists():
+        graph_ops.pagerank_edges(
+            _doc_edge_table(spark, sf_dir)
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    out = spark.read.parquet(str(cache_dir)).repartition("me").persist()
+    _PAGERANK_OUT_CACHE[fp] = (spark, out)
     return out
 
 
@@ -1299,26 +1303,27 @@ def _pagerank_scores(
 ) -> DataFrame:
     fp = _source_fingerprint(sf_dir)
     key = fp + ("_w" if weighted else "")
-    scores = _PAGERANK_CACHE.get(key)
-    if scores is None:
-        cache_dir = (
-            Path(__file__).resolve().parent / ".cache" / "pagerank" / key
+    hit = _PAGERANK_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = (
+        Path(__file__).resolve().parent / ".cache" / "pagerank" / key
+    )
+    if not (cache_dir / "_SUCCESS").exists():
+        out = (
+            graph_ops.pagerank_edges(
+                _doc_edge_table(spark, sf_dir), weighted=True
+            ).persist()
+            if weighted
+            else _pagerank_out(spark, sf_dir)
         )
-        if not (cache_dir / "_SUCCESS").exists():
-            out = (
-                graph_ops.pagerank_edges(
-                    _doc_edge_table(spark, sf_dir), weighted=True
-                ).persist()
-                if weighted
-                else _pagerank_out(spark, sf_dir)
-            )
-            graph_ops.pagerank(
-                load_table(spark, sf_dir, "documents"), out=out
-            ).write.mode("overwrite").parquet(str(cache_dir))
-            if weighted:
-                out.unpersist()
-        scores = spark.read.parquet(str(cache_dir))
-        _PAGERANK_CACHE[key] = scores
+        graph_ops.pagerank(
+            load_table(spark, sf_dir, "documents"), out=out
+        ).write.mode("overwrite").parquet(str(cache_dir))
+        if weighted:
+            out.unpersist()
+    scores = spark.read.parquet(str(cache_dir))
+    _PAGERANK_CACHE[key] = (spark, scores)
     return scores
 
 
@@ -1366,14 +1371,9 @@ def _ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop as ``doc_pagerank``; eager, stays out of ``_PURE_LAZY``."""
     docs = load_table(spark, sf_dir, "documents")
     seeds = docs.filter(F.col("doc_id") < PPR_SEED_MAX).select("doc_id")
-    ranks = graph_ops.pagerank(
-        docs, seeds=seeds, out=_pagerank_out(spark, sf_dir)
-    ).select("doc_id", F.round("rank", 6).alias("score"))
-    top = ranks.orderBy(F.desc("score"), "doc_id").limit(PAGERANK_TOPK)
-    w = Window.orderBy(F.desc("score"), "doc_id")
-    return top.withColumn(
-        "rank", F.row_number().over(w).cast("long")
-    ).orderBy("rank")
+    return _pagerank_top(
+        graph_ops.pagerank(docs, seeds=seeds, out=_pagerank_out(spark, sf_dir))
+    )
 
 
 CHAIN_SRC_MAX = 3

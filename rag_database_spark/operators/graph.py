@@ -408,7 +408,15 @@ def pagerank_edges(edges: DataFrame, weighted: bool = False) -> DataFrame:
     treats that as weight 1.0 (an exact IEEE no-op in the update)."""
     sym = undirected(edges).filter(F.col("me") != F.col("other"))
     if weighted:
-        und = sym.groupBy("me", "other").agg(F.max("confidence").alias("w"))
+        # zero-confidence edges carry no transition mass — drop them so
+        # the rounded weight-sum degree can never be 0 (a node whose
+        # edges all vanish simply becomes dangling, which the pagerank
+        # loop already handles)
+        und = (
+            sym.groupBy("me", "other")
+            .agg(F.max("confidence").alias("w"))
+            .filter(F.col("w") > 0)
+        )
         deg = und.groupBy("me").agg(F.round(F.sum("w"), 6).alias("deg"))
     else:
         und = sym.select("me", "other").distinct()
@@ -447,9 +455,10 @@ def pagerank(
     each round — the scalar aggregate rides along as a broadcast
     1-row cross join, so a round is a single job (no separate driver
     collect), keeping the ranks a true probability distribution.
-    ``localCheckpoint`` per round truncates the lineage (same
-    discipline as ``dedup_clusters``) so the plan does not grow with
-    the iteration count.
+    ``localCheckpoint`` every second round (and the last) truncates
+    the lineage (same discipline as ``dedup_clusters``) — depth-2
+    lineage stays constant-bounded at half the materialization cost,
+    so the plan does not grow with the iteration count.
 
     Returns one row per node: (``node_col``, rank) with the raw
     double rank; callers round/rank at the entry boundary.
@@ -481,7 +490,20 @@ def pagerank(
             F.col(node_col).alias("id"), F.lit(1.0 / n).alias("e")
         )
     else:
-        s = seeds.select(F.col(node_col).alias("id"), F.lit(True).alias("_s"))
+        # dedupe and restrict to known nodes: duplicate seed rows would
+        # fan out the base join, and seeds outside `nodes` would shrink
+        # the teleport mass below 1 — either breaks the probability-
+        # distribution invariant
+        s = (
+            seeds.select(F.col(node_col).alias("id"))
+            .distinct()
+            .join(
+                nodes.select(F.col(node_col).alias("id")),
+                "id",
+                "left_semi",
+            )
+            .select("id", F.lit(True).alias("_s"))
+        )
         k = s.count()
         if k == 0:
             return _done(empty)

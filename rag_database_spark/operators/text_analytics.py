@@ -1180,16 +1180,17 @@ def lm_score(docs: DataFrame, alpha: float = LM_ALPHA,
             F.round(F.sum("mlp") / F.sum("m"), 6).alias("avg_logp"),
         )
     )
+    # zero-bigram (empty / single-token) docs get NULL score, not a
+    # best-possible ppl of 1.0 — a perplexity filter keeping the
+    # lowest-ppl tail must not preferentially retain degenerate docs
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(rolled, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
-            F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
-            F.round(
-                F.exp(-F.coalesce("avg_logp", F.lit(0.0))), 6
-            ).alias("ppl"),
+            F.col("avg_logp"),
+            F.round(F.exp(-F.col("avg_logp")), 6).alias("ppl"),
         )
     )
 

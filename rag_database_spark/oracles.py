@@ -1285,6 +1285,7 @@ b AS (
 und AS (
   SELECT me, other, max(confidence) AS w FROM sym
   WHERE me <> other GROUP BY me, other
+  HAVING max(confidence) > 0
 ),
 deg AS (SELECT me, round(sum(w), 6) AS deg FROM und GROUP BY me)"""
         contrib_expr = "sum(p.r * u.w / g.deg)"
@@ -3689,8 +3690,8 @@ rolled AS (
 )
 SELECT d.doc_id,
        coalesce(r.n_bigrams, 0)::BIGINT AS n_bigrams,
-       coalesce(r.avg_logp, 0.0) AS avg_logp,
-       round(exp(-coalesce(r.avg_logp, 0.0)), 6) AS ppl
+       r.avg_logp AS avg_logp,
+       round(exp(-r.avg_logp), 6) AS ppl
 FROM documents d LEFT JOIN rolled r USING (doc_id)
 """
 

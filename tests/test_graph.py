@@ -275,3 +275,33 @@ def test_weighted_pagerank_matches_dense_reference(spark):
         assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
     # node 2 (strong 0.9 link from the hub) outranks node 3 (weak 0.1)
     assert got[2] > got[3]
+
+
+def test_pagerank_seed_dedup_and_unknown_seeds(spark):
+    """Duplicate seed rows and seeds outside the node set must not
+    break the probability-distribution invariant: ranks match the
+    clean single-seed run exactly."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 4)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2, "t", 1.0), (2, 3, "t", 1.0)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    clean = {
+        r["doc_id"]: r["rank"]
+        for r in g.pagerank(
+            nodes, edges,
+            seeds=spark.createDataFrame([(1,)], ["doc_id"]),
+        ).collect()
+    }
+    messy = {
+        r["doc_id"]: r["rank"]
+        for r in g.pagerank(
+            nodes, edges,
+            seeds=spark.createDataFrame(
+                [(1,), (1,), (99,)], ["doc_id"]   # dup + unknown
+            ),
+        ).collect()
+    }
+    assert messy == clean
+    assert abs(sum(messy.values()) - 1.0) < 1e-9
+    assert len(messy) == 3

@@ -654,7 +654,10 @@ def test_lm_score_matches_hand_model(spark):
             got[doc_id]["ppl"] - round(math.exp(-round(want, 6)), 6)
         ) < 1e-9
 
-    assert got[3]["n_bigrams"] == 0 and got[3]["ppl"] == 1.0
+    # zero-bigram doc: NULL sentinel, never a best-possible ppl that a
+    # lowest-perplexity filter would preferentially keep
+    assert got[3]["n_bigrams"] == 0
+    assert got[3]["avg_logp"] is None and got[3]["ppl"] is None
     assert got[1]["ppl"] < got[2]["ppl"]
 
 
