@@ -903,6 +903,12 @@ def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE rollup: four granularities in one exchange, gid
+    bitmask disambiguating rollup NULLs."""
+    return relational.events_cube(load_table(spark, sf_dir, "events"))
+
+
 def _events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distribution profile (exact percentiles +
     distinct users); the sketch twin is pinned in tests/test_sketches."""
@@ -1712,7 +1718,7 @@ _PURE_LAZY = frozenset({
     "table_cells", "table_summary", "table_texts", "extract_metadata",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
-    "event_funnel", "cohort_retention",
+    "event_funnel", "cohort_retention", "events_cube",
     "conversions", "route_stats", "gopher_rules", "c4_rules",
     "repetition_signals", "asof_attribution", "quantize_embeddings",
     "quantized_topk", "ann_ivf_topk", "ann_lsh_topk",
@@ -1849,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _event_funnel,
         "cohort_retention": _cohort_retention,
         "pagerank_weighted": _pagerank_weighted,
+        "events_cube": _events_cube,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -1927,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_funnel": oracles.funnel_sql(streaming_events.FUNNEL_STEPS),
         "cohort_retention": oracles.cohort_retention_sql(),
+        "events_cube": oracles.events_cube_sql(),
         "pagerank_weighted": oracles.pagerank_sql(
             JACCARD_THRESHOLD,
             dedup.SHINGLE_K,

@@ -198,6 +198,30 @@ def list_documents_keyset(docs: DataFrame, last_n_chars: int,
     )
 
 
+def events_cube(events: DataFrame) -> DataFrame:
+    """OLAP CUBE rollup over (event_type, hour): all four
+    granularities — per (type, hour), per type, per hour, and the
+    grand total — in ONE aggregation. Spark expands the grouping sets
+    inside a single exchange with partial aggregation per set, so the
+    multi-granularity report costs one shuffle, not four scans; the
+    ``grouping_id`` bitmask (leftmost grouping column = most
+    significant bit, identical to DuckDB's GROUPING()) disambiguates
+    rollup NULLs from genuine NULL keys. The dashboard-rollup surface
+    a serving layer precomputes."""
+    return (
+        events.cube(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def events_profile(events: DataFrame) -> DataFrame:
     """Per-event-type distribution profile: row count, exact distinct
     users, exact value percentiles (p50/p95/p99).

@@ -1924,6 +1924,21 @@ FROM j GROUP BY 1, 2
 """
 
 
+def events_cube_sql() -> str:
+    """Twin of ``relational.events_cube``: DuckDB GROUP BY CUBE with
+    the same GROUPING bitmask ordering (first argument = MSB)."""
+    return """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket_start,
+       GROUPING(event_type, date_trunc('hour', ts))::BIGINT AS gid,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY CUBE (event_type, date_trunc('hour', ts))
+"""
+
+
 def media_stats_sql() -> str:
     return """
 SELECT doc_id AS media_id, 'text' AS kind,

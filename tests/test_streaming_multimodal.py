@@ -462,3 +462,36 @@ def test_funnel_conversion_window(spark):
              for r in se.funnel(events, within_us=3 * hour_us).collect()}
     assert tight == {"view": 1, "click": 0, "purchase": 0}
     assert loose == {"view": 1, "click": 1, "purchase": 0}
+
+
+def test_events_cube_granularities(spark):
+    """CUBE emits all four granularities with the gid bitmask
+    (event_type = MSB), and each rollup level sums consistently."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 9, 30)
+    rows = [
+        (1, t, 1, "view", 2.0, "{}"),
+        (2, t, 2, "click", 3.0, "{}"),
+        (3, t + dt.timedelta(hours=1), 1, "view", 5.0, "{}"),
+    ]
+    from rag_database_spark.operators.relational import events_cube
+
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_cube(events).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = by_gid[3][0]
+    assert (total["n_events"], total["sum_value"]) == (3, 10.0)
+    assert total["event_type"] is None and total["bucket_start"] is None
+    per_type = {r["event_type"]: r for r in by_gid[1]}
+    assert per_type["view"]["n_events"] == 2
+    assert per_type["view"]["sum_value"] == 7.0
+    assert sum(r["n_events"] for r in by_gid[0]) == 3
+    assert sum(r["n_events"] for r in by_gid[2]) == 3
