@@ -495,3 +495,17 @@ def test_events_cube_granularities(spark):
     assert per_type["view"]["sum_value"] == 7.0
     assert sum(r["n_events"] for r in by_gid[0]) == 3
     assert sum(r["n_events"] for r in by_gid[2]) == 3
+
+
+def test_funnel_is_order_and_partition_invariant(spark):
+    """The batch funnel is min-based, so input row order and
+    partitioning must not change any step count (the determinism the
+    oracle hash-compare relies on)."""
+    events = se.read_event_stream  # noqa: F841 (keep import surface)
+    from rag_database_spark.sources.tables import load_table
+
+    base = load_table(spark, SF_DIR, "events").limit(2000)
+    want = sorted(map(tuple, se.funnel(base).collect()))
+    shuffled = base.orderBy(F.desc("event_id")).repartition(13)
+    got = sorted(map(tuple, se.funnel(shuffled).collect()))
+    assert got == want
