@@ -383,8 +383,11 @@ JACCARD_THRESHOLD = 0.8
 COSINE_DUP_THRESHOLD = 0.4
 
 # the shingle-Jaccard inverted-index join is the most expensive derived
-# artifact; four entries consume it, so persist it per sf_dir
-_JACCARD_CACHE: dict[str, DataFrame] = {}
+# artifact; four entries consume it, so persist it per sf_dir.
+# values are (session, frame): cached DataFrames are session-bound, so
+# a stopped/replaced SparkSession must re-read (same staleness rule as
+# _PAGERANK_CACHE below)
+_JACCARD_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,23 +410,24 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join. The in-memory memo on top keeps the
     read-back frame persisted across the session's many consumers."""
     fp = _source_fingerprint(sf_dir)
-    if fp not in _JACCARD_CACHE:
-        cache_dir = (
-            Path(__file__).resolve().parent / ".cache" / "jaccard_pairs" / fp
+    hit = _JACCARD_CACHE.get(fp)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = (
+        Path(__file__).resolve().parent / ".cache" / "jaccard_pairs" / fp
+    )
+    if not (cache_dir / "_SUCCESS").exists():
+        dedup.write_pair_index(
+            dedup.shingle_jaccard_pairs(
+                load_table(spark, sf_dir, "documents"),
+                JACCARD_THRESHOLD,
+                shingle_index=_shingle_index(spark, sf_dir),
+            ),
+            str(cache_dir),
         )
-        if not (cache_dir / "_SUCCESS").exists():
-            dedup.write_pair_index(
-                dedup.shingle_jaccard_pairs(
-                    load_table(spark, sf_dir, "documents"),
-                    JACCARD_THRESHOLD,
-                    shingle_index=_shingle_index(spark, sf_dir),
-                ),
-                str(cache_dir),
-            )
-        _JACCARD_CACHE[fp] = dedup.read_pair_index(
-            spark, str(cache_dir)
-        ).persist()
-    return _JACCARD_CACHE[fp]
+    pairs = dedup.read_pair_index(spark, str(cache_dir)).persist()
+    _JACCARD_CACHE[fp] = (spark, pairs)
+    return pairs
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,22 +440,25 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The dedup_clusters/_cc ENTRIES still run their algorithms live
 # (that's what they certify); consumers (dedup_keep, curate_corpus)
 # serve from the persisted labels.
-_LABEL_CACHE: dict[str, DataFrame] = {}
+_LABEL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _source_fingerprint(sf_dir)
-    if fp not in _LABEL_CACHE:
-        cache_dir = (
-            Path(__file__).resolve().parent / ".cache" / "dedup_labels" / fp
-        )
-        if not (cache_dir / "_SUCCESS").exists():
-            dedup.dedup_clusters(
-                _jaccard_pairs(spark, sf_dir),
-                load_table(spark, sf_dir, "documents"),
-            ).write.mode("overwrite").parquet(str(cache_dir))
-        _LABEL_CACHE[fp] = spark.read.parquet(str(cache_dir)).persist()
-    return _LABEL_CACHE[fp]
+    hit = _LABEL_CACHE.get(fp)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = (
+        Path(__file__).resolve().parent / ".cache" / "dedup_labels" / fp
+    )
+    if not (cache_dir / "_SUCCESS").exists():
+        dedup.dedup_clusters(
+            _jaccard_pairs(spark, sf_dir),
+            load_table(spark, sf_dir, "documents"),
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    labels = spark.read.parquet(str(cache_dir)).persist()
+    _LABEL_CACHE[fp] = (spark, labels)
+    return labels
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,33 +1228,34 @@ def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reuses the persisted partitions instead of re-deriving edge
 # extraction + exchange per walk (same artifact discipline as the
 # BM25/IVF index caches above).
-_ADJ_CACHE: dict[tuple[str, float], DataFrame] = {}
+_ADJ_CACHE: dict[tuple[str, float], tuple[SparkSession, DataFrame]] = {}
 
 
 def _adjacency(spark: SparkSession, sf_dir: str, min_conf: float) -> DataFrame:
     key = (_source_fingerprint(sf_dir), min_conf)
-    adj = _ADJ_CACHE.get(key)
-    if adj is None:
-        cache_dir = (
-            Path(__file__).resolve().parent
-            / ".cache" / "adjacency" / f"{key[0]}_c{int(min_conf * 100)}"
+    hit = _ADJ_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = (
+        Path(__file__).resolve().parent
+        / ".cache" / "adjacency" / f"{key[0]}_c{int(min_conf * 100)}"
+    )
+    if not (cache_dir / "_SUCCESS").exists():
+        graph_ops.write_adjacency(
+            graph_ops.build_adjacency(
+                _doc_edge_table(spark, sf_dir), min_conf
+            ),
+            str(cache_dir),
         )
-        if not (cache_dir / "_SUCCESS").exists():
-            graph_ops.write_adjacency(
-                graph_ops.build_adjacency(
-                    _doc_edge_table(spark, sf_dir), min_conf
-                ),
-                str(cache_dir),
-            )
-        # repartition("me") restores the join-key clustering the
-        # parquet round-trip drops from the plan's partitioning info;
-        # the persist pins it so every BFS wave reuses one exchange
-        adj = (
-            graph_ops.read_adjacency(spark, str(cache_dir))
-            .repartition("me")
-            .persist()
-        )
-        _ADJ_CACHE[key] = adj
+    # repartition("me") restores the join-key clustering the
+    # parquet round-trip drops from the plan's partitioning info;
+    # the persist pins it so every BFS wave reuses one exchange
+    adj = (
+        graph_ops.read_adjacency(spark, str(cache_dir))
+        .repartition("me")
+        .persist()
+    )
+    _ADJ_CACHE[key] = (spark, adj)
     return adj
 
 

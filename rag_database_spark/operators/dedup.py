@@ -68,7 +68,10 @@ def write_shingle_index(
 
 
 def read_shingle_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    # select normalizes both layouts: the flat overwrite artifact and
+    # the streaming gate's ingest_batch=N partition dirs (idempotent
+    # replay layout) read back identically
+    return spark.read.parquet(path).select("doc_id", "s")
 
 
 def write_pair_index(pairs: DataFrame, path: str) -> None:
@@ -84,7 +87,9 @@ def write_pair_index(pairs: DataFrame, path: str) -> None:
 
 
 def read_pair_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    # see read_shingle_index: drop the gate's ingest_batch partition
+    # column so both layouts read back as (id_a, id_b, jaccard)
+    return spark.read.parquet(path).select("id_a", "id_b", "jaccard")
 
 
 # Candidate-row ceiling for the direct inverted-index self-join: the
@@ -938,6 +943,7 @@ def append_pair_index(
     k: int = SHINGLE_K,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> None:
     """Incremental pair-index maintenance — the near-dup analog of
     ``bm25.append_index``: admitting a batch appends exactly the NEW
@@ -948,7 +954,15 @@ def append_pair_index(
     batch (unit-pinned). Cost ∝ delta, never ∝ corpus — the reference
     instead rebuilds full indexes on every add
     (bm25_store.py:176-188). Batch doc_ids must be new (the gate's
-    admission contract)."""
+    admission contract).
+
+    With ``batch_id`` the appended slice lands in an
+    ``ingest_batch=<id>`` hive partition via dynamic-partition
+    OVERWRITE instead of a blind append — foreachBatch has
+    at-least-once semantics, and a replayed micro-batch must overwrite
+    exactly its own slice (idempotent) rather than double-append pairs
+    and shingle rows (duplicated shingles would corrupt every later
+    probe's per-doc index_sizes denominator)."""
     spark = batch_docs.sparkSession
     idx = read_shingle_index(spark, shingle_path)
     cross = pairs_vs_index(
@@ -957,12 +971,35 @@ def append_pair_index(
     within = shingle_jaccard_pairs(
         batch_docs, threshold, id_col, text_col, k
     )
-    cross.unionByName(within).repartition("id_a").write.mode(
-        "append"
-    ).parquet(pair_path)
-    _doc_shingles(batch_docs, id_col, text_col, k).select(
-        "doc_id", F.explode("sh").alias("s")
-    ).write.mode("append").parquet(shingle_path)
+    _write_slice(
+        cross.unionByName(within).repartition("id_a"),
+        pair_path,
+        batch_id,
+    )
+    _write_slice(
+        _doc_shingles(batch_docs, id_col, text_col, k).select(
+            "doc_id", F.explode("sh").alias("s")
+        ),
+        shingle_path,
+        batch_id,
+    )
+
+
+def _write_slice(df: DataFrame, path: str, batch_id: int | None) -> None:
+    """Append ``df`` to ``path`` — idempotently when ``batch_id`` is
+    given (ingest_batch=N partition + dynamic overwrite, so a replay
+    rewrites the same slice), plain append otherwise (offline callers
+    that manage their own exactly-once)."""
+    if batch_id is None:
+        df.write.mode("append").parquet(path)
+    else:
+        (
+            df.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(path)
+        )
 
 
 def dedup_clusters_star(
