@@ -1744,16 +1744,17 @@ def _wrap_prepared(name, fn):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # First 50 = driver-checked window. Round-7 ROTATION (VERDICT r6
-    # item 4): 15 long-stable search/relational/chunking
-    # representatives — driver-green for 3+ consecutive rounds — moved
-    # to the tail, and the 15 strongest round-5/6 LLM-pipeline entries
-    # moved in, so the driver's own CORRECTNESS certifies them. Every
-    # SURVEY component keeps at least one in-window representative;
-    # tail entries stay green via the in-suite local replica
-    # (tests/test_entry_oracle.py).
+    # First 50 = driver-checked window. Round-10 ROTATION (VERDICT r7-r9
+    # item 1): the 28 entries that had never had a driver CORRECTNESS
+    # row (all green in the local replica, tests/test_entry_oracle.py)
+    # moved into the window, plus 22 long-stable representatives — one
+    # per SURVEY family — kept in. Everything driver-certified in
+    # r1-r9 and not needed as a family rep moved to the tail; tail
+    # entries stay green via the in-suite local replica. Prior
+    # rotation: round 7 (VERDICT r6 item 4) moved the r5/r6 curation
+    # suite in. Don't revert either order.
     base = {
-        # search core
+        # family representatives (driver-green r7-r9, kept in-window)
         "bm25_topk": _bm25_topk,
         "text_embed_topk": _text_embed_topk,
         "hybrid_rrf3": _hybrid_rrf3,
@@ -1761,29 +1762,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visual_search": _visual_search,
         "enhanced_search": _enhanced_search,
         "query_analysis": _query_analysis,
-        "search_analytics": _search_analytics,
-        # lifecycle / CRUD / relational
         "vector_upsert": _vector_upsert,
         "db_stats": _db_stats,
         "tenant_scoped_search": _tenant_scoped_search,
-        # chunking
         "chunk_documents": _chunk_documents,
-        "chunking_stats": _chunking_stats,
-        # text analytics / LLM pipeline
-        "lang_id": _lang_id,
         "quality_report": _quality_report,
         "exact_dedup": _exact_dedup,
         "near_dup_pairs": _near_dup_pairs,
-        "dedup_clusters": _dedup_clusters,
         "minhash_sigs": _minhash_sigs,
         "embedding_near_dup": _embedding_near_dup,
-        "dup_ngram_fraction": _dup_ngram_fraction,
+        "curate_corpus": _curate_corpus,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "graph_expand": _graph_expand,
+        "table_summary": _table_summary,
+        "extract_metadata": _extract_metadata,
         "redact_pii": _redact_pii,
+        # never-driver-certified until r10 (rotated in this round)
+        "doc_pagerank": _doc_pagerank,
+        "ppr_topk": _ppr_topk,
+        "pagerank_weighted": _pagerank_weighted,
+        "graph_triangles": _graph_triangles,
+        "related_ids": _related_ids,
+        "event_funnel": _event_funnel,
+        "cohort_retention": _cohort_retention,
+        "events_cube": _events_cube,
+        "events_window_join": _events_window_join,
+        "asof_attribution": _asof_attribution,
+        "lm_perplexity": _lm_perplexity,
+        "temperature_mix": _temperature_mix,
+        "c4_rules": _c4_rules,
+        "gopher_rules": _gopher_rules,
+        "repetition_signals": _repetition_signals,
+        "doc_keywords": _doc_keywords,
+        "strip_markup": _strip_markup,
+        "decontam": _decontam,
+        "dup_spans": _dup_spans,
+        "ingest_pairs": _ingest_pairs,
+        "dense_filtered_topk": _dense_filtered_topk,
+        "quantize_embeddings": _quantize_embeddings,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "pack_sequences": _pack_sequences,
+        "pack_rows": _pack_rows,
+        "route_stats": _route_stats,
+        "semantic_chunks": _semantic_chunks,
+        "route_and_chunk": _route_and_chunk,
+        # --- entry 51+: outside the driver window ---
+        # driver-certified r1-r9, demoted to tail (local replica keeps
+        # them green)
+        "search_analytics": _search_analytics,
+        "chunking_stats": _chunking_stats,
+        "lang_id": _lang_id,
+        "dedup_clusters": _dedup_clusters,
+        "dup_ngram_fraction": _dup_ngram_fraction,
         "domain_cap": _domain_cap,
         "media_stats": _media_stats,
         "dedup_regions": _dedup_regions,
         "events_profile": _events_profile,
-        # round-5/6 curation suite (rotated into the window in r7)
         "dedup_clusters_cc": _dedup_clusters_cc,
         "dedup_keep": _dedup_keep,
         "fuzzy_decontam": _fuzzy_decontam,
@@ -1796,21 +1830,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _nfc_normalize,
         "stratified_sample": _stratified_sample,
         "time_travel": _time_travel,
-        "curate_corpus": _curate_corpus,
-        "ann_lsh_topk": _ann_lsh_topk,
         "quantized_topk": _quantized_topk,
-        # graph
-        "graph_expand": _graph_expand,
         "graph_stats": _graph_stats,
         "shortest_chains": _shortest_chains,
         "augment_results": _augment_results,
         "resolve_references": _resolve_references,
         "extract_relationships": _extract_relationships,
-        # tables / metadata
         "table_cells": _table_cells,
-        "table_summary": _table_summary,
-        "extract_metadata": _extract_metadata,
-        # --- entry 51+: outside the driver window ---
+        # never in any window (local-replica green since r1-r6)
         "colpali_lite_topk": _colpali_lite_topk,
         "search_terms": _search_terms,
         "rerank_topk": _rerank_topk,
@@ -1836,34 +1863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
         "conversions": _conversions,
-        "related_ids": _related_ids,
-        "route_stats": _route_stats,
-        "gopher_rules": _gopher_rules,
-        "c4_rules": _c4_rules,
-        "repetition_signals": _repetition_signals,
-        "asof_attribution": _asof_attribution,
-        "quantize_embeddings": _quantize_embeddings,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "semantic_chunks": _semantic_chunks,
-        "route_and_chunk": _route_and_chunk,
-        "pack_sequences": _pack_sequences,
-        "pack_rows": _pack_rows,
-        "decontam": _decontam,
-        "dup_spans": _dup_spans,
-        "strip_markup": _strip_markup,
-        "dense_filtered_topk": _dense_filtered_topk,
-        "ingest_pairs": _ingest_pairs,
-        "doc_keywords": _doc_keywords,
-        "events_window_join": _events_window_join,
-        "doc_pagerank": _doc_pagerank,
-        "ppr_topk": _ppr_topk,
-        "graph_triangles": _graph_triangles,
-        "lm_perplexity": _lm_perplexity,
-        "temperature_mix": _temperature_mix,
-        "event_funnel": _event_funnel,
-        "cohort_retention": _cohort_retention,
-        "pagerank_weighted": _pagerank_weighted,
-        "events_cube": _events_cube,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)

@@ -962,9 +962,18 @@ def append_pair_index(
     at-least-once semantics, and a replayed micro-batch must overwrite
     exactly its own slice (idempotent) rather than double-append pairs
     and shingle rows (duplicated shingles would corrupt every later
-    probe's per-doc index_sizes denominator)."""
+    probe's per-doc index_sizes denominator). The corpus index read is
+    likewise filtered to ``ingest_batch != batch_id``: on a replay the
+    failed attempt's shingle slice is already on disk, and probing
+    against it would emit self-pairs at jaccard 1.0."""
     spark = batch_docs.sparkSession
-    idx = read_shingle_index(spark, shingle_path)
+    if batch_id is None:
+        idx = read_shingle_index(spark, shingle_path)
+    else:
+        idx = spark.read.parquet(shingle_path)
+        if "ingest_batch" in idx.columns:
+            idx = idx.filter(F.col("ingest_batch") != int(batch_id))
+        idx = idx.select("doc_id", "s")
     cross = pairs_vs_index(
         batch_docs, idx, threshold, k, id_col, text_col
     )
@@ -993,6 +1002,12 @@ def _write_slice(df: DataFrame, path: str, batch_id: int | None) -> None:
     if batch_id is None:
         df.write.mode("append").parquet(path)
     else:
+        # a zero-row dynamic-partition overwrite deletes nothing and
+        # writes nothing but still creates a schema-less root dir that
+        # breaks later reads — skip it (a replay recomputes the same
+        # rows, so skipping is deterministic)
+        if df.isEmpty():
+            return
         (
             df.withColumn("ingest_batch", F.lit(int(batch_id)))
             .write.mode("overwrite")

@@ -463,62 +463,25 @@ def stream_dedup_gate(
     keeping the artifact equal to a full rebuild over everything
     accepted so far (unit-pinned).
 
+    Replay-idempotent: foreachBatch is at-least-once, so every sink
+    (accept, quarantine, pairs, shingle index) is written as an
+    ``ingest_batch=<batch_id>`` hive partition via dynamic-partition
+    overwrite (``dedup._write_slice``) — a replayed micro-batch
+    rewrites exactly its own slice instead of double-appending. The
+    probe likewise excludes the batch's own slice from the index it
+    reads, so a replay (whose shingles the failed attempt already
+    wrote) does not self-match at jaccard 1.0 (unit-pinned:
+    tests/test_streaming_multimodal.py replay test).
+
     Scale: the probe broadcasts only the micro-batch's shingles; the
     index is scanned, never shuffled, and grows by appended parquet
-    (same merge-on-read shape as ``bm25.append_index``)."""
-    from pathlib import Path
-
-    from rag_database_spark.operators import dedup as dd
+    partitions (same merge-on-read shape as ``bm25.append_index``)."""
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        verdict = None
-        try:
-            if (Path(index_path) / "_SUCCESS").exists():
-                idx = dd.read_shingle_index(spark, index_path)
-                verdict = dd.best_jaccard_vs_index(batch_df, idx).persist()
-                dup_ids = verdict.filter(
-                    F.col("best_jaccard") >= threshold
-                )
-                accepted = batch_df.join(
-                    dup_ids.select("doc_id"), "doc_id", "left_anti"
-                )
-                (
-                    batch_df.join(dup_ids, "doc_id")
-                    .write.mode("append")
-                    .parquet(quarantine_path)
-                )
-            else:
-                accepted = batch_df
-            accepted.write.mode("append").parquet(accept_path)
-            if pair_path is not None and (
-                Path(index_path) / "_SUCCESS"
-            ).exists():
-                # appends the accepted slice's cross+within pairs AND
-                # its shingle rows (the index grows inside the call)
-                dd.append_pair_index(
-                    accepted, pair_path, index_path, pair_threshold
-                )
-            else:
-                if pair_path is not None:
-                    # bootstrap: no standing index yet — only
-                    # within-slice pairs exist
-                    dd.shingle_jaccard_pairs(
-                        accepted, pair_threshold
-                    ).repartition("id_a").write.mode("append").parquet(
-                        pair_path
-                    )
-                dd._doc_shingles(
-                    accepted, "doc_id", "text", dd.SHINGLE_K
-                ).select(
-                    "doc_id", F.explode("sh").alias("s")
-                ).write.mode("append").parquet(index_path)
-        finally:
-            # drop per-batch cache entries — a long-running stream would
-            # otherwise accumulate one pinned verdict per micro-batch
-            if verdict is not None:
-                verdict.unpersist()
-            batch_df.unpersist()
+        dedup_gate_batch(
+            batch_df, batch_id, accept_path, quarantine_path,
+            index_path, threshold, pair_path, pair_threshold,
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -530,6 +493,100 @@ def stream_dedup_gate(
         .option("checkpointLocation", accept_path + "_checkpoint")
         .start()
     )
+
+
+def dedup_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    accept_path: str,
+    quarantine_path: str,
+    index_path: str,
+    threshold: float,
+    pair_path: str | None = None,
+    pair_threshold: float = 0.5,
+) -> None:
+    """One micro-batch of the admission gate (the foreachBatch body of
+    ``stream_dedup_gate``, module-level so replay can be unit-tested by
+    calling it twice with the same ``batch_id``). Every sink write goes
+    through ``dedup._write_slice(…, batch_id)`` — an
+    ``ingest_batch=<id>`` partition overwritten dynamically — and the
+    index probe filters out ``ingest_batch == batch_id``, so re-running
+    a batch (at-least-once replay) reproduces byte-identical artifacts
+    instead of double-appending or self-matching."""
+    from pathlib import Path
+
+    from rag_database_spark.operators import dedup as dd
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    verdict = None
+
+    def _standing_index():
+        # the index minus this batch's own slice: a replayed batch's
+        # shingles are already on disk (written by the failed attempt)
+        # and probing against them would self-match everything at 1.0
+        idx = spark.read.parquet(index_path)
+        if "ingest_batch" in idx.columns:
+            idx = idx.filter(F.col("ingest_batch") != int(batch_id))
+        return idx.select("doc_id", "s")
+
+    try:
+        # flat legacy layout commits a root _SUCCESS; dynamic-partition
+        # overwrite (the gate's own slices) does NOT — it only creates
+        # ingest_batch=N dirs, so check for either
+        p = Path(index_path)
+        has_index = p.exists() and (
+            (p / "_SUCCESS").exists()
+            or any(c.name.startswith("ingest_batch=") for c in p.iterdir())
+        )
+        if has_index:
+            verdict = dd.best_jaccard_vs_index(
+                batch_df, _standing_index()
+            ).persist()
+            dup_ids = verdict.filter(F.col("best_jaccard") >= threshold)
+            accepted = batch_df.join(
+                dup_ids.select("doc_id"), "doc_id", "left_anti"
+            )
+            # _write_slice skips zero-row slices (deterministic probe,
+            # so a replay makes the same decision)
+            dd._write_slice(
+                batch_df.join(dup_ids, "doc_id"), quarantine_path, batch_id
+            )
+        else:
+            accepted = batch_df
+        dd._write_slice(accepted, accept_path, batch_id)
+        if pair_path is not None and has_index:
+            # writes the accepted slice's cross+within pairs AND its
+            # shingle rows, each as this batch's partition (the index
+            # grows inside the call; replay overwrites the same slice)
+            dd.append_pair_index(
+                accepted, pair_path, index_path, pair_threshold,
+                batch_id=batch_id,
+            )
+        else:
+            if pair_path is not None:
+                # bootstrap: no standing index yet — only within-slice
+                # pairs exist
+                dd._write_slice(
+                    dd.shingle_jaccard_pairs(
+                        accepted, pair_threshold
+                    ).repartition("id_a"),
+                    pair_path,
+                    batch_id,
+                )
+            dd._write_slice(
+                dd._doc_shingles(
+                    accepted, "doc_id", "text", dd.SHINGLE_K
+                ).select("doc_id", F.explode("sh").alias("s")),
+                index_path,
+                batch_id,
+            )
+    finally:
+        # drop per-batch cache entries — a long-running stream would
+        # otherwise accumulate one pinned verdict per micro-batch
+        if verdict is not None:
+            verdict.unpersist()
+        batch_df.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -345,13 +345,86 @@ def test_stream_gate_maintains_pair_index(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    accepted_df = spark.read.parquet(accept)
-    online = sorted(map(tuple, spark.read.parquet(pairs).collect()))
+    accepted_df = spark.read.parquet(accept).select("doc_id", "text")
+    online = sorted(map(tuple, dd.read_pair_index(spark, pairs).collect()))
     rebuilt = sorted(
         map(tuple, dd.shingle_jaccard_pairs(accepted_df, 0.3).collect())
     )
     assert online == rebuilt
     assert len(rebuilt) > 0  # the 1-2 and cross 11 pairs exist
+
+
+def test_gate_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch body
+    with the same batch_id must leave every artifact (accept,
+    quarantine, pairs, shingle index) EXACTLY as after the first run —
+    no double-appended rows, and no self-matches at jaccard 1.0 from
+    the replay probing its own already-written shingles."""
+    from rag_database_spark.operators import dedup as dd
+
+    accept = str(tmp_path / "accept")
+    quarantine = str(tmp_path / "quar")
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    schema = "doc_id long, text string"
+    dup = "the quick brown fox jumps over the lazy dog daily "
+    batch0 = spark.createDataFrame(
+        [(1, dup * 3), (2, "unrelated seed corpus words only here now")],
+        schema,
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (10, dup * 3),  # near-dup of 1 -> quarantined
+            (11, dup * 2 + "different continuation text entirely here"),
+            (12, "fresh second batch document with new content words"),
+        ],
+        schema,
+    )
+
+    def run(df, bid):
+        se.dedup_gate_batch(
+            df, bid, accept, quarantine, index, 0.9,
+            pair_path=pairs, pair_threshold=0.3,
+        )
+
+    import os
+
+    def snapshot():
+        def rows(path, reader=spark.read.parquet):
+            if not os.path.exists(path):
+                return []
+            return sorted(map(tuple, reader(path).collect()))
+
+        return {
+            "accept": rows(accept),
+            "quar": rows(quarantine),
+            "pairs": rows(pairs, lambda p: dd.read_pair_index(spark, p)),
+            "index": rows(
+                index, lambda p: dd.read_shingle_index(spark, p)
+            ),
+        }
+
+    # Structured Streaming replays only the LATEST uncommitted batch,
+    # so replay each batch while it is the newest slice.
+    run(batch0, 0)
+    boot = snapshot()
+    run(batch0, 0)  # replayed bootstrap
+    assert snapshot() == boot
+
+    run(batch1, 1)
+    first = snapshot()
+    assert {t[0] for t in first["accept"]} == {1, 2, 11, 12}
+    assert {t[0] for t in first["quar"]} == {10}
+
+    run(batch1, 1)  # replayed batch 1 (same batch_id)
+    assert snapshot() == first
+
+    # and the online pair artifact still equals a full rebuild
+    accepted_df = spark.read.parquet(accept).select("doc_id", "text")
+    rebuilt = sorted(
+        map(tuple, dd.shingle_jaccard_pairs(accepted_df, 0.3).collect())
+    )
+    assert first["pairs"] == rebuilt
 
 
 def test_funnel_requires_strict_order(spark):
