@@ -769,12 +769,38 @@ def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_MODEL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus bigram-LM artifact (w1, w2, lp): trained once per
+    corpus fingerprint and persisted, same discipline as the
+    BM25/IVF/adjacency/PageRank artifacts — scoring calls join the
+    read-back model instead of re-aggregating the whole corpus."""
+    fp = _source_fingerprint(sf_dir)
+    hit = _LM_MODEL_CACHE.get(fp)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "lm_model" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        text_analytics.train_lm(
+            load_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    model = spark.read.parquet(str(cache_dir))
+    _LM_MODEL_CACHE[fp] = (spark, model)
+    return model
+
+
 def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style fluency filter signal: per-doc mean log-prob +
     perplexity under a corpus-trained add-k bigram LM (bigrams form
-    array-side — no positional self-join; model tables keyed, vocab
-    size broadcast)."""
-    return text_analytics.lm_score(load_table(spark, sf_dir, "documents"))
+    array-side — no positional self-join), scored against the
+    persisted per-corpus model artifact (one keyed join; training
+    happens once per corpus, not per call)."""
+    return text_analytics.lm_score(
+        load_table(spark, sf_dir, "documents"),
+        model=_lm_model(spark, sf_dir),
+    )
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:

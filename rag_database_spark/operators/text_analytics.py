@@ -1116,28 +1116,13 @@ def vocab_oov(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
 LM_ALPHA = 0.5  # add-k smoothing mass per bigram type
 
 
-def lm_score(docs: DataFrame, alpha: float = LM_ALPHA,
-             id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
-    """Bigram-LM fluency score per document — the deterministic,
-    self-trained stand-in for CCNet-style perplexity filtering
-    (Wenzek et al. 2020: rank web text by LM perplexity, drop the
-    worst tail). The model is an add-k-smoothed bigram LM induced from
-    the corpus itself: P(w2|w1) = (c(w1,w2)+k) / (ctx(w1)+k·V), with
-    ctx(w1) = Σ bigram counts starting at w1 and V = corpus distinct
-    token count. Per doc: mean log-prob over its bigram occurrences
-    and the corresponding perplexity exp(−mean). Tokenization matches
-    ``vocab_oov``/``dup_ngram_fraction``.
-
-    Scale design: bigrams form INSIDE the token array (a ``transform``
-    over the sliced array — no positional self-join, no shuffle to
-    pair neighbors); the per-(doc, w1, w2) multiplicity rollup shrinks
-    the stream before the count joins, the model tables key on
-    (w1, w2)/(w1) with map-side partials, the 1-row vocab size rides a
-    broadcast cross join, and the final rollup keys on doc_id. The
-    mean is computed in weighted form Σm·lp / Σm on BOTH engines so
-    the two sides differ only in summation order (absorbed by the 6dp
-    rounding); perplexity exponentiates the already-rounded mean."""
+def _lm_doc_bigrams(docs: DataFrame, id_col: str,
+                    text_col: str) -> tuple[DataFrame, DataFrame]:
+    """(token arrays, per-(doc, w1, w2) bigram multiplicities) — the
+    shared front end of LM training and LM scoring. Bigrams form
+    INSIDE the token array (a ``transform`` over the sliced array —
+    no positional self-join, no shuffle to pair neighbors); the
+    multiplicity rollup shrinks the stream before any model join."""
     docs = fan_out(docs)
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
@@ -1160,6 +1145,26 @@ def lm_score(docs: DataFrame, alpha: float = LM_ALPHA,
     per = big.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("m")
     )
+    return base, per
+
+
+def train_lm(docs: DataFrame, alpha: float = LM_ALPHA,
+             id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Train the add-k-smoothed bigram LM over a corpus and return it
+    as the persistable model table (w1, w2, lp) with
+    lp = log((c(w1,w2)+k) / (ctx(w1)+k·V)) — exactly the per-bigram
+    log-prob ``lm_score`` consumes, precomputed so the artifact can be
+    written once per corpus (same persistence discipline as the BM25 /
+    IVF / PageRank artifacts) and scoring becomes a single keyed join.
+    lp round-trips parquet doubles bit-exactly, so
+    ``lm_score(docs, model=read_back(train_lm(docs)))`` equals
+    ``lm_score(docs)`` (unit-pinned).
+
+    Scale: one corpus pass for bigram counts (map-side partials), the
+    (w1) context rollup reuses the (w1, w2) aggregate's output, and
+    the 1-row vocab size rides a broadcast cross join."""
+    base, per = _lm_doc_bigrams(docs, id_col, text_col)
     cnt = per.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
     ctx = cnt.groupBy("w1").agg(F.sum("c").alias("cx"))
     vsize = base.select(F.explode("t").alias("tok")).agg(
@@ -1169,11 +1174,48 @@ def lm_score(docs: DataFrame, alpha: float = LM_ALPHA,
         (F.col("c") + F.lit(alpha))
         / (F.col("cx") + F.lit(alpha) * F.col("v"))
     )
-    rolled = (
-        per.join(cnt, ["w1", "w2"])
-        .join(ctx, "w1")
+    return (
+        cnt.join(ctx, "w1")
         .crossJoin(F.broadcast(vsize))
-        .select("doc_id", "m", (F.col("m") * lp).alias("mlp"))
+        .select("w1", "w2", lp.alias("lp"))
+    )
+
+
+def lm_score(docs: DataFrame, alpha: float = LM_ALPHA,
+             id_col: str = "doc_id",
+             text_col: str = "text",
+             model: DataFrame | None = None) -> DataFrame:
+    """Bigram-LM fluency score per document — the deterministic,
+    self-trained stand-in for CCNet-style perplexity filtering
+    (Wenzek et al. 2020: rank web text by LM perplexity, drop the
+    worst tail). The model is an add-k-smoothed bigram LM induced from
+    the corpus itself: P(w2|w1) = (c(w1,w2)+k) / (ctx(w1)+k·V), with
+    ctx(w1) = Σ bigram counts starting at w1 and V = corpus distinct
+    token count. Per doc: mean log-prob over its bigram occurrences
+    and the corresponding perplexity exp(−mean). Tokenization matches
+    ``vocab_oov``/``dup_ngram_fraction``.
+
+    With ``model`` (a persisted ``train_lm`` artifact, read back from
+    parquet) training is skipped entirely: scoring is ONE keyed join
+    per→(w1, w2)→lp plus the doc_id rollup — the per-corpus model
+    trains once, like every other derived index here. Without it the
+    model is induced inline from ``docs`` (identical result,
+    unit-pinned; two extra corpus-wide aggregations per call).
+
+    Scale design: bigrams form INSIDE the token array (see
+    ``_lm_doc_bigrams``); the per-(doc, w1, w2) multiplicity rollup
+    shrinks the stream before the model join, and the final rollup
+    keys on doc_id. The mean is computed in weighted form Σm·lp / Σm
+    on BOTH engines so the two sides differ only in summation order
+    (absorbed by the 6dp rounding); perplexity exponentiates the
+    already-rounded mean."""
+    if model is None:
+        model = train_lm(docs, alpha, id_col, text_col)
+    base, per = _lm_doc_bigrams(docs, id_col, text_col)
+    docs = fan_out(docs)
+    rolled = (
+        per.join(model, ["w1", "w2"])
+        .select("doc_id", "m", (F.col("m") * F.col("lp")).alias("mlp"))
         .groupBy("doc_id")
         .agg(
             F.sum("m").cast("bigint").alias("n_bigrams"),

@@ -661,6 +661,32 @@ def test_lm_score_matches_hand_model(spark):
     assert got[1]["ppl"] < got[2]["ppl"]
 
 
+def test_lm_score_persisted_model_equals_inline(spark, tmp_path):
+    """Scoring against the parquet-persisted train_lm artifact is
+    bit-identical to inline training — the per-corpus model artifact
+    (the lm_perplexity entry's serving path) changes nothing about
+    the result."""
+    from rag_database_spark.operators.text_analytics import (
+        lm_score,
+        train_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat the cat sat the cat"),
+         (2, "dog ran fast and the cat ran too"),
+         (3, "x"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm_model")
+    train_lm(docs).write.mode("overwrite").parquet(path)
+    model = spark.read.parquet(path)
+
+    inline = sorted(map(tuple, lm_score(docs).collect()))
+    persisted = sorted(map(tuple, lm_score(docs, model=model).collect()))
+    assert inline == persisted
+
+
 def test_temperature_sample_flattens_source_skew(spark):
     """τ=2 sampling keeps a larger FRACTION of the small source than
     of the big one (flattening), the per-source audit is exact, and
