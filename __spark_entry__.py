@@ -1358,7 +1358,8 @@ def _pagerank_scores(
             else _pagerank_out(spark, sf_dir)
         )
         graph_ops.pagerank(
-            load_table(spark, sf_dir, "documents"), out=out
+            load_table(spark, sf_dir, "documents"), out=out,
+            weighted=weighted,
         ).write.mode("overwrite").parquet(str(cache_dir))
         if weighted:
             out.unpersist()

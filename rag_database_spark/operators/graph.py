@@ -470,6 +470,17 @@ def pagerank(
     own_out = out is None
     if own_out:
         out = pagerank_edges(edges, weighted=weighted).persist()
+    elif weighted != ("w" in out.columns):
+        # the transition weight is keyed off the prebuilt edge list's
+        # schema below — a caller passing out= built with the other
+        # weighted= would silently get that build's semantics, so make
+        # the disagreement loud instead
+        raise ValueError(
+            "pagerank: weighted=%r but the prebuilt `out` was built "
+            "with weighted=%r (presence of its 'w' column) — rebuild "
+            "the edge artifact or drop the flag"
+            % (weighted, not weighted)
+        )
 
     def _done(result: DataFrame) -> DataFrame:
         if own_out:

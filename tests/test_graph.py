@@ -240,6 +240,29 @@ def test_triangles_match_brute_force_on_random_graph(spark):
         assert abs(got[v]["clustering"] - want) < 1e-9, v
 
 
+def test_pagerank_rejects_mismatched_prebuilt_out(spark):
+    """Passing a prebuilt out= edge artifact whose weighted-ness
+    disagrees with the weighted= flag raises instead of silently
+    using the artifact's semantics (the transition weight is keyed
+    off the 'w' column's presence)."""
+    import pytest
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2, "t", 0.9)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    out_w = g.pagerank_edges(edges, weighted=True)
+    out_u = g.pagerank_edges(edges, weighted=False)
+    with pytest.raises(ValueError, match="weighted"):
+        g.pagerank(nodes, out=out_w, weighted=False)
+    with pytest.raises(ValueError, match="weighted"):
+        g.pagerank(nodes, out=out_u, weighted=True)
+    # matching combinations still run
+    assert g.pagerank(nodes, out=out_w, weighted=True).count() == 2
+    assert g.pagerank(nodes, out=out_u).count() == 2
+
+
 def test_weighted_pagerank_matches_dense_reference(spark):
     """Weighted pagerank == a dense reference with confidence-weighted
     transitions (max over parallel edges, 6dp-rounded weight-sum
