@@ -1008,6 +1008,32 @@ def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMAGE_DHASH_HAMMING = 5  # 6 blocks × 10 bits over the 60-bit dHash
+
+
+def _image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup for the multimodal family: 60-bit perceptual
+    dHash per media payload (PIL seam; deterministic length-scaled
+    md5 pixel stub otherwise) + Hamming-banded pair join reusing the
+    SimHash pigeonhole machinery — d+1 blocks, keyed join, never
+    all-pairs. The reference stores page images
+    (metadata_store.py:315-357); this is the dedup pass over them."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    fps = multimodal.image_dhash(
+        multimodal.media_table(docs, "doc_id", "payload", "image")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("dhash").alias("simhash"),
+    )
+    return dedup.simhash_pairs(
+        fps, IMAGE_DHASH_HAMMING, bits=multimodal.DHASH_BITS
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-lite + J11: deterministic hash-projection embedder feeding
     cosine top-k — the full embed→index→search path, model-free."""
@@ -1745,7 +1771,8 @@ _PURE_LAZY = frozenset({
     "source_mix",
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
-    "domain_cap", "media_stats", "dedup_regions", "events_profile",
+    "domain_cap", "media_stats", "image_near_dup", "dedup_regions",
+    "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
     "augment_results",
     "resolve_references",
@@ -1794,8 +1821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tenant_scoped_search": _tenant_scoped_search,
         "chunk_documents": _chunk_documents,
         "quality_report": _quality_report,
-        "exact_dedup": _exact_dedup,
-        "near_dup_pairs": _near_dup_pairs,
         "minhash_sigs": _minhash_sigs,
         "embedding_near_dup": _embedding_near_dup,
         "curate_corpus": _curate_corpus,
@@ -1804,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_summary": _table_summary,
         "extract_metadata": _extract_metadata,
         "redact_pii": _redact_pii,
+        # new in r10 (needs its first driver row)
+        "image_near_dup": _image_near_dup,
         # never-driver-certified until r10 (rotated in this round)
         "doc_pagerank": _doc_pagerank,
         "ppr_topk": _ppr_topk,
@@ -1836,6 +1863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entry 51+: outside the driver window ---
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
+        "exact_dedup": _exact_dedup,
+        "near_dup_pairs": _near_dup_pairs,
         "search_analytics": _search_analytics,
         "chunking_stats": _chunking_stats,
         "lang_id": _lang_id,
@@ -2042,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": oracles.domain_cap_sql(),
         "dedup_regions": oracles.dedup_regions_sql(),
         "media_stats": oracles.media_stats_sql(),
+        "image_near_dup": oracles.image_near_dup_sql(IMAGE_DHASH_HAMMING),
         "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
         "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),
         "rerank_topk": oracles.rerank_topk_sql(

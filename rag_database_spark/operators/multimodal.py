@@ -185,6 +185,86 @@ def media_embedding(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     )
 
 
+DHASH_ROWS = 6
+DHASH_COLS = 10  # comparisons per row; pixel-grid width = DHASH_COLS + 1
+DHASH_BITS = DHASH_ROWS * DHASH_COLS  # 60 — fits a signed long, and
+# divides into the (d+1)-block Hamming banding for d = 2, 4, 5, 9, ...
+
+
+def _fake_pixels(payload: bytes, n_cells: int) -> list[int]:
+    """Deterministic pseudo-grayscale grid: the payload is split into
+    ``n_cells`` length-scaled byte windows and each cell is the first
+    md5 byte of its window — LOCALITY-SENSITIVE like a real downscale
+    (docs sharing most bytes share most windows, so near-dup payloads
+    get near-equal grids) and exactly reproducible in SQL
+    (md5(substr(text, ...))), which is what makes the entry
+    oracle-backed. Replaced wholesale by PIL when present."""
+    w = (len(payload) + n_cells - 1) // n_cells
+    return [
+        int(
+            hashlib.md5(payload[i * w : i * w + w]).hexdigest()[:2], 16
+        )
+        for i in range(n_cells)
+    ]
+
+
+def _real_pixels(payload: bytes, n_rows: int, n_cols: int) -> list[int]:
+    """Real dHash front end: grayscale + downscale via PIL (the
+    reference stores page images as PIL/base64,
+    metadata_store.py:315-357); row-major pixel list."""
+    import io
+
+    import PIL.Image
+
+    im = (
+        PIL.Image.open(io.BytesIO(payload or b""))
+        .convert("L")
+        .resize((n_cols, n_rows))
+    )
+    return list(im.getdata())
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash fingerprint per media row: compare
+    horizontally adjacent cells of a ``DHASH_ROWS``×``DHASH_COLS+1``
+    grayscale grid — bit r·10+c is set iff cell (r, c+1) > cell (r, c)
+    — giving a 60-bit fingerprint whose Hamming distance tracks visual
+    similarity. The comparison math is the real dHash; only pixel
+    acquisition sits behind the PIL seam (``_fake_pixels`` otherwise,
+    deterministic and oracle-reproducible). One Arrow batch in → one
+    out; payload bytes never leave the executor.
+
+    Near-dup pairs come from ``dedup.simhash_pairs`` over this
+    fingerprint — the same pigeonhole block-banded join, never
+    all-pairs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rag_database_spark.seams import have
+
+        real = have("PIL.Image")
+        n_rows, n_cols = DHASH_ROWS, DHASH_COLS + 1
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                px = (
+                    _real_pixels(payload, n_rows, n_cols)
+                    if real
+                    else _fake_pixels(payload, n_rows * n_cols)
+                )
+                fp = 0
+                for r in range(n_rows):
+                    for c in range(DHASH_COLS):
+                        if px[r * n_cols + c + 1] > px[r * n_cols + c]:
+                            fp |= 1 << (r * DHASH_COLS + c)
+                out.append((mid, fp))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(batches, schema="media_id long, dhash long")
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """(media_id, kind, n_bytes, fingerprint) — byte length + md5 hex
     over the payload, computed in the Python stage to exercise the

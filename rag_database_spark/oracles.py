@@ -1939,6 +1939,44 @@ GROUP BY CUBE (event_type, date_trunc('hour', ts))
 """
 
 
+def image_near_dup_sql(max_hamming: int) -> str:
+    # mirrors multimodal.image_dhash's seam-stub path exactly: pixel i
+    # = first md5 byte of the i-th length-scaled payload window (the
+    # payload is encode(text), so substr(text, ...) sees the same
+    # bytes on the ASCII corpus), bit r*10+c set iff the right cell
+    # beats the left; pairs brute-forced here (the Spark side uses the
+    # pigeonhole block-banded join)
+    from rag_database_spark.operators.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+    )
+
+    n_cells = DHASH_ROWS * (DHASH_COLS + 1)
+    terms = " + ".join(
+        f"(CASE WHEN px[{r * (DHASH_COLS + 1) + c + 2}] >"
+        f" px[{r * (DHASH_COLS + 1) + c + 1}]"
+        f" THEN {1 << (r * DHASH_COLS + c)}::BIGINT ELSE 0 END)"
+        for r in range(DHASH_ROWS)
+        for c in range(DHASH_COLS)
+    )
+    return f"""
+WITH cells AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(text,
+             1 + i * ((length(text) + {n_cells - 1}) // {n_cells}),
+             (length(text) + {n_cells - 1}) // {n_cells})), 1, 2)
+         )::BIGINT AS px
+  FROM documents, range({n_cells}) t(i)
+),
+p AS (SELECT doc_id, list(px ORDER BY i) AS px FROM cells GROUP BY doc_id),
+fp AS (SELECT doc_id, ({terms})::BIGINT AS fp FROM p)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
 def media_stats_sql() -> str:
     return """
 SELECT doc_id AS media_id, 'text' AS kind,

@@ -202,6 +202,30 @@ def test_lsh_topk_no_corpus_wide_join(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_image_near_dup_banded_join(spark):
+    """Image near-dup plan contract: the Hamming pair join is keyed on
+    the pigeonhole (block_idx, block_val) — never an all-pairs
+    cartesian or nested-loop join over the corpus fingerprints."""
+    from rag_database_spark.operators import dedup as dd
+    from rag_database_spark.operators import multimodal
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    fps = multimodal.image_dhash(
+        multimodal.media_table(docs, "doc_id", "payload", "image")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("dhash").alias("simhash"),
+    )
+    p = plan_of(
+        dd.simhash_pairs(fps, 5, bits=multimodal.DHASH_BITS), "simple"
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "block_idx" in p and "block_val" in p
+
+
 def test_repetition_signals_partial_agg_and_single_gram_shuffle(spark):
     """The gram count groupBy must combine map-side (partial_count
     before its exchange); the per-doc rollup is the only other

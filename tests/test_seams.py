@@ -335,3 +335,35 @@ def test_real_decode_consumes_recorded_pil_image(monkeypatch):
     assert multimodal._real_decode(b"zz", "video") == multimodal._fake_decode(
         b"zz", "video"
     )
+
+
+def test_real_pixels_consumes_recorded_pil_image(monkeypatch):
+    """The dHash real-pixel branch drives PIL grayscale+resize and
+    returns the row-major pixel list — pinned against a recorded fake
+    so the real decoder drops in with no code change."""
+    from rag_database_spark.operators import multimodal
+
+    calls = {}
+
+    class _Im:
+        def convert(self, mode):
+            calls["mode"] = mode
+            return self
+
+        def resize(self, size):
+            calls["size"] = size
+            return self
+
+        def getdata(self):
+            return range(calls["size"][0] * calls["size"][1])
+
+    fake_img = types.ModuleType("PIL.Image")
+    fake_img.open = lambda bio: _Im()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_img
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
+
+    px = multimodal._real_pixels(b"\x89PNGxxxx", 6, 11)
+    assert calls == {"mode": "L", "size": (11, 6)}
+    assert px == list(range(66))

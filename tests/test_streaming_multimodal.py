@@ -102,6 +102,56 @@ def test_frame_sample_flatmap(spark, media):
     assert all(r["n_bytes"] == 256 for r in vid)
 
 
+def test_image_dhash_hand_case(spark):
+    """dHash fingerprint == an independent hashlib recompute of the
+    length-scaled md5 pixel grid + adjacent-cell comparisons; exact
+    duplicate payloads collide at hamming 0 via the banded pair
+    join and a distinct payload does not pair with them."""
+    import hashlib
+
+    from rag_database_spark.operators import dedup as dd
+
+    t1 = b"the quick brown fox jumps over the lazy dog" * 4
+    t2 = b"completely different content with other bytes here" * 4
+    media = spark.createDataFrame(
+        [(1, "image", t1, {}), (2, "image", t2, {}), (3, "image", t1, {})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.image_dhash(media).collect()
+    }
+
+    def expect(payload):
+        n_cells = multimodal.DHASH_ROWS * (multimodal.DHASH_COLS + 1)
+        w = (len(payload) + n_cells - 1) // n_cells
+        px = [
+            int(hashlib.md5(payload[i * w: i * w + w]).hexdigest()[:2], 16)
+            for i in range(n_cells)
+        ]
+        fp = 0
+        for r in range(multimodal.DHASH_ROWS):
+            for c in range(multimodal.DHASH_COLS):
+                row0 = r * (multimodal.DHASH_COLS + 1)
+                if px[row0 + c + 1] > px[row0 + c]:
+                    fp |= 1 << (r * multimodal.DHASH_COLS + c)
+        return fp
+
+    assert got[1] == expect(t1) and got[2] == expect(t2)
+    assert got[1] == got[3] and got[1] != got[2]
+
+    fps = multimodal.image_dhash(media).select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_pairs(
+            fps, 5, bits=multimodal.DHASH_BITS
+        ).collect()
+    }
+    assert pairs == {(1, 3): 0}
+
+
 def test_media_embedding_shape(spark, media):
     rows = multimodal.media_embedding(media).collect()
     assert len(rows) == 3
