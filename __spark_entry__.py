@@ -928,6 +928,19 @@ def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.funnel(load_table(spark, sf_dir, "events"))
 
 
+FUNNEL_WINDOW_US = 3_600_000_000  # "converted within the hour"
+
+
+def _event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a per-step conversion window: each step must land
+    within FUNNEL_WINDOW_US of the previous one (integer µs
+    arithmetic, engine-portable) — the 'click within an hour of the
+    view' business rule on top of the strictly-after chaining."""
+    return streaming_events.funnel(
+        load_table(spark, sf_dir, "events"), within_us=FUNNEL_WINDOW_US
+    )
+
+
 def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle (first-event cohort × activity
     week, distinct users; offsets exact via Monday alignment)."""
@@ -1780,7 +1793,8 @@ _PURE_LAZY = frozenset({
     "table_cells", "table_summary", "table_texts", "extract_metadata",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
     "token_stats", "doc_quality", "events_hourly", "user_sessions",
-    "event_funnel", "cohort_retention", "events_cube",
+    "event_funnel", "event_funnel_windowed", "cohort_retention",
+    "events_cube",
     "conversions", "route_stats", "gopher_rules", "c4_rules",
     "repetition_signals", "asof_attribution", "quantize_embeddings",
     "quantized_topk", "ann_ivf_topk", "ann_lsh_topk",
@@ -1838,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _graph_triangles,
         "related_ids": _related_ids,
         "event_funnel": _event_funnel,
+        "event_funnel_windowed": _event_funnel_windowed,
         "cohort_retention": _cohort_retention,
         "events_cube": _events_cube,
         "events_window_join": _events_window_join,
@@ -1996,6 +2011,9 @@ def oracle_sql() -> dict[str, str]:
             text_analytics.TEMP_BUDGET_FRAC, text_analytics.TEMP_SEED
         ),
         "event_funnel": oracles.funnel_sql(streaming_events.FUNNEL_STEPS),
+        "event_funnel_windowed": oracles.funnel_sql(
+            streaming_events.FUNNEL_STEPS, within_us=FUNNEL_WINDOW_US
+        ),
         "cohort_retention": oracles.cohort_retention_sql(),
         "events_cube": oracles.events_cube_sql(),
         "pagerank_weighted": oracles.pagerank_sql(

@@ -1873,10 +1873,19 @@ FROM events GROUP BY 1, 2
 """
 
 
-def funnel_sql(steps: tuple[str, ...]) -> str:
+def funnel_sql(
+    steps: tuple[str, ...], within_us: int | None = None
+) -> str:
     """Twin of ``events.funnel``: step-k first-occurrence times chain
     strictly after step-(k-1); counts integer-exact, conversion one
-    rounded division of identical integers."""
+    rounded division of identical integers. ``within_us`` mirrors the
+    step-to-step conversion window via the same integer µs
+    arithmetic (epoch_us == unix_micros)."""
+    gap = (
+        f" AND epoch_us(e.ts) <= epoch_us(p.t) + {within_us}"
+        if within_us is not None
+        else ""
+    )
     ctes = []
     for i, s in enumerate(steps):
         if i == 0:
@@ -1888,7 +1897,7 @@ def funnel_sql(steps: tuple[str, ...]) -> str:
             ctes.append(
                 f"t{i + 1} AS (SELECT e.user_id, min(e.ts) AS t "
                 f"FROM events e JOIN t{i} p ON p.user_id = e.user_id "
-                f"AND e.ts > p.t WHERE e.event_type = '{s}' "
+                f"AND e.ts > p.t{gap} WHERE e.event_type = '{s}' "
                 f"GROUP BY e.user_id)"
             )
         ctes.append(f"c{i + 1} AS (SELECT count(*) AS n FROM t{i + 1})")
