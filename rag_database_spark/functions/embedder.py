@@ -29,6 +29,13 @@ _SCALE = float(1 << 59)  # hash60 range midpoint
 # M1 real-model default (dense_embedder.py:27-35)
 DEFAULT_MODEL = "BAAI/bge-small-en-v1.5"
 
+# BGE models want this prefix on QUERIES (not documents) for best
+# retrieval quality (dense_embedder.py:46-50, 66-72); pass it as
+# model_embed(prefix=...) on the query side
+BGE_QUERY_PREFIX = (
+    "Represent this sentence for searching relevant passages: "
+)
+
 
 def _unit(h: Column) -> Column:
     """60-bit unsigned hash → [-1, 1)."""
@@ -90,6 +97,8 @@ def model_embed(
     out_col: str = "embedding",
     model_name: str = DEFAULT_MODEL,
     batch_size: int = 64,
+    normalize: bool = True,
+    prefix: str = "",
 ) -> DataFrame:
     """M1 real-model path (dense_embedder.py:27-78): sentence-
     transformers through an Arrow-batched mapInPandas — the model loads
@@ -97,10 +106,17 @@ def model_embed(
     closure), encodes each Arrow batch as one GPU/CPU forward pass, and
     only the float vectors cross back to the JVM.
 
+    ``normalize`` forwards sentence-transformers'
+    ``normalize_embeddings`` — the reference always L2-normalizes so
+    dot product == cosine (dense_embedder.py:60-63); ``prefix`` is
+    prepended to every text, the BGE query-side convention
+    (``BGE_QUERY_PREFIX``, dense_embedder.py:46-50).
+
     Raises ImportError when sentence-transformers is absent; callers
-    wanting automatic fallback use ``embed_text``. The smoke test
-    injects a fake module to verify plumbing (schema, batch shape)
-    without the real weights."""
+    wanting automatic fallback use ``embed_text``. Recorded-fixture
+    tests pin the encode contract (batch_size forwarding, normalize
+    flag, prefix application, input order) without the real weights
+    (tests/test_seams.py)."""
     from rag_database_spark.seams import optional_import
 
     st_mod = optional_import("sentence_transformers")
@@ -124,7 +140,9 @@ def model_embed(
             if pdf.empty:
                 continue
             vecs = model.encode(
-                pdf[text_col].tolist(), batch_size=batch_size
+                [prefix + t for t in pdf[text_col].tolist()],
+                batch_size=batch_size,
+                normalize_embeddings=normalize,
             )
             pdf = pdf.copy()
             pdf[out_col] = [[float(x) for x in v] for v in vecs]

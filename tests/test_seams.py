@@ -235,7 +235,7 @@ def test_model_embed_plumbing_with_fake_model(spark, monkeypatch):
         def __init__(self, name):
             self.name = name
 
-        def encode(self, texts, batch_size=64):
+        def encode(self, texts, batch_size=64, normalize_embeddings=True):
             return [[float(len(t)), 1.0, -0.5] for t in texts]
 
     fake.SentenceTransformer = FakeModel
@@ -248,6 +248,102 @@ def test_model_embed_plumbing_with_fake_model(spark, monkeypatch):
     assert [r["id"] for r in out] == [1, 2]
     assert out[0]["embedding"] == [11.0, 1.0, -0.5]
     assert out[1]["embedding"] == [3.0, 1.0, -0.5]
+
+
+def test_model_embed_encode_contract_recorded(spark, monkeypatch):
+    """Recorded-shape pin of the real-model encode contract
+    (dense_embedder.py:38-47, 58-63): batch_size and
+    normalize_embeddings are forwarded, the BGE query prefix is
+    prepended before encoding, and rows keep their input pairing.
+    The fake surfaces the executor-side call shape through the output
+    vectors (worker mutations can't cross back any other way)."""
+    from rag_database_spark.functions import embedder
+
+    fake = types.ModuleType("sentence_transformers")
+
+    class FakeModel:
+        def __init__(self, name):
+            self.name = name
+
+        def encode(self, texts, batch_size=None, normalize_embeddings=None):
+            return [
+                [
+                    float(len(t)),
+                    float(batch_size),
+                    1.0 if normalize_embeddings else 0.0,
+                ]
+                for t in texts
+            ]
+
+    fake.SentenceTransformer = FakeModel
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hi")], "id long, text string"
+    )
+    out = {
+        r["id"]: r["embedding"]
+        for r in embedder.model_embed(
+            df, batch_size=7, prefix=embedder.BGE_QUERY_PREFIX
+        ).collect()
+    }
+    plen = len(embedder.BGE_QUERY_PREFIX)
+    # normalize defaults ON (the reference always L2-normalizes)
+    assert out[1] == [float(plen + 5), 7.0, 1.0]
+    assert out[2] == [float(plen + 2), 7.0, 1.0]
+    # document side: no prefix, normalize can be disabled explicitly
+    out2 = {
+        r["id"]: r["embedding"]
+        for r in embedder.model_embed(
+            df, batch_size=3, normalize=False
+        ).collect()
+    }
+    assert out2[1] == [5.0, 3.0, 0.0] and out2[2] == [2.0, 3.0, 0.0]
+
+
+def test_model_rerank_pair_order_and_batch_recorded(spark, monkeypatch):
+    """Recorded-shape pin of the cross-encoder predict contract
+    (hybrid_search.py:610-615): pairs arrive (query, doc) — the
+    asymmetric score flips if the order were swapped — and batch_size
+    is forwarded (surfaced through the score's integer part)."""
+    from rag_database_spark.operators import lifecycle
+
+    fake = types.ModuleType("sentence_transformers")
+
+    class FakeCE:
+        def __init__(self, name):
+            self.name = name
+
+        def predict(self, pairs, batch_size=64):
+            return [
+                1000.0 * batch_size + len(q) - len(d) for q, d in pairs
+            ]
+
+    fake.CrossEncoder = FakeCE
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    results = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, id long"
+    )
+    queries = spark.createDataFrame(
+        [(1, "qq")], "query_id long, query_text string"
+    )
+    documents = spark.createDataFrame(
+        [(10, "dddd"), (11, "d")], "id long, text string"
+    )
+    rows = (
+        lifecycle.model_rerank(
+            results, queries, documents, limit=2, batch_size=5
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    # (query, doc) ordering: score = 5000 + len(q) - len(d), so the
+    # SHORTER doc ranks first; swapped pairs would invert this
+    assert [(r["id"], r["rerank_score"]) for r in rows] == [
+        (11, 5001.0),
+        (10, 4998.0),
+    ]
 
 
 def test_embed_text_fallback_is_hash_projection(spark):
