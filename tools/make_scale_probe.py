@@ -24,6 +24,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 DST = Path(__file__).resolve().parent.parent / ".cache" / "scale_probe" / "sf1"
 DST_DISTINCT = DST.parent / "sf1_distinct"
+DST_EVENTS = DST.parent / "sf1_events"
 REPLICAS = 10
 
 # Distinct-doc mode: the default replica corpus keeps each document a
@@ -81,8 +82,15 @@ def _distinct_text_expr(base: str) -> str:
     return f"CASE k.k WHEN 0 THEN {base} {branches} END"
 
 
-def build(force: bool = False, distinct: bool = False) -> Path:
-    dst = DST_DISTINCT if distinct else DST
+def build(
+    force: bool = False, distinct: bool = False, events_only: bool = False
+) -> Path:
+    """``events_only``: the events-AXIS corpus — ONLY the events table
+    replicates (10x users via the shifted user_id, same per-user event
+    count and the same time range), every other table stays at sf0.1.
+    The behavioral-analytics family (funnel/cohort/cube/sessions)
+    scales on users x time, not docs, so this isolates its axis."""
+    dst = DST_EVENTS if events_only else (DST_DISTINCT if distinct else DST)
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     for table in (
@@ -93,7 +101,8 @@ def build(force: bool = False, distinct: bool = False) -> Path:
         if out.exists() and not force:
             continue
         src = f"read_parquet('{SRC}/{table}.parquet')"
-        if table not in SHIFTS:  # fixed dims
+        if table not in SHIFTS or (events_only and table != "events"):
+            # fixed dims — and in events-axis mode, everything else
             con.execute(f"COPY (SELECT * FROM {src}) TO '{out}'")
             continue
         cols = [
@@ -147,5 +156,6 @@ if __name__ == "__main__":
         build(
             force="--force" in sys.argv,
             distinct="--distinct" in sys.argv,
+            events_only="--events" in sys.argv,
         )
     )

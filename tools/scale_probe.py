@@ -122,6 +122,56 @@ DISTINCT_AUDIT_NOTES = {
 }
 
 
+# Behavioral-analytics family for the --events probe: these scale on
+# users x time, not docs, so the default all-tables replica conflates
+# their axis with corpus growth. The events-axis corpus grows ONLY the
+# events table (10x users, same per-user event count and time range).
+EVENTS_FAMILY = (
+    "event_funnel", "event_funnel_windowed", "cohort_retention",
+    "events_cube", "user_sessions", "conversions", "events_hourly",
+    "events_window_join", "events_profile", "asof_attribution",
+)
+
+
+def run_events_probe() -> dict:
+    """sf0.1 → events-axis sf1 probe (10x user cardinality, everything
+    else fixed); results merge into SCALING.json under
+    ``events_axis_probe``."""
+    sf1_dir = str(build(events_only=True))
+    spark = get_spark("scale_probe_events")
+    only = set(EVENTS_FAMILY)
+    time_all(spark, SF_SMALL, only)  # warm
+    t_small = time_all(spark, SF_SMALL, only)
+    t_big = time_all(spark, sf1_dir, only)
+    out = {}
+    for name in sorted(t_small):
+        ts, tb = t_small[name], t_big.get(name, float("nan"))
+        exp = (
+            round(math.log(tb / ts) / math.log(10), 2)
+            if ts and ts > 0 and tb == tb and tb > 0
+            else None
+        )
+        out[name] = {"t_sf0.1": ts, "t_sf1": tb, "exponent": exp}
+    path = REPO / "SCALING.json"
+    blob = json.loads(path.read_text()) if path.exists() else {}
+    blob["events_axis_probe"] = {
+        "probe": "sf0.1 -> events-axis sf1 (10x USER cardinality: only "
+        "the events table replicates, same per-user event count and "
+        "time range — the behavioral family's own scaling axis)",
+        "queries": out,
+        "superlinear": sorted(
+            n for n, s in out.items()
+            if s["exponent"] is not None and s["exponent"] > ALARM_EXPONENT
+            and s["t_sf1"] > 1.0
+        ),
+    }
+    path.write_text(json.dumps(blob, indent=1) + "\n")
+    print(json.dumps(
+        {"events_superlinear": blob["events_axis_probe"]["superlinear"]}
+    ))
+    return blob
+
+
 def run_distinct_probe() -> dict:
     """sf0.1 → distinct-doc sf1 probe of the dedup family; results
     merge into SCALING.json under ``distinct_doc_probe``."""
@@ -168,6 +218,9 @@ def run_distinct_probe() -> dict:
 def main() -> int:
     if "--distinct" in sys.argv:
         run_distinct_probe()
+        return 0
+    if "--events" in sys.argv:
+        run_events_probe()
         return 0
     # optional entry names: re-probe ONLY those and merge into the
     # existing SCALING.json — for re-measuring a point the full sweep
