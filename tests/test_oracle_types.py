@@ -96,10 +96,21 @@ def test_driver_window_composition_is_pinned():
     oracled = set(entrymod.oracle_sql())
     rows_only = set(entrymod.ROWS_ONLY_ENTRIES)
 
-    not_oracled = [k for k in head if k not in oracled]
+    # r10 exception (VERDICT r7-r9 item 1): these rows-only entries
+    # had never had ANY driver row, so they occupy window slots this
+    # round to collect their first (weaker, rows-only) certification.
+    # Rotate them back to the tail once CORRECTNESS_r10 records them.
+    certifying_rows_only = {
+        "ann_ivf_topk", "semantic_chunks", "route_and_chunk",
+    }
+
+    not_oracled = [
+        k for k in head
+        if k not in oracled and k not in certifying_rows_only
+    ]
     assert not not_oracled, (
         f"non-oracle entries inside the driver's {DRIVER_WINDOW}-entry "
         f"window (move to the tail): {not_oracled}"
     )
-    in_head = rows_only & set(head)
+    in_head = (rows_only & set(head)) - certifying_rows_only
     assert not in_head, f"rows-only entries occupying verified slots: {in_head}"
