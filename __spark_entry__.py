@@ -1021,6 +1021,28 @@ def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-parity resize clamp (reference: page images <=1024px,
+    document_processor.py:219-237): aspect-preserving integer-exact
+    dims through the Arrow media path; payload projected away so the
+    result hashes (the binary travels executor-side only)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = multimodal.resize_media(
+        multimodal.media_table(docs, "doc_id", "payload", "image")
+    )
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("new_width").cast("long").alias("new_width"),
+        F.col("new_height").cast("long").alias("new_height"),
+        "resized",
+    )
+
+
 IMAGE_DHASH_HAMMING = 5  # 6 blocks × 10 bits over the 60-bit dHash
 
 
@@ -1784,8 +1806,8 @@ _PURE_LAZY = frozenset({
     "source_mix",
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
-    "domain_cap", "media_stats", "image_near_dup", "dedup_regions",
-    "events_profile",
+    "domain_cap", "media_stats", "image_near_dup", "media_resize",
+    "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
     "augment_results",
     "resolve_references",
@@ -1934,6 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
         "conversions": _conversions,
+        # new in r10, tail (driver window is full with the
+        # certification rotation; local replica certifies until r11)
+        "media_resize": _media_resize,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -2090,6 +2115,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_regions": oracles.dedup_regions_sql(),
         "media_stats": oracles.media_stats_sql(),
         "image_near_dup": oracles.image_near_dup_sql(IMAGE_DHASH_HAMMING),
+        "media_resize": oracles.media_resize_sql(multimodal.MAX_SIDE),
         "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
         "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),
         "rerank_topk": oracles.rerank_topk_sql(

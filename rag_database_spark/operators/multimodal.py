@@ -185,6 +185,87 @@ def media_embedding(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     )
 
 
+MAX_SIDE = 1024  # the reference clamps page images to <=1024px
+# (document_processor.py:219-237)
+
+
+def _resize_one(
+    payload: bytes, kind: str, max_side: int, real: bool
+) -> tuple:
+    """(w0, h0, new_w, new_h, resized, out_payload) for one media row —
+    module-level so the real-PIL branch is directly unit-testable
+    (same pattern as ``_real_decode``/``_real_pixels``)."""
+    im = None
+    if real and kind == "image":
+        import io
+
+        import PIL.Image
+
+        im = PIL.Image.open(io.BytesIO(payload))
+        w0, h0 = im.width, im.height
+    else:
+        d = _fake_decode(payload, kind)
+        w0, h0 = d["width"], d["height"]
+    longer = max(w0, h0)
+    if longer > max_side:
+        nw = w0 * max_side // longer
+        nh = h0 * max_side // longer
+    else:
+        nw, nh = w0, h0
+    resized = (nw, nh) != (w0, h0)
+    if not resized:
+        out = payload
+    elif im is not None:
+        out = im.resize((nw, nh)).tobytes()
+    else:
+        # deterministic stub 'resample': byte crop to the new pixel
+        # budget
+        out = payload[: nw * nh]
+    return (w0, h0, nw, nh, resized, out)
+
+
+def resize_media(media: DataFrame, max_side: int = MAX_SIDE) -> DataFrame:
+    """Aspect-preserving resize clamp: images whose longer side exceeds
+    ``max_side`` are scaled so it equals ``max_side`` (integer
+    arithmetic — new_w = w·max_side // max(w, h) — so the dims are
+    engine-portable and the entry is oracle-backed). Real path opens
+    and resizes via PIL; behind the seam the dims come from the same
+    deterministic md5 pseudo-decode as ``decode_media`` and the
+    'resized' payload is a deterministic byte crop. One Arrow batch in
+    → one out; payloads never leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rag_database_spark.seams import have
+
+        real = have("PIL.Image")
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = [
+                (mid, kind)
+                + _resize_one(payload or b"", kind, max_side, real)
+                for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height",
+                    "new_width", "new_height", "resized", "payload",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, kind string, width int, height int, "
+            "new_width int, new_height int, resized boolean, "
+            "payload binary"
+        ),
+    )
+
+
 DHASH_ROWS = 6
 DHASH_COLS = 10  # comparisons per row; pixel-grid width = DHASH_COLS + 1
 DHASH_BITS = DHASH_ROWS * DHASH_COLS  # 60 — fits a signed long, and

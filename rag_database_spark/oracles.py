@@ -1986,6 +1986,39 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 """
 
 
+def media_resize_sql(max_side: int) -> str:
+    # mirrors multimodal._fake_decode + resize_media: dims from the
+    # first two md5 bytes of the payload (== md5(text) on the ASCII
+    # corpus), aspect-preserving integer clamp new_w = w*max_side //
+    # max(w, h)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0,
+         ('0x' || substr(md5(text), 3, 2))::BIGINT AS b1
+  FROM documents
+),
+d AS (
+  SELECT doc_id, (64 + b0 % 1920)::BIGINT AS w0,
+         (64 + b1 % 1080)::BIGINT AS h0
+  FROM b
+),
+r AS (
+  SELECT doc_id, w0, h0, greatest(w0, h0) AS longer,
+         CASE WHEN greatest(w0, h0) > {max_side}
+              THEN (w0 * {max_side}) // greatest(w0, h0) ELSE w0 END AS nw,
+         CASE WHEN greatest(w0, h0) > {max_side}
+              THEN (h0 * {max_side}) // greatest(w0, h0) ELSE h0 END AS nh
+  FROM d
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+       w0 AS width, h0 AS height,
+       nw::BIGINT AS new_width, nh::BIGINT AS new_height,
+       (nw != w0 OR nh != h0) AS resized
+FROM r
+"""
+
+
 def media_stats_sql() -> str:
     return """
 SELECT doc_id AS media_id, 'text' AS kind,

@@ -102,6 +102,77 @@ def test_frame_sample_flatmap(spark, media):
     assert all(r["n_bytes"] == 256 for r in vid)
 
 
+def test_resize_media_clamp_math(spark):
+    """Stub-path resize: dims come from the md5 pseudo-decode, the
+    clamp is integer-exact aspect-preserving (new_w = w*max_side //
+    max(w, h)), small images pass through payload-untouched, and the
+    stub 'resample' crops the payload to the new pixel budget."""
+    import hashlib
+
+    p1 = b"payload one bytes" * 100
+    p2 = b"x"
+    media = spark.createDataFrame(
+        [(1, "image", p1, {}), (2, "image", p2, {})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: r
+        for r in multimodal.resize_media(media, max_side=256).collect()
+    }
+    for mid, payload in ((1, p1), (2, p2)):
+        h = hashlib.md5(payload).digest()
+        w0, h0 = 64 + h[0] % 1920, 64 + h[1] % 1080
+        longer = max(w0, h0)
+        if longer > 256:
+            nw, nh = w0 * 256 // longer, h0 * 256 // longer
+        else:
+            nw, nh = w0, h0
+        r = got[mid]
+        assert (r["width"], r["height"]) == (w0, h0)
+        assert (r["new_width"], r["new_height"]) == (nw, nh)
+        assert r["resized"] == ((nw, nh) != (w0, h0))
+        want_payload = payload[: nw * nh] if r["resized"] else payload
+        assert bytes(r["payload"]) == want_payload
+
+
+def test_resize_one_real_pil_branch(monkeypatch):
+    """The real-PIL branch of _resize_one opens, clamps, and resizes
+    via PIL — pinned against a recorded fake (same direct-call pattern
+    as _real_decode; executor monkeypatching can't cross workers)."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _Im:
+        width, height = 2048, 512
+
+        def resize(self, size):
+            calls["size"] = size
+            return self
+
+        def tobytes(self):
+            return b"resized-bytes"
+
+    fake_img = types.ModuleType("PIL.Image")
+    fake_img.open = lambda bio: _Im()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_img
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
+
+    out = multimodal._resize_one(b"\x89PNGxxxx", "image", 1024, True)
+    # 2048x512 clamps to 1024x256 (aspect preserved, integer-exact)
+    assert out == (2048, 512, 1024, 256, True, b"resized-bytes")
+    assert calls["size"] == (1024, 256)
+    # already-small image: untouched payload, no resize call
+    _Im.width, _Im.height = 640, 480
+    calls.clear()
+    out2 = multimodal._resize_one(b"\x89PNGxxxx", "image", 1024, True)
+    assert out2 == (640, 480, 640, 480, False, b"\x89PNGxxxx")
+    assert "size" not in calls
+
+
 def test_image_dhash_hand_case(spark):
     """dHash fingerprint == an independent hashlib recompute of the
     length-scaled md5 pixel grid + adjacent-cell comparisons; exact
