@@ -1043,6 +1043,30 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_FP_HAMMING = 5  # 6 blocks × 10 bits over the 60-bit fingerprint
+
+
+def _audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup: Haitsma-Kalker-style energy-delta fingerprint
+    per payload (soundfile seam; deterministic md5 frame-energy stub
+    otherwise) + the same Hamming-banded pair join as the image/text
+    SimHash family — keyed, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    fps = multimodal.audio_fingerprint(
+        multimodal.media_table(docs, "doc_id", "payload", "audio")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("audio_fp").alias("simhash"),
+    )
+    return dedup.simhash_pairs(
+        fps, AUDIO_FP_HAMMING, bits=multimodal.AUDIO_FP_FRAMES - 1
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 IMAGE_DHASH_HAMMING = 5  # 6 blocks × 10 bits over the 60-bit dHash
 
 
@@ -1807,7 +1831,7 @@ _PURE_LAZY = frozenset({
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
-    "dedup_regions", "events_profile",
+    "audio_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
     "augment_results",
     "resolve_references",
@@ -1959,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r10, tail (driver window is full with the
         # certification rotation; local replica certifies until r11)
         "media_resize": _media_resize,
+        "audio_near_dup": _audio_near_dup,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -2116,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": oracles.media_stats_sql(),
         "image_near_dup": oracles.image_near_dup_sql(IMAGE_DHASH_HAMMING),
         "media_resize": oracles.media_resize_sql(multimodal.MAX_SIDE),
+        "audio_near_dup": oracles.audio_near_dup_sql(AUDIO_FP_HAMMING),
         "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
         "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),
         "rerank_topk": oracles.rerank_topk_sql(

@@ -1986,6 +1986,37 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 """
 
 
+def audio_near_dup_sql(max_hamming: int) -> str:
+    # mirrors multimodal.audio_fingerprint's seam-stub path: frame
+    # energy i = first md5 byte of the i-th length-scaled payload
+    # window, bit i set iff energy(i+1) > energy(i); pairs brute-forced
+    # (Spark uses the pigeonhole banded join)
+    from rag_database_spark.operators.multimodal import AUDIO_FP_FRAMES
+
+    n = AUDIO_FP_FRAMES
+    terms = " + ".join(
+        f"(CASE WHEN e[{i + 2}] > e[{i + 1}]"
+        f" THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(n - 1)
+    )
+    return f"""
+WITH frames AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(text,
+             1 + i * ((length(text) + {n - 1}) // {n}),
+             (length(text) + {n - 1}) // {n})), 1, 2)
+         )::BIGINT AS e
+  FROM documents, range({n}) t(i)
+),
+p AS (SELECT doc_id, list(e ORDER BY i) AS e FROM frames GROUP BY doc_id),
+fp AS (SELECT doc_id, ({terms})::BIGINT AS fp FROM p)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
 def media_resize_sql(max_side: int) -> str:
     # mirrors multimodal._fake_decode + resize_media: dims from the
     # first two md5 bytes of the payload (== md5(text) on the ASCII

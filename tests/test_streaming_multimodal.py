@@ -173,6 +173,91 @@ def test_resize_one_real_pil_branch(monkeypatch):
     assert "size" not in calls
 
 
+def test_audio_fingerprint_hand_case(spark):
+    """Energy-delta fingerprint == an independent hashlib recompute;
+    identical payloads collide at hamming 0 via the banded join."""
+    import hashlib
+
+    from rag_database_spark.operators import dedup as dd
+
+    t1 = b"some pseudo audio payload bytes here" * 8
+    t2 = b"other waveform content entirely different" * 8
+    media = spark.createDataFrame(
+        [(1, "audio", t1, {}), (2, "audio", t2, {}), (3, "audio", t1, {})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: r["audio_fp"]
+        for r in multimodal.audio_fingerprint(media).collect()
+    }
+
+    def expect(payload):
+        n = multimodal.AUDIO_FP_FRAMES
+        w = (len(payload) + n - 1) // n
+        e = [
+            int(hashlib.md5(payload[i * w: i * w + w]).hexdigest()[:2], 16)
+            for i in range(n)
+        ]
+        fp = 0
+        for i in range(n - 1):
+            if e[i + 1] > e[i]:
+                fp |= 1 << i
+        return fp
+
+    assert got[1] == expect(t1) and got[2] == expect(t2)
+    assert got[1] == got[3] and got[1] != got[2]
+
+    fps = multimodal.audio_fingerprint(media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("audio_fp").alias("simhash"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_pairs(
+            fps, 5, bits=multimodal.AUDIO_FP_FRAMES - 1
+        ).collect()
+    }
+    assert pairs == {(1, 3): 0}
+
+
+def test_real_frame_energies_rms_and_volume_invariance(monkeypatch):
+    """The real branch computes per-frame RMS over mono-mixed PCM via
+    the soundfile seam (recorded fake), and the delta-sign fingerprint
+    is invariant to volume scaling — the Haitsma-Kalker property the
+    energy-DELTA construction exists for."""
+    import math
+    import sys
+    import types
+
+    wave = [0.1, 0.2, 0.4, 0.8, 0.4, 0.2, 0.1, 0.05]
+
+    def fake_read(bio):
+        return list(wave), 16000
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = fake_read
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+
+    n = 4  # 2 samples per frame
+    e = multimodal._real_frame_energies(b"fake-wav", n)
+    want = [
+        math.sqrt((a * a + b * b) / 2)
+        for a, b in zip(wave[0::2], wave[1::2])
+    ]
+    assert all(abs(x - y) < 1e-12 for x, y in zip(e, want))
+
+    def fp(energies):
+        out = 0
+        for i in range(len(energies) - 1):
+            if energies[i + 1] > energies[i]:
+                out |= 1 << i
+        return out
+
+    fake_sf.read = lambda bio: ([2.0 * v for v in wave], 16000)
+    e2 = multimodal._real_frame_energies(b"fake-wav", n)
+    assert fp(e2) == fp(e)  # volume doubled, deltas' signs unchanged
+
+
 def test_image_dhash_hand_case(spark):
     """dHash fingerprint == an independent hashlib recompute of the
     length-scaled md5 pixel grid + adjacent-cell comparisons; exact
