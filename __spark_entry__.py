@@ -1043,6 +1043,36 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIDEO_FRAME_BYTES = 32
+VIDEO_EVERY_N = 2
+VIDEO_JACCARD = 0.5
+
+
+def _video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup: sampled-frame-set Jaccard — frame_sample emits
+    every 2nd fixed-size frame, each frame hashes to one md5 'shingle',
+    and the pair join is the SAME inverted-index machinery as text
+    near-dup (shingle_jaccard_pairs over a prebuilt exploded index:
+    candidate-ceiling auto-switch, never all-pairs). Two videos
+    sharing most sampled frames pair up regardless of length — the
+    frame-set analog of content-defined video dedup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = multimodal.frame_sample(
+        multimodal.media_table(docs, "doc_id", "payload", "video"),
+        every_n=VIDEO_EVERY_N,
+        frame_bytes=VIDEO_FRAME_BYTES,
+    )
+    ex = frames.select(
+        F.col("media_id").alias("doc_id"),
+        F.md5(F.col("frame")).alias("s"),
+    ).distinct()
+    return dedup.shingle_jaccard_pairs(
+        None, VIDEO_JACCARD, shingle_index=ex
+    )
+
+
 AUDIO_FP_HAMMING = 5  # 6 blocks × 10 bits over the 60-bit fingerprint
 
 
@@ -1831,7 +1861,7 @@ _PURE_LAZY = frozenset({
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
-    "audio_near_dup", "dedup_regions", "events_profile",
+    "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
     "augment_results",
     "resolve_references",
@@ -1984,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certification rotation; local replica certifies until r11)
         "media_resize": _media_resize,
         "audio_near_dup": _audio_near_dup,
+        "video_near_dup": _video_near_dup,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -2142,6 +2173,9 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup": oracles.image_near_dup_sql(IMAGE_DHASH_HAMMING),
         "media_resize": oracles.media_resize_sql(multimodal.MAX_SIDE),
         "audio_near_dup": oracles.audio_near_dup_sql(AUDIO_FP_HAMMING),
+        "video_near_dup": oracles.video_near_dup_sql(
+            VIDEO_FRAME_BYTES, VIDEO_EVERY_N, VIDEO_JACCARD
+        ),
         "delete_document_cascade": oracles.delete_cascade_sql(DELETE_MOD),
         "vector_upsert": oracles.vector_upsert_sql(UPSERT_MOD),
         "rerank_topk": oracles.rerank_topk_sql(

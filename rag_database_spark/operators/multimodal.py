@@ -132,7 +132,9 @@ def decode_media(media: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+def frame_sample(
+    media: DataFrame, every_n: int = 4, frame_bytes: int = FRAME_BYTES
+) -> DataFrame:
     """Video frame-sampling stub: emit every ``every_n``-th fixed-size
     byte window as a 'frame' row — one row in → many rows out, the real
     flatMap shape a frame extractor needs."""
@@ -142,9 +144,9 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = payload or b""
-                n_frames = max(1, len(payload) // FRAME_BYTES)
+                n_frames = max(1, len(payload) // frame_bytes)
                 for fi in range(0, n_frames, every_n):
-                    chunk = payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    chunk = payload[fi * frame_bytes : (fi + 1) * frame_bytes]
                     rows.append((mid, fi, len(chunk), chunk))
             if rows:
                 yield pd.DataFrame(

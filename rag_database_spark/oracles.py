@@ -1986,6 +1986,37 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 """
 
 
+def video_near_dup_sql(
+    frame_bytes: int, every_n: int, threshold: float
+) -> str:
+    # mirrors frame_sample + the entry's md5-per-frame exploded index:
+    # frames at byte offsets fi*frame_bytes for fi in range(0,
+    # max(1, len//frame_bytes), every_n); Jaccard over the DISTINCT
+    # frame-hash sets
+    return f"""
+WITH fr AS (
+  SELECT doc_id,
+         md5(substr(text, 1 + fi * {frame_bytes}, {frame_bytes})) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(range(0,
+           greatest(1, length(text) // {frame_bytes}), {every_n})) AS fi) t
+),
+d AS (SELECT DISTINCT doc_id, s FROM fr),
+sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(c / (x.n + y.n - c), 6) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = ia
+JOIN sz y ON y.doc_id = ib
+WHERE round(c / (x.n + y.n - c), 6) >= {threshold}
+"""
+
+
 def audio_near_dup_sql(max_hamming: int) -> str:
     # mirrors multimodal.audio_fingerprint's seam-stub path: frame
     # energy i = first md5 byte of the i-th length-scaled payload

@@ -258,6 +258,34 @@ def test_real_frame_energies_rms_and_volume_invariance(monkeypatch):
     assert fp(e2) == fp(e)  # volume doubled, deltas' signs unchanged
 
 
+def test_video_frame_jaccard_hand_case(spark):
+    """Frame-set Jaccard over sampled frames: two 'videos' sharing
+    half their sampled frames get exactly the hand-computed Jaccard;
+    an unrelated video pairs with neither."""
+    from rag_database_spark.operators import dedup as dd
+
+    fb, en = 4, 1  # 4-byte frames, sample every frame
+    shared = b"AAAABBBBCCCCDDDD"          # frames A B C D
+    v1 = shared + b"EEEEFFFF"             # A B C D E F
+    v2 = shared + b"GGGGHHHH"             # A B C D G H  -> inter 4, union 8
+    v3 = b"XXXXYYYYZZZZWWWW"              # disjoint
+    media = spark.createDataFrame(
+        [(1, "video", v1, {}), (2, "video", v2, {}), (3, "video", v3, {})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.frame_sample(media, every_n=en, frame_bytes=fb)
+    ex = frames.select(
+        F.col("media_id").alias("doc_id"), F.md5(F.col("frame")).alias("s")
+    ).distinct()
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.shingle_jaccard_pairs(
+            None, 0.4, shingle_index=ex
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0.5}
+
+
 def test_image_dhash_hand_case(spark):
     """dHash fingerprint == an independent hashlib recompute of the
     length-scaled md5 pixel grid + adjacent-cell comparisons; exact
