@@ -59,6 +59,36 @@ def test_simhash_identical_and_hamming(spark, docs):
     assert (1, 3) not in got
 
 
+def test_simhash_pairs_complete_vs_brute_force(spark):
+    """The pigeonhole banded join is EXACT, not approximate: over
+    seeded-random 60-bit fingerprints (plus planted close pairs) it
+    returns precisely the brute-force pair set at hamming <= d — the
+    completeness guarantee every Hamming-banded near-dup op
+    (SimHash text, image dHash, audio fingerprint) rides on."""
+    import random
+
+    rng = random.Random(7)
+    fps = [(i, rng.getrandbits(60)) for i in range(150)]
+    for j in range(12):  # planted pairs at hamming 0..5
+        mutated = fps[j][1]
+        for _ in range(rng.randint(0, 5)):
+            mutated ^= 1 << rng.randrange(60)
+        fps.append((1000 + j, mutated))
+
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(df, max_hamming=5, bits=60).collect()
+    }
+    want = {
+        (a, b, bin(fa ^ fb).count("1"))
+        for a, fa in fps
+        for b, fb in fps
+        if a < b and bin(fa ^ fb).count("1") <= 5
+    }
+    assert got == want and len(want) >= 12
+
+
 def test_rp_lsh_recall_vs_brute_force(spark):
     # 20 base vectors, each with a jittered near-dup (cosine ≈ 1)
     rng = np.random.default_rng(11)
