@@ -108,6 +108,10 @@ DEDUP_FAMILY = (
     # graph consumers of the near-dup pair set: their join/wedge
     # volume tracks edge count, which the replica corpus inflates
     "ppr_topk", "graph_triangles",
+    # media near-dup matrix (r10): payloads derive from text, so the
+    # letter rotation also de-dups them — exponents measure the
+    # banded/indexed join plans, not pair-output growth
+    "image_near_dup", "audio_near_dup", "video_near_dup",
 )
 
 # Distinct-probe exponents explained by an algorithm-path switch at
