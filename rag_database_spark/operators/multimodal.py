@@ -210,8 +210,10 @@ def _resize_one(
         w0, h0 = d["width"], d["height"]
     longer = max(w0, h0)
     if longer > max_side:
-        nw = w0 * max_side // longer
-        nh = h0 * max_side // longer
+        # floor of 1: an extreme aspect ratio (e.g. 3000x1 banner)
+        # must not round the short side to a 0-pixel dimension
+        nw = max(1, w0 * max_side // longer)
+        nh = max(1, h0 * max_side // longer)
     else:
         nw, nh = w0, h0
     resized = (nw, nh) != (w0, h0)

@@ -2068,9 +2068,11 @@ d AS (
 r AS (
   SELECT doc_id, w0, h0, greatest(w0, h0) AS longer,
          CASE WHEN greatest(w0, h0) > {max_side}
-              THEN (w0 * {max_side}) // greatest(w0, h0) ELSE w0 END AS nw,
+              THEN greatest(1, (w0 * {max_side}) // greatest(w0, h0))
+              ELSE w0 END AS nw,
          CASE WHEN greatest(w0, h0) > {max_side}
-              THEN (h0 * {max_side}) // greatest(w0, h0) ELSE h0 END AS nh
+              THEN greatest(1, (h0 * {max_side}) // greatest(w0, h0))
+              ELSE h0 END AS nh
   FROM d
 )
 SELECT doc_id AS media_id, 'image' AS kind,

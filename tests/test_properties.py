@@ -1,0 +1,85 @@
+"""Hypothesis property tests over the pure-Python media helpers —
+the deterministic seam stubs whose exact arithmetic both the Spark
+entries and the DuckDB oracles mirror. Spark stays out of @given
+bodies (per-example JVM round-trips would dominate); the Spark-side
+plumbing is pinned by the hand-case and oracle tests."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rag_database_spark.operators import multimodal as mm
+
+payloads = st.binary(min_size=0, max_size=4096)
+
+
+@settings(max_examples=200, deadline=None)
+@given(payloads)
+def test_fake_pixels_shape_and_range(payload):
+    n = mm.DHASH_ROWS * (mm.DHASH_COLS + 1)
+    px = mm._fake_pixels(payload, n)
+    assert len(px) == n
+    assert all(0 <= v <= 255 for v in px)
+    assert px == mm._fake_pixels(payload, n)  # deterministic
+
+
+@settings(max_examples=200, deadline=None)
+@given(payloads)
+def test_fake_frame_energies_shape_and_determinism(payload):
+    e = mm._fake_frame_energies(payload, mm.AUDIO_FP_FRAMES)
+    assert len(e) == mm.AUDIO_FP_FRAMES
+    assert all(0.0 <= v <= 255.0 for v in e)
+    assert e == mm._fake_frame_energies(payload, mm.AUDIO_FP_FRAMES)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    payloads,
+    st.integers(min_value=16, max_value=4096),
+)
+def test_resize_clamp_invariants(payload, max_side):
+    """For any payload and clamp: output dims are >= 1, the longer
+    side never exceeds max(max_side, original longer side), an
+    unresized image keeps its payload byte-identical, and a resized
+    stub payload is cropped to at most the new pixel budget."""
+    w0, h0, nw, nh, resized, out = mm._resize_one(
+        payload, "image", max_side, real=False
+    )
+    assert nw >= 1 and nh >= 1
+    if max(w0, h0) > max_side:
+        assert resized
+        assert max(nw, nh) <= max_side
+        # aspect preserved within integer flooring: the floored dims
+        # never overshoot the exact ratio
+        longer = max(w0, h0)
+        assert nw <= w0 * max_side / longer + 1e-9
+        assert nh <= h0 * max_side / longer + 1e-9
+        assert len(out) <= nw * nh
+    else:
+        assert not resized and (nw, nh) == (w0, h0)
+        assert out == payload
+
+
+@settings(max_examples=200, deadline=None)
+@given(payloads)
+def test_dhash_and_audio_fp_fit_signed_long(payload):
+    """Both fingerprints stay inside 60 bits (the banded join and the
+    parquet long column rely on it) and are pure functions of the
+    payload."""
+    n_cells = mm.DHASH_ROWS * (mm.DHASH_COLS + 1)
+    px = mm._fake_pixels(payload, n_cells)
+    fp = 0
+    for r in range(mm.DHASH_ROWS):
+        for c in range(mm.DHASH_COLS):
+            row0 = r * (mm.DHASH_COLS + 1)
+            if px[row0 + c + 1] > px[row0 + c]:
+                fp |= 1 << (r * mm.DHASH_COLS + c)
+    assert 0 <= fp < 1 << 60
+
+    e = mm._fake_frame_energies(payload, mm.AUDIO_FP_FRAMES)
+    afp = 0
+    for i in range(mm.AUDIO_FP_FRAMES - 1):
+        if e[i + 1] > e[i]:
+            afp |= 1 << i
+    assert 0 <= afp < 1 << 60
