@@ -1903,11 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed_topk": _text_embed_topk,
         "hybrid_rrf3": _hybrid_rrf3,
         "maxsim_topk": _maxsim_topk,
-        "visual_search": _visual_search,
-        "enhanced_search": _enhanced_search,
         "query_analysis": _query_analysis,
         "vector_upsert": _vector_upsert,
-        "db_stats": _db_stats,
         "tenant_scoped_search": _tenant_scoped_search,
         "chunk_documents": _chunk_documents,
         "quality_report": _quality_report,
@@ -1919,8 +1916,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_summary": _table_summary,
         "extract_metadata": _extract_metadata,
         "redact_pii": _redact_pii,
-        # new in r10 (needs its first driver row)
+        # new in r10 (need their first driver row; visual_search /
+        # enhanced_search / db_stats moved to the tail to make room —
+        # their families stay repped in-window by maxsim_topk /
+        # query_analysis / table_summary)
         "image_near_dup": _image_near_dup,
+        "media_resize": _media_resize,
+        "audio_near_dup": _audio_near_dup,
+        "video_near_dup": _video_near_dup,
         # never-driver-certified until r10 (rotated in this round)
         "doc_pagerank": _doc_pagerank,
         "ppr_topk": _ppr_topk,
@@ -2010,11 +2013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
         "conversions": _conversions,
-        # new in r10, tail (driver window is full with the
-        # certification rotation; local replica certifies until r11)
-        "media_resize": _media_resize,
-        "audio_near_dup": _audio_near_dup,
-        "video_near_dup": _video_near_dup,
+        # demoted to the tail in r10 to fit the three new media entries
+        # in-window; driver-green r1-r9, local replica keeps them green
+        "visual_search": _visual_search,
+        "enhanced_search": _enhanced_search,
+        "db_stats": _db_stats,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
