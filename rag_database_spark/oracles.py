@@ -4035,3 +4035,32 @@ SELECT doc_id,
        md5(nfc_normalize(raw)) AS nfc_md5
 FROM deco
 """
+
+
+def bpe_pair_stats_sql(top_n: int) -> str:
+    """Twin of ``bpe.pair_stats``: raw-token words (the shared
+    ``_TOKENIZE`` pipeline, stopwords kept), character pairs inside
+    each word plus the (last-char, '</w>') end pair, weighted by word
+    frequency; deterministic top-N boundary (count DESC, lhs, rhs).
+    Words are ASCII post-strip (both engines' \\w is ASCII), so
+    ``substr`` character indexing agrees bit-for-bit."""
+    tok = _TOKENIZE.format(text="text")
+    return f"""
+WITH words AS (
+  SELECT w AS word FROM (SELECT {tok} AS w FROM documents)
+  WHERE length(w) > 0
+),
+wc AS (SELECT word, count(*)::BIGINT AS cnt FROM words GROUP BY word),
+inner_pairs AS (
+  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs, cnt
+  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i FROM wc)
+),
+eow_pairs AS (
+  SELECT substr(word, length(word), 1) AS lhs, '</w>' AS rhs, cnt FROM wc
+)
+SELECT lhs, rhs, sum(cnt)::BIGINT AS pair_count
+FROM (SELECT * FROM inner_pairs UNION ALL SELECT * FROM eow_pairs)
+GROUP BY lhs, rhs
+ORDER BY pair_count DESC, lhs, rhs
+LIMIT {top_n}
+"""

@@ -102,6 +102,9 @@ def test_driver_window_composition_is_pinned():
     # Rotate them back to the tail once CORRECTNESS_r10 records them.
     certifying_rows_only = {
         "ann_ivf_topk", "semantic_chunks", "route_and_chunk",
+        # new in r10 — BPE tokenizer model + per-doc encoding
+        # (tests/test_bpe.py pins both against a python reference)
+        "bpe_vocab", "bpe_tokens",
     }
 
     not_oracled = [
