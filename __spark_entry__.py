@@ -588,6 +588,18 @@ def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection ("the best 60% of TOKENS, by
+    quality"): sketch-bracketed weighted prefix — above-band docs come
+    from a literal-threshold scan, only the band rows see a cumulative
+    window. DuckDB-oracled against the direct global-prefix-sum twin."""
+    return text_analytics.token_budget_select(
+        load_table(spark, sf_dir, "documents"),
+        frac=text_analytics.TOKEN_BUDGET_FRAC,
+        bracket=True,
+    )
+
+
 def _cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-cut corpus materialization: token streams with every
     cross-document duplication island removed (md5 of the rewrite)."""
@@ -1920,7 +1932,7 @@ _PURE_LAZY = frozenset({
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
     "lm_perplexity", "temperature_mix",
-    "bpe_pair_stats", "bpe_vocab", "bpe_tokens",
+    "bpe_pair_stats", "bpe_vocab", "bpe_tokens", "token_budget_select",
     "cut_dup_spans", "ingest_gate", "ingest_pairs", "doc_keywords",
     "source_mix",
     "strip_markup",
@@ -1972,8 +1984,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_upsert": _vector_upsert,
         "tenant_scoped_search": _tenant_scoped_search,
         "minhash_sigs": _minhash_sigs,
-        "embedding_near_dup": _embedding_near_dup,
         "curate_corpus": _curate_corpus,
+        # new in r10: weighted token-budget selection (embedding_near_dup
+        # moved to the tail — near-dup family stays repped in-window by
+        # minhash_sigs + the image/audio/video near-dup entries)
+        "token_budget_select": _token_budget_select,
         "ann_lsh_topk": _ann_lsh_topk,
         "table_summary": _table_summary,
         "extract_metadata": _extract_metadata,
@@ -2090,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "quality_report": _quality_report,
         "graph_expand": _graph_expand,
+        "embedding_near_dup": _embedding_near_dup,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -2152,6 +2168,9 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_bpe.py, and bpe_pair_stats oracles the shared
         # word/pair counting they build on.
         "bpe_pair_stats": oracles.bpe_pair_stats_sql(100),
+        "token_budget_select": oracles.token_budget_select_sql(
+            text_analytics.TOKEN_BUDGET_FRAC
+        ),
         "cut_dup_spans": oracles.cut_dup_spans_sql(
             text_analytics.DUP_SPAN_N
         ),

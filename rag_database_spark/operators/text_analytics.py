@@ -1050,6 +1050,112 @@ def quality_filter(docs: DataFrame, p: float = QUALITY_FILTER_P,
     return scored.join(F.broadcast(bottom), "doc_id", "left_anti")
 
 
+TOKEN_BUDGET_FRAC = 0.6  # workload default: keep the best 60% of tokens
+
+
+def token_budget_select(docs: DataFrame, frac: float = TOKEN_BUDGET_FRAC,
+                        bracket: bool = True,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Token-budget corpus selection: fill a budget of
+    ``floor(frac · total_tokens)`` with the highest-quality documents —
+    the global selection step of assembling a training corpus ("the
+    best N tokens", not "the best N documents"). Selection order is the
+    total order (q_score DESC, doc_id ASC) over the 6dp-rounded
+    composite quality score, so the boundary is engine-identical; a
+    document is kept iff the running token sum up TO AND INCLUDING it
+    fits the budget (zero-token documents ride along for free, matching
+    the prefix-sum definition on both engines). The budget itself is
+    exact integer arithmetic — ``total · round(frac·1000) // 1000`` —
+    because ``floor(total * 0.6)`` disagrees between binary floats and
+    DuckDB's decimal literals whenever the product lands on an integer.
+
+    ``bracket=False`` is the direct twin: one global cumulative-sum
+    window — correct, but a single-partition sort at scale. The default
+    ``bracket=True`` returns the SAME rows via sketch-bracketed band
+    selection (the ``bottom_k_boundary`` discipline, weighted by
+    tokens): one ``approx_percentile`` pass brackets the crossing score
+    in ``[t_lo, t_hi]``, one aggregation weighs the region strictly
+    above the band and the band itself, and only the ~2·eps·N band rows
+    see a cumulative window (offset by the above-band weight). Docs
+    above the band are selected by a literal-threshold scan; the band
+    is widened and retried if the sketch misses, degenerating to the
+    exact window only as the last resort. The strict upper straddle
+    (``budget < w_above + w_band``) keeps zero-token documents below
+    the band from slipping in when the band total exactly equals the
+    remaining budget."""
+    import math
+
+    t = F.col(text_col)
+    scored = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.round(quality_score(t), 6).alias("q_score"),
+        token_count_ws(t).cast("long").alias("n_tokens"),
+    )
+    if bracket:
+        # the refinement loop makes 3+ passes over (doc_id, q, n);
+        # materialize the 3-column projection ONCE so each pass costs
+        # a columnar scan of ~24 B/doc, not a re-tokenization of the
+        # corpus (the quality subscores tokenize the text per metric —
+        # 13.8 s -> ~2 s at sf0.01)
+        scored = scored.localCheckpoint()
+    num = round(frac * 1000)
+    totals = scored.agg(
+        F.sum("n_tokens").alias("w"), F.count(F.lit(1)).alias("n")
+    ).first()
+    total = int(totals["w"] or 0)
+    budget = total * num // 1000
+    if budget >= total:
+        return scored
+    out_cols = ["doc_id", "q_score", "n_tokens"]
+    if bracket:
+        p = max(0.0, min(1.0, 1.0 - num / 1000.0))
+        attempt_eps = BOUNDARY_BAND_EPS
+        for _ in range(6):
+            lo_p = max(0.0, p - attempt_eps)
+            hi_p = min(1.0, p + attempt_eps)
+            t_lo, t_hi = scored.agg(
+                F.expr(
+                    f"approx_percentile(q_score, array({lo_p}, {hi_p}),"
+                    f" {BOUNDARY_ACCURACY})"
+                )
+            ).first()[0]
+            w_above, w_band = scored.agg(
+                F.sum(F.when(F.col("q_score") > t_hi, F.col("n_tokens"))),
+                F.sum(
+                    F.when(
+                        F.col("q_score").between(t_lo, t_hi),
+                        F.col("n_tokens"),
+                    )
+                ),
+            ).first()
+            w_above = int(w_above or 0)
+            w_band = int(w_band or 0)
+            if w_above <= budget < w_above + w_band:
+                above = scored.filter(F.col("q_score") > F.lit(t_hi))
+                band = scored.filter(
+                    F.col("q_score").between(F.lit(t_lo), F.lit(t_hi))
+                )
+                wb = Window.orderBy(F.desc("q_score"), "doc_id")
+                band_sel = (
+                    band.withColumn("cum", F.sum("n_tokens").over(wb))
+                    .filter(F.col("cum") + F.lit(w_above) <= F.lit(budget))
+                    .select(*out_cols)
+                )
+                return above.select(*out_cols).unionByName(band_sel)
+            attempt_eps *= 2.0
+            if lo_p == 0.0 and hi_p == 1.0:
+                break
+        # sketch exhausted (possible only on degenerate score
+        # distributions): fall through to the exact global window
+    w = Window.orderBy(F.desc("q_score"), "doc_id")
+    return (
+        scored.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= F.lit(budget))
+        .select(*out_cols)
+    )
+
+
 VOCAB_SIZE = 512  # top-V tokens by corpus frequency
 
 

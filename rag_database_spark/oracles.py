@@ -4064,3 +4064,35 @@ GROUP BY lhs, rhs
 ORDER BY pair_count DESC, lhs, rhs
 LIMIT {top_n}
 """
+
+
+def token_budget_select_sql(frac: float) -> str:
+    """Twin of ``text_analytics.token_budget_select``: same 6dp-rounded
+    quality score (``doc_quality_sql``), same whitespace token count as
+    ``token_stats_sql``, prefix selection under (q_score DESC, doc_id)
+    with the budget in exact integer arithmetic (``* num // 1000``) —
+    a float ``total * 0.6`` floors differently across engines when the
+    product lands on an integer."""
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    num = round(frac * 1000)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '{SPLIT_RE}'),
+                         x -> length(x) > 0))::BIGINT AS n_tokens
+  FROM documents
+),
+scored AS (
+  SELECT dq.doc_id, dq.q_score, tok.n_tokens
+  FROM ({doc_quality_sql()}) dq JOIN tok USING (doc_id)
+),
+run AS (
+  SELECT doc_id, q_score, n_tokens,
+         sum(n_tokens) OVER (ORDER BY q_score DESC, doc_id) AS cum,
+         sum(n_tokens) OVER () AS total
+  FROM scored
+)
+SELECT doc_id, q_score, n_tokens
+FROM run WHERE cum <= total * {num} // 1000
+"""

@@ -313,6 +313,27 @@ def test_quality_filter_bracket_plan_is_scan_filter(spark):
     assert "LeftAnti" not in p
 
 
+def test_token_budget_bracket_window_is_band_scoped(spark):
+    """bracket=True: the only cumulative-sum Window in the plan runs
+    over the FILTERED score band (~2·eps·N rows), never the whole
+    scored projection — above-band docs are a literal-threshold scan,
+    and there is no bottom-k relation."""
+    from rag_database_spark.operators.text_analytics import (
+        token_budget_select,
+    )
+
+    df = token_budget_select(
+        load_table(spark, SF_DIR, "documents"), frac=0.6, bracket=True
+    )
+    p = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" not in p
+    if "Window" in p:
+        # the window's subtree must include the band filter: a literal
+        # BETWEEN on q_score below the Window operator
+        win_subtree = p[p.index("Window"):]
+        assert "Filter" in win_subtree and "q_score" in win_subtree
+
+
 def test_ingest_gate_broadcasts_batch_side(spark, tmp_path):
     """The incoming batch's shingles/sizes broadcast; the corpus index
     is scanned, never shuffled for candidate generation."""
