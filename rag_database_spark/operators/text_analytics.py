@@ -1078,9 +1078,11 @@ def token_budget_select(docs: DataFrame, frac: float = TOKEN_BUDGET_FRAC,
     in ``[t_lo, t_hi]``, one aggregation weighs the region strictly
     above the band and the band itself, and only the ~2·eps·N band rows
     see a cumulative window (offset by the above-band weight). Docs
-    above the band are selected by a literal-threshold scan; the band
-    is widened and retried if the sketch misses, degenerating to the
-    exact window only as the last resort. The strict upper straddle
+    above the band are selected by a literal-threshold scan; a miss
+    re-centers the bracket by BINARY SEARCH on the doc-fraction using
+    the exactly-measured above-band weight (token mass correlates with
+    quality, so the crossing can sit far from the uniform-tokens
+    guess), degenerating to the exact window only as the last resort. The strict upper straddle
     (``budget < w_above + w_band``) keeps zero-token documents below
     the band from slipping in when the band total exactly equals the
     remaining budget."""
@@ -1109,9 +1111,15 @@ def token_budget_select(docs: DataFrame, frac: float = TOKEN_BUDGET_FRAC,
         return scored
     out_cols = ["doc_id", "q_score", "n_tokens"]
     if bracket:
+        # binary search on the DOC-fraction guess: token mass
+        # correlates with quality (length is 30% of the score), so the
+        # crossing can sit far from the uniform-tokens guess 1 - frac;
+        # each miss re-centers using the exactly-measured above-band
+        # weight instead of only widening eps around a wrong center
+        p_lo, p_hi = 0.0, 1.0
         p = max(0.0, min(1.0, 1.0 - num / 1000.0))
         attempt_eps = BOUNDARY_BAND_EPS
-        for _ in range(6):
+        for _ in range(12):
             lo_p = max(0.0, p - attempt_eps)
             hi_p = min(1.0, p + attempt_eps)
             t_lo, t_hi = scored.agg(
@@ -1143,11 +1151,19 @@ def token_budget_select(docs: DataFrame, frac: float = TOKEN_BUDGET_FRAC,
                     .select(*out_cols)
                 )
                 return above.select(*out_cols).unionByName(band_sel)
-            attempt_eps *= 2.0
-            if lo_p == 0.0 and hi_p == 1.0:
+            if w_above > budget:
+                p_lo = max(p_lo, hi_p)  # too many tokens: cut rises
+            else:
+                p_hi = min(p_hi, lo_p)  # band + above too light: cut drops
+            if p_hi <= p_lo:
                 break
-        # sketch exhausted (possible only on degenerate score
-        # distributions): fall through to the exact global window
+            p = (p_lo + p_hi) / 2.0
+            if p_hi - p_lo <= 4.0 * attempt_eps:
+                # interval nearly exhausted at this band width: widen so
+                # the band can cover the residual gap (sketch-error zone)
+                attempt_eps *= 2.0
+        # search exhausted (possible only when the sketch's rank error
+        # dominates): fall through to the exact global window
     w = Window.orderBy(F.desc("q_score"), "doc_id")
     return (
         scored.withColumn("cum", F.sum("n_tokens").over(w))

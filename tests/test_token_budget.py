@@ -99,6 +99,26 @@ def test_partition_invariance(spark):
     assert a == b
 
 
+def test_bracket_recenters_under_weight_skew(spark):
+    """Token mass concentrated in high-quality (long) docs displaces
+    the crossing far from the uniform-tokens doc-fraction guess; the
+    binary-search re-centering must still land the band (the plan's
+    cumulative Window stays band-scoped — a fallback to the global
+    window twin would have no q_score filter beneath it)."""
+    rows = [
+        (i, " ".join(f"w{j % 7}" for j in range(i % 40 + 1)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = ta.token_budget_select(df, frac=0.5, bracket=True)
+    got = {r["doc_id"] for r in sel.collect()}
+    assert got == _brute(_scored_rows(spark, rows), 0.5)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    if "Window" in plan:
+        win_subtree = plan[plan.index("Window"):]
+        assert "q_score" in win_subtree and "Filter" in win_subtree
+
+
 def test_zero_token_docs_ride_free(spark):
     # empty docs sort wherever their q lands; they never consume budget
     rows = [(0, "aaa bbb ccc ddd"), (1, ""), (2, "eee fff")]
