@@ -1082,7 +1082,8 @@ def token_budget_select(docs: DataFrame, frac: float = TOKEN_BUDGET_FRAC,
     re-centers the bracket by BINARY SEARCH on the doc-fraction using
     the exactly-measured above-band weight (token mass correlates with
     quality, so the crossing can sit far from the uniform-tokens
-    guess), degenerating to the exact window only as the last resort. The strict upper straddle
+    guess), degenerating to the exact window only as the last resort.
+    The strict upper straddle
     (``budget < w_above + w_band``) keeps zero-token documents below
     the band from slipping in when the band total exactly equals the
     remaining budget."""
