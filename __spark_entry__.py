@@ -1101,8 +1101,11 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
+    # real=False pinned: payloads are text bytes, not decodable
+    # images — the PIL branch must never trigger even if installed
     out = multimodal.resize_media(
-        multimodal.media_table(docs, "doc_id", "payload", "image")
+        multimodal.media_table(docs, "doc_id", "payload", "image"),
+        real=False,
     )
     return out.select(
         "media_id",
@@ -1157,7 +1160,8 @@ def _audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     fps = multimodal.audio_fingerprint(
-        multimodal.media_table(docs, "doc_id", "payload", "audio")
+        multimodal.media_table(docs, "doc_id", "payload", "audio"),
+        real=False,  # text-derived payloads: pin the stub energies
     ).select(
         F.col("media_id").alias("doc_id"),
         F.col("audio_fp").alias("simhash"),
@@ -1183,7 +1187,8 @@ def _image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     fps = multimodal.image_dhash(
-        multimodal.media_table(docs, "doc_id", "payload", "image")
+        multimodal.media_table(docs, "doc_id", "payload", "image"),
+        real=False,  # text-derived payloads: pin the stub pixel grid
     ).select(
         F.col("media_id").alias("doc_id"),
         F.col("dhash").alias("simhash"),

@@ -46,8 +46,7 @@ DEFAULT_MERGES = 32
 DEFAULT_MIN_COUNT = 2
 
 
-def word_counts(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over the shared raw tokenizer (stopwords KEPT — a
     tokenizer trains on the text distribution, not the IR-filtered
     one). One corpus scan, one shuffle on ``word``."""
@@ -88,13 +87,13 @@ def pair_counts(words: DataFrame, syms_col: str = "syms",
     )
 
 
-def pair_stats(docs: DataFrame, top_n: int = 100, id_col: str = "doc_id",
+def pair_stats(docs: DataFrame, top_n: int = 100,
                text_col: str = "text") -> DataFrame:
     """Top-N initial symbol pairs over a corpus — merge step 0 of BPE
     training, as a standalone audit (what WOULD merge first). Ordered
     (pair_count DESC, lhs, rhs) with an exact tie-break so the top-N
     boundary is deterministic for the DuckDB oracle."""
-    words = word_counts(docs, id_col, text_col).withColumn(
+    words = word_counts(docs, text_col).withColumn(
         "syms", initial_symbols(F.col("word"))
     )
     return (
@@ -126,7 +125,6 @@ def merge_pair(syms_col: Column, lhs: str, rhs: str) -> Column:
 
 def train_bpe(docs: DataFrame, num_merges: int = DEFAULT_MERGES,
               min_count: int = DEFAULT_MIN_COUNT,
-              id_col: str = "doc_id",
               text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
     ``(merges, encoded)``:
@@ -143,7 +141,7 @@ def train_bpe(docs: DataFrame, num_merges: int = DEFAULT_MERGES,
     keep lineage flat. Stops early when no pair reaches ``min_count``.
     """
     words = (
-        word_counts(docs, id_col, text_col)
+        word_counts(docs, text_col)
         .withColumn("syms", initial_symbols(F.col("word")))
         .localCheckpoint()
     )

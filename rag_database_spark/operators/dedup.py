@@ -67,11 +67,56 @@ def write_shingle_index(
     ).write.mode("overwrite").parquet(path)
 
 
-def read_shingle_index(spark, path: str) -> DataFrame:
-    # select normalizes both layouts: the flat overwrite artifact and
-    # the streaming gate's ingest_batch=N partition dirs (idempotent
-    # replay layout) read back identically
-    return spark.read.parquet(path).select("doc_id", "s")
+def _read_slices(
+    spark, path: str, columns: list[str], exclude_batch: int | None = None
+) -> DataFrame:
+    """Read a slice-written artifact root in ANY layout it can be in:
+
+    - pure flat part-files (offline overwrite / legacy append),
+    - pure ``ingest_batch=N`` partition dirs (the gate's idempotent
+      replay layout),
+    - the MIXED state left by upgrading a live stream in place: flat
+      files from the old append gate at the root PLUS partition dirs
+      from the new one. One ``spark.read.parquet(root)`` throws
+      'Conflicting directory structures' on that mix, so the two
+      halves load separately and union (the flat half predates batch
+      tracking — it is standing corpus, never excluded).
+
+    ``exclude_batch`` drops that batch's own slice — the replay-probe
+    filter every caller of the old inline snippet needed."""
+    from pathlib import Path as _Path
+
+    root = _Path(path)
+    part_dirs = sorted(
+        str(c) for c in root.iterdir()
+        if c.is_dir() and c.name.startswith("ingest_batch=")
+    ) if root.is_dir() else []
+    flat_files = sorted(
+        str(c) for c in root.iterdir()
+        if c.is_file() and c.suffix == ".parquet"
+    ) if root.is_dir() else []
+    if part_dirs and flat_files:
+        part = spark.read.option("basePath", str(root)).parquet(*part_dirs)
+        if exclude_batch is not None:
+            part = part.filter(
+                F.col("ingest_batch") != int(exclude_batch)
+            )
+        return (
+            spark.read.parquet(*flat_files).select(*columns)
+            .unionByName(part.select(*columns))
+        )
+    df = spark.read.parquet(path)
+    if exclude_batch is not None and "ingest_batch" in df.columns:
+        df = df.filter(F.col("ingest_batch") != int(exclude_batch))
+    return df.select(*columns)
+
+
+def read_shingle_index(
+    spark, path: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """(doc_id, s) in any slice layout; ``exclude_batch`` drops the
+    calling micro-batch's own replayed slice (self-match guard)."""
+    return _read_slices(spark, path, ["doc_id", "s"], exclude_batch)
 
 
 def write_pair_index(pairs: DataFrame, path: str) -> None:
@@ -87,9 +132,8 @@ def write_pair_index(pairs: DataFrame, path: str) -> None:
 
 
 def read_pair_index(spark, path: str) -> DataFrame:
-    # see read_shingle_index: drop the gate's ingest_batch partition
-    # column so both layouts read back as (id_a, id_b, jaccard)
-    return spark.read.parquet(path).select("id_a", "id_b", "jaccard")
+    # see _read_slices: any layout reads back as (id_a, id_b, jaccard)
+    return _read_slices(spark, path, ["id_a", "id_b", "jaccard"])
 
 
 # Candidate-row ceiling for the direct inverted-index self-join: the
@@ -967,13 +1011,7 @@ def append_pair_index(
     failed attempt's shingle slice is already on disk, and probing
     against it would emit self-pairs at jaccard 1.0."""
     spark = batch_docs.sparkSession
-    if batch_id is None:
-        idx = read_shingle_index(spark, shingle_path)
-    else:
-        idx = spark.read.parquet(shingle_path)
-        if "ingest_batch" in idx.columns:
-            idx = idx.filter(F.col("ingest_batch") != int(batch_id))
-        idx = idx.select("doc_id", "s")
+    idx = read_shingle_index(spark, shingle_path, exclude_batch=batch_id)
     cross = pairs_vs_index(
         batch_docs, idx, threshold, k, id_col, text_col
     )
@@ -1002,6 +1040,13 @@ def _write_slice(df: DataFrame, path: str, batch_id: int | None) -> None:
     if batch_id is None:
         df.write.mode("append").parquet(path)
     else:
+        # materialize the slice ONCE: the emptiness probe below and
+        # the write would otherwise each re-execute the full slice
+        # lineage (for the pair slice that is the broadcast index
+        # probe + the banded self-join — the most expensive work of
+        # the micro-batch, and cross-action shuffle stages are not
+        # reused)
+        df = df.localCheckpoint()
         # a zero-row dynamic-partition overwrite deletes nothing and
         # writes nothing but still creates a schema-less root dir that
         # breaks later reads — skip it (a replay recomputes the same

@@ -89,13 +89,29 @@ def _decode_impl():
     return _real_decode if have("PIL.Image") else _fake_decode
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+
+def _use_real(real: bool | None, lib: str) -> bool:
+    """Seam dispatch: ``None`` auto-detects the library; an explicit
+    bool PINS the branch — entries whose payloads are synthetic
+    (text-derived) pass ``real=False`` so an installed decoder can
+    never be handed bytes that were never real media."""
+    from rag_database_spark.seams import have
+
+    return have(lib) if real is None else bool(real)
+
+
+def decode_media(media: DataFrame, real: bool | None = None) -> DataFrame:
     """Decode stage: (media_id, kind, n_bytes, width, height,
     duration_ms, ok). One Arrow batch in → one out; payload bytes never
-    leave the executor."""
+    leave the executor. ``real=None`` auto-dispatches on library
+    availability; pass ``real=False`` when the payloads are synthetic
+    (text-derived fixtures) — a real decoder would reject them even
+    when the library happens to be installed."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _decode_impl()
+        decode = (
+            _real_decode if _use_real(real, "PIL.Image") else _fake_decode
+        )
         for pdf in it:
             if pdf.empty:
                 continue
@@ -228,7 +244,8 @@ def _resize_one(
     return (w0, h0, nw, nh, resized, out)
 
 
-def resize_media(media: DataFrame, max_side: int = MAX_SIDE) -> DataFrame:
+def resize_media(media: DataFrame, max_side: int = MAX_SIDE,
+                 real: bool | None = None) -> DataFrame:
     """Aspect-preserving resize clamp: images whose longer side exceeds
     ``max_side`` are scaled so it equals ``max_side`` (integer
     arithmetic — new_w = w·max_side // max(w, h) — so the dims are
@@ -236,18 +253,17 @@ def resize_media(media: DataFrame, max_side: int = MAX_SIDE) -> DataFrame:
     and resizes via PIL; behind the seam the dims come from the same
     deterministic md5 pseudo-decode as ``decode_media`` and the
     'resized' payload is a deterministic byte crop. One Arrow batch in
-    → one out; payloads never leave the executor."""
+    → one out; payloads never leave the executor. ``real=False`` pins
+    the stub for synthetic (text-derived) payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rag_database_spark.seams import have
-
-        real = have("PIL.Image")
+        use_real = _use_real(real, "PIL.Image")
         for pdf in it:
             if pdf.empty:
                 continue
             rows = [
                 (mid, kind)
-                + _resize_one(payload or b"", kind, max_side, real)
+                + _resize_one(payload or b"", kind, max_side, use_real)
                 for mid, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]
                 )
@@ -309,7 +325,7 @@ def _real_pixels(payload: bytes, n_rows: int, n_cols: int) -> list[int]:
     return list(im.getdata())
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
+def image_dhash(media: DataFrame, real: bool | None = None) -> DataFrame:
     """Perceptual difference-hash fingerprint per media row: compare
     horizontally adjacent cells of a ``DHASH_ROWS``×``DHASH_COLS+1``
     grayscale grid — bit r·10+c is set iff cell (r, c+1) > cell (r, c)
@@ -321,12 +337,10 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     Near-dup pairs come from ``dedup.simhash_pairs`` over this
     fingerprint — the same pigeonhole block-banded join, never
-    all-pairs."""
+    all-pairs. ``real=False`` pins the stub for synthetic payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rag_database_spark.seams import have
-
-        real = have("PIL.Image")
+        use_real = _use_real(real, "PIL.Image")
         n_rows, n_cols = DHASH_ROWS, DHASH_COLS + 1
         for pdf in it:
             if pdf.empty:
@@ -336,7 +350,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 payload = payload or b""
                 px = (
                     _real_pixels(payload, n_rows, n_cols)
-                    if real
+                    if use_real
                     else _fake_pixels(payload, n_rows * n_cols)
                 )
                 fp = 0
@@ -388,7 +402,8 @@ def _real_frame_energies(payload: bytes, n: int) -> list[float]:
     return out
 
 
-def audio_fingerprint(media: DataFrame) -> DataFrame:
+def audio_fingerprint(media: DataFrame,
+                      real: bool | None = None) -> DataFrame:
     """60-bit audio fingerprint: bit i is set iff frame i+1's energy
     exceeds frame i's — the energy-DELTA sign sequence of
     Haitsma-Kalker ('02) fingerprinting (robust to volume scaling,
@@ -397,12 +412,11 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     (``_fake_frame_energies`` otherwise, deterministic and
     oracle-reproducible). Near-dup pairs come from
     ``dedup.simhash_pairs`` over this fingerprint — the pigeonhole
-    block-banded join, never all-pairs."""
+    block-banded join, never all-pairs. ``real=False`` pins the stub
+    for synthetic payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rag_database_spark.seams import have
-
-        real = have("soundfile")
+        use_real = _use_real(real, "soundfile")
         for pdf in it:
             if pdf.empty:
                 continue
@@ -411,7 +425,7 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                 payload = payload or b""
                 e = (
                     _real_frame_energies(payload, AUDIO_FP_FRAMES)
-                    if real
+                    if use_real
                     else _fake_frame_energies(payload, AUDIO_FP_FRAMES)
                 )
                 fp = 0

@@ -524,11 +524,12 @@ def dedup_gate_batch(
     def _standing_index():
         # the index minus this batch's own slice: a replayed batch's
         # shingles are already on disk (written by the failed attempt)
-        # and probing against them would self-match everything at 1.0
-        idx = spark.read.parquet(index_path)
-        if "ingest_batch" in idx.columns:
-            idx = idx.filter(F.col("ingest_batch") != int(batch_id))
-        return idx.select("doc_id", "s")
+        # and probing against them would self-match everything at 1.0;
+        # read_shingle_index also absorbs the mixed flat+partitioned
+        # layout an upgraded-in-place stream leaves behind
+        return dd.read_shingle_index(
+            spark, index_path, exclude_batch=batch_id
+        )
 
     try:
         # flat legacy layout commits a root _SUCCESS; dynamic-partition

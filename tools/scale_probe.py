@@ -112,6 +112,10 @@ DEDUP_FAMILY = (
     # letter rotation also de-dups them — exponents measure the
     # banded/indexed join plans, not pair-output growth
     "image_near_dup", "audio_near_dup", "video_near_dup",
+    # vocabulary-driven entries (r10): a replica corpus repeats the
+    # same words, so only the distinct corpus grows the word table
+    # these plans aggregate/join on
+    "bpe_pair_stats", "bpe_tokens", "token_budget_select",
 )
 
 # Distinct-probe exponents explained by an algorithm-path switch at
