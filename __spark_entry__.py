@@ -875,6 +875,43 @@ def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTRASTIVE_IN_LANG = "en"  # the in-domain slice for Moore-Lewis
+
+
+def _lm_model_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-domain bigram-LM artifact: trained on the ``lang = en``
+    slice only, persisted per corpus fingerprint beside the
+    whole-corpus model (``_lm_model``)."""
+    fp = _source_fingerprint(sf_dir)
+    hit = _LM_MODEL_CACHE.get(fp + "-in")
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "lm_model_in" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        text_analytics.train_lm(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("lang") == CONTRASTIVE_IN_LANG
+            )
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    model = spark.read.parquet(str(cache_dir))
+    _LM_MODEL_CACHE[fp + "-in"] = (spark, model)
+    return model
+
+
+def _contrastive_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis contrastive data selection: per-doc in-domain-vs-
+    corpus bigram-LM log-prob difference + in-domain bigram coverage,
+    scored against the two persisted per-corpus model artifacts (one
+    keyed join each; no training at query time)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analytics.contrastive_score(
+        docs,
+        docs.filter(F.col("lang") == CONTRASTIVE_IN_LANG),
+        in_model=_lm_model_in(spark, sf_dir),
+        base_model=_lm_model(spark, sf_dir),
+    )
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (one md5 + Kirsch-Mitzenmacher per shingle,
     oracle-reproducible), over the persisted shingle index (S7)."""
@@ -1936,7 +1973,7 @@ _PURE_LAZY = frozenset({
     "near_dup_pairs", "minhash_sigs", "simhash_fp",
     "embedding_near_dup", "dup_ngram_fraction", "redact_pii",
     "fuzzy_decontam", "frequent_ngrams", "dup_spans", "vocab_oov",
-    "lm_perplexity", "temperature_mix",
+    "lm_perplexity", "temperature_mix", "contrastive_select",
     "bpe_pair_stats", "bpe_vocab", "bpe_tokens", "token_budget_select",
     "cut_dup_spans", "ingest_gate", "ingest_pairs", "doc_keywords",
     "source_mix",
@@ -1988,7 +2025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_analysis": _query_analysis,
         "vector_upsert": _vector_upsert,
         "tenant_scoped_search": _tenant_scoped_search,
-        "minhash_sigs": _minhash_sigs,
+        # new in r10: Moore-Lewis contrastive selection (minhash_sigs
+        # moved to the tail — dedup family stays repped in-window by
+        # the image/audio/video near-dup entries)
+        "contrastive_select": _contrastive_select,
         "curate_corpus": _curate_corpus,
         # new in r10: weighted token-budget selection (embedding_near_dup
         # moved to the tail — near-dup family stays repped in-window by
@@ -2111,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": _quality_report,
         "graph_expand": _graph_expand,
         "embedding_near_dup": _embedding_near_dup,
+        "minhash_sigs": _minhash_sigs,
     }
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -2175,6 +2216,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_stats": oracles.bpe_pair_stats_sql(100),
         "token_budget_select": oracles.token_budget_select_sql(
             text_analytics.TOKEN_BUDGET_FRAC
+        ),
+        "contrastive_select": oracles.contrastive_score_sql(
+            text_analytics.LM_ALPHA, CONTRASTIVE_IN_LANG
         ),
         "cut_dup_spans": oracles.cut_dup_spans_sql(
             text_analytics.DUP_SPAN_N

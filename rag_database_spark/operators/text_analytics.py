@@ -1360,6 +1360,76 @@ def lm_score(docs: DataFrame, alpha: float = LM_ALPHA,
     )
 
 
+def contrastive_score(docs: DataFrame, in_docs: DataFrame,
+                      alpha: float = LM_ALPHA,
+                      id_col: str = "doc_id",
+                      text_col: str = "text",
+                      in_model: DataFrame | None = None,
+                      base_model: DataFrame | None = None) -> DataFrame:
+    """Moore-Lewis-style contrastive data selection signal (Moore &
+    Lewis 2010: rank candidate text by in-domain vs general LM
+    cross-entropy difference; the ancestor of DSIR-style importance
+    weighting). Two add-k bigram LMs — one trained on the in-domain
+    slice ``in_docs``, one on the whole corpus — score every document;
+    ``ml_score = avg_logp_in − avg_logp_base`` ranks how much more
+    in-domain-like than corpus-average each document reads. Positive =
+    select first when filling a domain-targeted budget.
+
+    Engine-defined deviation from the textbook form (same discipline
+    as the other deterministic analogs here): each average runs over
+    the bigrams PRESENT in that model (``lm_score``'s matched-bigram
+    semantics — no backoff term), and ``in_coverage`` (matched
+    fraction under the in-domain model) is emitted alongside, itself a
+    strong domain signal. Both columns are exact and DuckDB-twinned.
+
+    Scale: the corpus bigram stream forms once (array-side, shared
+    front end with ``lm_score``); each model join is one keyed join +
+    doc_id rollup; persisted models (``in_model``/``base_model`` read
+    back from per-corpus artifacts) skip training entirely — the
+    same artifact discipline as ``lm_perplexity``."""
+    if base_model is None:
+        base_model = train_lm(docs, alpha, id_col, text_col)
+    if in_model is None:
+        in_model = train_lm(in_docs, alpha, id_col, text_col)
+    base, per = _lm_doc_bigrams(docs, id_col, text_col)
+
+    def _rolled(model: DataFrame, tag: str) -> DataFrame:
+        return (
+            per.join(model, ["w1", "w2"])
+            .select("doc_id", "m", (F.col("m") * F.col("lp")).alias("mlp"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("m").cast("bigint").alias(f"n_{tag}"),
+                F.round(F.sum("mlp") / F.sum("m"), 6).alias(f"avg_logp_{tag}"),
+            )
+        )
+
+    totals = per.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams")
+    )
+    docs = fan_out(docs)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(_rolled(in_model, "in"), "doc_id", "left")
+        .join(_rolled(base_model, "base"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.coalesce("n_in", F.lit(0))
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("in_coverage"),
+            F.col("avg_logp_in"),
+            F.col("avg_logp_base"),
+            F.round(
+                F.col("avg_logp_in") - F.col("avg_logp_base"), 6
+            ).alias("ml_score"),
+        )
+    )
+
+
 def cut_dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

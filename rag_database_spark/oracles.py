@@ -4096,3 +4096,71 @@ run AS (
 SELECT doc_id, q_score, n_tokens
 FROM run WHERE cum <= total * {num} // 1000
 """
+
+
+def contrastive_score_sql(alpha: float, in_lang: str) -> str:
+    """Twin of ``text_analytics.contrastive_score``: the ``lm_score``
+    machinery twice — base model over every document, in-domain model
+    over the ``lang = in_lang`` slice (its own bigram counts, context
+    totals, and vocabulary size) — with matched-bigram weighted means
+    rounded at 6dp before the difference, exactly like the engine."""
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    a = repr(alpha)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+tok_rows AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+  FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM tok_rows a JOIN tok_rows b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+per AS (
+  SELECT doc_id, w1, w2, count(*)::DOUBLE AS m FROM big GROUP BY 1, 2, 3
+),
+cnt AS (SELECT w1, w2, sum(m) AS c FROM per GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c) AS cx FROM cnt GROUP BY 1),
+vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM tok_rows),
+in_ids AS (SELECT doc_id FROM documents WHERE lang = '{in_lang}'),
+per_i AS (SELECT p.* FROM per p JOIN in_ids USING (doc_id)),
+cnt_i AS (SELECT w1, w2, sum(m) AS c FROM per_i GROUP BY 1, 2),
+ctx_i AS (SELECT w1, sum(c) AS cx FROM cnt_i GROUP BY 1),
+vv_i AS (
+  SELECT count(DISTINCT r.tok)::DOUBLE AS v
+  FROM tok_rows r JOIN in_ids USING (doc_id)
+),
+rolled_b AS (
+  SELECT p.doc_id, sum(p.m)::BIGINT AS n_base,
+         round(sum(p.m * ln((c.c + {a}) / (x.cx + {a} * (SELECT v FROM vv))))
+               / sum(p.m), 6) AS avg_logp_base
+  FROM per p JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1)
+  GROUP BY p.doc_id
+),
+rolled_i AS (
+  SELECT p.doc_id, sum(p.m)::BIGINT AS n_in,
+         round(sum(p.m * ln((c.c + {a}) / (x.cx + {a} * (SELECT v FROM vv_i))))
+               / sum(p.m), 6) AS avg_logp_in
+  FROM per p JOIN cnt_i c USING (w1, w2) JOIN ctx_i x USING (w1)
+  GROUP BY p.doc_id
+),
+tot AS (SELECT doc_id, sum(m)::BIGINT AS n_bigrams FROM per GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(t.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(coalesce(ri.n_in, 0)
+             / greatest(coalesce(t.n_bigrams, 0), 1), 6) AS in_coverage,
+       ri.avg_logp_in AS avg_logp_in,
+       rb.avg_logp_base AS avg_logp_base,
+       round(ri.avg_logp_in - rb.avg_logp_base, 6) AS ml_score
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN rolled_i ri USING (doc_id)
+LEFT JOIN rolled_b rb USING (doc_id)
+"""

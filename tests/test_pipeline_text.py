@@ -687,6 +687,119 @@ def test_lm_score_persisted_model_equals_inline(spark, tmp_path):
     assert inline == persisted
 
 
+def test_contrastive_score_matches_hand_models(spark):
+    """contrastive_score == two hand-built add-k bigram models (base:
+    all docs, in-domain: the English-like slice); an in-domain doc gets
+    a higher ml_score than an out-of-domain one, and coverage tracks
+    how many of a doc's bigrams the in-domain model has seen."""
+    import math
+
+    from rag_database_spark.operators.text_analytics import (
+        contrastive_score,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the cat", "en"),
+        (3, "der hund lief durch den wald", "de"),
+        (4, "the cat sat on the mat again", "de"),  # en-like text
+        (5, "x", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in contrastive_score(
+            docs, docs.filter("lang = 'en'")
+        ).collect()
+    }
+
+    def model(seqs):
+        cnt, ctx, vocab = {}, {}, set()
+        for s in seqs:
+            vocab.update(s)
+            for i in range(len(s) - 1):
+                b = (s[i], s[i + 1])
+                cnt[b] = cnt.get(b, 0) + 1
+        for (w1, _), c in cnt.items():
+            ctx[w1] = ctx.get(w1, 0) + c
+        return cnt, ctx, len(vocab)
+
+    toks = {i: t.split() for i, t, _ in rows}
+    base_m = model(toks.values())
+    in_m = model([toks[1], toks[2], toks[5]])
+    a = 0.5
+
+    def score(s, m):
+        cnt, ctx, v = m
+        lps = [
+            math.log((cnt[(s[i], s[i + 1])] + a) / (ctx[s[i]] + a * v))
+            for i in range(len(s) - 1)
+            if (s[i], s[i + 1]) in cnt
+        ]
+        return (len(lps), round(sum(lps) / len(lps), 6)) if lps else (0, None)
+
+    for doc_id in (1, 2, 3, 4):
+        s = toks[doc_id]
+        n_in, want_in = score(s, in_m)
+        n_b, want_b = score(s, base_m)
+        assert got[doc_id]["n_bigrams"] == len(s) - 1
+        if want_in is not None:
+            assert abs(got[doc_id]["avg_logp_in"] - want_in) < 1e-9
+        else:
+            assert got[doc_id]["avg_logp_in"] is None
+        assert abs(got[doc_id]["avg_logp_base"] - want_b) < 1e-9
+        cov = round(n_in / max(len(s) - 1, 1), 6)
+        assert abs(got[doc_id]["in_coverage"] - cov) < 1e-9
+        if want_in is not None:
+            assert abs(
+                got[doc_id]["ml_score"] - round(want_in - want_b, 6)
+            ) < 1e-9
+    # the en-like doc written under lang='de' still scores more
+    # in-domain than the genuinely German one — selection reads the
+    # TEXT, not the label
+    assert got[4]["ml_score"] is not None
+    assert got[3]["in_coverage"] < got[4]["in_coverage"]
+    # zero-bigram doc: NULL scores, zero coverage
+    assert got[5]["n_bigrams"] == 0
+    assert got[5]["ml_score"] is None and got[5]["in_coverage"] == 0.0
+
+
+def test_contrastive_score_persisted_models_equal_inline(spark, tmp_path):
+    from rag_database_spark.operators.text_analytics import (
+        contrastive_score,
+        train_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "der hund lief durch den wald", "de"),
+            (3, "the dog sat on the mat too", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    in_docs = docs.filter("lang = 'en'")
+    for df, name in ((docs, "base"), (in_docs, "in")):
+        train_lm(df).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+    inline = sorted(
+        map(tuple, contrastive_score(docs, in_docs).collect())
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            contrastive_score(
+                docs,
+                in_docs,
+                in_model=spark.read.parquet(str(tmp_path / "in")),
+                base_model=spark.read.parquet(str(tmp_path / "base")),
+            ).collect(),
+        )
+    )
+    assert inline == persisted
+
+
 def test_temperature_sample_flattens_source_skew(spark):
     """τ=2 sampling keeps a larger FRACTION of the small source than
     of the big one (flattening), the per-source audit is exact, and
