@@ -786,23 +786,35 @@ def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_MODEL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
-def _lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-corpus bigram-LM artifact (w1, w2, lp): trained once per
-    corpus fingerprint and persisted, same discipline as the
-    BM25/IVF/adjacency/PageRank artifacts — scoring calls join the
-    read-back model instead of re-aggregating the whole corpus."""
+def _lm_artifact(spark: SparkSession, sf_dir: str, subdir: str,
+                 doc_filter=None) -> DataFrame:
+    """Shared per-corpus bigram-LM artifact plumbing (w1, w2, lp):
+    trained once per corpus fingerprint and persisted, same discipline
+    as the BM25/IVF/adjacency/PageRank artifacts — scoring calls join
+    the read-back model instead of re-aggregating the corpus. One
+    cache-probe / _SUCCESS-check / train-write / read-back sequence
+    serves both the whole-corpus and in-domain models."""
     fp = _source_fingerprint(sf_dir)
-    hit = _LM_MODEL_CACHE.get(fp)
+    key = f"{subdir}:{fp}"
+    hit = _LM_MODEL_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    cache_dir = Path(__file__).resolve().parent / ".cache" / "lm_model" / fp
+    cache_dir = Path(__file__).resolve().parent / ".cache" / subdir / fp
     if not (cache_dir / "_SUCCESS").exists():
-        text_analytics.train_lm(
-            load_table(spark, sf_dir, "documents")
-        ).write.mode("overwrite").parquet(str(cache_dir))
+        docs = load_table(spark, sf_dir, "documents")
+        if doc_filter is not None:
+            docs = docs.filter(doc_filter)
+        text_analytics.train_lm(docs).write.mode("overwrite").parquet(
+            str(cache_dir)
+        )
     model = spark.read.parquet(str(cache_dir))
-    _LM_MODEL_CACHE[fp] = (spark, model)
+    _LM_MODEL_CACHE[key] = (spark, model)
     return model
+
+
+def _lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus bigram-LM artifact."""
+    return _lm_artifact(spark, sf_dir, "lm_model")
 
 
 def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,20 +894,10 @@ def _lm_model_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-domain bigram-LM artifact: trained on the ``lang = en``
     slice only, persisted per corpus fingerprint beside the
     whole-corpus model (``_lm_model``)."""
-    fp = _source_fingerprint(sf_dir)
-    hit = _LM_MODEL_CACHE.get(fp + "-in")
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    cache_dir = Path(__file__).resolve().parent / ".cache" / "lm_model_in" / fp
-    if not (cache_dir / "_SUCCESS").exists():
-        text_analytics.train_lm(
-            load_table(spark, sf_dir, "documents").filter(
-                F.col("lang") == CONTRASTIVE_IN_LANG
-            )
-        ).write.mode("overwrite").parquet(str(cache_dir))
-    model = spark.read.parquet(str(cache_dir))
-    _LM_MODEL_CACHE[fp + "-in"] = (spark, model)
-    return model
+    return _lm_artifact(
+        spark, sf_dir, "lm_model_in",
+        doc_filter=F.col("lang") == CONTRASTIVE_IN_LANG,
+    )
 
 
 def _contrastive_select(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,20 +83,27 @@ def _read_slices(
       tracking — it is standing corpus, never excluded).
 
     ``exclude_batch`` drops that batch's own slice — the replay-probe
-    filter every caller of the old inline snippet needed."""
-    from pathlib import Path as _Path
+    filter every caller of the old inline snippet needed.
 
-    root = _Path(path)
-    part_dirs = sorted(
-        str(c) for c in root.iterdir()
-        if c.is_dir() and c.name.startswith("ingest_batch=")
-    ) if root.is_dir() else []
-    flat_files = sorted(
-        str(c) for c in root.iterdir()
-        if c.is_file() and c.suffix == ".parquet"
-    ) if root.is_dir() else []
+    Listing goes through the Hadoop FileSystem API, not local pathlib,
+    so the mixed-layout detection works identically for ``file://``,
+    ``hdfs://``, and object-store roots."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    part_dirs: list[str] = []
+    flat_files: list[str] = []
+    if fs.exists(hpath):
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("ingest_batch="):
+                part_dirs.append(st.getPath().toString())
+            elif st.isFile() and name.endswith(".parquet"):
+                flat_files.append(st.getPath().toString())
+    part_dirs.sort()
+    flat_files.sort()
     if part_dirs and flat_files:
-        part = spark.read.option("basePath", str(root)).parquet(*part_dirs)
+        part = spark.read.option("basePath", path).parquet(*part_dirs)
         if exclude_batch is not None:
             part = part.filter(
                 F.col("ingest_batch") != int(exclude_batch)

@@ -80,16 +80,6 @@ def _real_decode(payload: bytes, kind: str) -> dict:
     return _fake_decode(payload, kind)
 
 
-def _decode_impl():
-    """Call-time dispatch (executor-side): PIL present → real decoder,
-    else the deterministic stub. The smoke test injects a fake PIL to
-    prove the real branch wires up without code changes."""
-    from rag_database_spark.seams import have
-
-    return _real_decode if have("PIL.Image") else _fake_decode
-
-
-
 def _use_real(real: bool | None, lib: str) -> bool:
     """Seam dispatch: ``None`` auto-detects the library; an explicit
     bool PINS the branch — entries whose payloads are synthetic

@@ -125,15 +125,19 @@ def test_real_parse_maps_recorded_elements_to_rows(monkeypatch):
 
 
 def test_decode_seam_flips_with_injected_module(monkeypatch):
+    """The shared _use_real dispatch (decode_media/resize_media/
+    image_dhash/audio_fingerprint all route through it) flips with an
+    injected PIL in auto mode, and an explicit pin overrides it."""
     from rag_database_spark.operators import multimodal
 
-    assert multimodal._decode_impl() is multimodal._fake_decode
+    assert multimodal._use_real(None, "PIL.Image") is False
 
     fake_pil = types.ModuleType("PIL")
     fake_img = types.ModuleType("PIL.Image")
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
-    assert multimodal._decode_impl() is multimodal._real_decode
+    assert multimodal._use_real(None, "PIL.Image") is True
+    assert multimodal._use_real(False, "PIL.Image") is False
 
 
 def test_render_seam_flips_and_maps_pages(monkeypatch):
