@@ -79,3 +79,28 @@ def test_graph_and_mixing_ops_tolerate_empty_input(spark):
         except Exception as exc:  # noqa: BLE001 - collect, then report
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, failures
+
+
+def test_r10_selection_and_bpe_ops_tolerate_empty_corpus(spark):
+    """r10 operators: BPE training, token-budget selection, and
+    contrastive scoring all return empty results with stable schemas
+    on an empty corpus (bootstrap before any ingest)."""
+    from rag_database_spark.operators import bpe
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    merges, encoded = bpe.train_bpe(empty, num_merges=4)
+    assert merges.count() == 0 and merges.schema.fields
+    assert encoded.count() == 0
+
+    assert bpe.pair_stats(empty).count() == 0
+    assert bpe.encode_docs(empty, encoded).count() == 0
+
+    for bracket in (True, False):
+        sel = ta.token_budget_select(empty, frac=0.6, bracket=bracket)
+        assert sel.count() == 0 and sel.schema.fields
+
+    cs = ta.contrastive_score(empty, empty.filter("lang = 'en'"))
+    assert cs.count() == 0 and cs.schema.fields
