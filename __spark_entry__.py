@@ -25,6 +25,7 @@ from rag_database_spark.operators import bm25 as bm25_ops
 from rag_database_spark.operators import bpe as bpe_ops
 from rag_database_spark.functions import quality
 from rag_database_spark.operators import chunking
+from rag_database_spark.operators import clustering
 from rag_database_spark.operators import dedup
 from rag_database_spark.operators import graph as graph_ops
 from rag_database_spark.operators import domain_metadata
@@ -134,6 +135,10 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
         _adjacency(spark, sf_dir, conf).count()
     _pagerank_scores(spark, sf_dir)
     _pagerank_scores(spark, sf_dir, weighted=True)
+    _kmeans_artifact(spark, sf_dir)
+    _lm_model(spark, sf_dir)
+    _lm_model_in(spark, sf_dir)
+    _dsir_model(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -1940,6 +1945,134 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+# driver-testdata embeddings width (TESTDATA.md; also pinned at the
+# lsh_topk call above) — the kmeans oracle unrolls its distance chain
+# to exactly this many terms
+EMBEDDING_DIM = 64
+
+_KMEANS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted deterministic k-means assignments (vec_id, cluster_id)
+    — trained once per EMBEDDINGS-table fingerprint (Lloyd's with
+    KMEANS_ITERS updates, clustering.kmeans_fit), same artifact
+    discipline as the BM25/IVF/LM models: both clustering entries read
+    this back instead of re-running the iterative fit per call."""
+    fp = _source_fingerprint(sf_dir, table="embeddings")
+    key = f"kmeans:{fp}"
+    hit = _KMEANS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "kmeans" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        emb = load_table(spark, sf_dir, "embeddings")
+        # SemDeDup's scale contract: k grows with the corpus so the
+        # expected cluster size stays ~KMEANS_TARGET_CLUSTER (pairs
+        # then scale linearly). At the driver scales (≤512 embeddings)
+        # this resolves to KMEANS_K, which is what the static oracle
+        # CTEs unroll.
+        k = clustering.kmeans_k_for(emb.count())
+        clustering.kmeans_assignments(emb, k=k).write.mode(
+            "overwrite"
+        ).parquet(str(cache_dir))
+    assign = spark.read.parquet(str(cache_dir))
+    _KMEANS_CACHE[key] = (spark, assign)
+    return assign
+
+
+def _embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding corpus
+    (clustering.kmeans_fit; exact cross-engine replay — see the module
+    docstring's determinism argument). Output joins the ground-truth
+    label for purity eyeballing; the DuckDB oracle replays all
+    KMEANS_ITERS rounds as unrolled CTEs and must agree on every
+    assignment exactly, not approximately."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "label")
+        .join(
+            _kmeans_artifact(spark, sf_dir).withColumnRenamed(
+                "id", "vec_id"
+            ),
+            "vec_id",
+        )
+        .select("vec_id", "cluster_id", "label")
+    )
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    pairwise cosine only WITHIN a k-means cluster (the persisted
+    assignment artifact), drop iff a lower-id cluster-mate sits at
+    cosine ≥ SEMDEDUP_THRESHOLD. The published scale path for
+    embedding dedup: Σ|cluster|² pairs instead of N²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _kmeans_artifact(spark, sf_dir)
+    return clustering.semdedup(emb, assign).withColumnRenamed("id", "vec_id")
+
+
+VECTOR_GATE_MOD = 25  # vec_id % 25 == 0 → the simulated incoming batch
+
+
+def _vector_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space admission gate (vector twin of ingest_gate):
+    for each simulated incoming vector, its best-cosine match in the
+    accepted corpus — batch broadcasts, corpus never shuffles
+    (similarity.best_cosine_match, one cosine_topk(k=1))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.best_cosine_match(
+        emb.filter(F.col("vec_id") % VECTOR_GATE_MOD == 0),
+        emb.filter(F.col("vec_id") % VECTOR_GATE_MOD != 0),
+        id_col="vec_id", vec_col="embedding",
+    ).withColumnRenamed("id", "vec_id")
+
+
+DSIR_TOP_N = 100
+
+
+def _dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted DSIR importance model (bucket, w): hashed-bigram
+    log ratios between the in-domain slice (lang = en, the same slice
+    Moore-Lewis uses) and the whole corpus — trained once per corpus
+    fingerprint (text_analytics.train_dsir)."""
+    fp = _source_fingerprint(sf_dir)
+    key = f"dsir_model:{fp}"
+    hit = _LM_MODEL_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "dsir_model" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        docs = load_table(spark, sf_dir, "documents")
+        text_analytics.train_dsir(
+            docs, docs.filter(F.col("lang") == CONTRASTIVE_IN_LANG)
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    model = spark.read.parquet(str(cache_dir))
+    _LM_MODEL_CACHE[key] = (spark, model)
+    return model
+
+
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): top-N documents by
+    mean hashed-bigram log importance ratio under the persisted
+    in-domain-vs-corpus model. Top-N is orderBy+limit
+    (TakeOrderedAndProject — never a global window); the rank column
+    is a window over the N survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_analytics.dsir_score(docs, model=_dsir_model(spark, sf_dir))
+    top = (
+        scored.filter(F.col("avg_llr").isNotNull())
+        .orderBy(F.desc("avg_llr"), "doc_id")
+        .limit(DSIR_TOP_N)
+    )
+    w = Window.orderBy(F.desc("avg_llr"), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("rank", "doc_id", "lang", "n_bigrams", "avg_llr")
+    )
+
+
 # Entries that deliberately ship no oracle_sql (sequential centroid
 # walks / approximate recall — not SQL-expressible); the driver records
 # a rows-only check for them, so they are declared LAST: the driver
@@ -1981,6 +2114,7 @@ _PURE_LAZY = frozenset({
     "source_mix",
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
+    "embed_kmeans", "semdedup", "dsir_select", "vector_ingest_gate",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
@@ -2025,20 +2159,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf3": _hybrid_rrf3,
         "maxsim_topk": _maxsim_topk,
         "query_analysis": _query_analysis,
-        "vector_upsert": _vector_upsert,
         "tenant_scoped_search": _tenant_scoped_search,
         # new in r10: Moore-Lewis contrastive selection (minhash_sigs
         # moved to the tail — dedup family stays repped in-window by
         # the image/audio/video near-dup entries)
         "contrastive_select": _contrastive_select,
-        "curate_corpus": _curate_corpus,
         # new in r10: weighted token-budget selection (embedding_near_dup
         # moved to the tail — near-dup family stays repped in-window by
         # minhash_sigs + the image/audio/video near-dup entries)
         "token_budget_select": _token_budget_select,
-        "ann_lsh_topk": _ann_lsh_topk,
+        # new in r11: deterministic k-means, SemDeDup, DSIR selection,
+        # vector ingest gate (ann_lsh_topk / curate_corpus /
+        # vector_upsert / extract_metadata moved to the tail to make
+        # room — ANN stays repped in-window by ann_ivf_topk +
+        # quantize_embeddings, curation/selection by
+        # token_budget_select + contrastive_select + temperature_mix,
+        # domain metadata by query_analysis' F-family; all four
+        # demoted entries are driver-green r7-r9 and replica-kept)
+        "embed_kmeans": _embed_kmeans,
+        "semdedup": _semdedup,
+        "dsir_select": _dsir_select,
+        "vector_ingest_gate": _vector_ingest_gate,
         "table_summary": _table_summary,
-        "extract_metadata": _extract_metadata,
         "redact_pii": _redact_pii,
         # new in r10 (need their first driver row; visual_search /
         # enhanced_search / db_stats moved to the tail to make room —
@@ -2144,6 +2286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
         "conversions": _conversions,
+        # demoted to the tail in r11 to fit the three new r11 entries
+        # in-window; driver-green r7-r9, local replica keeps them green
+        "ann_lsh_topk": _ann_lsh_topk,
+        "curate_corpus": _curate_corpus,
+        "vector_upsert": _vector_upsert,
+        "extract_metadata": _extract_metadata,
         # demoted to the tail in r10 to fit the six new r10 entries
         # in-window; driver-green r1-r9, local replica keeps them green
         "visual_search": _visual_search,
@@ -2236,6 +2384,22 @@ def oracle_sql() -> dict[str, str]:
             WINDOW_JOIN_COUNT
         ),
         "lm_perplexity": oracles.lm_score_sql(text_analytics.LM_ALPHA),
+        "embed_kmeans": oracles.kmeans_sql(
+            clustering.KMEANS_K, clustering.KMEANS_ITERS,
+            EMBEDDING_DIM, clustering.KMEANS_SCALE,
+        ),
+        "semdedup": oracles.semdedup_sql(
+            clustering.SEMDEDUP_THRESHOLD,
+            clustering.KMEANS_K, clustering.KMEANS_ITERS,
+            EMBEDDING_DIM, clustering.KMEANS_SCALE,
+        ),
+        "dsir_select": oracles.dsir_select_sql(
+            CONTRASTIVE_IN_LANG, text_analytics.DSIR_BUCKETS,
+            text_analytics.DSIR_ALPHA, DSIR_TOP_N,
+        ),
+        "vector_ingest_gate": oracles.vector_ingest_gate_sql(
+            VECTOR_GATE_MOD
+        ),
         "graph_triangles": oracles.triangles_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K
         ),

@@ -864,3 +864,40 @@ def quantized_topk(
         ).otherwise(F.lit(0.0)).alias("score"),
     )
     return _ranked(scored, k)
+
+
+def best_cosine_match(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Embedding-space admission-gate probe — the vector twin of
+    ``dedup.best_jaccard_vs_index``: for each INCOMING vector, its
+    single nearest accepted-corpus neighbor by cosine. An ingest
+    pipeline thresholds ``best_cosine`` to quarantine semantic
+    near-duplicates of already-accepted content before they enter the
+    corpus (same admission flow the reference's idempotent upsert
+    implies, src/storage/vector_store.py:176-228, generalized from
+    exact-id to near-duplicate).
+
+    Scale: one ``cosine_topk(k=1)`` — the incoming batch broadcasts,
+    the corpus never shuffles, and the rollup carries one row per
+    (batch id × corpus partition) at most. Totalized with a left join
+    so a bootstrap (empty-corpus) batch gates everything through with
+    best_cosine = NULL.
+
+    Output: (id, match_id | NULL, best_cosine | NULL).
+    """
+    q = batch.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    )
+    top1 = cosine_topk(
+        q, corpus, 1, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("query_id").alias("id"),
+        F.col("id").alias("match_id"),
+        F.round("score", 6).alias("best_cosine"),
+    )
+    return batch.select(F.col(id_col).alias("id")).join(top1, "id", "left")

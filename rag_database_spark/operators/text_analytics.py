@@ -1658,3 +1658,159 @@ def normalize_unicode(pages: DataFrame, id_col: str = "doc_id",
             )
 
     return pages.mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance selection
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed-feature dimensionality
+DSIR_ALPHA = 1.0     # Laplace smoothing mass per bucket
+
+
+def _dsir_bucket(n_buckets: int = DSIR_BUCKETS) -> F.Column:
+    """(w1, w2) → 60-bit md5 bucket — the same engine-portable hash
+    family as the MinHash/sampling machinery (dedup.hash60), so the
+    DuckDB twin reproduces feature hashing bit-for-bit."""
+    from rag_database_spark.operators.dedup import hash60
+
+    return hash60(F.concat_ws(" ", "w1", "w2")) % F.lit(n_buckets)
+
+
+def train_dsir(docs: DataFrame, target_docs: DataFrame,
+               n_buckets: int = DSIR_BUCKETS,
+               alpha: float = DSIR_ALPHA,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Train a DSIR-style importance model (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    bigram features, per-bucket log importance ratio between the
+    target distribution and the raw corpus,
+
+        w(b) = ln((t_b + α) / (T + αB)) − ln((r_b + α) / (R + αB)),
+
+    rounded to 9 dp (counts are integers, so the logs are
+    bit-identical cross-engine and the rounding is belt-and-braces).
+    Returns the persistable model table (bucket, w) plus one
+    ``bucket = -1`` row carrying the unseen-bucket default weight —
+    same artifact discipline as ``train_lm`` (persist once per corpus
+    fingerprint; scoring is a single keyed join).
+
+    Where Moore-Lewis (``contrastive_score``) contrasts two generative
+    bigram LMs, DSIR is a multinomial importance ratio over a FIXED
+    hashed feature space — the model is B rows regardless of vocab, so
+    it broadcasts at any corpus scale.
+
+    Scale: two corpus passes (bigram → bucket rollups with map-side
+    partials), a B-row join, and two scalar totals on a broadcast
+    cross join. B rows out."""
+    _, per_raw = _lm_doc_bigrams(docs, id_col, text_col)
+    _, per_tgt = _lm_doc_bigrams(target_docs, id_col, text_col)
+    bucket = _dsir_bucket(n_buckets)
+    raw_b = (
+        per_raw.select(bucket.alias("bucket"), "m")
+        .groupBy("bucket").agg(F.sum("m").alias("r"))
+    )
+    tgt_b = (
+        per_tgt.select(bucket.alias("bucket"), "m")
+        .groupBy("bucket").agg(F.sum("m").alias("t"))
+    )
+    joined = (
+        raw_b.join(tgt_b, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("r", F.lit(0.0)).alias("r"),
+            F.coalesce("t", F.lit(0.0)).alias("t"),
+        )
+    )
+    # Spark resolves identifiers case-insensitively, so the totals
+    # must not shadow the per-bucket r/t columns; coalesce keeps the
+    # default weight finite (0.0) on an empty training corpus
+    totals = joined.agg(
+        F.coalesce(F.sum("r"), F.lit(0.0)).alias("tot_r"),
+        F.coalesce(F.sum("t"), F.lit(0.0)).alias("tot_t"),
+    )
+    ab = float(alpha) * n_buckets
+
+    def _w(t_col, r_col) -> F.Column:
+        return F.round(
+            F.log(
+                (t_col + F.lit(float(alpha))) / (F.col("tot_t") + F.lit(ab))
+            )
+            - F.log(
+                (r_col + F.lit(float(alpha))) / (F.col("tot_r") + F.lit(ab))
+            ),
+            9,
+        )
+
+    # the model carries its own feature dimensionality: scoring MUST
+    # hash with the same B or every lookup silently misses into the
+    # default weight — a foot-gun a parameter default can't guard
+    weights = joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        _w(F.col("t"), F.col("r")).alias("w"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+    )
+    default = totals.select(
+        F.lit(-1).cast("long").alias("bucket"),
+        _w(F.lit(0.0), F.lit(0.0)).alias("w"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+    )
+    return weights.unionByName(default)
+
+
+def dsir_score(docs: DataFrame, model: DataFrame,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document DSIR importance: mean hashed-bigram log importance
+    ratio Σ m_b·w(b) / Σ m_b under a ``train_dsir`` model (read back
+    from its per-corpus artifact — no training here). The feature
+    dimensionality is read from the model itself (one 1-row lookup at
+    plan-build time), so a hash-space mismatch between training and
+    scoring is impossible by construction. Documents with zero bigrams
+    score NULL (they carry no evidence either way; a selector must not
+    default-admit them).
+
+    Scale: bigrams form array-side (shared ``_lm_doc_bigrams`` front
+    end), the per-(doc, bucket) rollup shrinks the stream before the
+    B-row broadcast join, and the final rollup keys on doc_id."""
+    default_row = model.filter(F.col("bucket") == -1).first()
+    if default_row is None:
+        raise ValueError(
+            "dsir_score: model has no bucket=-1 default row — not a "
+            "train_dsir artifact"
+        )
+    n_buckets = int(default_row["n_buckets"])
+    _, per = _lm_doc_bigrams(docs, id_col, text_col)
+    perb = (
+        per.select("doc_id", _dsir_bucket(n_buckets).alias("bucket"), "m")
+        .groupBy("doc_id", "bucket").agg(F.sum("m").alias("m"))
+    )
+    default = model.filter(F.col("bucket") == -1).select(
+        F.col("w").alias("w_def")
+    )
+    table = model.filter(F.col("bucket") >= 0)
+    rolled = (
+        perb.join(F.broadcast(table), "bucket", "left")
+        .crossJoin(F.broadcast(default))
+        .select(
+            "doc_id", "m",
+            (F.col("m") * F.coalesce("w", "w_def")).alias("mw"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("mw") / F.sum("m"), 6).alias("avg_llr"),
+        )
+    )
+    docs = fan_out(docs)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rolled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            "avg_llr",
+        )
+    )

@@ -4164,3 +4164,172 @@ LEFT JOIN tot t USING (doc_id)
 LEFT JOIN rolled_i ri USING (doc_id)
 LEFT JOIN rolled_b rb USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means + SemDeDup (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int, scale: int) -> str:
+    """Unrolled Lloyd's twin of ``clustering.kmeans_fit``: quantized
+    integer inputs make every centroid mean an exact-integer-sum /
+    count (bit-identical across engines with no rounding), and the
+    squared distance is the same left-associated term chain as the
+    engine's ``F.aggregate`` fold, so assignments agree exactly
+    (ties → lowest cid via ORDER BY (d, cid), the engine's
+    ``array_position``-of-first-min)."""
+    dist = " + ".join(
+        f"(q.x[{i}]-c.c[{i}])*(q.x[{i}]-c.c[{i}])" for i in range(1, dim + 1)
+    )
+    mean = ", ".join(f"sum(x[{i}])/count(*)" for i in range(1, dim + 1))
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, x, cid FROM (
+    SELECT vec_id, x, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (SELECT q.vec_id, q.x, c.cid, {dist} AS d
+          FROM xq q, {cent} c)
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""xq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], v -> round(v*{scale})) AS x
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c
+  FROM (SELECT vec_id, x FROM xq ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(assign(f"a{t}", f"c{t - 1}"))
+        parts.append(f"""c{t} AS (
+  SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.c ELSE u.c END AS c
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT cid, [{mean}] AS c FROM a{t} GROUP BY cid
+  ) u ON u.cid = p.cid
+)""")
+    parts.append(assign("af", f"c{iters}"))
+    return ",\n".join(parts)
+
+
+def kmeans_sql(k: int, iters: int, dim: int, scale: int) -> str:
+    return f"""
+WITH {_kmeans_ctes(k, iters, dim, scale)}
+SELECT e.vec_id, a.cid AS cluster_id, e.label
+FROM embeddings e JOIN af a ON a.vec_id = e.vec_id
+"""
+
+
+def semdedup_sql(threshold: float, k: int, iters: int, dim: int,
+                 scale: int) -> str:
+    """Twin of ``clustering.semdedup`` over the shared k-means CTEs:
+    pairwise cosine only within a cluster, drop iff a LOWER-id
+    cluster-mate sits at rounded cosine ≥ threshold."""
+    return f"""
+WITH {_kmeans_ctes(k, iters, dim, scale)},
+pairs AS (
+  SELECT a.vec_id AS id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cs
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id > b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+best AS (SELECT id, max(cs) AS max_sim_lower FROM pairs GROUP BY id)
+SELECT a.vec_id, a.cid AS cluster_id, b.max_sim_lower,
+       (b.max_sim_lower IS NULL OR b.max_sim_lower < {threshold}) AS keep
+FROM af a LEFT JOIN best b ON b.id = a.vec_id
+"""
+
+
+def dsir_select_sql(in_lang: str, n_buckets: int, alpha: float,
+                    top_n: int) -> str:
+    """Twin of ``text_analytics.train_dsir`` + ``dsir_score`` + top-N:
+    same tokenization as ``lm_score_sql``, same md5 feature hashing as
+    ``minhash_signatures_sql``, integer bucket counts → bit-identical
+    9dp weights, weighted-mean score rounded to 6dp, rank on the
+    rounded score with doc_id tie-break."""
+    from rag_database_spark.functions.text import SPLIT_RE
+
+    a = repr(float(alpha))
+    ab = repr(float(alpha) * n_buckets)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+tok_rows AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+  FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM tok_rows a JOIN tok_rows b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+perb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w1 || ' ' || w2), 1, 15))::BIGINT
+           % {n_buckets} AS bucket,
+         count(*)::DOUBLE AS m
+  FROM big GROUP BY 1, 2
+),
+raw_b AS (SELECT bucket, sum(m) AS r FROM perb GROUP BY 1),
+tgt_b AS (
+  SELECT bucket, sum(m) AS t
+  FROM perb JOIN documents USING (doc_id)
+  WHERE lang = '{in_lang}' GROUP BY 1
+),
+tot AS (SELECT (SELECT sum(r) FROM raw_b) AS tot_r,
+               (SELECT coalesce(sum(t), 0) FROM tgt_b) AS tot_t),
+w AS (
+  SELECT bucket,
+         round(ln((coalesce(t, 0) + {a}) / (tot_t + {ab}))
+               - ln((r + {a}) / (tot_r + {ab})), 9) AS w
+  FROM raw_b LEFT JOIN tgt_b USING (bucket), tot
+),
+scored AS (
+  SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+         round(sum(m * w.w) / sum(m), 6) AS avg_llr
+  FROM perb JOIN w USING (bucket) GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY s.avg_llr DESC, s.doc_id) AS rank,
+       s.doc_id, d.lang, s.n_bigrams, s.avg_llr
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY rank LIMIT {top_n}
+"""
+
+
+def vector_ingest_gate_sql(mod: int) -> str:
+    """Twin of ``similarity.best_cosine_match`` on the fixture split:
+    vecs with vec_id % mod == 0 are the incoming batch, the rest the
+    accepted corpus; per incoming vec, the best-cosine corpus match
+    under (cosine DESC, vec_id ASC)."""
+    return f"""
+WITH best AS (
+  SELECT id, match_id, best_cosine FROM (
+    SELECT a.vec_id AS id, c.vec_id AS match_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6)
+             AS best_cosine,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                             c.embedding::DOUBLE[]) DESC,
+                      c.vec_id
+           ) AS rn
+    FROM embeddings a JOIN embeddings c ON c.vec_id % {mod} <> 0
+    WHERE a.vec_id % {mod} = 0
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, b.match_id, b.best_cosine
+FROM embeddings e LEFT JOIN best b ON b.id = e.vec_id
+WHERE e.vec_id % {mod} = 0
+"""

@@ -754,3 +754,102 @@ def funnel_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def vector_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    accept_path: str,
+    quarantine_path: str,
+    index_path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the EMBEDDING admission gate — the vector
+    twin of ``dedup_gate_batch``: incoming vectors are probed against
+    the accepted-vector index with ``similarity.best_cosine_match``
+    (batch broadcasts, index never shuffles); rounded best cosine ≥
+    ``threshold`` quarantines (with match id + score), the rest append
+    to the corpus AND the index so later batches gate against them.
+
+    Replay-idempotent by the same construction as the text gate: every
+    sink is an ``ingest_batch=<id>`` slice via ``dedup._write_slice``
+    and the probe reads the index MINUS this batch's own slice, so an
+    at-least-once replay reproduces byte-identical artifacts instead
+    of double-appending or self-matching at cosine 1.0."""
+    from pathlib import Path
+
+    from rag_database_spark.operators import dedup as dd
+    from rag_database_spark.operators.similarity import best_cosine_match
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    verdict = None
+    try:
+        p = Path(index_path)
+        has_index = p.exists() and (
+            (p / "_SUCCESS").exists()
+            or any(c.name.startswith("ingest_batch=") for c in p.iterdir())
+        )
+        if has_index:
+            standing = dd._read_slices(
+                spark, index_path, [id_col, vec_col],
+                exclude_batch=batch_id,
+            )
+            verdict = best_cosine_match(
+                batch_df, standing, id_col=id_col, vec_col=vec_col
+            ).withColumnRenamed("id", id_col).persist()
+            dup_ids = verdict.filter(
+                F.col("best_cosine") >= threshold
+            )
+            accepted = batch_df.join(
+                dup_ids.select(id_col), id_col, "left_anti"
+            )
+            dd._write_slice(
+                batch_df.join(dup_ids, id_col), quarantine_path, batch_id
+            )
+        else:
+            accepted = batch_df
+        dd._write_slice(accepted, accept_path, batch_id)
+        dd._write_slice(
+            accepted.select(id_col, vec_col), index_path, batch_id
+        )
+    finally:
+        batch_df.unpersist()
+        if verdict is not None:
+            verdict.unpersist()
+
+
+def stream_vector_gate(
+    spark: SparkSession,
+    src_path: str,
+    accept_path: str,
+    quarantine_path: str,
+    schema: str,
+    index_path: str,
+    threshold: float = 0.9,
+    max_files_per_trigger: int | None = None,
+):
+    """Online embedding-dedup admission gate (the streaming form of
+    the ``vector_ingest_gate`` entry): each micro-batch of incoming
+    vectors gates against everything accepted before it. Semantics are
+    ``vector_gate_batch``'s — stream==batch by construction, and the
+    batch form is what the DuckDB oracle checks."""
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        vector_gate_batch(
+            batch_df, batch_id, accept_path, quarantine_path,
+            index_path, threshold,
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(src_path)
+        .writeStream.foreachBatch(_gate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", accept_path + "_checkpoint")
+        .start()
+    )

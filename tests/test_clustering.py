@@ -1,0 +1,221 @@
+"""Deterministic k-means + SemDeDup (operators/clustering.py) and the
+DSIR importance model (text_analytics.train_dsir/dsir_score).
+
+The cross-engine value check lives in tests/test_entry_oracle.py
+(embed_kmeans / semdedup / dsir_select vs their DuckDB twins); here we
+pin the algorithmic invariants a green hash can't express on its own:
+numpy replication of the quantized Lloyd's, determinism across
+re-fits, the SemDeDup keep rule's auditability, artifact round-trips,
+and degenerate inputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rag_database_spark.operators import clustering
+from rag_database_spark.operators import text_analytics as ta
+
+
+def _emb_df(spark, vecs, ids=None):
+    ids = ids if ids is not None else range(len(vecs))
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _numpy_kmeans(V, k, iters, scale=clustering.KMEANS_SCALE):
+    """Reference Lloyd's in the exact arithmetic frame the operator
+    pins: integer-quantized inputs, mean = exact-int-sum / count."""
+    X = np.round(np.asarray(V, dtype=np.float64) * scale)
+    C = X[:k].astype(np.float64).copy()
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        a = assign(C)
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                C[j] = X[m].sum(axis=0) / m.sum()
+    return assign(C)
+
+
+@pytest.fixture(scope="module")
+def rand_vecs():
+    rng = np.random.RandomState(7)
+    V = rng.randn(60, 8)
+    return V / np.linalg.norm(V, axis=1, keepdims=True)
+
+
+def test_kmeans_matches_numpy_reference(spark, rand_vecs):
+    df = _emb_df(spark, rand_vecs)
+    got = dict(
+        clustering.kmeans_assignments(df, k=4, iters=3)
+        .orderBy("id").collect()
+    )
+    want = _numpy_kmeans(rand_vecs, k=4, iters=3)
+    assert [got[i] for i in range(len(rand_vecs))] == list(want)
+    assert len(set(got.values())) > 1  # it actually clustered
+
+
+def test_kmeans_deterministic_across_refits(spark, rand_vecs):
+    df = _emb_df(spark, rand_vecs).repartition(5)
+    a = sorted(clustering.kmeans_assignments(df, k=3, iters=2).collect())
+    b = sorted(clustering.kmeans_assignments(df, k=3, iters=2).collect())
+    assert a == b
+
+
+def test_kmeans_centroids_survive_emptied_cluster(spark):
+    # two far groups + k=3: the third centroid (init = vec 2, inside
+    # group one) loses every member after the first update; the fit
+    # must keep its previous centroid instead of producing NULLs
+    vecs = [[0.0, 0.0], [0.1, 0.0], [0.05, 0.02], [9.0, 9.0], [9.1, 9.0]]
+    out, cents = clustering.kmeans_fit(_emb_df(spark, vecs), k=3, iters=3)
+    rows = out.collect()
+    assert all(r["cluster_id"] is not None for r in rows)
+    assert len(cents) == 3
+    assert all(all(math.isfinite(v) for v in c) for c in cents)
+
+
+def test_kmeans_k_larger_than_n(spark):
+    vecs = [[1.0, 0.0], [0.0, 1.0]]
+    out, cents = clustering.kmeans_fit(_emb_df(spark, vecs), k=5, iters=2)
+    got = dict(out.collect())
+    assert got == {0: 0, 1: 1}
+    assert len(cents) == 2
+
+
+def test_kmeans_gemm_impl_matches_expr(spark, rand_vecs):
+    # the scale path (Arrow-batch GEMM argmin) must agree with the
+    # oracle path (literal folds) away from float near-ties — which is
+    # everywhere, on real data
+    df = _emb_df(spark, rand_vecs)
+    a = sorted(
+        clustering.kmeans_assignments(df, k=4, iters=3, impl="expr")
+        .collect()
+    )
+    b = sorted(
+        clustering.kmeans_assignments(df, k=4, iters=3, impl="gemm")
+        .collect()
+    )
+    assert a == b
+
+
+def test_kmeans_k_for_contract():
+    assert clustering.kmeans_k_for(500) == clustering.KMEANS_K
+    assert clustering.kmeans_k_for(64_000) == 1000
+    assert clustering.kmeans_k_for(64_001) == 1001
+
+
+def test_kmeans_rejects_unknown_impl(spark, rand_vecs):
+    with pytest.raises(ValueError, match="impl"):
+        clustering.kmeans_fit(_emb_df(spark, rand_vecs), impl="fast")
+
+
+def test_kmeans_empty_input(spark):
+    out, cents = clustering.kmeans_fit(
+        _emb_df(spark, []).filter(F.lit(False)), k=3, iters=2
+    )
+    assert out.count() == 0
+    assert cents == []
+
+
+def test_semdedup_keep_rule_is_auditable(spark, rand_vecs):
+    # plant near-dups: rows 50..54 are tiny perturbations of rows 0..4
+    V = rand_vecs.copy()
+    V[50:55] = V[0:5] + 1e-3
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    df = _emb_df(spark, V)
+    assign = clustering.kmeans_assignments(df, k=4, iters=3)
+    out = clustering.semdedup(df, assign, threshold=0.9).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == len(V)
+
+    # recompute the audit columns independently
+    a = dict(assign.collect())
+    S = V @ V.T
+    for r in out:
+        lower_sims = [
+            round(S[r["id"], j], 6)
+            for j in range(r["id"])
+            if a[j] == r["cluster_id"]
+        ]
+        want_max = max(lower_sims) if lower_sims else None
+        if want_max is None:
+            assert r["max_sim_lower"] is None
+        else:
+            assert r["max_sim_lower"] == pytest.approx(want_max, abs=2e-6)
+        assert r["keep"] == (want_max is None or want_max < 0.9)
+
+    # the planted dups were dropped, their originals kept
+    dropped = {r["id"] for r in out if not r["keep"]}
+    assert set(range(50, 55)) <= dropped
+    assert not dropped & set(range(0, 5))
+
+
+def test_semdedup_threshold_one_keeps_everything(spark, rand_vecs):
+    df = _emb_df(spark, rand_vecs)
+    assign = clustering.kmeans_assignments(df, k=4, iters=2)
+    out = clustering.semdedup(df, assign, threshold=1.0 + 1e-9)
+    assert out.filter(~F.col("keep")).count() == 0
+
+
+def _docs_df(spark, texts, langs=None):
+    langs = langs or ["en"] * len(texts)
+    rows = [(i, t, l) for i, (t, l) in enumerate(zip(texts, langs))]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_model_roundtrip_and_scoring(spark, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox runs over the lazy dog",
+        "der schnelle braune fuchs springt ueber den faulen hund",
+        "der schnelle braune fuchs rennt ueber den faulen hund",
+    ]
+    docs = _docs_df(spark, texts, langs=["en", "en", "de", "de"])
+    target = docs.filter(F.col("lang") == "en")
+    model = ta.train_dsir(docs, target, n_buckets=256)
+
+    # exactly one default row, carrying the unseen-bucket weight
+    default = model.filter(F.col("bucket") == -1).collect()
+    assert len(default) == 1
+
+    # persisted == inline
+    path = str(tmp_path / "dsir")
+    model.write.parquet(path)
+    back = spark.read.parquet(path)
+    inline = sorted(ta.dsir_score(docs, model).collect())
+    persisted = sorted(ta.dsir_score(docs, back).collect())
+    assert inline == persisted
+
+    # in-domain docs must outscore the out-of-domain ones
+    scores = {r["doc_id"]: r["avg_llr"] for r in inline}
+    assert min(scores[0], scores[1]) > max(scores[2], scores[3])
+
+
+def test_dsir_rejects_non_model_frame(spark):
+    docs = _docs_df(spark, ["hello world wide web"])
+    bogus = spark.createDataFrame(
+        [(0, 0.5, 32)], "bucket long, w double, n_buckets int"
+    )
+    with pytest.raises(ValueError, match="default row"):
+        ta.dsir_score(docs, bogus)
+
+
+def test_dsir_zero_bigram_doc_scores_null(spark):
+    docs = _docs_df(spark, ["hello world wide web", "single", ""])
+    model = ta.train_dsir(docs, docs.limit(1), n_buckets=32)
+    rows = {r["doc_id"]: r for r in ta.dsir_score(docs, model).collect()}
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["avg_llr"] is None
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["avg_llr"] is None
+    assert rows[0]["avg_llr"] is not None

@@ -104,3 +104,29 @@ def test_r10_selection_and_bpe_ops_tolerate_empty_corpus(spark):
 
     cs = ta.contrastive_score(empty, empty.filter("lang = 'en'"))
     assert cs.count() == 0 and cs.schema.fields
+
+
+def test_clustering_and_dsir_tolerate_empty_input(spark):
+    """r11 operators: empty embedding corpus / empty document corpus
+    yield empty results with the normal schema (kmeans guards its
+    init collect; train_dsir's totals coalesce to 0)."""
+    from rag_database_spark.operators import clustering
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    assign, cents = clustering.kmeans_fit(empty_emb)
+    assert assign.count() == 0 and cents == []
+    sd = clustering.semdedup(empty_emb, assign)
+    assert sd.count() == 0 and sd.schema.fields
+
+    model = ta.train_dsir(empty_docs, empty_docs)
+    rows = model.collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == -1
+    assert rows[0]["w"] == 0.0  # empty corpus carries no evidence
+    scored = ta.dsir_score(empty_docs, model)
+    assert scored.count() == 0 and scored.schema.fields

@@ -381,3 +381,27 @@ def test_triangles_plan_is_all_equi_joins(spark):
     p = plan_of(graph_ops.triangles(edges), "simple")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_dsir_select_topn_is_take_ordered_and_model_broadcasts(spark):
+    """DSIR's top-N must plan as TakeOrderedAndProject (never a global
+    window over the scored corpus) and the B-row model table must ride
+    a broadcast join — the corpus never shuffles for the lookup."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dsir_select"](spark, SF_DIR)
+    p = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_semdedup_pair_join_is_cluster_keyed(spark):
+    """SemDeDup's pair join must key on cluster_id (one shuffle,
+    quadratic only within a cluster) — never a BroadcastNestedLoopJoin
+    over the corpus."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["semdedup"](spark, SF_DIR)
+    p = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "cluster_id" in p

@@ -871,3 +871,96 @@ def test_use_real_pins_the_seam_branch(monkeypatch):
     monkeypatch.setattr(seams, "have", lambda name: False)
     assert multimodal._use_real(None, "PIL.Image") is False
     assert multimodal._use_real(True, "PIL.Image") is True
+
+
+def _vecs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_stream_vector_gate_quarantines_and_learns(spark, tmp_path):
+    """Vector twin of the dedup gate: batch 1 bootstraps the vector
+    index; batch 2 holds a near-identical embedding (quarantined with
+    its match + cosine) and an orthogonal one (accepted, indexed)."""
+    src = str(tmp_path / "vgate_src")
+    accept = str(tmp_path / "vgate_accept")
+    quarantine = str(tmp_path / "vgate_quar")
+    index = str(tmp_path / "vgate_index")
+    schema = "vec_id long, embedding array<float>"
+    _vecs_df(
+        spark, [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    _vecs_df(
+        spark,
+        [(10, [0.999, 0.01, 0.0]), (11, [0.0, 0.0, 1.0])],
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = se.stream_vector_gate(
+        spark, src, accept, quarantine, schema, index,
+        threshold=0.95, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    accepted = {r["vec_id"] for r in spark.read.parquet(accept).collect()}
+    assert accepted == {1, 2, 11}
+    quar = spark.read.parquet(quarantine).collect()
+    assert [(r["vec_id"], r["match_id"]) for r in quar] == [(10, 1)]
+    assert quar[0]["best_cosine"] > 0.99
+    from rag_database_spark.operators import dedup as dd
+
+    idx_ids = {
+        r["vec_id"]
+        for r in dd._read_slices(spark, index, ["vec_id"]).collect()
+    }
+    assert idx_ids == {1, 2, 11}
+
+
+def test_vector_gate_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch body with the same batch_id leaves
+    accept/quarantine/index byte-identical: slices overwrite in place
+    and the probe excludes the batch's own already-written vectors
+    (no self-match at cosine 1.0)."""
+    import os
+
+    accept = str(tmp_path / "accept")
+    quarantine = str(tmp_path / "quar")
+    index = str(tmp_path / "index")
+    batch0 = _vecs_df(
+        spark, [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]
+    )
+    batch1 = _vecs_df(
+        spark,
+        [(10, [0.999, 0.01, 0.0]), (11, [0.0, 0.0, 1.0])],
+    )
+
+    def run(df, bid):
+        se.vector_gate_batch(
+            df, bid, accept, quarantine, index, threshold=0.95
+        )
+
+    def snapshot():
+        out = {}
+        for name, path in (
+            ("accept", accept), ("quar", quarantine), ("index", index)
+        ):
+            if not os.path.exists(path):
+                out[name] = []
+                continue
+            out[name] = sorted(
+                map(tuple, spark.read.parquet(path).collect())
+            )
+        return out
+
+    run(batch0, 0)
+    boot = snapshot()
+    run(batch0, 0)  # replayed bootstrap
+    assert snapshot() == boot
+
+    run(batch1, 1)
+    first = snapshot()
+    assert {t[0] for t in first["accept"]} == {1, 2, 11}
+    run(batch1, 1)  # replayed second batch
+    assert snapshot() == first

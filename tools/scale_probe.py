@@ -72,6 +72,10 @@ AUDIT_NOTES = {
     "augment_results": "graph edges include the near-dup pair set → "
     "adjacency (and 1-hop fan-out) grows superlinearly with replica "
     "density",
+    "vector_ingest_gate": "the probe scales the incoming batch WITH "
+    "the corpus (vec_id % mod), so the exact batch×corpus gate probe "
+    "grows ~quadratically by construction; a real gate's micro-batch "
+    "is fixed-size — per-batch cost is linear in the corpus",
 }
 
 
