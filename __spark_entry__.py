@@ -2073,6 +2073,32 @@ def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_RESAMPLE_SEED = 42
+
+
+def _dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection rule — Gumbel top-k importance
+    RESAMPLING (Xie et al. 2023 §2): key = total log importance weight
+    + deterministic md5-derived Gumbel(0,1); the top-N keys are a
+    weighted sample without replacement from softmax(llr_total).
+    Same persisted model artifact as dsir_select; TakeOrderedAndProject
+    top-N, rank windowed over the N survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    keys = text_analytics.dsir_resample_keys(
+        docs, model=_dsir_model(spark, sf_dir), seed=DSIR_RESAMPLE_SEED
+    )
+    top = keys.orderBy(F.desc("gumbel_key"), "doc_id").limit(DSIR_TOP_N)
+    w = Window.orderBy(F.desc("gumbel_key"), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "rank", "doc_id", "lang", "n_bigrams", "llr_total",
+            "gumbel_key",
+        )
+    )
+
+
 # Entries that deliberately ship no oracle_sql (sequential centroid
 # walks / approximate recall — not SQL-expressible); the driver records
 # a rows-only check for them, so they are declared LAST: the driver
@@ -2115,6 +2141,7 @@ _PURE_LAZY = frozenset({
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "embed_kmeans", "semdedup", "dsir_select", "vector_ingest_gate",
+    "dsir_resample",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
@@ -2228,6 +2255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_chunks": _semantic_chunks,
         "route_and_chunk": _route_and_chunk,
         # --- entry 51+: outside the driver window ---
+        # new in r11, first in line for the next rotation (window is
+        # full with the r10/r11 never-certified backlog; replica +
+        # suite keep it green meanwhile)
+        "dsir_resample": _dsir_resample,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
         "exact_dedup": _exact_dedup,
@@ -2399,6 +2430,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vector_ingest_gate": oracles.vector_ingest_gate_sql(
             VECTOR_GATE_MOD
+        ),
+        "dsir_resample": oracles.dsir_resample_sql(
+            CONTRASTIVE_IN_LANG, text_analytics.DSIR_BUCKETS,
+            text_analytics.DSIR_ALPHA, DSIR_TOP_N, DSIR_RESAMPLE_SEED,
         ),
         "graph_triangles": oracles.triangles_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

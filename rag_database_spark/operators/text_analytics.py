@@ -1814,3 +1814,81 @@ def dsir_score(docs: DataFrame, model: DataFrame,
             "avg_llr",
         )
     )
+
+
+DSIR_GUMBEL_DENOM = float(1 << 60)
+
+
+def dsir_resample_keys(docs: DataFrame, model: DataFrame,
+                       seed: int = 42,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gumbel keys for DSIR's actual selection rule — importance
+    RESAMPLING, not top-N-by-score (Xie et al. 2023 sample with the
+    Gumbel top-k trick): per document, key = total log importance
+    weight + Gumbel(0,1) noise; the top-N keys are a weighted sample
+    without replacement from softmax(llr_total).
+
+    Determinism: the uniform is the 60-bit md5 of ``seed:doc_id``
+    mapped to (0,1) as (h + 0.5) / 2^60 (never exactly 0 or 1), the
+    Gumbel is −ln(−ln(u)) — one IEEE chain both engines replay
+    bit-identically. llr_total uses the TOTAL Σ m·w (not the
+    per-bigram mean): importance weights multiply per feature, so the
+    log weight of a document is the sum — longer on-target documents
+    legitimately carry more evidence.
+
+    Zero-bigram documents get llr_total = 0 (no evidence) but still
+    carry noise, so a resample can admit them at their prior rate —
+    unlike the score-ranked selector, which excludes them.
+
+    Scale: the same bucket rollup + B-row broadcast join as
+    ``dsir_score``; the key is one projection."""
+    default_row = model.filter(F.col("bucket") == -1).first()
+    if default_row is None:
+        raise ValueError(
+            "dsir_resample_keys: model has no bucket=-1 default row — "
+            "not a train_dsir artifact"
+        )
+    n_buckets = int(default_row["n_buckets"])
+    _, per = _lm_doc_bigrams(docs, id_col, text_col)
+    perb = (
+        per.select("doc_id", _dsir_bucket(n_buckets).alias("bucket"), "m")
+        .groupBy("doc_id", "bucket").agg(F.sum("m").alias("m"))
+    )
+    default = model.filter(F.col("bucket") == -1).select(
+        F.col("w").alias("w_def")
+    )
+    table = model.filter(F.col("bucket") >= 0)
+    rolled = (
+        perb.join(F.broadcast(table), "bucket", "left")
+        .crossJoin(F.broadcast(default))
+        .select(
+            "doc_id", "m",
+            (F.col("m") * F.coalesce("w", "w_def")).alias("mw"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("mw"), 6).alias("llr_total"),
+        )
+    )
+    from rag_database_spark.operators.dedup import hash60
+
+    u = (
+        hash60(F.concat(F.lit(f"{seed}:"), F.col("doc_id"))) + F.lit(0.5)
+    ) / F.lit(DSIR_GUMBEL_DENOM)
+    gumbel = -F.log(-F.log(u))
+    docs = fan_out(docs)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rolled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce("llr_total", F.lit(0.0)).alias("llr_total"),
+            F.round(
+                F.coalesce("llr_total", F.lit(0.0)) + gumbel, 6
+            ).alias("gumbel_key"),
+        )
+    )

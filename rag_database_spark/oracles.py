@@ -4247,19 +4247,14 @@ FROM af a LEFT JOIN best b ON b.id = a.vec_id
 """
 
 
-def dsir_select_sql(in_lang: str, n_buckets: int, alpha: float,
-                    top_n: int) -> str:
-    """Twin of ``text_analytics.train_dsir`` + ``dsir_score`` + top-N:
-    same tokenization as ``lm_score_sql``, same md5 feature hashing as
-    ``minhash_signatures_sql``, integer bucket counts → bit-identical
-    9dp weights, weighted-mean score rounded to 6dp, rank on the
-    rounded score with doc_id tie-break."""
+def _dsir_ctes(in_lang: str, n_buckets: int, alpha: float) -> str:
+    """Shared DSIR front end (toks → hashed buckets → 9dp importance
+    weights) for the select and resample twins."""
     from rag_database_spark.functions.text import SPLIT_RE
 
     a = repr(float(alpha))
     ab = repr(float(alpha) * n_buckets)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '{SPLIT_RE}'),
                      x -> length(x) > 0) AS t
@@ -4294,7 +4289,18 @@ w AS (
          round(ln((coalesce(t, 0) + {a}) / (tot_t + {ab}))
                - ln((r + {a}) / (tot_r + {ab})), 9) AS w
   FROM raw_b LEFT JOIN tgt_b USING (bucket), tot
-),
+)"""
+
+
+def dsir_select_sql(in_lang: str, n_buckets: int, alpha: float,
+                    top_n: int) -> str:
+    """Twin of ``text_analytics.train_dsir`` + ``dsir_score`` + top-N:
+    same tokenization as ``lm_score_sql``, same md5 feature hashing as
+    ``minhash_signatures_sql``, integer bucket counts → bit-identical
+    9dp weights, weighted-mean score rounded to 6dp, rank on the
+    rounded score with doc_id tie-break."""
+    return f"""
+WITH {_dsir_ctes(in_lang, n_buckets, alpha)},
 scored AS (
   SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
          round(sum(m * w.w) / sum(m), 6) AS avg_llr
@@ -4303,6 +4309,37 @@ scored AS (
 SELECT row_number() OVER (ORDER BY s.avg_llr DESC, s.doc_id) AS rank,
        s.doc_id, d.lang, s.n_bigrams, s.avg_llr
 FROM scored s JOIN documents d USING (doc_id)
+ORDER BY rank LIMIT {top_n}
+"""
+
+
+def dsir_resample_sql(in_lang: str, n_buckets: int, alpha: float,
+                      top_n: int, seed: int) -> str:
+    """Twin of ``text_analytics.dsir_resample_keys`` + top-N: Gumbel
+    top-k importance resampling — key = rounded TOTAL Σm·w plus
+    −ln(−ln((md5_60(seed:doc_id) + 0.5) / 2^60)), one IEEE chain both
+    engines replay bit-identically."""
+    denom = "1152921504606846976.0"
+    return f"""
+WITH {_dsir_ctes(in_lang, n_buckets, alpha)},
+scored AS (
+  SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+         round(sum(m * w.w), 6) AS llr_total
+  FROM perb JOIN w USING (bucket) GROUP BY 1
+),
+keyed AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+         coalesce(s.llr_total, 0.0) AS llr_total,
+         round(coalesce(s.llr_total, 0.0)
+               - ln(-ln((('0x' || substr(md5('{seed}:'
+                           || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                         + 0.5) / {denom})), 6) AS gumbel_key
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank,
+       doc_id, lang, n_bigrams, llr_total, gumbel_key
+FROM keyed
 ORDER BY rank LIMIT {top_n}
 """
 

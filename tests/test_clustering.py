@@ -219,3 +219,36 @@ def test_dsir_zero_bigram_doc_scores_null(spark):
     assert rows[1]["n_bigrams"] == 0 and rows[1]["avg_llr"] is None
     assert rows[2]["n_bigrams"] == 0 and rows[2]["avg_llr"] is None
     assert rows[0]["avg_llr"] is not None
+
+
+def test_dsir_resample_keys_replay_python(spark):
+    """The Gumbel key is bit-replayable: recompute llr_total + gumbel
+    for every doc with hashlib/math and require exact equality."""
+    import hashlib
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox runs over the lazy dog",
+        "der schnelle braune fuchs springt ueber den faulen hund",
+        "single",
+    ]
+    docs = _docs_df(spark, texts, langs=["en", "en", "de", "de"])
+    model = ta.train_dsir(docs, docs.filter(F.col("lang") == "en"),
+                          n_buckets=256)
+    rows = {r["doc_id"]: r
+            for r in ta.dsir_resample_keys(docs, model, seed=7).collect()}
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["llr_total"] == 0.0
+    for i in range(4):
+        h = int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        g = -math.log(-math.log(u))
+        want = round(rows[i]["llr_total"] + g, 6)
+        assert rows[i]["gumbel_key"] == want
+
+    # deterministic across calls; different under a different seed
+    again = {r["doc_id"]: r["gumbel_key"]
+             for r in ta.dsir_resample_keys(docs, model, seed=7).collect()}
+    assert again == {i: rows[i]["gumbel_key"] for i in range(4)}
+    other = {r["doc_id"]: r["gumbel_key"]
+             for r in ta.dsir_resample_keys(docs, model, seed=8).collect()}
+    assert other != again
