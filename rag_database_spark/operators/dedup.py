@@ -68,7 +68,8 @@ def write_shingle_index(
 
 
 def _read_slices(
-    spark, path: str, columns: list[str], exclude_batch: int | None = None
+    spark, path: str, columns: list[str] | None = None,
+    exclude_batch: int | None = None
 ) -> DataFrame:
     """Read a slice-written artifact root in ANY layout it can be in:
 
@@ -108,14 +109,91 @@ def _read_slices(
             part = part.filter(
                 F.col("ingest_batch") != int(exclude_batch)
             )
-        return (
-            spark.read.parquet(*flat_files).select(*columns)
-            .unionByName(part.select(*columns))
-        )
+        flat = spark.read.parquet(*flat_files)
+        if columns is None:
+            columns = flat.columns
+        return flat.select(*columns).unionByName(part.select(*columns))
     df = spark.read.parquet(path)
     if exclude_batch is not None and "ingest_batch" in df.columns:
         df = df.filter(F.col("ingest_batch") != int(exclude_batch))
+    if columns is None:
+        columns = [c for c in df.columns if c != "ingest_batch"]
     return df.select(*columns)
+
+
+def heal_slices(path: str) -> None:
+    """Heal a slice root left half-swapped by a crash inside
+    ``compact_slices`` (same recovery contract as the ACID table's
+    ``_recover``, sources/acid.py):
+
+    - root present → clear residue staging/old dirs,
+    - root missing + complete staging (_SUCCESS) → roll FORWARD,
+    - root missing + only old → roll BACK.
+    """
+    import shutil
+    from pathlib import Path
+
+    root = Path(path)
+    staging = root.parent / (root.name + "__staging")
+    old = root.parent / (root.name + "__old")
+    if root.exists():
+        for residue in (staging, old):
+            if residue.exists():
+                shutil.rmtree(residue)
+        return
+    if staging.exists() and (staging / "_SUCCESS").exists():
+        staging.rename(root)
+        if old.exists():
+            shutil.rmtree(old)
+        return
+    if old.exists():
+        old.rename(root)
+        if staging.exists():
+            shutil.rmtree(staging)
+
+
+def compact_slices(spark, path: str, cluster_col: str | None = None) -> None:
+    """Fold a gate index's accumulated ``ingest_batch=N`` slices (and
+    any legacy flat files) into ONE flat parquet — a long-running gate
+    writes a partition per micro-batch, and a 10k-batch index pays 10k
+    directory listings + footer reads per probe without this.
+
+    The rewrite goes to a staging dir first, then two renames swap it
+    in (``heal_slices`` rolls a crash between them forward/back on the
+    next call — run it, or any compaction, at open). ``cluster_col``
+    optionally repartitions the compacted layout on a join key (e.g.
+    ``id_a`` for the pair index) so read-back joins scan key-local
+    files.
+
+    Run ONLY while the stream is quiescent with its last batch
+    checkpoint-committed: compaction erases the ``ingest_batch``
+    column, so a replay of a PRE-compaction batch could no longer
+    exclude its own rows from the probe. (Replays only ever target the
+    latest uncommitted batch, so compacting between committed batches
+    is safe.)"""
+    import shutil
+    from pathlib import Path
+
+    heal_slices(path)
+    root = Path(path)
+    if not root.exists():
+        return
+    # _read_slices absorbs flat / partitioned / mixed layouts (a plain
+    # read throws 'Conflicting directory structures' on the mix) and
+    # drops the ingest_batch column with columns=None
+    rows = _read_slices(spark, path)
+    if cluster_col is not None:
+        rows = rows.repartition(cluster_col)
+    staging = root.parent / (root.name + "__staging")
+    if staging.exists():
+        shutil.rmtree(staging)
+    rows.write.mode("overwrite").parquet(str(staging))
+    old = root.parent / (root.name + "__old")
+    if old.exists():
+        shutil.rmtree(old)
+    root.rename(old)
+    staging.rename(root)
+    shutil.rmtree(old)
 
 
 def read_shingle_index(

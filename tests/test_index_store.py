@@ -190,3 +190,98 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == {(1, "a", "org0"), (2, "b-v2", "org1"), (3, "c", "org1")}
+
+
+def _gate_two_batches(spark, tmp_path):
+    """Run two vector-gate micro-batches; return the index path and
+    the expected standing rows."""
+    from rag_database_spark.streaming import events as se
+
+    accept = str(tmp_path / "c_accept")
+    quar = str(tmp_path / "c_quar")
+    index = str(tmp_path / "c_index")
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    se.vector_gate_batch(
+        vecs([(1, [1.0, 0.0]), (2, [0.0, 1.0])]), 0,
+        accept, quar, index, threshold=0.95,
+    )
+    se.vector_gate_batch(
+        vecs([(10, [0.999, 0.02]), (11, [0.5, -0.5])]), 1,
+        accept, quar, index, threshold=0.95,
+    )
+    return index, {1, 2, 11}  # 10 quarantined
+
+
+def test_compact_slices_preserves_rows_and_flattens(spark, tmp_path):
+    from rag_database_spark.operators import dedup as dd
+
+    index, want = _gate_two_batches(spark, tmp_path)
+    before = sorted(
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in dd._read_slices(spark, index).collect()
+    )
+    assert {t[0] for t in before} == want
+
+    dd.compact_slices(spark, index)
+    import os
+
+    assert os.path.exists(os.path.join(index, "_SUCCESS"))  # flat now
+    assert not any(
+        n.startswith("ingest_batch=") for n in os.listdir(index)
+    )
+    after = sorted(
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in dd._read_slices(spark, index).collect()
+    )
+    assert after == before
+
+    # a post-compaction batch leaves the documented MIXED layout and
+    # the reader still unions both halves
+    from rag_database_spark.streaming import events as se
+
+    se.vector_gate_batch(
+        spark.createDataFrame(
+            [(20, [0.0, -1.0])], "vec_id long, embedding array<float>"
+        ),
+        2, str(tmp_path / "c_accept"), str(tmp_path / "c_quar"),
+        index, threshold=0.95,
+    )
+    ids = {r["vec_id"] for r in dd._read_slices(spark, index).collect()}
+    assert ids == want | {20}
+
+
+def test_heal_slices_rolls_forward_and_back(spark, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from rag_database_spark.operators import dedup as dd
+
+    index, want = _gate_two_batches(spark, tmp_path)
+    root = Path(index)
+    staging = root.parent / (root.name + "__staging")
+    old = root.parent / (root.name + "__old")
+
+    # crash AFTER staging completed and root was renamed away:
+    # heal must roll FORWARD to the compacted base
+    rows = dd._read_slices(spark, index)
+    rows.write.mode("overwrite").parquet(str(staging))
+    root.rename(old)
+    dd.heal_slices(index)
+    assert root.exists() and not staging.exists() and not old.exists()
+    got = {r["vec_id"] for r in dd._read_slices(spark, index).collect()}
+    assert got == want
+
+    # crash BEFORE staging completed (no _SUCCESS): roll BACK to old
+    (root.parent / "incomplete").mkdir()
+    root.rename(old)
+    shutil.copytree(root.parent / "incomplete", staging)
+    dd.heal_slices(index)
+    assert root.exists() and not staging.exists()
+    got = {r["vec_id"] for r in dd._read_slices(spark, index).collect()}
+    assert got == want
