@@ -1816,7 +1816,13 @@ def dsir_score(docs: DataFrame, model: DataFrame,
     )
 
 
-DSIR_GUMBEL_DENOM = float(1 << 60)
+# The uniform uses the TOP 52 bits of the 60-bit hash: h52 + 0.5 is
+# exactly representable in a double (53-bit mantissa) and
+# (h52 + 0.5) / 2^52 can therefore never round to 0.0 or 1.0 — at 60
+# bits, hashes within 64 of 2^60 round u to exactly 1.0 and the Gumbel
+# blows up to +inf (hypothesis-found edge, tests/test_properties.py).
+DSIR_GUMBEL_SHIFT = 8
+DSIR_GUMBEL_DENOM = float(1 << 52)
 
 
 def dsir_resample_keys(docs: DataFrame, model: DataFrame,
@@ -1829,10 +1835,11 @@ def dsir_resample_keys(docs: DataFrame, model: DataFrame,
     weight + Gumbel(0,1) noise; the top-N keys are a weighted sample
     without replacement from softmax(llr_total).
 
-    Determinism: the uniform is the 60-bit md5 of ``seed:doc_id``
-    mapped to (0,1) as (h + 0.5) / 2^60 (never exactly 0 or 1), the
-    Gumbel is −ln(−ln(u)) — one IEEE chain both engines replay
-    bit-identically. llr_total uses the TOTAL Σ m·w (not the
+    Determinism: the uniform is the top 52 bits of the 60-bit md5 of
+    ``seed:doc_id`` mapped to (0,1) as (h52 + 0.5) / 2^52 — exactly
+    representable, STRICTLY inside (0,1) for every hash (see
+    DSIR_GUMBEL_SHIFT) — and the Gumbel is −ln(−ln(u)), one IEEE chain
+    both engines replay bit-identically. llr_total uses the TOTAL Σ m·w (not the
     per-bigram mean): importance weights multiply per feature, so the
     log weight of a document is the sum — longer on-target documents
     legitimately carry more evidence.
@@ -1875,7 +1882,11 @@ def dsir_resample_keys(docs: DataFrame, model: DataFrame,
     from rag_database_spark.operators.dedup import hash60
 
     u = (
-        hash60(F.concat(F.lit(f"{seed}:"), F.col("doc_id"))) + F.lit(0.5)
+        F.shiftright(
+            hash60(F.concat(F.lit(f"{seed}:"), F.col("doc_id"))),
+            DSIR_GUMBEL_SHIFT,
+        )
+        + F.lit(0.5)
     ) / F.lit(DSIR_GUMBEL_DENOM)
     gumbel = -F.log(-F.log(u))
     docs = fan_out(docs)

@@ -4317,9 +4317,15 @@ def dsir_resample_sql(in_lang: str, n_buckets: int, alpha: float,
                       top_n: int, seed: int) -> str:
     """Twin of ``text_analytics.dsir_resample_keys`` + top-N: Gumbel
     top-k importance resampling — key = rounded TOTAL Σm·w plus
-    −ln(−ln((md5_60(seed:doc_id) + 0.5) / 2^60)), one IEEE chain both
-    engines replay bit-identically."""
-    denom = "1152921504606846976.0"
+    −ln(−ln(((md5_60(seed:doc_id) >> 8) + 0.5) / 2^52)), one IEEE
+    chain both engines replay bit-identically (top 52 bits: u is
+    exactly representable and never rounds to 0 or 1)."""
+    from rag_database_spark.operators.text_analytics import (
+        DSIR_GUMBEL_DENOM, DSIR_GUMBEL_SHIFT,
+    )
+
+    denom = repr(DSIR_GUMBEL_DENOM)
+    shift = DSIR_GUMBEL_SHIFT
     return f"""
 WITH {_dsir_ctes(in_lang, n_buckets, alpha)},
 scored AS (
@@ -4332,9 +4338,10 @@ keyed AS (
          coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
          coalesce(s.llr_total, 0.0) AS llr_total,
          round(coalesce(s.llr_total, 0.0)
-               - ln(-ln((('0x' || substr(md5('{seed}:'
-                           || d.doc_id::VARCHAR), 1, 15))::BIGINT
-                         + 0.5) / {denom})), 6) AS gumbel_key
+               - ln(-ln(((('0x' || substr(md5('{seed}:'
+                            || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                          >> {shift}) + 0.5) / {denom})), 6)
+           AS gumbel_key
   FROM documents d LEFT JOIN scored s USING (doc_id)
 )
 SELECT row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank,

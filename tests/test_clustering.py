@@ -240,7 +240,7 @@ def test_dsir_resample_keys_replay_python(spark):
     assert rows[3]["n_bigrams"] == 0 and rows[3]["llr_total"] == 0.0
     for i in range(4):
         h = int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:15], 16)
-        u = (h + 0.5) / float(1 << 60)
+        u = ((h >> ta.DSIR_GUMBEL_SHIFT) + 0.5) / ta.DSIR_GUMBEL_DENOM
         g = -math.log(-math.log(u))
         want = round(rows[i]["llr_total"] + g, 6)
         assert rows[i]["gumbel_key"] == want

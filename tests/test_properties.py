@@ -83,3 +83,39 @@ def test_dhash_and_audio_fp_fit_signed_long(payload):
         if e[i + 1] > e[i]:
             afp |= 1 << i
     assert 0 <= afp < 1 << 60
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1))
+def test_gumbel_from_60bit_hash_is_finite(h):
+    """dsir_resample's noise map: EVERY 60-bit hash yields u strictly
+    inside (0,1), so −ln(−ln(u)) is always finite. (The original
+    60-bit map failed this: hashes within 64 of 2^60 rounded u to
+    exactly 1.0 and the Gumbel blew up to +inf — hypothesis found it,
+    the 52-bit map fixed it.)"""
+    import math
+
+    from rag_database_spark.operators.text_analytics import (
+        DSIR_GUMBEL_DENOM, DSIR_GUMBEL_SHIFT,
+    )
+
+    u = ((h >> DSIR_GUMBEL_SHIFT) + 0.5) / DSIR_GUMBEL_DENOM
+    assert 0.0 < u < 1.0
+    g = -math.log(-math.log(u))
+    assert math.isfinite(g)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10**12),
+       st.integers(min_value=1, max_value=10**6))
+def test_kmeans_k_for_bounds(n, target):
+    """k is at least the floor K, covers the corpus (k·target ≥ n),
+    and never overshoots by more than one cluster's worth."""
+    from rag_database_spark.operators.clustering import (
+        KMEANS_K, kmeans_k_for,
+    )
+
+    k = kmeans_k_for(n, target)
+    assert k >= KMEANS_K
+    assert k * target >= n
+    assert k == KMEANS_K or (k - 1) * target < n
