@@ -2073,6 +2073,60 @@ def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_GRAPH_K = 5
+
+
+def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN cosine similarity graph over the embedding corpus — the
+    embedding analog of doc_edges, feeding the same graph analytics
+    (similarity.knn_graph: one blocked-GEMM batch top-k with the
+    corpus on both sides, self edges dropped)."""
+    return similarity.knn_graph(
+        load_table(spark, sf_dir, "embeddings"),
+        KNN_GRAPH_K, id_col="vec_id", vec_col="embedding",
+    )
+
+
+def _semantic_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PageRank-over-knn-graph score artifact, keyed by the
+    EMBEDDINGS fingerprint — same discipline as the doc-graph
+    pagerank artifacts (train once, serve reads)."""
+    fp = _source_fingerprint(sf_dir, table="embeddings")
+    key = f"sempr:{fp}"
+    hit = _PAGERANK_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "sempr" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        emb = load_table(spark, sf_dir, "embeddings")
+        edges = similarity.knn_graph(
+            emb, KNN_GRAPH_K, id_col="vec_id", vec_col="embedding"
+        ).select("src", "dst", F.col("cos_sim").alias("confidence"))
+        graph_ops.pagerank(
+            emb.select("vec_id"), edges, node_col="vec_id"
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    scores = spark.read.parquet(str(cache_dir))
+    _PAGERANK_CACHE[key] = (spark, scores)
+    return scores
+
+
+def _semantic_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the k-NN cosine graph — which
+    embeddings sit in dense semantic neighborhoods (hub detection for
+    curation/coreset weighting). Composes the two existing primitives:
+    knn_graph edges feed the same fixed-round power iteration as the
+    doc graph; the oracle reuses the shared unrolled chain over a
+    materialized knn-edge CTE. Served from the persisted score
+    artifact; top-k is TakeOrderedAndProject, rank over survivors."""
+    scores = _semantic_pagerank_scores(spark, sf_dir)
+    ranks = scores.select("vec_id", F.round("rank", 6).alias("score"))
+    top = ranks.orderBy(F.desc("score"), "vec_id").limit(PAGERANK_TOPK)
+    w = Window.orderBy(F.desc("score"), "vec_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("vec_id", "score", "rank")
+
+
 DSIR_RESAMPLE_SEED = 42
 
 
@@ -2141,7 +2195,7 @@ _PURE_LAZY = frozenset({
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "embed_kmeans", "semdedup", "dsir_select", "vector_ingest_gate",
-    "dsir_resample",
+    "dsir_resample", "knn_graph", "semantic_pagerank",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
@@ -2257,8 +2311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entry 51+: outside the driver window ---
         # new in r11, first in line for the next rotation (window is
         # full with the r10/r11 never-certified backlog; replica +
-        # suite keep it green meanwhile)
+        # suite keep them green meanwhile)
         "dsir_resample": _dsir_resample,
+        "knn_graph": _knn_graph,
+        "semantic_pagerank": _semantic_pagerank,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
         "exact_dedup": _exact_dedup,
@@ -2434,6 +2490,11 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": oracles.dsir_resample_sql(
             CONTRASTIVE_IN_LANG, text_analytics.DSIR_BUCKETS,
             text_analytics.DSIR_ALPHA, DSIR_TOP_N, DSIR_RESAMPLE_SEED,
+        ),
+        "knn_graph": oracles.knn_graph_sql(KNN_GRAPH_K),
+        "semantic_pagerank": oracles.knn_pagerank_sql(
+            KNN_GRAPH_K, PAGERANK_TOPK,
+            graph_ops.PAGERANK_DAMPING, graph_ops.PAGERANK_ITERATIONS,
         ),
         "graph_triangles": oracles.triangles_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

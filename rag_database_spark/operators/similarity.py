@@ -901,3 +901,46 @@ def best_cosine_match(
         F.round("score", 6).alias("best_cosine"),
     )
     return batch.select(F.col(id_col).alias("id")).join(top1, "id", "left")
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """k-nearest-neighbor similarity graph over an embedding corpus:
+    (src, dst, cos_sim, rank) with the k best cosine neighbors per
+    vector — the edge list semantic-graph analytics run on (PageRank
+    centrality, community detection, hub analysis), the embedding
+    analog of the shingle-Jaccard document graph (graph.doc_edges).
+
+    Built as one ``cosine_topk(k+1)`` with the corpus on BOTH sides
+    (map-side GEMM partial top-k, the corpus never self-joins
+    row-by-row); the self edge (always in the prefetch) is dropped and
+    ranks renumber inside a per-source window over the ≤k+1 surviving
+    candidates — never over the corpus. Ties break (score DESC, dst
+    ASC), so the edge set is deterministic and the DuckDB twin exact.
+
+    Scale: identical to batch top-k search with |queries| = |corpus| —
+    N·|corpus| GEMM work under the blocked path; at index scale the
+    same graph comes from ``ivf_topk_indexed`` per partition-pruned
+    probe (approximate edges), which is the documented trade."""
+    q = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    top = cosine_topk(q, corpus, k + 1, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    return (
+        top.filter(F.col("id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("id").alias("dst"),
+            F.round("score", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1260,34 +1260,62 @@ def pagerank_sql(
     teleport vector e (r_{i+1} = (1−d)·e + d·(contrib + dangling·e),
     r0 = e) is uniform over all documents, or — with ``seed_max`` —
     uniform over the seed set (personalized PageRank)."""
+    return _pagerank_body_sql(
+        f"WITH {_edges_ctes(jaccard_threshold, k)}",
+        "documents", "doc_id", topk, damping, iterations,
+        seed_max=seed_max, weighted=weighted,
+    )
+
+
+def _pagerank_body_sql(
+    edges_with: str,
+    node_table: str,
+    node_id: str,
+    topk: int,
+    damping: float,
+    iterations: int,
+    seed_max: int | None = None,
+    weighted: bool = False,
+) -> str:
+    """The unrolled power-iteration chain over an ``edges`` CTE the
+    caller supplies (``edges_with`` must end by defining
+    edges(src, dst[, confidence])) and a node table for the teleport
+    base — shared by the doc-graph and knn-graph pagerank twins."""
     d = repr(damping)
     if seed_max is None:
-        e_cte = """nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        e_cte = f"""nn AS (SELECT count(*)::DOUBLE AS n FROM {node_table}),
 b AS (
-  SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS e FROM documents
+  SELECT {node_id} AS id, 1.0 / (SELECT n FROM nn) AS e
+  FROM {node_table}
 )"""
     else:
         e_cte = f"""sk AS (
-  SELECT count(*)::DOUBLE AS kk FROM documents WHERE doc_id < {seed_max}
+  SELECT count(*)::DOUBLE AS kk FROM {node_table}
+  WHERE {node_id} < {seed_max}
 ),
 b AS (
-  SELECT doc_id AS id,
-         CASE WHEN doc_id < {seed_max}
+  SELECT {node_id} AS id,
+         CASE WHEN {node_id} < {seed_max}
               THEN 1.0 / (SELECT kk FROM sk) ELSE 0.0 END AS e
-  FROM documents
+  FROM {node_table}
 )"""
     if weighted:
+        # MATERIALIZED: the unrolled chain references und/deg in every
+        # round; without it DuckDB re-inlines the edge construction per
+        # reference (measured 79 s -> ~2 s on the doc-graph twin)
         graph_ctes = """sym AS (
   SELECT src AS me, dst AS other, confidence FROM edges
   UNION ALL
   SELECT dst, src, confidence FROM edges
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT me, other, max(confidence) AS w FROM sym
   WHERE me <> other GROUP BY me, other
   HAVING max(confidence) > 0
 ),
-deg AS (SELECT me, round(sum(w), 6) AS deg FROM und GROUP BY me)"""
+deg AS MATERIALIZED (
+  SELECT me, round(sum(w), 6) AS deg FROM und GROUP BY me
+)"""
         contrib_expr = "sum(p.r * u.w / g.deg)"
     else:
         graph_ctes = """sym AS (
@@ -1295,8 +1323,12 @@ deg AS (SELECT me, round(sum(w), 6) AS deg FROM und GROUP BY me)"""
   UNION ALL
   SELECT dst, src FROM edges
 ),
-und AS (SELECT DISTINCT me, other FROM sym WHERE me <> other),
-deg AS (SELECT me, count(*)::DOUBLE AS deg FROM und GROUP BY me)"""
+und AS MATERIALIZED (
+  SELECT DISTINCT me, other FROM sym WHERE me <> other
+),
+deg AS MATERIALIZED (
+  SELECT me, count(*)::DOUBLE AS deg FROM und GROUP BY me
+)"""
         contrib_expr = "sum(p.r / g.deg)"
     parts = [
         f"""{graph_ctes},
@@ -1322,14 +1354,29 @@ r{i + 1} AS (
 )""")
     chain = ",\n".join(parts)
     return f"""
-WITH {_edges_ctes(jaccard_threshold, k)},
+{edges_with},
 {chain}
-SELECT id AS doc_id, round(r, 6) AS score,
+SELECT id AS {node_id}, round(r, 6) AS score,
        row_number() OVER (ORDER BY round(r, 6) DESC, id) AS rank
 FROM r{iterations}
-ORDER BY score DESC, doc_id
+ORDER BY score DESC, {node_id}
 LIMIT {topk}
 """
+
+
+def knn_pagerank_sql(knn_k: int, topk: int, damping: float,
+                     iterations: int) -> str:
+    """Unweighted PageRank over the k-NN cosine graph — the knn-edge
+    instantiation of the shared unrolled chain (semantic centrality:
+    which embeddings sit in dense neighborhoods)."""
+    # MATERIALIZED: without it DuckDB inlines the O(N²·d) knn scan
+    # into every round's und/deg reference (the dangling NOT-IN alone
+    # re-evaluates it per row) and the chain takes minutes, not ms
+    edges_with = f"""WITH knn AS MATERIALIZED ({knn_graph_sql(knn_k)}),
+edges AS MATERIALIZED (SELECT src, dst FROM knn)"""
+    return _pagerank_body_sql(
+        edges_with, "embeddings", "vec_id", topk, damping, iterations,
+    )
 
 
 def triangles_sql(jaccard_threshold: float, k: int) -> str:
@@ -4376,4 +4423,24 @@ WITH best AS (
 SELECT e.vec_id, b.match_id, b.best_cosine
 FROM embeddings e LEFT JOIN best b ON b.id = e.vec_id
 WHERE e.vec_id % {mod} = 0
+"""
+
+
+def knn_graph_sql(k: int) -> str:
+    """Twin of ``similarity.knn_graph``: per vector, its k best cosine
+    neighbors (self excluded) under (cosine DESC, dst ASC)."""
+    return f"""
+SELECT src, dst, cos_sim, rank FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6)
+           AS cos_sim,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= {k}
 """
