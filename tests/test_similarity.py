@@ -319,3 +319,50 @@ def test_quantized_topk_recall_vs_float(spark):
         k = (r["query_id"], r["id"])
         if k in fscore:
             assert abs(r["score"] - fscore[k]) < 0.02
+
+
+def test_knn_graph_matches_numpy_brute_force(spark):
+    from rag_database_spark.operators.similarity import knn_graph
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(40, 6)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<float>",
+    )
+    got = knn_graph(df, k=4, id_col="vec_id", vec_col="embedding").collect()
+    # every vector emits exactly k edges, none to itself, ranked 1..k
+    by_src = {}
+    for r in got:
+        assert r["dst"] != r["src"]
+        by_src.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+    assert set(by_src) == set(range(40))
+    S = V @ V.T
+    for src, edges in by_src.items():
+        assert sorted(r for r, _ in edges) == [1, 2, 3, 4]
+        order = sorted(
+            (j for j in range(40) if j != src),
+            key=lambda j: (-round(S[src, j], 9), j),
+        )[:4]
+        assert [d for _, d in sorted(edges)] == order
+
+
+def test_knn_graph_handles_duplicate_vectors(spark):
+    from rag_database_spark.operators.similarity import knn_graph
+
+    # three exact copies: self must never appear even when ties at
+    # cosine 1.0 crowd the prefetch
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0]),
+            (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = knn_graph(df, k=2, id_col="vec_id", vec_col="embedding").collect()
+    for r in got:
+        assert r["src"] != r["dst"]
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["src"], []).append(r["dst"])
+    # each copy's top-2 are the other two copies (cos 1.0, lowest ids)
+    assert sorted(by_src[0]) == [1, 2]
+    assert sorted(by_src[1]) == [0, 2]
+    assert sorted(by_src[2]) == [0, 1]
