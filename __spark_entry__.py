@@ -2127,6 +2127,19 @@ def _semantic_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score", "rank")
 
 
+def _knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph via the LSH bucket SELF-join — the
+    100 TB twin of knn_graph (no corpus-sized broadcast, candidates
+    bounded by bucket occupancy); seed-deterministic, so the oracle is
+    an exact equality check, and recall vs the exact graph is
+    unit-pinned."""
+    return similarity.knn_graph_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        KNN_GRAPH_K, dim=EMBEDDING_DIM,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
 DSIR_RESAMPLE_SEED = 42
 
 
@@ -2195,7 +2208,7 @@ _PURE_LAZY = frozenset({
     "strip_markup",
     "dense_filtered_topk", "nfc_normalize",
     "embed_kmeans", "semdedup", "dsir_select", "vector_ingest_gate",
-    "dsir_resample", "knn_graph", "semantic_pagerank",
+    "dsir_resample", "knn_graph", "knn_graph_lsh", "semantic_pagerank",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
@@ -2314,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suite keep them green meanwhile)
         "dsir_resample": _dsir_resample,
         "knn_graph": _knn_graph,
+        "knn_graph_lsh": _knn_graph_lsh,
         "semantic_pagerank": _semantic_pagerank,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
@@ -2492,6 +2506,9 @@ def oracle_sql() -> dict[str, str]:
             text_analytics.DSIR_ALPHA, DSIR_TOP_N, DSIR_RESAMPLE_SEED,
         ),
         "knn_graph": oracles.knn_graph_sql(KNN_GRAPH_K),
+        "knn_graph_lsh": oracles.knn_graph_lsh_sql(
+            KNN_GRAPH_K, dim=EMBEDDING_DIM
+        ),
         "semantic_pagerank": oracles.knn_pagerank_sql(
             KNN_GRAPH_K, PAGERANK_TOPK,
             graph_ops.PAGERANK_DAMPING, graph_ops.PAGERANK_ITERATIONS,

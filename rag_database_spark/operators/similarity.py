@@ -944,3 +944,64 @@ def knn_graph(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def knn_graph_lsh(
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Approximate k-NN graph — the 100 TB path beside the exact
+    ``knn_graph``: candidates come from an LSH bucket SELF-join (two
+    vectors are candidates iff they share a (table, bucket) under the
+    seeded hyperplanes), then exact cosine rescores and a per-source
+    window keeps the k best. Nothing broadcasts corpus-sized — unlike
+    ``lsh_topk``, whose query side is assumed tiny, the self-join
+    shuffles on the bucket key only, bounded by bucket occupancy (the
+    same plan family as ``dedup.embedding_near_dupes_lsh``).
+
+    Deterministic given the seed, so the DuckDB oracle replays the
+    identical candidate set from the same plane literals; recall vs
+    the exact graph is unit-pinned (a true neighbor is missed only if
+    its signs differ from the source's in every table)."""
+    from rag_database_spark.operators.dedup import rp_blocks
+
+    cb = rp_blocks(corpus, dim, n_tables, n_planes, seed, id_col, vec_col)
+    a, b = cb.alias("a"), cb.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .distinct()
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        to_double_array(F.col(vec_col)).alias("v"),
+    )
+    scored = (
+        cands.join(vecs.withColumnRenamed("vid", "src"), "src")
+        .withColumnRenamed("v", "sv")
+        .join(vecs.withColumnRenamed("vid", "dst"), "dst")
+        .select(
+            "src", "dst", cosine(F.col("sv"), F.col("v")).alias("score")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src", "dst",
+            F.round("score", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -4444,3 +4444,57 @@ SELECT src, dst, cos_sim, rank FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 ) WHERE rank <= {k}
 """
+
+
+def knn_graph_lsh_sql(
+    k: int,
+    dim: int = 64,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> str:
+    """Exact twin of ``similarity.knn_graph_lsh``: same seeded plane
+    literals → identical sign buckets → identical candidate self-join
+    → exact-cosine per-source top-k (ties → lowest dst)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    rows = ",\n    ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t][p])}]::DOUBLE[])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(table_idx, plane_idx, pvec) AS (
+  VALUES
+    {rows}
+),
+sig AS MATERIALIZED (
+  SELECT e.vec_id AS id, p.table_idx,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pvec) > 0
+                  THEN 1 << p.plane_idx ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.table_idx
+),
+cands AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM sig a JOIN sig b USING (table_idx, bucket)
+  WHERE a.id <> b.id
+),
+scored AS (
+  SELECT c.src, c.dst,
+         list_cosine_similarity(ea.embedding::DOUBLE[],
+                                eb.embedding::DOUBLE[]) AS score
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.src
+  JOIN embeddings eb ON eb.vec_id = c.dst
+)
+SELECT src, dst, round(score, 6) AS cos_sim, rank FROM (
+  SELECT src, dst, score,
+         row_number() OVER (
+           PARTITION BY src ORDER BY score DESC, dst
+         ) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

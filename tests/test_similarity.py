@@ -366,3 +366,34 @@ def test_knn_graph_handles_duplicate_vectors(spark):
     assert sorted(by_src[0]) == [1, 2]
     assert sorted(by_src[1]) == [0, 2]
     assert sorted(by_src[2]) == [0, 1]
+
+
+def test_knn_graph_lsh_recall_vs_exact(spark):
+    from rag_database_spark.operators.similarity import (
+        knn_graph, knn_graph_lsh,
+    )
+
+    # clustered corpus — the regime LSH serves: true neighbors are
+    # CLOSE (jittered copies of 30 centers, neighbor cosine ~0.99).
+    # On uniformly random vectors the top-k "neighbors" sit at ~70° and
+    # sign-pattern LSH rightly finds few of them — that is the
+    # documented recall curve P(miss) = (1-(1-θ/π)^p)^t, not a bug.
+    rng = np.random.RandomState(3)
+    C = rng.randn(30, 16)
+    V = np.repeat(C, 4, axis=0) + 0.05 * rng.randn(120, 16)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = knn_graph(df, k=3, id_col="vec_id", vec_col="embedding")
+    approx = knn_graph_lsh(
+        df, k=3, dim=16, id_col="vec_id", vec_col="embedding"
+    )
+    e = {(r["src"], r["dst"]) for r in exact.collect()}
+    a = {(r["src"], r["dst"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.8
+    # approximate edges are still REAL neighbors: every returned edge
+    # carries its exact cosine and excludes self
+    for r in approx.collect():
+        assert r["src"] != r["dst"]
