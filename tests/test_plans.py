@@ -405,3 +405,15 @@ def test_semdedup_pair_join_is_cluster_keyed(spark):
     p = plan_of(df, "simple")
     assert "BroadcastNestedLoopJoin" not in p
     assert "cluster_id" in p
+
+
+def test_knn_graph_lsh_candidates_are_bucket_keyed(spark):
+    """The approximate knn graph's candidate generation must join on
+    the (table, bucket) key — one shuffle bounded by bucket occupancy,
+    never a BroadcastNestedLoopJoin or corpus-sized broadcast."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["knn_graph_lsh"](spark, SF_DIR)
+    p = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bucket" in p
