@@ -76,6 +76,10 @@ AUDIT_NOTES = {
     "the corpus (vec_id % mod), so the exact batch×corpus gate probe "
     "grows ~quadratically by construction; a real gate's micro-batch "
     "is fixed-size — per-batch cost is linear in the corpus",
+    "knn_graph": "exact all-pairs kNN is N²·d by definition — it is "
+    "the correctness baseline the approximate graph is pinned "
+    "against; the scale path is knn_graph_lsh (bucket self-join, "
+    "measured exponent 0.74 on the same probe)",
 }
 
 
