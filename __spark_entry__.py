@@ -2140,6 +2140,34 @@ def _knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 0.4, not the near-dup 0.3: at 0.3 the synthetic corpus' pair graph
+# is dense enough that transitive closure merges ~97% of vectors into
+# one giant component — a valid but useless clustering
+SEMANTIC_CC_THRESHOLD = 0.4
+
+
+def _semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate components: connected components (CC-MR
+    large/small-star, O(log n) rounds) over the embedding near-dup
+    pair graph at cosine ≥ 0.4 — cluster-id every vector by its
+    transitive semantic-duplicate group, with the component size. The
+    embedding analog of dedup_clusters_cc; composes two existing
+    primitives (embedding_near_dupes × dedup_clusters_star)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dupes(
+        emb, SEMANTIC_CC_THRESHOLD, id_col="vec_id", vec_col="embedding"
+    ).select("id_a", "id_b")
+    labels = dedup.dedup_clusters_star(
+        pairs, emb, id_col="vec_id"
+    ).withColumnRenamed("doc_id", "vec_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "vec_id", "cluster_id", "cluster_size"
+    )
+
+
 DSIR_RESAMPLE_SEED = 42
 
 
@@ -2209,6 +2237,7 @@ _PURE_LAZY = frozenset({
     "dense_filtered_topk", "nfc_normalize",
     "embed_kmeans", "semdedup", "dsir_select", "vector_ingest_gate",
     "dsir_resample", "knn_graph", "knn_graph_lsh", "semantic_pagerank",
+    "semantic_components",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
@@ -2329,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _knn_graph,
         "knn_graph_lsh": _knn_graph_lsh,
         "semantic_pagerank": _semantic_pagerank,
+        "semantic_components": _semantic_components,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
         "exact_dedup": _exact_dedup,
@@ -2512,6 +2542,9 @@ def oracle_sql() -> dict[str, str]:
         "semantic_pagerank": oracles.knn_pagerank_sql(
             KNN_GRAPH_K, PAGERANK_TOPK,
             graph_ops.PAGERANK_DAMPING, graph_ops.PAGERANK_ITERATIONS,
+        ),
+        "semantic_components": oracles.semantic_components_sql(
+            SEMANTIC_CC_THRESHOLD
         ),
         "graph_triangles": oracles.triangles_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

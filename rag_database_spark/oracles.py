@@ -4498,3 +4498,35 @@ SELECT src, dst, round(score, 6) AS cos_sim, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def semantic_components_sql(threshold: float) -> str:
+    """Twin of the semantic_components entry: recursive transitive
+    closure over the embedding near-dup pair graph (same unrounded
+    cosine threshold as embedding_near_dup_sql), component label =
+    component-min vec_id, plus the component size."""
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= {threshold}
+),
+und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+cl AS (
+  SELECT e.vec_id,
+         least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS cluster_id
+  FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+  GROUP BY e.vec_id
+),
+cs AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1
+)
+SELECT c.vec_id, c.cluster_id, cs.cluster_size
+FROM cl c JOIN cs USING (cluster_id)
+"""
