@@ -2168,6 +2168,38 @@ def _semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RETENTION_AS_OF = "2026-01-01"
+RETENTION_EPOCH = "2020-01-01"
+RETENTION_SPAN_DAYS = 3650
+RETENTION_STRIDE = 13  # doc_id·13 mod span spreads small ids over the decade
+LEGAL_HOLD_MOD = 97
+
+
+def _retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S13-adjacent compliance lifecycle: the retention sweep the
+    reference schema declares but never enforces (init.sql:208-209).
+    The driver corpus carries no compliance columns, so the entry
+    derives a deterministic fixture policy (retention_until spread
+    over ~8 years from doc_id, every 97th doc legal-held) and the
+    operator classifies each doc hold/sweep/retain as of a fixed date;
+    the swept ids feed the existing delete-cascade/tombstone path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.date_add(
+            F.to_date(F.lit(RETENTION_EPOCH)),
+            ((F.col("doc_id") * RETENTION_STRIDE) % RETENTION_SPAN_DAYS)
+            .cast("int"),
+        ).alias("retention_until"),
+        (F.col("doc_id") % LEGAL_HOLD_MOD == 0).alias("legal_hold"),
+    )
+    return lifecycle.retention_actions(docs, RETENTION_AS_OF)
+
+
+def _retention_sweep_oracle_args():
+    return (RETENTION_AS_OF, RETENTION_EPOCH, RETENTION_SPAN_DAYS,
+            RETENTION_STRIDE, LEGAL_HOLD_MOD)
+
+
 DSIR_RESAMPLE_SEED = 42
 
 
@@ -2237,7 +2269,7 @@ _PURE_LAZY = frozenset({
     "dense_filtered_topk", "nfc_normalize",
     "embed_kmeans", "semdedup", "dsir_select", "vector_ingest_gate",
     "dsir_resample", "knn_graph", "knn_graph_lsh", "semantic_pagerank",
-    "semantic_components",
+    "semantic_components", "retention_sweep",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
@@ -2359,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_lsh": _knn_graph_lsh,
         "semantic_pagerank": _semantic_pagerank,
         "semantic_components": _semantic_components,
+        "retention_sweep": _retention_sweep,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
         "exact_dedup": _exact_dedup,
@@ -2545,6 +2578,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semantic_components": oracles.semantic_components_sql(
             SEMANTIC_CC_THRESHOLD
+        ),
+        "retention_sweep": oracles.retention_sweep_sql(
+            *_retention_sweep_oracle_args()
         ),
         "graph_triangles": oracles.triangles_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

@@ -229,3 +229,35 @@ def bm25_index_stats(postings: DataFrame, doclens: DataFrame) -> DataFrame:
         "n_docs", "avg_doc_len", "vocabulary_size", "n_postings",
         "total_tokens",
     )
+
+
+def retention_actions(
+    docs: DataFrame,
+    as_of: str,
+    retention_col: str = "retention_until",
+    hold_col: str = "legal_hold",
+) -> DataFrame:
+    """Compliance-lifecycle sweep decisions — the enforcement the
+    reference schema declares but never implements (init.sql:208-209
+    ``retention_until DATE, legal_hold BOOLEAN``; tenant_schema.py:117
+    carries the flags through every write, and nothing ever sweeps):
+
+    - ``hold``   — legal_hold set: retention NEVER deletes it,
+    - ``sweep``  — retention date passed and no hold: delete-cascade
+      candidate (feed the ids to delete_by_ids / the tombstone table),
+    - ``retain`` — still inside its retention window (or no policy).
+
+    One codegen'd projection — the sweep SELECTION is a scan;
+    executing it is the existing S13 cascade / DELETE WHERE
+    machinery. Partition pruning applies when ``retention_col`` (or a
+    date-derived bucket of it) is a partition column."""
+    action = (
+        F.when(F.col(hold_col), F.lit("hold"))
+        .when(
+            F.col(retention_col).isNotNull()
+            & (F.col(retention_col) <= F.to_date(F.lit(as_of))),
+            F.lit("sweep"),
+        )
+        .otherwise(F.lit("retain"))
+    )
+    return docs.withColumn("action", action)

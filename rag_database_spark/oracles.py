@@ -4530,3 +4530,22 @@ cs AS (
 SELECT c.vec_id, c.cluster_id, cs.cluster_size
 FROM cl c JOIN cs USING (cluster_id)
 """
+
+
+def retention_sweep_sql(as_of: str, epoch: str, span_days: int,
+                        stride: int, hold_mod: int) -> str:
+    """Twin of the retention_sweep entry: same derived fixture policy,
+    same hold > sweep > retain precedence."""
+    off = f"((doc_id * {stride}) % {span_days})"
+    due = f"(DATE '{epoch}' + INTERVAL ({off}) DAY)::DATE"
+    return f"""
+SELECT doc_id, source,
+       {due} AS retention_until,
+       (doc_id % {hold_mod} = 0) AS legal_hold,
+       CASE
+         WHEN doc_id % {hold_mod} = 0 THEN 'hold'
+         WHEN {due} <= DATE '{as_of}' THEN 'sweep'
+         ELSE 'retain'
+       END AS action
+FROM documents
+"""
