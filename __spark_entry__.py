@@ -1959,7 +1959,9 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMEANS_ITERS updates, clustering.kmeans_fit), same artifact
     discipline as the BM25/IVF/LM models: both clustering entries read
     this back instead of re-running the iterative fit per call."""
-    fp = _source_fingerprint(sf_dir, table="embeddings")
+    # k is part of the cache key: pre-r12 artifacts were built with the
+    # (since-removed) adaptive k and must not be served for the pinned one
+    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-k{clustering.KMEANS_K}"
     key = f"kmeans:{fp}"
     hit = _KMEANS_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -1967,15 +1969,20 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_dir = Path(__file__).resolve().parent / ".cache" / "kmeans" / fp
     if not (cache_dir / "_SUCCESS").exists():
         emb = load_table(spark, sf_dir, "embeddings")
-        # SemDeDup's scale contract: k grows with the corpus so the
-        # expected cluster size stays ~KMEANS_TARGET_CLUSTER (pairs
-        # then scale linearly). At the driver scales (≤512 embeddings)
-        # this resolves to KMEANS_K, which is what the static oracle
-        # CTEs unroll.
-        k = clustering.kmeans_k_for(emb.count())
-        clustering.kmeans_assignments(emb, k=k).write.mode(
-            "overwrite"
-        ).parquet(str(cache_dir))
+        # PINNED to KMEANS_K, not kmeans_k_for(count): the
+        # embed_kmeans/semdedup oracles statically unroll KMEANS_K, so
+        # a corpus-adaptive k here would silently break both entries'
+        # hash equality the moment the embeddings table outgrows
+        # KMEANS_K·KMEANS_TARGET_CLUSTER rows (ADVICE r11 #1 — at 513
+        # rows kmeans_k_for jumps to 9 while the oracle stays at 8).
+        # The adaptive sizing remains the OPERATOR-level scale
+        # contract: production callers pass
+        # k=clustering.kmeans_k_for(n); this fixture entry trades that
+        # for exact cross-engine replay, which a static oracle can
+        # only give at a static k.
+        clustering.kmeans_assignments(
+            emb, k=clustering.KMEANS_K
+        ).write.mode("overwrite").parquet(str(cache_dir))
     assign = spark.read.parquet(str(cache_dir))
     _KMEANS_CACHE[key] = (spark, assign)
     return assign
@@ -2348,10 +2355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r10: BPE tokenizer training (chunk_documents /
         # quality_report / graph_expand moved to the tail to make room —
         # chunking repped in-window by semantic_chunks/route_and_chunk,
-        # quality by c4_rules/gopher_rules, graph by the pagerank trio)
+        # quality by c4_rules/gopher_rules, graph by the pagerank trio;
+        # bpe_vocab/bpe_tokens moved to the tail in r12 — rows-only by
+        # design, their r11 rows-only row is all they can ever earn)
         "bpe_pair_stats": _bpe_pair_stats,
-        "bpe_vocab": _bpe_vocab,
-        "bpe_tokens": _bpe_tokens,
         # never-driver-certified until r10 (rotated in this round)
         "doc_pagerank": _doc_pagerank,
         "ppr_topk": _ppr_topk,
@@ -2361,7 +2368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _event_funnel,
         "event_funnel_windowed": _event_funnel_windowed,
         "cohort_retention": _cohort_retention,
-        "events_cube": _events_cube,
         "events_window_join": _events_window_join,
         "asof_attribution": _asof_attribution,
         "lm_perplexity": _lm_perplexity,
@@ -2376,22 +2382,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pairs": _ingest_pairs,
         "dense_filtered_topk": _dense_filtered_topk,
         "quantize_embeddings": _quantize_embeddings,
-        "ann_ivf_topk": _ann_ivf_topk,
         "pack_sequences": _pack_sequences,
-        "pack_rows": _pack_rows,
         "route_stats": _route_stats,
-        "semantic_chunks": _semantic_chunks,
-        "route_and_chunk": _route_and_chunk,
-        # --- entry 51+: outside the driver window ---
-        # new in r11, first in line for the next rotation (window is
-        # full with the r10/r11 never-certified backlog; replica +
-        # suite keep them green meanwhile)
+        # Round-12 ROTATION (VERDICT r11 item 1): the six r11 entries
+        # that never had a driver CORRECTNESS row move in. They take
+        # the five rows-only slots (bpe_vocab / bpe_tokens /
+        # ann_ivf_topk / semantic_chunks / route_and_chunk — each got
+        # its rows-only row in r11 and by design can never upgrade to
+        # a hash check, so holding window slots was pure waste) plus
+        # events_cube (driver-green r11; events family stays repped
+        # in-window by funnel/retention/window-join/as-of) and
+        # pack_rows (green r11; packing repped by pack_sequences).
         "dsir_resample": _dsir_resample,
         "knn_graph": _knn_graph,
         "knn_graph_lsh": _knn_graph_lsh,
         "semantic_pagerank": _semantic_pagerank,
         "semantic_components": _semantic_components,
         "retention_sweep": _retention_sweep,
+        # --- entry 51+: outside the driver window ---
+        # rows-only by design (no oracle possible): their weaker
+        # rows-only driver row exists from r11; the local suite pins
+        # them (BPE vs pure-Python reference, IVF recall unit)
+        "ann_ivf_topk": _ann_ivf_topk,
+        "semantic_chunks": _semantic_chunks,
+        "route_and_chunk": _route_and_chunk,
+        "bpe_vocab": _bpe_vocab,
+        "bpe_tokens": _bpe_tokens,
+        # demoted in r12 (driver-green r11; family reps remain)
+        "events_cube": _events_cube,
+        "pack_rows": _pack_rows,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
         "exact_dedup": _exact_dedup,

@@ -69,22 +69,30 @@ def write_shingle_index(
 
 def _read_slices(
     spark, path: str, columns: list[str] | None = None,
-    exclude_batch: int | None = None
+    exclude_batch: int | None = None, keep_batch: bool = False,
 ) -> DataFrame:
     """Read a slice-written artifact root in ANY layout it can be in:
 
-    - pure flat part-files (offline overwrite / legacy append),
+    - pure flat part-files (offline overwrite / legacy append / the
+      compacted root, which RETAINS ingest_batch as a plain column),
     - pure ``ingest_batch=N`` partition dirs (the gate's idempotent
       replay layout),
-    - the MIXED state left by upgrading a live stream in place: flat
-      files from the old append gate at the root PLUS partition dirs
-      from the new one. One ``spark.read.parquet(root)`` throws
+    - the MIXED state left by upgrading a live stream in place or by
+      batches landing after a compaction: flat files at the root PLUS
+      partition dirs. One ``spark.read.parquet(root)`` throws
       'Conflicting directory structures' on that mix, so the two
-      halves load separately and union (the flat half predates batch
-      tracking — it is standing corpus, never excluded).
+      halves load separately and union. A flat half WITHOUT an
+      ingest_batch column predates batch tracking — standing corpus,
+      batch −1, never excluded; a flat half WITH the column is a
+      compacted root and keeps its replay-exclusion semantics.
 
     ``exclude_batch`` drops that batch's own slice — the replay-probe
-    filter every caller of the old inline snippet needed.
+    filter every caller of the old inline snippet needed — wherever
+    the batch id survives (partition dirs or the compacted column).
+
+    ``keep_batch`` retains ``ingest_batch`` (long; −1 for pre-tracking
+    rows) in the output — the compactor uses it so a rewrite never
+    erases replay-exclusion.
 
     Listing goes through the Hadoop FileSystem API, not local pathlib,
     so the mixed-layout detection works identically for ``file://``,
@@ -103,25 +111,55 @@ def _read_slices(
                 flat_files.append(st.getPath().toString())
     part_dirs.sort()
     flat_files.sort()
-    if part_dirs and flat_files:
-        part = spark.read.option("basePath", path).parquet(*part_dirs)
-        if exclude_batch is not None:
-            part = part.filter(
-                F.col("ingest_batch") != int(exclude_batch)
+
+    def _norm(df: DataFrame) -> DataFrame:
+        if "ingest_batch" in df.columns:
+            df = df.withColumn(
+                "ingest_batch", F.col("ingest_batch").cast("long")
             )
-        flat = spark.read.parquet(*flat_files)
+        else:
+            df = df.withColumn("ingest_batch", F.lit(-1).cast("long"))
+        if exclude_batch is not None:
+            df = df.filter(F.col("ingest_batch") != int(exclude_batch))
+        return df
+
+    if part_dirs and flat_files:
+        part = _norm(spark.read.option("basePath", path).parquet(*part_dirs))
+        flat = _norm(spark.read.parquet(*flat_files))
         if columns is None:
-            columns = flat.columns
+            columns = [c for c in flat.columns if c != "ingest_batch"]
+        if keep_batch:
+            columns = [*columns, "ingest_batch"]
         return flat.select(*columns).unionByName(part.select(*columns))
-    df = spark.read.parquet(path)
-    if exclude_batch is not None and "ingest_batch" in df.columns:
-        df = df.filter(F.col("ingest_batch") != int(exclude_batch))
+    df = _norm(spark.read.parquet(path))
     if columns is None:
         columns = [c for c in df.columns if c != "ingest_batch"]
+    if keep_batch:
+        columns = [*columns, "ingest_batch"]
     return df.select(*columns)
 
 
-def heal_slices(path: str) -> None:
+def _slice_fs(path: str, spark=None):
+    """(fs, Path-class) for the slice root's filesystem — the SAME
+    Hadoop FileSystem API ``_read_slices`` lists through, so heal /
+    compact work identically for ``file://``, ``hdfs://`` and
+    object-store roots (local pathlib silently no-ops on anything but
+    a bare local path — ADVICE r11 #4)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "heal/compact need an active SparkSession to reach the "
+                "slice root's Hadoop FileSystem"
+            )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def heal_slices(path: str, spark=None) -> None:
     """Heal a slice root left half-swapped by a crash inside
     ``compact_slices`` (same recovery contract as the ACID table's
     ``_recover``, sources/acid.py):
@@ -129,27 +167,29 @@ def heal_slices(path: str) -> None:
     - root present → clear residue staging/old dirs,
     - root missing + complete staging (_SUCCESS) → roll FORWARD,
     - root missing + only old → roll BACK.
-    """
-    import shutil
-    from pathlib import Path
 
-    root = Path(path)
-    staging = root.parent / (root.name + "__staging")
-    old = root.parent / (root.name + "__old")
-    if root.exists():
+    All existence checks / renames / deletes go through the Hadoop
+    FileSystem of the root's URI, not local pathlib, so recovery works
+    on remote roots too."""
+    fs, jpath = _slice_fs(path, spark)
+    path = path.rstrip("/")
+    root = jpath(path)
+    staging = jpath(path + "__staging")
+    old = jpath(path + "__old")
+    if fs.exists(root):
         for residue in (staging, old):
-            if residue.exists():
-                shutil.rmtree(residue)
+            if fs.exists(residue):
+                fs.delete(residue, True)
         return
-    if staging.exists() and (staging / "_SUCCESS").exists():
-        staging.rename(root)
-        if old.exists():
-            shutil.rmtree(old)
+    if fs.exists(staging) and fs.exists(jpath(path + "__staging/_SUCCESS")):
+        fs.rename(staging, root)
+        if fs.exists(old):
+            fs.delete(old, True)
         return
-    if old.exists():
-        old.rename(root)
-        if staging.exists():
-            shutil.rmtree(staging)
+    if fs.exists(old):
+        fs.rename(old, root)
+        if fs.exists(staging):
+            fs.delete(staging, True)
 
 
 def compact_slices(spark, path: str, cluster_col: str | None = None) -> None:
@@ -165,35 +205,35 @@ def compact_slices(spark, path: str, cluster_col: str | None = None) -> None:
     ``id_a`` for the pair index) so read-back joins scan key-local
     files.
 
-    Run ONLY while the stream is quiescent with its last batch
-    checkpoint-committed: compaction erases the ``ingest_batch``
-    column, so a replay of a PRE-compaction batch could no longer
-    exclude its own rows from the probe. (Replays only ever target the
-    latest uncommitted batch, so compacting between committed batches
-    is safe.)"""
-    import shutil
-    from pathlib import Path
-
-    heal_slices(path)
-    root = Path(path)
-    if not root.exists():
+    The compacted file KEEPS ``ingest_batch`` as a plain column
+    (legacy pre-tracking rows become batch −1), so a streaming replay
+    of a pre-compaction batch still excludes its own rows from the
+    probe (``_read_slices(exclude_batch=...)`` filters the column) —
+    compacting a live gate no longer quarantines a replayed batch
+    against itself (ADVICE r11 #3). All filesystem mutations go
+    through the root's Hadoop FileSystem, same as ``_read_slices``."""
+    heal_slices(path, spark)
+    fs, jpath = _slice_fs(path, spark)
+    path = path.rstrip("/")
+    root = jpath(path)
+    if not fs.exists(root):
         return
     # _read_slices absorbs flat / partitioned / mixed layouts (a plain
-    # read throws 'Conflicting directory structures' on the mix) and
-    # drops the ingest_batch column with columns=None
-    rows = _read_slices(spark, path)
+    # read throws 'Conflicting directory structures' on the mix);
+    # keep_batch preserves replay-exclusion through the rewrite
+    rows = _read_slices(spark, path, keep_batch=True)
     if cluster_col is not None:
         rows = rows.repartition(cluster_col)
-    staging = root.parent / (root.name + "__staging")
-    if staging.exists():
-        shutil.rmtree(staging)
-    rows.write.mode("overwrite").parquet(str(staging))
-    old = root.parent / (root.name + "__old")
-    if old.exists():
-        shutil.rmtree(old)
-    root.rename(old)
-    staging.rename(root)
-    shutil.rmtree(old)
+    staging = jpath(path + "__staging")
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    rows.write.mode("overwrite").parquet(path + "__staging")
+    old = jpath(path + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(root, old)
+    fs.rename(staging, root)
+    fs.delete(old, True)
 
 
 def read_shingle_index(
@@ -592,15 +632,34 @@ def rp_blocks(
     seed: int = 42,
     id_col: str = "id",
     vec_col: str = "vec",
+    max_planes: int | None = None,
 ) -> DataFrame:
     """(id, table_idx, bucket) — sign-pattern buckets under ``n_tables``
     independent sets of ``n_planes`` random hyperplanes (Charikar SimHash
     for cosine). Deterministic: planes from a seeded RNG on the driver,
-    broadcast; one numpy GEMM per Arrow batch."""
+    broadcast; one numpy GEMM per Arrow batch.
+
+    ``max_planes``: when set, planes are the first ``n_planes`` of a
+    CANONICAL (n_tables, max_planes, dim) draw, so the plane set is a
+    strict prefix as ``n_planes`` grows — an adaptive caller
+    (``adaptive_n_planes``) keeps every already-assigned sign bit
+    stable when the corpus doubles, and a static oracle can emit the
+    one max-shape literal table and slice it by a count-derived plane
+    count. Without it the draw shape is (n_tables, n_planes, dim),
+    the historical layout every persisted gate index was built with."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim))
+    if max_planes is not None:
+        if n_planes > max_planes:
+            raise ValueError(
+                f"n_planes={n_planes} exceeds max_planes={max_planes}"
+            )
+        planes = rng.normal(
+            size=(n_tables, max_planes, dim)
+        )[:, :n_planes, :]
+    else:
+        planes = rng.normal(size=(n_tables, n_planes, dim))
     spark = corpus.sparkSession
     bp = spark.sparkContext.broadcast(planes)
 
@@ -641,6 +700,12 @@ def rp_blocks(
 # adaptively: bucket count scales with the corpus so candidate volume
 # stays ~linear (occupancy² per bucket × n/occupancy buckets)
 LSH_TARGET_OCCUPANCY = 16
+
+# ceiling for the canonical prefix-stable plane draw (rp_blocks
+# max_planes): 2^32 buckets ≈ 69 B vectors at occupancy 16 — past any
+# plausible single-index corpus; raising it re-draws every plane, so
+# treat it as a format constant
+LSH_MAX_PLANES = 32
 
 
 def adaptive_n_planes(n_rows: int, target: int = LSH_TARGET_OCCUPANCY,

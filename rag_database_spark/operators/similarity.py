@@ -920,7 +920,12 @@ def knn_graph(
     row-by-row); the self edge (always in the prefetch) is dropped and
     ranks renumber inside a per-source window over the ≤k+1 surviving
     candidates — never over the corpus. Ties break (score DESC, dst
-    ASC), so the edge set is deterministic and the DuckDB twin exact.
+    ASC) on the PREFETCH_ROUND_DP-quantized cosine, so the edge set at
+    the rank-k boundary cannot diverge between the numpy GEMM here and
+    the DuckDB twin's list_cosine_similarity — the same cross-engine
+    candidate-set discipline every other prefetch stage uses (a single
+    last-ulp flip matters doubly here because semantic PageRank
+    amplifies any flipped edge through its unrolled power iteration).
 
     Scale: identical to batch top-k search with |queries| = |corpus| —
     N·|corpus| GEMM work under the blocked path; at index scale the
@@ -929,7 +934,10 @@ def knn_graph(
     q = corpus.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    top = cosine_topk(q, corpus, k + 1, id_col=id_col, vec_col=vec_col)
+    top = cosine_topk(
+        q, corpus, k + 1, id_col=id_col, vec_col=vec_col,
+        round_dp=PREFETCH_ROUND_DP,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("id")
     )
@@ -951,7 +959,7 @@ def knn_graph_lsh(
     k: int = 5,
     dim: int = 64,
     n_tables: int = 4,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
     id_col: str = "id",
     vec_col: str = "vec",
@@ -965,13 +973,30 @@ def knn_graph_lsh(
     shuffles on the bucket key only, bounded by bucket occupancy (the
     same plan family as ``dedup.embedding_near_dupes_lsh``).
 
-    Deterministic given the seed, so the DuckDB oracle replays the
-    identical candidate set from the same plane literals; recall vs
-    the exact graph is unit-pinned (a true neighbor is missed only if
-    its signs differ from the source's in every table)."""
-    from rag_database_spark.operators.dedup import rp_blocks
+    ``n_planes=None`` (default) derives the plane count from the
+    corpus row count (``adaptive_n_planes``) so bucket occupancy —
+    and with it per-row candidate volume — stays constant as the
+    corpus grows; a fixed plane count is quadratic at scale (the r7
+    probe measured exponent 1.66 on exactly this shape). Planes are a
+    prefix of the canonical LSH_MAX_PLANES draw, so growing the
+    corpus only APPENDS sign bits — existing bits never re-draw.
 
-    cb = rp_blocks(corpus, dim, n_tables, n_planes, seed, id_col, vec_col)
+    Deterministic given the seed, so the DuckDB oracle replays the
+    identical candidate set from the same plane literals (slicing the
+    same canonical table by the same count-derived plane count);
+    recall vs the exact graph is unit-pinned (a true neighbor is
+    missed only if its signs differ from the source's in every
+    table)."""
+    from rag_database_spark.operators.dedup import (
+        LSH_MAX_PLANES, adaptive_n_planes, rp_blocks,
+    )
+
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count())
+    cb = rp_blocks(
+        corpus, dim, n_tables, n_planes, seed, id_col, vec_col,
+        max_planes=LSH_MAX_PLANES,
+    )
     a, b = cb.alias("a"), cb.alias("b")
     cands = (
         a.join(
@@ -992,7 +1017,12 @@ def knn_graph_lsh(
         .withColumnRenamed("v", "sv")
         .join(vecs.withColumnRenamed("vid", "dst"), "dst")
         .select(
-            "src", "dst", cosine(F.col("sv"), F.col("v")).alias("score")
+            "src", "dst",
+            # 12dp-quantized BEFORE the rank window — same cross-engine
+            # boundary discipline as knn_graph (see PREFETCH_ROUND_DP)
+            F.round(
+                cosine(F.col("sv"), F.col("v")), PREFETCH_ROUND_DP
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))

@@ -4428,17 +4428,25 @@ WHERE e.vec_id % {mod} = 0
 
 def knn_graph_sql(k: int) -> str:
     """Twin of ``similarity.knn_graph``: per vector, its k best cosine
-    neighbors (self excluded) under (cosine DESC, dst ASC)."""
+    neighbors (self excluded) under (cosine DESC, dst ASC). The cosine
+    is quantized to PREFETCH_ROUND_DP decimals BEFORE the rank window
+    (mirroring the engine's round_dp prefetch discipline) so the edge
+    set at the rank-k boundary is identical across engines; the
+    reported cos_sim then rounds the same 12dp value to 6dp, matching
+    the Spark side's double rounding exactly."""
+    from rag_database_spark.operators.similarity import PREFETCH_ROUND_DP
+
     return f"""
-SELECT src, dst, cos_sim, rank FROM (
+SELECT src, dst, round(q, 6) AS cos_sim, rank FROM (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]), 6)
-           AS cos_sim,
+                                      b.embedding::DOUBLE[]),
+               {PREFETCH_ROUND_DP}) AS q,
          row_number() OVER (
            PARTITION BY a.vec_id
-           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
-                                           b.embedding::DOUBLE[]) DESC,
+           ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]),
+                          {PREFETCH_ROUND_DP}) DESC,
                     b.vec_id
          ) AS rank
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
@@ -4450,31 +4458,51 @@ def knn_graph_lsh_sql(
     k: int,
     dim: int = 64,
     n_tables: int = 4,
-    n_planes: int = 8,
     seed: int = 42,
 ) -> str:
-    """Exact twin of ``similarity.knn_graph_lsh``: same seeded plane
-    literals → identical sign buckets → identical candidate self-join
-    → exact-cosine per-source top-k (ties → lowest dst)."""
+    """Exact twin of ``similarity.knn_graph_lsh`` with the ADAPTIVE
+    plane count: the SQL emits the one canonical
+    (n_tables × LSH_MAX_PLANES) plane table (the same seeded draw
+    ``rp_blocks(max_planes=LSH_MAX_PLANES)`` prefixes) and derives the
+    active plane count from count(embeddings) with the same formula as
+    ``adaptive_n_planes`` — so the oracle tracks the engine at ANY sf
+    without a per-sf literal. Identical sign buckets → identical
+    candidate self-join → 12dp-quantized cosine per-source top-k
+    (ties → lowest dst), mirroring the engine's PREFETCH_ROUND_DP
+    rank discipline."""
     import numpy as np
 
+    from rag_database_spark.operators.dedup import (
+        LSH_MAX_PLANES, LSH_TARGET_OCCUPANCY,
+    )
+    from rag_database_spark.operators.similarity import PREFETCH_ROUND_DP
+
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim))
+    planes = rng.normal(size=(n_tables, LSH_MAX_PLANES, dim))
     rows = ",\n    ".join(
         f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t][p])}]::DOUBLE[])"
         for t in range(n_tables)
-        for p in range(n_planes)
+        for p in range(LSH_MAX_PLANES)
     )
+    tgt = LSH_TARGET_OCCUPANCY
     return f"""
 WITH planes(table_idx, plane_idx, pvec) AS (
   VALUES
     {rows}
 ),
+np AS (
+  -- adaptive_n_planes(count): floor 8, else ceil(log2(n / target))
+  SELECT CASE WHEN count(*) <= {tgt} THEN 8
+         ELSE greatest(8, CAST(ceil(log2(count(*)::DOUBLE / {tgt}))
+                             AS INT)) END AS n_planes
+  FROM embeddings
+),
 sig AS MATERIALIZED (
   SELECT e.vec_id AS id, p.table_idx,
          sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pvec) > 0
-                  THEN 1 << p.plane_idx ELSE 0 END) AS bucket
-  FROM embeddings e CROSS JOIN planes p
+                  THEN 1::BIGINT << p.plane_idx ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p CROSS JOIN np
+  WHERE p.plane_idx < np.n_planes
   GROUP BY e.vec_id, p.table_idx
 ),
 cands AS (
@@ -4484,8 +4512,9 @@ cands AS (
 ),
 scored AS (
   SELECT c.src, c.dst,
-         list_cosine_similarity(ea.embedding::DOUBLE[],
-                                eb.embedding::DOUBLE[]) AS score
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]),
+               {PREFETCH_ROUND_DP}) AS score
   FROM cands c
   JOIN embeddings ea ON ea.vec_id = c.src
   JOIN embeddings eb ON eb.vec_id = c.dst
