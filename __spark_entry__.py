@@ -37,6 +37,7 @@ from rag_database_spark.streaming import events as streaming_events
 from rag_database_spark.operators import filters as filter_ops
 from rag_database_spark.operators import relational
 from rag_database_spark.operators import similarity
+from rag_database_spark.operators import classifier
 from rag_database_spark.operators import text_analytics
 from rag_database_spark.operators.fusion import FETCH_MULTIPLIER
 from rag_database_spark.operators.hybrid import (
@@ -139,6 +140,7 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _lm_model(spark, sf_dir)
     _lm_model_in(spark, sf_dir)
     _dsir_model(spark, sf_dir)
+    _perceptron_weights(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -1967,7 +1969,10 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None and hit[0] is spark:
         return hit[1]
     cache_dir = Path(__file__).resolve().parent / ".cache" / "kmeans" / fp
-    if not (cache_dir / "_SUCCESS").exists():
+    cent_dir = Path(__file__).resolve().parent / ".cache" / "kmeans_cent" / fp
+    if not (
+        (cache_dir / "_SUCCESS").exists() and (cent_dir / "_SUCCESS").exists()
+    ):
         emb = load_table(spark, sf_dir, "embeddings")
         # PINNED to KMEANS_K, not kmeans_k_for(count): the
         # embed_kmeans/semdedup oracles statically unroll KMEANS_K, so
@@ -1980,12 +1985,30 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # k=clustering.kmeans_k_for(n); this fixture entry trades that
         # for exact cross-engine replay, which a static oracle can
         # only give at a static k.
-        clustering.kmeans_assignments(
+        assign_df, cents = clustering.kmeans_fit(
             emb, k=clustering.KMEANS_K
-        ).write.mode("overwrite").parquet(str(cache_dir))
+        )
+        assign_df.write.mode("overwrite").parquet(str(cache_dir))
+        # the settled centroids are part of the artifact too: the
+        # outlier pruner computes distance against them without ever
+        # re-running the fit (k rows × dim doubles — tiny)
+        spark.createDataFrame(
+            [(j, c) for j, c in enumerate(cents)],
+            "cluster_id int, cvec array<double>",
+        ).write.mode("overwrite").parquet(str(cent_dir))
     assign = spark.read.parquet(str(cache_dir))
     _KMEANS_CACHE[key] = (spark, assign)
     return assign
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (cluster_id, cvec) half of the persisted k-means artifact
+    (built by _kmeans_artifact; exact doubles survive the parquet
+    round trip)."""
+    _kmeans_artifact(spark, sf_dir)  # ensure both halves exist
+    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-k{clustering.KMEANS_K}"
+    cent_dir = Path(__file__).resolve().parent / ".cache" / "kmeans_cent" / fp
+    return spark.read.parquet(str(cent_dir))
 
 
 def _embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2019,6 +2042,22 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.semdedup(emb, assign).withColumnRenamed("id", "vec_id")
 
 
+def _kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier pruning (clustering.centroid_outliers)
+    — NeMo-Curator-style post-clustering curation: per vector, squared
+    distance to its OWN cluster's settled centroid in the quantized
+    frame, closest-first rank, and the integer keep rule that prunes
+    the farthest 1/10 of every cluster. Reads both halves of the
+    persisted k-means artifact; the oracle replays the full unrolled
+    Lloyd's chain plus the same distance/rank tail."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.centroid_outliers(
+        emb,
+        _kmeans_artifact(spark, sf_dir),
+        _kmeans_centroids(spark, sf_dir),
+    ).withColumnRenamed("id", "vec_id")
+
+
 VECTOR_GATE_MOD = 25  # vec_id % 25 == 0 → the simulated incoming batch
 
 
@@ -2036,6 +2075,48 @@ def _vector_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DSIR_TOP_N = 100
+
+
+def _perceptron_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Persisted batch-perceptron quality weights — trained once per
+    DOCUMENTS fingerprint (classifier.perceptron_train over the
+    exact-integer feature scan), stored as a 1-row parquet so a
+    restarted session scores without retraining (same artifact
+    discipline as the LM/DSIR/k-means models)."""
+    fp = f"{_source_fingerprint(sf_dir)}-r{classifier.PERCEPTRON_ROUNDS}"
+    key = f"perceptron:{fp}"
+    hit = _LM_MODEL_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "perceptron" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        docs = load_table(spark, sf_dir, "documents")
+        w = classifier.perceptron_train(
+            classifier.perceptron_features(docs)
+        )
+        spark.createDataFrame(
+            [tuple(w)], ", ".join(f"w{i + 1} long" for i in range(len(w)))
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    row = spark.read.parquet(str(cache_dir)).collect()[0]
+    weights = [row[f"w{i + 1}"] for i in range(len(classifier.FEATURES))]
+    _LM_MODEL_CACHE[key] = (spark, weights)
+    return weights
+
+
+def _perceptron_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality selection (classifier.py): score every doc
+    with the persisted batch-perceptron weights (integer dot product,
+    pure codegen) and select score > 0 — the DataComp/DCLM-style
+    learned filter beside the rule-based c4/gopher entries. The oracle
+    replays training itself: each of the PERCEPTRON_ROUNDS updates
+    unrolls as one aggregate CTE (exact int64 sums, so the weight
+    vector matches bit-for-bit), then scores under the settled
+    weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier.perceptron_features(docs)
+    return classifier.perceptron_score(
+        feats, _perceptron_weights(spark, sf_dir)
+    ).withColumnRenamed("id", "doc_id")
 
 
 def _dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2366,7 +2447,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _graph_triangles,
         "related_ids": _related_ids,
         "event_funnel": _event_funnel,
-        "event_funnel_windowed": _event_funnel_windowed,
         "cohort_retention": _cohort_retention,
         "events_window_join": _events_window_join,
         "asof_attribution": _asof_attribution,
@@ -2399,6 +2479,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_pagerank": _semantic_pagerank,
         "semantic_components": _semantic_components,
         "retention_sweep": _retention_sweep,
+        # new in r12: centroid-distance outlier pruning over the shared
+        # k-means artifact (takes the window slot freed by the r12
+        # rotation's 7-out/6-in swap)
+        "kmeans_outliers": _kmeans_outliers,
+        # new in r12: batch-perceptron quality selection
+        # (event_funnel_windowed demoted to the tail to make room —
+        # funnels stay repped in-window by event_funnel)
+        "perceptron_select": _perceptron_select,
         # --- entry 51+: outside the driver window ---
         # rows-only by design (no oracle possible): their weaker
         # rows-only driver row exists from r11; the local suite pins
@@ -2411,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted in r12 (driver-green r11; family reps remain)
         "events_cube": _events_cube,
         "pack_rows": _pack_rows,
+        "event_funnel_windowed": _event_funnel_windowed,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
         "exact_dedup": _exact_dedup,
@@ -2575,6 +2664,14 @@ def oracle_sql() -> dict[str, str]:
             clustering.SEMDEDUP_THRESHOLD,
             clustering.KMEANS_K, clustering.KMEANS_ITERS,
             EMBEDDING_DIM, clustering.KMEANS_SCALE,
+        ),
+        "perceptron_select": oracles.perceptron_select_sql(
+            classifier.PERCEPTRON_ROUNDS
+        ),
+        "kmeans_outliers": oracles.kmeans_outliers_sql(
+            clustering.KMEANS_K, clustering.KMEANS_ITERS,
+            EMBEDDING_DIM, clustering.KMEANS_SCALE,
+            clustering.OUTLIER_KEEP_NUM, clustering.OUTLIER_KEEP_DEN,
         ),
         "dsir_select": oracles.dsir_select_sql(
             CONTRASTIVE_IN_LANG, text_analytics.DSIR_BUCKETS,

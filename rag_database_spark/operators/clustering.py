@@ -245,3 +245,83 @@ def semdedup(
             ).alias("keep"),
         )
     )
+
+
+# centroid-distance outlier pruning: keep the closest NUM/DEN fraction
+# of each cluster (integer-exact keep rule, so the boundary cannot
+# float-drift between engines)
+OUTLIER_KEEP_NUM = 9
+OUTLIER_KEEP_DEN = 10
+
+
+def centroid_outliers(
+    df: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_num: int = OUTLIER_KEEP_NUM,
+    keep_den: int = OUTLIER_KEEP_DEN,
+) -> DataFrame:
+    """Centroid-distance outlier pruning — the curation step NVIDIA's
+    NeMo Curator and the DataComp pipelines run after clustering: a
+    vector far from its own centroid is noise/off-topic relative to
+    its semantic bucket, and the farthest tail of every cluster is
+    pruned before training. (Engine extension beyond the reference
+    surface; composes with the same persisted k-means artifact
+    ``semdedup`` reads.)
+
+    Returns (id, cluster_id, dist, crank, cluster_n, keep):
+    ``dist`` is the squared distance to the OWN cluster's final
+    centroid in the quantized frame (the module's determinism
+    contract: integer inputs, exact-mean centroids, left-fold term
+    chain — bit-identical across engines, same argument as the argmin
+    itself); ``crank`` ranks cluster-mates closest-first (ties →
+    lowest id); ``keep`` holds iff
+    (crank−1)·keep_den < cluster_n·keep_num — i.e. crank ≤
+    ceil(cluster_n·num/den), an integer comparison so the keep
+    boundary is exact in any engine, with CEIL semantics so a small
+    cluster is never emptied (a singleton always keeps its member).
+
+    Scale: one broadcast join against the k-row centroid table, one
+    shuffle on cluster_id for the rank window — no corpus self-join,
+    no driver collect. ``centroids`` is the persisted (cluster_id,
+    cvec) artifact from ``kmeans_fit``, so serving never re-runs the
+    iterative fit."""
+    from pyspark.sql import Window
+
+    xq = df.select(
+        F.col(id_col).alias("id"),
+        quantize_embeddings_int(F.col(vec_col)).alias("x"),
+    )
+    cent = centroids.select(
+        "cluster_id", F.col("cvec").cast("array<double>").alias("c")
+    )
+    d = (
+        xq.join(assignments, "id")
+        .join(F.broadcast(cent), "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.asc("d"), F.asc("id"))
+    wn = Window.partitionBy("cluster_id")
+    return d.select(
+        "id",
+        "cluster_id",
+        F.round("d", 6).alias("dist"),
+        F.row_number().over(w).cast("long").alias("crank"),
+        F.count(F.lit(1)).over(wn).alias("cluster_n"),
+    ).withColumn(
+        "keep",
+        (F.col("crank") - F.lit(1)) * F.lit(keep_den)
+        < F.col("cluster_n") * F.lit(keep_num),
+    )

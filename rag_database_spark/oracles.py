@@ -4294,6 +4294,82 @@ FROM af a LEFT JOIN best b ON b.id = a.vec_id
 """
 
 
+def kmeans_outliers_sql(k: int, iters: int, dim: int, scale: int,
+                        keep_num: int, keep_den: int) -> str:
+    """Twin of ``clustering.centroid_outliers`` over the shared
+    k-means CTEs: squared distance to the OWN cluster's final centroid
+    (c{iters}, the settled centroids the final assignment used) via
+    the same left-associated term chain, closest-first rank (ties →
+    lowest id), and the integer CEIL keep rule
+    (crank−1)·keep_den < cluster_n·keep_num."""
+    dist = " + ".join(
+        f"(a.x[{i}]-c.c[{i}])*(a.x[{i}]-c.c[{i}])" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH {_kmeans_ctes(k, iters, dim, scale)},
+dd AS (
+  SELECT a.vec_id, a.cid, {dist} AS d
+  FROM af a JOIN c{iters} c ON c.cid = a.cid
+),
+rr AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS crank,
+         count(*) OVER (PARTITION BY cid) AS cluster_n
+  FROM dd
+)
+SELECT vec_id, cid AS cluster_id, round(d, 6) AS dist, crank, cluster_n,
+       ((crank - 1) * {keep_den} < cluster_n * {keep_num}) AS keep
+FROM rr
+"""
+
+
+def perceptron_select_sql(rounds: int) -> str:
+    """Unrolled twin of ``classifier.perceptron_train`` +
+    ``perceptron_score``: the batch-perceptron update is pure int64
+    arithmetic (exact, aggregation-order-free sums — the same
+    determinism spine as the k-means CTEs), so every round unrolls as
+    one aggregate over the shared feature CTE cross-joined with the
+    previous 1-row weight CTE, and the final select scores each doc
+    under the settled weights."""
+    from rag_database_spark.operators.classifier import (
+        FEATURES, feature_sql,
+    )
+
+    nf = len(FEATURES)
+
+    def dotp(w: str) -> str:
+        return " + ".join(f"{w}.w[{i + 1}]*f.f{i + 1}" for i in range(nf))
+
+    parts = [
+        f"feat AS MATERIALIZED ({feature_sql()})",
+        "w0 AS (SELECT [" + ", ".join(["0::BIGINT"] * nf) + "] AS w)",
+    ]
+    for t in range(1, rounds + 1):
+        sums = ",\n         ".join(
+            f"sum(CASE WHEN f.y * ({dotp('p')}) <= 0"
+            f" THEN f.y * f.f{i + 1} ELSE 0 END) AS d{i + 1}"
+            for i in range(nf)
+        )
+        parts.append(
+            f"g{t} AS (\n  SELECT {sums}\n  FROM feat f, w{t - 1} p\n)"
+        )
+        wlist = ", ".join(
+            f"(p.w[{i + 1}] + coalesce(g.d{i + 1}, 0))::BIGINT"
+            for i in range(nf)
+        )
+        parts.append(
+            f"w{t} AS (SELECT [{wlist}] AS w FROM g{t} g, w{t - 1} p)"
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT f.id AS doc_id, f.y AS y_weak,
+       ({dotp('p')})::BIGINT AS score,
+       (({dotp('p')}) > 0) AS selected
+FROM feat f, w{rounds} p
+"""
+
+
 def _dsir_ctes(in_lang: str, n_buckets: int, alpha: float) -> str:
     """Shared DSIR front end (toks → hashed buckets → 9dp importance
     weights) for the select and resample twins."""
