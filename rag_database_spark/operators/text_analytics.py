@@ -40,6 +40,96 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def model_lang_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_path: str = "lid.176.bin",
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Real-model language ID — the fastText seam (same optional-import
+    discipline as the sentence-transformers embedder and CrossEncoder
+    reranker, functions/embedder.py:94): `lid.176.bin`-style fastText
+    models are THE production lang-id path a training pipeline runs
+    (CCNet, RedPajama, FineWeb all gate on it), so the Spark plumbing —
+    Arrow-batched mapInPandas, model loaded once per Python worker,
+    newline-stripped single-label predict — is real and fixture-tested
+    even though this container ships no weights.
+
+    Returns (doc_id, lang_pred, confidence); predictions under
+    ``min_confidence`` become 'unknown' (the CCNet 0.5 convention).
+    Raises ImportError when fasttext is absent — callers wanting
+    automatic fallback use ``lang_id_auto``."""
+    from rag_database_spark.seams import optional_import
+
+    ft_mod = optional_import("fasttext")
+    if ft_mod is None:
+        raise ImportError(
+            "fasttext not installed — use lang_id_auto() for automatic "
+            "fallback to the stopword-marker heuristic"
+        )
+    load_model = ft_mod.load_model  # pickled by reference or value
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = fan_out(docs)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = load_model(model_path)  # once per partition
+        for pdf in it:
+            if pdf.empty:
+                continue
+            # fastText predict rejects newlines; one call per batch
+            texts = [t.replace("\n", " ") for t in pdf["__t"].tolist()]
+            labels, probs = model.predict(texts, k=1)
+            langs, confs = [], []
+            for lab, pr in zip(labels, probs):
+                conf = float(pr[0])
+                lang = lab[0].replace("__label__", "")
+                langs.append(
+                    lang if conf >= min_confidence else "unknown"
+                )
+                confs.append(conf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "lang_pred": langs,
+                    "confidence": confs,
+                }
+            )
+
+    return src.mapInPandas(
+        batches, schema="doc_id long, lang_pred string, confidence double"
+    )
+
+
+def lang_id_auto(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_path: str = "lid.176.bin",
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """fastText when importable, else the stopword-marker heuristic
+    with confidence NULL — the same auto-dispatch contract as
+    ``embed_text`` (real model preferred, deterministic fallback keeps
+    every downstream op runnable in this container)."""
+    from rag_database_spark.seams import have
+
+    if have("fasttext"):
+        return model_lang_id(
+            docs, id_col, text_col, model_path, min_confidence
+        )
+    return lang_id(docs, id_col, text_col).withColumn(
+        "confidence", F.lit(None).cast("double")
+    )
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-document token counting: whitespace tokens, BPE-ish subword

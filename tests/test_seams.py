@@ -467,3 +467,73 @@ def test_real_pixels_consumes_recorded_pil_image(monkeypatch):
     px = multimodal._real_pixels(b"\x89PNGxxxx", 6, 11)
     assert calls == {"mode": "L", "size": (11, 6)}
     assert px == list(range(66))
+
+
+def test_model_lang_id_raises_without_library(spark):
+    from rag_database_spark.operators import text_analytics as ta
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ImportError, match="fasttext"):
+        ta.model_lang_id(df)
+
+
+def test_model_lang_id_plumbing_with_fake_fasttext(spark, monkeypatch):
+    """Inject a deterministic fake fastText model: proves the
+    mapInPandas plumbing — newline stripping, batch predict shape,
+    label unwrapping, the min-confidence gate — without weights."""
+    from rag_database_spark.operators import text_analytics as ta
+
+    fake = types.ModuleType("fasttext")
+
+    class FakeModel:
+        def __init__(self, path):
+            self.path = path
+
+        def predict(self, texts, k=1):
+            # the real API rejects newlines: enforce the contract
+            assert all("\n" not in t for t in texts)
+            labels, probs = [], []
+            for t in texts:
+                if "bonjour" in t:
+                    labels.append(("__label__fr",))
+                    probs.append((0.99,))
+                else:
+                    labels.append(("__label__en",))
+                    probs.append((0.42,))
+            return labels, probs
+
+    fake.load_model = lambda path: FakeModel(path)
+    monkeypatch.setitem(sys.modules, "fasttext", fake)
+
+    df = spark.createDataFrame(
+        [(1, "hello\nworld"), (2, "bonjour le monde")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ta.model_lang_id(df, min_confidence=0.5).collect()
+    }
+    assert rows[2]["lang_pred"] == "fr"
+    assert rows[2]["confidence"] == pytest.approx(0.99)
+    # en prediction at 0.42 falls under the 0.5 gate -> unknown,
+    # but the raw confidence is still reported
+    assert rows[1]["lang_pred"] == "unknown"
+    assert rows[1]["confidence"] == pytest.approx(0.42)
+
+
+def test_lang_id_auto_falls_back_to_heuristic(spark):
+    """Without fasttext installed, lang_id_auto serves the stopword
+    heuristic with a NULL confidence column — same schema as the
+    model path, so downstream code is branch-free."""
+    from rag_database_spark.operators import text_analytics as ta
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog are in the house with a friend")],
+        "doc_id long, text string",
+    )
+    rows = ta.lang_id_auto(df).collect()
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[0]["confidence"] is None
+    assert [f.name for f in ta.lang_id_auto(df).schema.fields] == [
+        "doc_id", "lang_pred", "confidence",
+    ]
