@@ -631,6 +631,36 @@ def _ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted packed Bloom bitmap over the STANDING corpus'
+    content fingerprints (docs outside the simulated incoming batch) —
+    built once per corpus fingerprint, ≤ m/32 rows regardless of
+    corpus size (dedup.bloom_filter_build)."""
+    fp = _source_fingerprint(sf_dir)
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "bloom" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        docs = load_table(spark, sf_dir, "documents")
+        dedup.bloom_filter_build(
+            docs.filter(F.col("doc_id") % INGEST_GATE_MOD != 0)
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    return spark.read.parquet(str(cache_dir))
+
+
+def _bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup gate (dedup.bloom_gate) — Dolma's
+    approximate-membership admission check: the simulated incoming
+    batch probes the persisted packed bitmap of standing-corpus
+    fingerprints; maybe_dup ⇔ all k probe bits set (no false
+    negatives, FP rate by filter geometry). The standing corpus is
+    never scanned at probe time; the oracle replays the identical
+    bitmap and probes from the same md5 hash chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.bloom_gate(
+        docs.filter(F.col("doc_id") % INGEST_GATE_MOD == 0),
+        _bloom_filter_words(spark, sf_dir),
+    ).withColumnRenamed("id", "doc_id")
+
+
 DENSE_FILTER_LABELS = (1, 4, 7)  # the queried tenant's label scope
 
 
@@ -2454,7 +2484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _temperature_mix,
         "c4_rules": _c4_rules,
         "gopher_rules": _gopher_rules,
-        "repetition_signals": _repetition_signals,
         "doc_keywords": _doc_keywords,
         "strip_markup": _strip_markup,
         "decontam": _decontam,
@@ -2487,6 +2516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (event_funnel_windowed demoted to the tail to make room —
         # funnels stay repped in-window by event_funnel)
         "perceptron_select": _perceptron_select,
+        # new in r12: Bloom-filter dedup gate (repetition_signals
+        # demoted to the tail — quality-signal family stays repped
+        # in-window by c4_rules / gopher_rules / lm_perplexity)
+        "bloom_gate": _bloom_gate,
         # --- entry 51+: outside the driver window ---
         # rows-only by design (no oracle possible): their weaker
         # rows-only driver row exists from r11; the local suite pins
@@ -2500,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _events_cube,
         "pack_rows": _pack_rows,
         "event_funnel_windowed": _event_funnel_windowed,
+        "repetition_signals": _repetition_signals,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
         "exact_dedup": _exact_dedup,
@@ -2664,6 +2698,9 @@ def oracle_sql() -> dict[str, str]:
             clustering.SEMDEDUP_THRESHOLD,
             clustering.KMEANS_K, clustering.KMEANS_ITERS,
             EMBEDDING_DIM, clustering.KMEANS_SCALE,
+        ),
+        "bloom_gate": oracles.bloom_gate_sql(
+            INGEST_GATE_MOD, dedup.BLOOM_M_BITS, dedup.BLOOM_K
         ),
         "perceptron_select": oracles.perceptron_select_sql(
             classifier.PERCEPTRON_ROUNDS

@@ -1315,3 +1315,120 @@ def dedup_clusters_star(
             F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter dedup gate (Dolma-style approximate membership)
+# --------------------------------------------------------------------------
+
+# filter geometry: m bits packed 32/row (see bloom_filter_build), k md5-derived probes. At the
+# fixture scales (≤5e3 standing fingerprints) m=2^18 gives an FP rate
+# of (1-e^(-kn/m))^k ≈ 1e-8; production sizing is m ≈ 1.44·k·n bits —
+# a 1e10-doc corpus at k=4 wants ~2^36 bits = 1 GiB of set bits packed, which is
+# why the probe auto-switches from broadcast to a keyed join above
+# BLOOM_BROADCAST_MAX_BITS.
+BLOOM_M_BITS = 1 << 18
+BLOOM_K = 4
+BLOOM_BROADCAST_MAX_BITS = 1 << 26  # 8 MiB packed — safe to broadcast
+
+
+def _bloom_positions(fp_col: Column, m_bits: int, k: int) -> Column:
+    """array<long> of the k probe positions for one fingerprint —
+    seed-prefixed md5 60-bit hashes mod m (the same engine-portable
+    hash discipline as the MinHash family, ``hash60``)."""
+    return F.array(
+        *[
+            hash60(F.concat(F.lit(f"bloom{i}:"), fp_col)) % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_filter_build(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Packed Bloom bitmap over the corpus' content fingerprints:
+    (word_idx, bits) with bit ``p & 31`` of word ``p >> 5`` set for
+    every probe position p — the approximate-membership structure
+    Dolma's deduper gates on (public: allenai/dolma, a Bloom filter
+    over doc/paragraph hashes), sized m/32 rows NO MATTER how large
+    the corpus is. Build is one scan + a partial-aggregated bit_or
+    groupBy on ≤ m/32 keys; deterministic (md5 probes), so two builds
+    over the same corpus are identical and the DuckDB oracle replays
+    the exact bitmap."""
+    from rag_database_spark.functions.text import doc_fingerprint
+
+    pos = docs.select(
+        F.explode(
+            _bloom_positions(doc_fingerprint(F.col(text_col)), m_bits, k)
+        ).alias("pos")
+    )
+    # 32 bits per word, not 64: DuckDB's checked left shift rejects
+    # 1 << 63 (the sign bit), so the cross-engine packing stays in the
+    # positive range of an int64 on both sides
+    return (
+        pos.select(
+            F.shiftright("pos", 5).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_gate(
+    batch: DataFrame,
+    filter_words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe a batch against a packed Bloom bitmap: (id, n_hits,
+    maybe_dup) with maybe_dup ⇔ all k probe bits set — the admission
+    decision Dolma-style dedup makes before any exact verification
+    (false positives at the documented rate, never false negatives:
+    an exact duplicate of an indexed doc ALWAYS flags).
+
+    Scale: the batch's k·|batch| probe rows join the filter on
+    word_idx — broadcast when the packed filter is ≤
+    BLOOM_BROADCAST_MAX_BITS (8 MiB), an ordinary keyed join above
+    that (a 2^36-bit production filter is ~1 GiB: shuffling the batch
+    by word_idx beats shipping the bitmap to every task). The standing
+    corpus itself is never touched at probe time — that is the entire
+    point of the structure."""
+    from rag_database_spark.functions.text import doc_fingerprint
+
+    probes = batch.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            _bloom_positions(doc_fingerprint(F.col(text_col)), m_bits, k)
+        ).alias("pos"),
+    ).select(
+        "id",
+        F.shiftright("pos", 5).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        .alias("mask"),
+    )
+    fw = (
+        F.broadcast(filter_words)
+        if m_bits <= BLOOM_BROADCAST_MAX_BITS
+        else filter_words
+    )
+    joined = probes.join(fw, "word_idx", "left")
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+    ).cast("long")
+    return (
+        joined.groupBy("id")
+        .agg(F.sum(hit).alias("n_hits"))
+        .select(
+            "id", "n_hits", (F.col("n_hits") == F.lit(k)).alias("maybe_dup")
+        )
+    )

@@ -818,6 +818,52 @@ FROM (
 """
 
 
+def bloom_gate_sql(mod: int, m_bits: int, k: int) -> str:
+    """Twin of ``dedup.bloom_gate`` on the fixture split: the packed
+    bitmap over standing-corpus fingerprints (docs with
+    doc_id % mod ≠ 0) rebuilt from the same seed-prefixed md5 probe
+    chain, then the incoming batch's k probes checked against it —
+    bit-identical words, so n_hits/maybe_dup match exactly."""
+
+    def probes(where: str, with_id: bool) -> str:
+        cols = "doc_id, " if with_id else ""
+        return "\n  UNION ALL\n".join(
+            f"  SELECT {cols}(('0x' || substr(md5('bloom{i}:' || f), 1, 15))"
+            f"::BIGINT % {m_bits}) AS pos FROM fp WHERE {where}"
+            for i in range(k)
+        )
+
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '{PUNCT_RE}', ' ', 'g'),
+           '{SPLIT_RE}', ' ', 'g')) AS s
+  FROM documents
+),
+fp AS (SELECT doc_id, md5(s) AS f FROM norm),
+cpos AS (
+{probes(f"doc_id % {mod} <> 0", with_id=False)}
+),
+fw AS (
+  SELECT pos >> 5 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM cpos GROUP BY 1
+),
+bpos AS (
+{probes(f"doc_id % {mod} = 0", with_id=True)}
+)
+SELECT doc_id, n_hits, (n_hits = {k}) AS maybe_dup FROM (
+  SELECT b.doc_id,
+         sum(CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (1::BIGINT << CAST(b.pos % 32 AS INT))) <> 0
+                  THEN 1 ELSE 0 END)::BIGINT AS n_hits
+  FROM bpos b LEFT JOIN fw w ON w.word_idx = (b.pos >> 5)
+  GROUP BY b.doc_id
+)
+"""
+
+
 def exact_dedup_sql() -> str:
     return f"""
 WITH norm AS (

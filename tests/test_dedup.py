@@ -380,3 +380,57 @@ def test_keep_representatives_agrees_across_cc_algorithms(spark):
     b = sorted(tuple(r) for r in dedup.keep_representatives(
         docs, dedup.dedup_clusters_star(pairs, docs)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup gate (r12)
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, texts, ids=None):
+    ids = ids if ids is not None else range(len(texts))
+    return spark.createDataFrame(
+        [(int(i), t) for i, t in zip(ids, texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_bloom_gate_no_false_negatives(spark):
+    """An exact duplicate of an indexed doc ALWAYS flags (the Bloom
+    guarantee), including under normalization (case/punct changes
+    that the fingerprint canonicalizes away)."""
+    corpus = _docs_df(spark, [
+        "the quick brown fox jumps over the lazy dog",
+        "machine learning at scale needs careful data curation",
+        "completely unrelated third document about rivers",
+    ])
+    fw = dedup.bloom_filter_build(corpus)
+    batch = _docs_df(spark, [
+        "THE QUICK brown fox, jumps over the lazy dog!",  # dup mod norm
+        "a genuinely fresh document never indexed before xyzzy",
+    ], ids=[100, 101])
+    rows = {r["id"]: r for r in dedup.bloom_gate(batch, fw).collect()}
+    assert rows[100]["maybe_dup"] and rows[100]["n_hits"] == dedup.BLOOM_K
+    # fresh doc at this geometry (m=2^18, 3 docs indexed): no FP
+    assert not rows[101]["maybe_dup"]
+
+
+def test_bloom_filter_packing_bounds(spark):
+    """The packed bitmap stays within m/32 rows, word indexes within
+    range, and every word fits the positive int64 range (32-bit
+    packing — no sign-bit masks)."""
+    corpus = _docs_df(
+        spark, [f"document number {i} with words {i * 7}" for i in range(50)]
+    )
+    fw = dedup.bloom_filter_build(corpus).collect()
+    assert 0 < len(fw) <= dedup.BLOOM_M_BITS // 32
+    for r in fw:
+        assert 0 <= r["word_idx"] < dedup.BLOOM_M_BITS // 32
+        assert 0 < r["bits"] < (1 << 32)
+
+
+def test_bloom_gate_deterministic_across_builds(spark):
+    corpus = _docs_df(spark, ["alpha beta gamma", "delta epsilon zeta"])
+    a = sorted(map(tuple, dedup.bloom_filter_build(corpus).collect()))
+    b = sorted(map(tuple, dedup.bloom_filter_build(corpus).collect()))
+    assert a == b
