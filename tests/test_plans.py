@@ -417,3 +417,44 @@ def test_knn_graph_lsh_candidates_are_bucket_keyed(spark):
     p = plan_of(df, "simple")
     assert "BroadcastNestedLoopJoin" not in p
     assert "bucket" in p
+
+
+def test_perceptron_scoring_is_pure_codegen(spark):
+    """Serving-side contract: scoring under trained weights is one
+    scan — no Exchange (shuffle), no Python evaluation node. (Training
+    has its per-round aggregates; this pins the scoring plan callers
+    run at corpus scale.)"""
+    from rag_database_spark.operators import classifier as cl
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog run far")],
+        "doc_id long, text string",
+    )
+    df = cl.perceptron_score(cl.perceptron_features(docs), [1, -1, -1, -1])
+    p = plan_of(df, "simple")
+    assert "Exchange" not in p
+    assert "Python" not in p and "mapInPandas" not in p.lower()
+
+
+def test_kmeans_outliers_broadcasts_centroids(spark):
+    """The centroid table (k rows) must broadcast — never a shuffle
+    join against the corpus — and the only wide operation is the
+    cluster_id rank window."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["kmeans_outliers"](spark, SF_DIR)
+    p = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_gate_broadcasts_small_filter(spark):
+    """At the fixture geometry (m=2^18 → ≤8k packed words) the filter
+    must broadcast; the standing corpus never appears in the probe
+    plan (the probe reads the persisted bitmap, not documents twice)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["bloom_gate"](spark, SF_DIR)
+    p = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
