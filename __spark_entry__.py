@@ -2388,6 +2388,7 @@ _PURE_LAZY = frozenset({
     "embed_kmeans", "semdedup", "dsir_select", "vector_ingest_gate",
     "dsir_resample", "knn_graph", "knn_graph_lsh", "semantic_pagerank",
     "semantic_components", "retention_sweep",
+    "kmeans_outliers", "perceptron_select", "bloom_gate",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",

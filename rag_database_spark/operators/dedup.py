@@ -194,9 +194,10 @@ def heal_slices(path: str, spark=None) -> None:
 
 def compact_slices(spark, path: str, cluster_col: str | None = None) -> None:
     """Fold a gate index's accumulated ``ingest_batch=N`` slices (and
-    any legacy flat files) into ONE flat parquet — a long-running gate
-    writes a partition per micro-batch, and a 10k-batch index pays 10k
-    directory listings + footer reads per probe without this.
+    any legacy flat files) into one flat parquet PLUS the untouched
+    latest slice dir — a long-running gate writes a partition per
+    micro-batch, and a 10k-batch index pays 10k directory listings +
+    footer reads per probe without this.
 
     The rewrite goes to a staging dir first, then two renames swap it
     in (``heal_slices`` rolls a crash between them forward/back on the
@@ -205,29 +206,62 @@ def compact_slices(spark, path: str, cluster_col: str | None = None) -> None:
     ``id_a`` for the pair index) so read-back joins scan key-local
     files.
 
-    The compacted file KEEPS ``ingest_batch`` as a plain column
-    (legacy pre-tracking rows become batch −1), so a streaming replay
-    of a pre-compaction batch still excludes its own rows from the
-    probe (``_read_slices(exclude_batch=...)`` filters the column) —
-    compacting a live gate no longer quarantines a replayed batch
-    against itself (ADVICE r11 #3). All filesystem mutations go
-    through the root's Hadoop FileSystem, same as ``_read_slices``."""
+    Replay safety (ADVICE r11 #3), two parts:
+    - the compacted file KEEPS ``ingest_batch`` as a plain column
+      (legacy pre-tracking rows become batch −1), so a replayed batch
+      still EXCLUDES its own rows from the probe
+      (``_read_slices(exclude_batch=...)`` filters the column) — no
+      self-quarantine;
+    - the LATEST slice stays a partition dir (the only batch an
+      at-least-once replay can still target, since older batches'
+      checkpoint commits have landed): folding it flat would make the
+      replay's dynamic partition overwrite double-append, because it
+      rewrites the dir but cannot remove folded flat rows.
+
+    All filesystem mutations go through the root's Hadoop FileSystem,
+    same as ``_read_slices``."""
     heal_slices(path, spark)
     fs, jpath = _slice_fs(path, spark)
     path = path.rstrip("/")
     root = jpath(path)
     if not fs.exists(root):
         return
+    # The LATEST partition slice is the only batch an at-least-once
+    # replay can still target (older batches' checkpoint commits have
+    # landed — that is the streaming contract). Folding it into the
+    # flat file would make a replay DOUBLE-APPEND: the dynamic
+    # partition overwrite rewrites the (now re-created) dir but cannot
+    # remove the folded flat rows. So it stays a partition dir — the
+    # compacted layout is one flat file + at most one dir, which the
+    # mixed-layout reader absorbs, and a post-compaction replay
+    # overwrites the surviving dir exactly as before.
+    latest = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("ingest_batch="):
+            b = int(name.split("=", 1)[1])
+            latest = b if latest is None else max(latest, b)
     # _read_slices absorbs flat / partitioned / mixed layouts (a plain
     # read throws 'Conflicting directory structures' on the mix);
     # keep_batch preserves replay-exclusion through the rewrite
     rows = _read_slices(spark, path, keep_batch=True)
+    fold = rows
+    keep = None
+    if latest is not None:
+        fold = rows.filter(F.col("ingest_batch") != latest)
+        keep = rows.filter(F.col("ingest_batch") == latest)
     if cluster_col is not None:
-        rows = rows.repartition(cluster_col)
+        fold = fold.repartition(cluster_col)
     staging = jpath(path + "__staging")
     if fs.exists(staging):
         fs.delete(staging, True)
-    rows.write.mode("overwrite").parquet(path + "__staging")
+    fold.write.mode("overwrite").parquet(path + "__staging")
+    if keep is not None:
+        # COPIED (not moved) into staging so the root stays intact
+        # until the swap — staging is self-contained for roll-forward
+        keep.write.mode("append").partitionBy("ingest_batch").parquet(
+            path + "__staging"
+        )
     old = jpath(path + "__old")
     if fs.exists(old):
         fs.delete(old, True)

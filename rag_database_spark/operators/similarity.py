@@ -929,8 +929,22 @@ def knn_graph(
 
     Scale: identical to batch top-k search with |queries| = |corpus| —
     N·|corpus| GEMM work under the blocked path; at index scale the
-    same graph comes from ``ivf_topk_indexed`` per partition-pruned
-    probe (approximate edges), which is the documented trade."""
+    same graph comes from ``knn_graph_lsh`` (bucketed candidates) or
+    ``ivf_topk_indexed`` per partition-pruned probe (approximate
+    edges), which is the documented trade. Because the blocked path
+    COLLECTS the query side — here the whole corpus — to the driver,
+    the exact path refuses corpora past the broadcast-GEMM cell
+    budget instead of silently OOMing the driver."""
+    n = corpus.count()
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first is not None else 0
+    if n * dim > GEMM_MAX_CELLS:
+        raise ValueError(
+            f"knn_graph exact path needs the full corpus on the driver "
+            f"({n} x {dim} = {n * dim:.2e} cells > GEMM_MAX_CELLS "
+            f"{GEMM_MAX_CELLS:.0e}); use knn_graph_lsh (bucketed, "
+            "nothing corpus-sized broadcasts) at this scale"
+        )
     q = corpus.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

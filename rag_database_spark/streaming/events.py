@@ -853,3 +853,114 @@ def stream_vector_gate(
         .option("checkpointLocation", accept_path + "_checkpoint")
         .start()
     )
+
+
+def bloom_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    accept_path: str,
+    quarantine_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> None:
+    """One micro-batch of the BLOOM admission gate — the
+    approximate-membership twin of ``dedup_gate_batch`` (Dolma's dedup
+    mechanism run online): incoming docs probe the bit_or-merged union
+    of all prior batches' packed bitmap slices; maybe_dup (all k probe
+    bits set — no false negatives, FP rate by geometry) quarantines
+    with its n_hits, the rest append to the corpus AND contribute
+    their own packed bitmap slice so later batches gate against them.
+
+    The standing index the probe reads is ≤ m/32 rows per slice and
+    the merge is one partial-aggregated groupBy(word_idx) — at any
+    corpus size the probe cost is bounded by the filter geometry, not
+    the corpus. Replay-idempotent by the same construction as the
+    other gates: every sink is an ``ingest_batch=<id>`` slice and the
+    probe excludes this batch's own slice, so an at-least-once replay
+    reproduces byte-identical artifacts instead of self-matching."""
+    from pathlib import Path
+
+    from rag_database_spark.operators import dedup as dd
+
+    m_bits = dd.BLOOM_M_BITS if m_bits is None else m_bits
+    k = dd.BLOOM_K if k is None else k
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    verdict = None
+    try:
+        p = Path(index_path)
+        has_index = p.exists() and (
+            (p / "_SUCCESS").exists()
+            or any(c.name.startswith("ingest_batch=") for c in p.iterdir())
+        )
+        if has_index:
+            slices = dd._read_slices(
+                spark, index_path, ["word_idx", "bits"],
+                exclude_batch=batch_id,
+            )
+            fw = slices.groupBy("word_idx").agg(
+                F.expr("bit_or(bits)").alias("bits")
+            )
+            verdict = (
+                dd.bloom_gate(batch_df, fw, id_col, text_col, m_bits, k)
+                .withColumnRenamed("id", id_col)
+                .persist()
+            )
+            dup_ids = verdict.filter(F.col("maybe_dup"))
+            accepted = batch_df.join(
+                dup_ids.select(id_col), id_col, "left_anti"
+            )
+            dd._write_slice(
+                batch_df.join(dup_ids, id_col).select(
+                    id_col, "n_hits"
+                ),
+                quarantine_path,
+                batch_id,
+            )
+        else:
+            accepted = batch_df  # bootstrap: nothing to gate against
+        dd._write_slice(accepted, accept_path, batch_id)
+        dd._write_slice(
+            dd.bloom_filter_build(accepted, id_col, text_col, m_bits, k),
+            index_path,
+            batch_id,
+        )
+    finally:
+        if verdict is not None:
+            verdict.unpersist()
+        batch_df.unpersist()
+
+
+def stream_bloom_gate(
+    spark: SparkSession,
+    src_path: str,
+    accept_path: str,
+    quarantine_path: str,
+    schema: str,
+    index_path: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Online Bloom dedup gate (the streaming form of the
+    ``bloom_gate`` entry): each micro-batch gates against the merged
+    bitmap of everything accepted before it. Semantics are
+    ``bloom_gate_batch``'s — stream==batch by construction, and the
+    batch form is what the DuckDB oracle checks."""
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_gate_batch(
+            batch_df, batch_id, accept_path, quarantine_path, index_path
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(src_path)
+        .writeStream.foreachBatch(_gate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", accept_path + "_checkpoint")
+        .start()
+    )

@@ -232,9 +232,12 @@ def test_compact_slices_preserves_rows_and_flattens(spark, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(index, "_SUCCESS"))  # flat now
-    assert not any(
-        n.startswith("ingest_batch=") for n in os.listdir(index)
+    # every slice folded EXCEPT the latest (batch 1) — the one dir an
+    # at-least-once replay can still dynamic-overwrite idempotently
+    dirs = sorted(
+        n for n in os.listdir(index) if n.startswith("ingest_batch=")
     )
+    assert dirs == ["ingest_batch=1"]
     after = sorted(
         (r["vec_id"], tuple(r["embedding"]))
         for r in dd._read_slices(spark, index).collect()
@@ -285,3 +288,107 @@ def test_heal_slices_rolls_forward_and_back(spark, tmp_path):
     assert root.exists() and not staging.exists()
     got = {r["vec_id"] for r in dd._read_slices(spark, index).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming Bloom gate (r12)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bloom_two_batches(spark, tmp_path):
+    from rag_database_spark.streaming import events as se
+
+    accept = str(tmp_path / "b_accept")
+    quar = str(tmp_path / "b_quar")
+    index = str(tmp_path / "b_index")
+    se.bloom_gate_batch(
+        _docs(spark, [(1, "the quick brown fox jumps over the dog"),
+                      (2, "totally different second document body")]),
+        0, accept, quar, index,
+    )
+    se.bloom_gate_batch(
+        _docs(spark, [(10, "The QUICK brown fox, jumps over the dog!"),
+                      (11, "a genuinely fresh third document xyzzy")]),
+        1, accept, quar, index,
+    )
+    return accept, quar, index
+
+
+def test_bloom_gate_batches_quarantine_and_learn(spark, tmp_path):
+    from rag_database_spark.operators import dedup as dd
+    from rag_database_spark.streaming import events as se
+
+    accept, quar, index = _bloom_two_batches(spark, tmp_path)
+    acc_ids = {r["doc_id"] for r in dd._read_slices(spark, accept).collect()}
+    assert acc_ids == {1, 2, 11}  # 10 is a dup of 1 modulo normalization
+    q = dd._read_slices(spark, quar).collect()
+    assert {r["doc_id"] for r in q} == {10}
+    assert q[0]["n_hits"] == dd.BLOOM_K
+
+    # batch 2 gates against batch 1's ACCEPTED doc too (the gate learns)
+    se.bloom_gate_batch(
+        _docs(spark, [(20, "a genuinely fresh third document xyzzy")]),
+        2, accept, quar, index,
+    )
+    q2 = {r["doc_id"] for r in dd._read_slices(spark, quar).collect()}
+    assert q2 == {10, 20}
+
+
+def test_bloom_gate_replay_is_idempotent(spark, tmp_path):
+    from rag_database_spark.operators import dedup as dd
+    from rag_database_spark.streaming import events as se
+
+    accept, quar, index = _bloom_two_batches(spark, tmp_path)
+
+    def snapshot():
+        return (
+            sorted(map(tuple, dd._read_slices(spark, accept).collect())),
+            sorted(map(tuple, dd._read_slices(spark, quar).collect())),
+            sorted(map(tuple, dd._read_slices(spark, index).collect())),
+        )
+
+    before = snapshot()
+    # at-least-once replay of batch 1: must not self-match (own slice
+    # excluded from the probe) nor double-append
+    se.bloom_gate_batch(
+        _docs(spark, [(10, "The QUICK brown fox, jumps over the dog!"),
+                      (11, "a genuinely fresh third document xyzzy")]),
+        1, accept, quar, index,
+    )
+    assert snapshot() == before
+
+
+def test_bloom_gate_survives_index_compaction(spark, tmp_path):
+    """compact_slices folds the bitmap slices flat (ingest_batch kept
+    as a column); the next batch still probes the merged filter and a
+    replay of a PRE-compaction batch still excludes its own rows."""
+    from rag_database_spark.operators import dedup as dd
+    from rag_database_spark.streaming import events as se
+
+    accept, quar, index = _bloom_two_batches(spark, tmp_path)
+    dd.compact_slices(spark, index)
+
+    # replay of pre-compaction batch 1 stays idempotent post-compaction
+    before_q = sorted(
+        map(tuple, dd._read_slices(spark, quar).collect())
+    )
+    se.bloom_gate_batch(
+        _docs(spark, [(10, "The QUICK brown fox, jumps over the dog!"),
+                      (11, "a genuinely fresh third document xyzzy")]),
+        1, accept, quar, index,
+    )
+    assert sorted(map(tuple, dd._read_slices(spark, quar).collect())) == before_q
+
+    # and a new batch still gates against everything accepted so far
+    se.bloom_gate_batch(
+        _docs(spark, [(30, "totally different second document body"),
+                      (31, "never seen before content abcde")]),
+        3, accept, quar, index,
+    )
+    assert {r["doc_id"] for r in dd._read_slices(spark, quar).collect()} >= {10, 30}
+    acc_ids = {r["doc_id"] for r in dd._read_slices(spark, accept).collect()}
+    assert 31 in acc_ids and 30 not in acc_ids
