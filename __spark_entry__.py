@@ -631,17 +631,29 @@ def _ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The FIXTURE filter is deliberately undersized (2^11 bits vs the
+# production BLOOM_M_BITS default): the synthetic corpus has zero
+# true duplicates, so at production geometry every probe returns
+# (0, false) and the driver hash could not tell a broken probe from a
+# working one. At 2048 bits the standing ~480 fingerprints load the
+# filter to ~60% and the batch draws a full n_hits 0..4 spread
+# including deterministic full collisions — every bit of the
+# hash/pack/merge/probe chain shows up in the value hash.
+BLOOM_FIXTURE_M_BITS = 2048
+
+
 def _bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted packed Bloom bitmap over the STANDING corpus'
     content fingerprints (docs outside the simulated incoming batch) —
     built once per corpus fingerprint, ≤ m/32 rows regardless of
     corpus size (dedup.bloom_filter_build)."""
-    fp = _source_fingerprint(sf_dir)
+    fp = f"{_source_fingerprint(sf_dir)}-m{BLOOM_FIXTURE_M_BITS}"
     cache_dir = Path(__file__).resolve().parent / ".cache" / "bloom" / fp
     if not (cache_dir / "_SUCCESS").exists():
         docs = load_table(spark, sf_dir, "documents")
         dedup.bloom_filter_build(
-            docs.filter(F.col("doc_id") % INGEST_GATE_MOD != 0)
+            docs.filter(F.col("doc_id") % INGEST_GATE_MOD != 0),
+            m_bits=BLOOM_FIXTURE_M_BITS,
         ).write.mode("overwrite").parquet(str(cache_dir))
     return spark.read.parquet(str(cache_dir))
 
@@ -658,6 +670,40 @@ def _bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_gate(
         docs.filter(F.col("doc_id") % INGEST_GATE_MOD == 0),
         _bloom_filter_words(spark, sf_dir),
+        m_bits=BLOOM_FIXTURE_M_BITS,
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _bloom_paras_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted packed Bloom bitmap over the STANDING corpus'
+    PARAGRAPH fingerprints — the paragraph half of the Dolma-style
+    gate (dedup.doc_paragraphs feeds the same builder)."""
+    fp = f"{_source_fingerprint(sf_dir)}-m{BLOOM_FIXTURE_M_BITS}"
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "bloom_paras" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        docs = load_table(spark, sf_dir, "documents")
+        dedup.bloom_filter_build(
+            dedup.doc_paragraphs(
+                docs.filter(F.col("doc_id") % INGEST_GATE_MOD != 0)
+            ),
+            id_col="id",
+            text_col="para",
+            m_bits=BLOOM_FIXTURE_M_BITS,
+        ).write.mode("overwrite").parquet(str(cache_dir))
+    return spark.read.parquet(str(cache_dir))
+
+
+def _bloom_gate_paras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level Bloom dedup report (dedup.bloom_gate_paragraphs):
+    every normalized paragraph of the simulated incoming batch probes
+    the persisted standing-paragraph bitmap; per-doc rollup of
+    paragraph count / dup-paragraph count / dup fraction — the
+    boilerplate signal Dolma thresholds beside its doc-level gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.bloom_gate_paragraphs(
+        docs.filter(F.col("doc_id") % INGEST_GATE_MOD == 0),
+        _bloom_paras_filter_words(spark, sf_dir),
+        m_bits=BLOOM_FIXTURE_M_BITS,
     ).withColumnRenamed("id", "doc_id")
 
 
@@ -2389,6 +2435,7 @@ _PURE_LAZY = frozenset({
     "dsir_resample", "knn_graph", "knn_graph_lsh", "semantic_pagerank",
     "semantic_components", "retention_sweep",
     "kmeans_outliers", "perceptron_select", "bloom_gate",
+    "bloom_gate_paras",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
@@ -2486,7 +2533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _c4_rules,
         "gopher_rules": _gopher_rules,
         "doc_keywords": _doc_keywords,
-        "strip_markup": _strip_markup,
         "decontam": _decontam,
         "dup_spans": _dup_spans,
         "ingest_pairs": _ingest_pairs,
@@ -2517,10 +2563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (event_funnel_windowed demoted to the tail to make room —
         # funnels stay repped in-window by event_funnel)
         "perceptron_select": _perceptron_select,
-        # new in r12: Bloom-filter dedup gate (repetition_signals
-        # demoted to the tail — quality-signal family stays repped
-        # in-window by c4_rules / gopher_rules / lm_perplexity)
+        # new in r12: Bloom-filter dedup gates (repetition_signals and
+        # strip_markup demoted to the tail — quality-signal family
+        # stays repped in-window by c4_rules / gopher_rules /
+        # lm_perplexity, text-cleaning by doc_keywords / redact_pii)
         "bloom_gate": _bloom_gate,
+        "bloom_gate_paras": _bloom_gate_paras,
         # --- entry 51+: outside the driver window ---
         # rows-only by design (no oracle possible): their weaker
         # rows-only driver row exists from r11; the local suite pins
@@ -2535,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_rows": _pack_rows,
         "event_funnel_windowed": _event_funnel_windowed,
         "repetition_signals": _repetition_signals,
+        "strip_markup": _strip_markup,
         # driver-certified r1-r9, demoted to tail (local replica keeps
         # them green)
         "exact_dedup": _exact_dedup,
@@ -2701,7 +2750,10 @@ def oracle_sql() -> dict[str, str]:
             EMBEDDING_DIM, clustering.KMEANS_SCALE,
         ),
         "bloom_gate": oracles.bloom_gate_sql(
-            INGEST_GATE_MOD, dedup.BLOOM_M_BITS, dedup.BLOOM_K
+            INGEST_GATE_MOD, BLOOM_FIXTURE_M_BITS, dedup.BLOOM_K
+        ),
+        "bloom_gate_paras": oracles.bloom_gate_paras_sql(
+            INGEST_GATE_MOD, BLOOM_FIXTURE_M_BITS, dedup.BLOOM_K
         ),
         "perceptron_select": oracles.perceptron_select_sql(
             classifier.PERCEPTRON_ROUNDS

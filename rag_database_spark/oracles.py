@@ -864,6 +864,69 @@ SELECT doc_id, n_hits, (n_hits = {k}) AS maybe_dup FROM (
 """
 
 
+def bloom_gate_paras_sql(mod: int, m_bits: int, k: int) -> str:
+    """Twin of ``dedup.bloom_gate_paragraphs`` on the fixture split:
+    newline-split paragraphs (empty-after-normalization dropped, index
+    kept so repeats count per occurrence), the standing-paragraph
+    bitmap from the same md5 probe chain, per-paragraph all-k-bits
+    verdicts, per-doc rollup."""
+
+    def probes(where: str, cols: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT {cols}(('0x' || substr(md5('bloom{i}:' || f), 1, 15))"
+            f"::BIGINT % {m_bits}) AS pos FROM pfp WHERE {where}"
+            for i in range(k)
+        )
+
+    return f"""
+WITH paras AS (
+  SELECT doc_id, i - 1 AS para_idx,
+         trim(regexp_replace(
+           regexp_replace(lower(parts[i]), '{PUNCT_RE}', ' ', 'g'),
+           '{SPLIT_RE}', ' ', 'g')) AS s
+  FROM (
+    SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+          FROM documents)
+  )
+),
+pfp AS (
+  SELECT doc_id, para_idx, md5(s) AS f FROM paras WHERE s <> ''
+),
+cpos AS (
+{probes(f"doc_id % {mod} <> 0", "")}
+),
+fw AS (
+  SELECT pos >> 5 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM cpos GROUP BY 1
+),
+bpos AS (
+{probes(f"doc_id % {mod} = 0", "doc_id, para_idx, ")}
+),
+pv AS (
+  SELECT b.doc_id, b.para_idx,
+         (sum(CASE WHEN w.bits IS NOT NULL
+                    AND (w.bits & (1::BIGINT << CAST(b.pos % 32 AS INT))) <> 0
+                   THEN 1 ELSE 0 END) = {k}) AS is_dup
+  FROM bpos b LEFT JOIN fw w ON w.word_idx = (b.pos >> 5)
+  GROUP BY b.doc_id, b.para_idx
+),
+roll AS (
+  SELECT doc_id, count(*)::BIGINT AS n_paras,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras
+  FROM pv GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.n_paras, 0)::BIGINT AS n_paras,
+       coalesce(r.n_dup_paras, 0)::BIGINT AS n_dup_paras,
+       CASE WHEN coalesce(r.n_paras, 0) > 0
+            THEN round(r.n_dup_paras / r.n_paras, 6) END AS dup_para_frac
+FROM documents d LEFT JOIN roll r ON r.doc_id = d.doc_id
+WHERE d.doc_id % {mod} = 0
+"""
+
+
 def exact_dedup_sql() -> str:
     return f"""
 WITH norm AS (

@@ -434,3 +434,36 @@ def test_bloom_gate_deterministic_across_builds(spark):
     a = sorted(map(tuple, dedup.bloom_filter_build(corpus).collect()))
     b = sorted(map(tuple, dedup.bloom_filter_build(corpus).collect()))
     assert a == b
+
+
+def test_bloom_gate_paragraphs_rollup(spark):
+    corpus = _docs_df(spark, [
+        "alpha beta gamma delta\nthe shared boilerplate footer line",
+        "another body entirely\nsecond unique paragraph here",
+    ])
+    fw = dedup.bloom_filter_build(
+        dedup.doc_paragraphs(corpus), id_col="id", text_col="para"
+    )
+    batch = _docs_df(spark, [
+        # 3 paras: 1 dup (the footer, case/punct-normalized), 2 fresh
+        "THE SHARED boilerplate footer line!\nfresh one qq\nfresh two zz",
+        "",          # no surviving paragraphs
+        "only fresh content in a single paragraph",
+    ], ids=[100, 101, 102])
+    rows = {
+        r["id"]: r
+        for r in dedup.bloom_gate_paragraphs(batch, fw).collect()
+    }
+    assert rows[100]["n_paras"] == 3 and rows[100]["n_dup_paras"] == 1
+    assert abs(rows[100]["dup_para_frac"] - round(1 / 3, 6)) < 1e-9
+    assert rows[101]["n_paras"] == 0 and rows[101]["dup_para_frac"] is None
+    assert rows[102]["n_paras"] == 1 and rows[102]["n_dup_paras"] == 0
+
+
+def test_doc_paragraphs_keeps_repeats_distinct(spark):
+    df = _docs_df(spark, ["same line\nsame line\n\n   \nother"])
+    rows = dedup.doc_paragraphs(df).collect()
+    # blank/whitespace-only paragraphs dropped; repeats keep their index
+    assert sorted((r["para_idx"], r["para"]) for r in rows) == [
+        (0, "same line"), (1, "same line"), (4, "other"),
+    ]
