@@ -141,6 +141,8 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _lm_model_in(spark, sf_dir)
     _dsir_model(spark, sf_dir)
     _perceptron_weights(spark, sf_dir)
+    _bloom_filter_words(spark, sf_dir)
+    _bloom_paras_filter_words(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

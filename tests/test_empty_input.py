@@ -130,3 +130,46 @@ def test_clustering_and_dsir_tolerate_empty_input(spark):
     assert rows[0]["w"] == 0.0  # empty corpus carries no evidence
     scored = ta.dsir_score(empty_docs, model)
     assert scored.count() == 0 and scored.schema.fields
+
+
+def test_r12_operators_tolerate_empty_corpus(spark):
+    """r12 additions: perceptron, centroid outliers, Bloom gates."""
+    from rag_database_spark.operators import classifier as cl
+    from rag_database_spark.operators import clustering
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+
+    feats = cl.perceptron_features(empty_docs)
+    assert feats.count() == 0
+    # training on nothing: zero weights, scoring selects nothing
+    w = cl.perceptron_train(feats)
+    assert w == [0] * len(cl.FEATURES)
+    assert cl.perceptron_score(feats, w).count() == 0
+
+    # empty corpus -> empty assignments/centroids -> empty outliers
+    assign, cents = clustering.kmeans_fit(empty_emb, k=3, iters=1)
+    cent_df = spark.createDataFrame([], "cluster_id int, cvec array<double>")
+    out = clustering.centroid_outliers(empty_emb, assign, cent_df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "id", "cluster_id", "dist", "crank", "cluster_n", "keep",
+    ]
+
+    # empty filter build; probing a non-empty batch against an EMPTY
+    # filter: everything misses (left join, bits NULL)
+    fw = dedup.bloom_filter_build(empty_docs)
+    assert fw.count() == 0
+    batch = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    rows = dedup.bloom_gate(batch, fw).collect()
+    assert rows[0]["n_hits"] == 0 and not rows[0]["maybe_dup"]
+    prows = dedup.bloom_gate_paragraphs(batch, fw).collect()
+    assert prows[0]["n_dup_paras"] == 0
+    # and an empty BATCH against a non-empty filter
+    fw2 = dedup.bloom_filter_build(batch)
+    assert dedup.bloom_gate(empty_docs, fw2).count() == 0
+    assert dedup.bloom_gate_paragraphs(empty_docs, fw2).count() == 0
