@@ -688,7 +688,6 @@ def _bloom_paras_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.doc_paragraphs(
                 docs.filter(F.col("doc_id") % INGEST_GATE_MOD != 0)
             ),
-            id_col="id",
             text_col="para",
             m_bits=BLOOM_FIXTURE_M_BITS,
         ).write.mode("overwrite").parquet(str(cache_dir))
@@ -2039,15 +2038,11 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMEANS_ITERS updates, clustering.kmeans_fit), same artifact
     discipline as the BM25/IVF/LM models: both clustering entries read
     this back instead of re-running the iterative fit per call."""
-    # k is part of the cache key: pre-r12 artifacts were built with the
-    # (since-removed) adaptive k and must not be served for the pinned one
-    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-k{clustering.KMEANS_K}"
+    fp, cache_dir, cent_dir = _kmeans_cache_dirs(sf_dir)
     key = f"kmeans:{fp}"
     hit = _KMEANS_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    cache_dir = Path(__file__).resolve().parent / ".cache" / "kmeans" / fp
-    cent_dir = Path(__file__).resolve().parent / ".cache" / "kmeans_cent" / fp
     if not (
         (cache_dir / "_SUCCESS").exists() and (cent_dir / "_SUCCESS").exists()
     ):
@@ -2079,13 +2074,22 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign
 
 
+def _kmeans_cache_dirs(sf_dir: str) -> tuple[str, Path, Path]:
+    """(key, assignments dir, centroids dir) — ONE key builder for
+    both halves of the k-means artifact so the "-k" staleness suffix
+    (pre-r12 adaptive-k artifacts must not serve the pinned k) cannot
+    drift between them."""
+    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-k{clustering.KMEANS_K}"
+    base = Path(__file__).resolve().parent / ".cache"
+    return fp, base / "kmeans" / fp, base / "kmeans_cent" / fp
+
+
 def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (cluster_id, cvec) half of the persisted k-means artifact
     (built by _kmeans_artifact; exact doubles survive the parquet
     round trip)."""
     _kmeans_artifact(spark, sf_dir)  # ensure both halves exist
-    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-k{clustering.KMEANS_K}"
-    cent_dir = Path(__file__).resolve().parent / ".cache" / "kmeans_cent" / fp
+    _, _, cent_dir = _kmeans_cache_dirs(sf_dir)
     return spark.read.parquet(str(cent_dir))
 
 
@@ -2257,7 +2261,12 @@ def _semantic_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted PageRank-over-knn-graph score artifact, keyed by the
     EMBEDDINGS fingerprint — same discipline as the doc-graph
     pagerank artifacts (train once, serve reads)."""
-    fp = _source_fingerprint(sf_dir, table="embeddings")
+    # "-q12" versions the EDGE DEFINITION into the key: r12 quantized
+    # knn_graph's rank to PREFETCH_ROUND_DP, which can flip edges at
+    # rank-k tie boundaries — a pre-change artifact served against the
+    # post-change oracle would diverge with no rebuild trigger (same
+    # staleness class the kmeans "-k" suffix guards)
+    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-q12"
     key = f"sempr:{fp}"
     hit = _PAGERANK_CACHE.get(key)
     if hit is not None and hit[0] is spark:

@@ -159,6 +159,37 @@ def _slice_fs(path: str, spark=None):
     return fs, jpath
 
 
+def slice_root_has_index(spark, path: str) -> bool:
+    """True iff a slice root holds a readable index: a flat-layout
+    ``_SUCCESS`` (offline overwrite / compaction) or any
+    ``ingest_batch=N`` slice dir (dynamic-partition gate writes commit
+    no root _SUCCESS). Goes through the root's Hadoop FileSystem —
+    the gates' bootstrap check must not silently report 'no index' on
+    ``hdfs://``/object-store roots the way local pathlib does (the
+    same failure class as ADVICE r11 #4: a remote gate would admit
+    every duplicate forever, growing an index it never reads)."""
+    fs, jpath = _slice_fs(path, spark)
+    root = jpath(path.rstrip("/"))
+    if not fs.exists(root):
+        return False
+    if fs.exists(jpath(path.rstrip("/") + "/_SUCCESS")):
+        return True
+    return any(
+        st.isDirectory()
+        and st.getPath().getName().startswith("ingest_batch=")
+        for st in fs.listStatus(root)
+    )
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename returns False instead of raising (and
+    when dst exists as a directory it nests src INSIDE it) — pathlib
+    raised, so the port must check or a failed swap silently leaves
+    residue the healer can never classify."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def heal_slices(path: str, spark=None) -> None:
     """Heal a slice root left half-swapped by a crash inside
     ``compact_slices`` (same recovery contract as the ACID table's
@@ -182,12 +213,12 @@ def heal_slices(path: str, spark=None) -> None:
                 fs.delete(residue, True)
         return
     if fs.exists(staging) and fs.exists(jpath(path + "__staging/_SUCCESS")):
-        fs.rename(staging, root)
+        _rename_or_raise(fs, staging, root)
         if fs.exists(old):
             fs.delete(old, True)
         return
     if fs.exists(old):
-        fs.rename(old, root)
+        _rename_or_raise(fs, old, root)
         if fs.exists(staging):
             fs.delete(staging, True)
 
@@ -265,8 +296,8 @@ def compact_slices(spark, path: str, cluster_col: str | None = None) -> None:
     old = jpath(path + "__old")
     if fs.exists(old):
         fs.delete(old, True)
-    fs.rename(root, old)
-    fs.rename(staging, root)
+    _rename_or_raise(fs, root, old)
+    _rename_or_raise(fs, staging, root)
     fs.delete(old, True)
 
 
@@ -1380,7 +1411,6 @@ def _bloom_positions(fp_col: Column, m_bits: int, k: int) -> Column:
 
 def bloom_filter_build(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
@@ -1435,16 +1465,24 @@ def bloom_gate(
     that (a 2^36-bit production filter is ~1 GiB: shuffling the batch
     by word_idx beats shipping the bitmap to every task). The standing
     corpus itself is never touched at probe time — that is the entire
-    point of the structure."""
+    point of the structure.
+
+    ``n_hits`` counts DISTINCT probe indexes that hit (not probe
+    rows): an at-least-once source can deliver the same id twice in
+    one batch, and a per-row sum would then reach 2k ≠ k and
+    false-negative an exact duplicate — the one thing a Bloom gate
+    must never do. One id carried with two DIFFERENT texts resolves
+    to the union of their probe hits (deterministic)."""
     from rag_database_spark.functions.text import doc_fingerprint
 
     probes = batch.select(
         F.col(id_col).alias("id"),
-        F.explode(
+        F.posexplode(
             _bloom_positions(doc_fingerprint(F.col(text_col)), m_bits, k)
-        ).alias("pos"),
+        ).alias("probe_idx", "pos"),
     ).select(
         "id",
+        "probe_idx",
         F.shiftright("pos", 5).alias("word_idx"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
         .alias("mask"),
@@ -1455,13 +1493,16 @@ def bloom_gate(
         else filter_words
     )
     joined = probes.join(fw, "word_idx", "left")
-    hit = (
-        F.col("bits").isNotNull()
-        & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
-    ).cast("long")
+    hit = F.col("bits").isNotNull() & (
+        F.col("bits").bitwiseAND(F.col("mask")) != 0
+    )
     return (
         joined.groupBy("id")
-        .agg(F.sum(hit).alias("n_hits"))
+        .agg(
+            F.countDistinct(
+                F.when(hit, F.col("probe_idx"))
+            ).alias("n_hits")
+        )
         .select(
             "id", "n_hits", (F.col("n_hits") == F.lit(k)).alias("maybe_dup")
         )
@@ -1516,17 +1557,20 @@ def bloom_gate_paragraphs(
 
     # bloom_gate's rollup is keyed by a single id; paragraphs need the
     # (id, para_idx) identity through the probe, so the probe runs
-    # inline here with the composite key
+    # inline here with the composite key. Same distinct-probe-index
+    # counting as bloom_gate: a replayed duplicate row must not
+    # double-count probes into a false negative.
     paras = doc_paragraphs(batch, id_col, text_col)
     probes = paras.select(
         "id",
         "para_idx",
-        F.explode(
+        F.posexplode(
             _bloom_positions(doc_fingerprint(F.col("para")), m_bits, k)
-        ).alias("pos"),
+        ).alias("probe_idx", "pos"),
     ).select(
         "id",
         "para_idx",
+        "probe_idx",
         F.shiftright("pos", 5).alias("word_idx"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
         .alias("mask"),
@@ -1536,21 +1580,25 @@ def bloom_gate_paragraphs(
         if m_bits <= BLOOM_BROADCAST_MAX_BITS
         else filter_words
     )
-    hit = (
-        F.col("bits").isNotNull()
-        & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
-    ).cast("long")
+    hit = F.col("bits").isNotNull() & (
+        F.col("bits").bitwiseAND(F.col("mask")) != 0
+    )
     para_verdict = (
         probes.join(fw, "word_idx", "left")
         .groupBy("id", "para_idx")
-        .agg((F.sum(hit) == F.lit(k)).alias("is_dup"))
+        .agg(
+            (
+                F.countDistinct(F.when(hit, F.col("probe_idx")))
+                == F.lit(k)
+            ).alias("is_dup")
+        )
     )
     rollup = para_verdict.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_paras"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dup_paras"),
     )
     return (
-        batch.select(F.col(id_col).alias("id"))
+        batch.select(F.col(id_col).alias("id")).distinct()
         .join(rollup, "id", "left")
         .select(
             "id",

@@ -935,9 +935,13 @@ def knn_graph(
     COLLECTS the query side — here the whole corpus — to the driver,
     the exact path refuses corpora past the broadcast-GEMM cell
     budget instead of silently OOMing the driver."""
-    n = corpus.count()
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first is not None else 0
+    # one aggregation job for both guard inputs — a second pass over
+    # non-trivial upstream lineage is real wall-clock on the hot path
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("dim"),
+    ).collect()[0]
+    n, dim = stats["n"], stats["dim"] or 0
     if n * dim > GEMM_MAX_CELLS:
         raise ValueError(
             f"knn_graph exact path needs the full corpus on the driver "

@@ -78,14 +78,22 @@ def model_lang_id(
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
     )
+    # id type follows the caller's column (string-keyed corpora work),
+    # matching the heuristic path's schema so lang_id_auto is uniform
+    id_type = src.schema["doc_id"].dataType.simpleString()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = load_model(model_path)  # once per partition
         for pdf in it:
             if pdf.empty:
                 continue
-            # fastText predict rejects newlines; one call per batch
-            texts = [t.replace("\n", " ") for t in pdf["__t"].tolist()]
+            # fastText predict rejects newlines (and None rows crash
+            # it — a NULL text is just an unknown-language doc here,
+            # same as the heuristic path's behavior)
+            texts = [
+                t.replace("\n", " ") if isinstance(t, str) else ""
+                for t in pdf["__t"].tolist()
+            ]
             labels, probs = model.predict(texts, k=1)
             langs, confs = [], []
             for lab, pr in zip(labels, probs):
@@ -104,7 +112,8 @@ def model_lang_id(
             )
 
     return src.mapInPandas(
-        batches, schema="doc_id long, lang_pred string, confidence double"
+        batches,
+        schema=f"doc_id {id_type}, lang_pred string, confidence double",
     )
 
 

@@ -513,8 +513,6 @@ def dedup_gate_batch(
     index probe filters out ``ingest_batch == batch_id``, so re-running
     a batch (at-least-once replay) reproduces byte-identical artifacts
     instead of double-appending or self-matching."""
-    from pathlib import Path
-
     from rag_database_spark.operators import dedup as dd
 
     spark = batch_df.sparkSession
@@ -535,11 +533,7 @@ def dedup_gate_batch(
         # flat legacy layout commits a root _SUCCESS; dynamic-partition
         # overwrite (the gate's own slices) does NOT — it only creates
         # ingest_batch=N dirs, so check for either
-        p = Path(index_path)
-        has_index = p.exists() and (
-            (p / "_SUCCESS").exists()
-            or any(c.name.startswith("ingest_batch=") for c in p.iterdir())
-        )
+        has_index = dd.slice_root_has_index(spark, index_path)
         if has_index:
             verdict = dd.best_jaccard_vs_index(
                 batch_df, _standing_index()
@@ -778,8 +772,6 @@ def vector_gate_batch(
     and the probe reads the index MINUS this batch's own slice, so an
     at-least-once replay reproduces byte-identical artifacts instead
     of double-appending or self-matching at cosine 1.0."""
-    from pathlib import Path
-
     from rag_database_spark.operators import dedup as dd
     from rag_database_spark.operators.similarity import best_cosine_match
 
@@ -787,11 +779,7 @@ def vector_gate_batch(
     batch_df = batch_df.persist()
     verdict = None
     try:
-        p = Path(index_path)
-        has_index = p.exists() and (
-            (p / "_SUCCESS").exists()
-            or any(c.name.startswith("ingest_batch=") for c in p.iterdir())
-        )
+        has_index = dd.slice_root_has_index(spark, index_path)
         if has_index:
             standing = dd._read_slices(
                 spark, index_path, [id_col, vec_col],
@@ -881,8 +869,6 @@ def bloom_gate_batch(
     other gates: every sink is an ``ingest_batch=<id>`` slice and the
     probe excludes this batch's own slice, so an at-least-once replay
     reproduces byte-identical artifacts instead of self-matching."""
-    from pathlib import Path
-
     from rag_database_spark.operators import dedup as dd
 
     m_bits = dd.BLOOM_M_BITS if m_bits is None else m_bits
@@ -891,11 +877,7 @@ def bloom_gate_batch(
     batch_df = batch_df.persist()
     verdict = None
     try:
-        p = Path(index_path)
-        has_index = p.exists() and (
-            (p / "_SUCCESS").exists()
-            or any(c.name.startswith("ingest_batch=") for c in p.iterdir())
-        )
+        has_index = dd.slice_root_has_index(spark, index_path)
         if has_index:
             slices = dd._read_slices(
                 spark, index_path, ["word_idx", "bits"],
@@ -924,7 +906,7 @@ def bloom_gate_batch(
             accepted = batch_df  # bootstrap: nothing to gate against
         dd._write_slice(accepted, accept_path, batch_id)
         dd._write_slice(
-            dd.bloom_filter_build(accepted, id_col, text_col, m_bits, k),
+            dd.bloom_filter_build(accepted, text_col, m_bits, k),
             index_path,
             batch_id,
         )

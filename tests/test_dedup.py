@@ -442,7 +442,7 @@ def test_bloom_gate_paragraphs_rollup(spark):
         "another body entirely\nsecond unique paragraph here",
     ])
     fw = dedup.bloom_filter_build(
-        dedup.doc_paragraphs(corpus), id_col="id", text_col="para"
+        dedup.doc_paragraphs(corpus), text_col="para"
     )
     batch = _docs_df(spark, [
         # 3 paras: 1 dup (the footer, case/punct-normalized), 2 fresh
@@ -467,3 +467,33 @@ def test_doc_paragraphs_keeps_repeats_distinct(spark):
     assert sorted((r["para_idx"], r["para"]) for r in rows) == [
         (0, "same line"), (1, "same line"), (4, "other"),
     ]
+
+
+def test_bloom_gate_duplicate_batch_rows_still_flag(spark):
+    """An at-least-once source delivering the same row twice in one
+    batch must not break the no-false-negative guarantee: n_hits
+    counts DISTINCT probe indexes, not probe rows."""
+    corpus = _docs_df(spark, ["the quick brown fox jumps over the dog"])
+    fw = dedup.bloom_filter_build(corpus)
+    batch = _docs_df(
+        spark,
+        ["the quick brown fox jumps over the dog"] * 2
+        + ["fresh text entirely\nfresh text entirely"],
+        ids=[100, 100, 101],
+    )
+    rows = {r["id"]: r for r in dedup.bloom_gate(batch, fw).collect()}
+    assert len(rows) == 2  # one verdict per distinct id
+    assert rows[100]["maybe_dup"] and rows[100]["n_hits"] == dedup.BLOOM_K
+    assert not rows[101]["maybe_dup"]
+    # paragraph rollup likewise: one row per distinct id, dup rows
+    # don't double-count paragraphs or probes
+    pfw = dedup.bloom_filter_build(
+        dedup.doc_paragraphs(corpus), text_col="para"
+    )
+    prow = {
+        r["id"]: r
+        for r in dedup.bloom_gate_paragraphs(batch, pfw).collect()
+    }
+    assert len(prow) == 2
+    assert prow[100]["n_paras"] == 1 and prow[100]["n_dup_paras"] == 1
+    assert prow[101]["n_paras"] == 2 and prow[101]["n_dup_paras"] == 0
