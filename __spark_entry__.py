@@ -2037,8 +2037,18 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     — trained once per EMBEDDINGS-table fingerprint (Lloyd's with
     KMEANS_ITERS updates, clustering.kmeans_fit), same artifact
     discipline as the BM25/IVF/LM models: both clustering entries read
-    this back instead of re-running the iterative fit per call."""
-    fp, cache_dir, cent_dir = _kmeans_cache_dirs(sf_dir)
+    this back instead of re-running the iterative fit per call.
+
+    k is ADAPTIVE (clustering.kmeans_k_for over the corpus count), the
+    SemDeDup scale contract: cluster size stays ~KMEANS_TARGET_CLUSTER
+    as the corpus grows, so within-cluster pair joins scale linearly
+    (the r12 pinned k=8 made Σ|c|² quadratic — measured exponent 1.47
+    on the scale probe). Exact cross-engine replay survives because
+    the oracle's kk CTE derives the SAME k from count(*) in SQL
+    (oracles._kmeans_ctes — the knn_graph_lsh plane-count trick), and
+    the cache key is versioned with the derived k so a grown corpus
+    never serves a stale smaller-k artifact."""
+    fp, cache_dir, cent_dir = _kmeans_cache_dirs(spark, sf_dir)
     key = f"kmeans:{fp}"
     hit = _KMEANS_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -2047,19 +2057,15 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cache_dir / "_SUCCESS").exists() and (cent_dir / "_SUCCESS").exists()
     ):
         emb = load_table(spark, sf_dir, "embeddings")
-        # PINNED to KMEANS_K, not kmeans_k_for(count): the
-        # embed_kmeans/semdedup oracles statically unroll KMEANS_K, so
-        # a corpus-adaptive k here would silently break both entries'
-        # hash equality the moment the embeddings table outgrows
-        # KMEANS_K·KMEANS_TARGET_CLUSTER rows (ADVICE r11 #1 — at 513
-        # rows kmeans_k_for jumps to 9 while the oracle stays at 8).
-        # The adaptive sizing remains the OPERATOR-level scale
-        # contract: production callers pass
-        # k=clustering.kmeans_k_for(n); this fixture entry trades that
-        # for exact cross-engine replay, which a static oracle can
-        # only give at a static k.
+        # impl='auto': the codegen'd literal-fold assignment (the
+        # oracle-exact path) up to KMEANS_EXPR_MAX_K, the Arrow-batch
+        # GEMM beyond it. At driver-correctness scale (sf0.01, 500
+        # rows) the derived k is KMEANS_K=8 → fold path → bit-exact vs
+        # the unrolled CTEs; at bench/probe scales the GEMM path is
+        # the documented scale implementation (no hash check runs
+        # there).
         assign_df, cents = clustering.kmeans_fit(
-            emb, k=clustering.KMEANS_K
+            emb, k=_kmeans_k(spark, sf_dir)
         )
         assign_df.write.mode("overwrite").parquet(str(cache_dir))
         # the settled centroids are part of the artifact too: the
@@ -2074,12 +2080,32 @@ def _kmeans_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign
 
 
-def _kmeans_cache_dirs(sf_dir: str) -> tuple[str, Path, Path]:
+_KMEANS_K_CACHE: dict[str, int] = {}
+
+
+def _kmeans_k(spark: SparkSession, sf_dir: str) -> int:
+    """clustering.kmeans_k_for(count(embeddings)) — memoized per
+    fingerprint so the count() job runs once per corpus, not once per
+    entry call."""
+    fp = _source_fingerprint(sf_dir, table="embeddings")
+    k = _KMEANS_K_CACHE.get(fp)
+    if k is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        k = clustering.kmeans_k_for(n)
+        _KMEANS_K_CACHE[fp] = k
+    return k
+
+
+def _kmeans_cache_dirs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, Path, Path]:
     """(key, assignments dir, centroids dir) — ONE key builder for
     both halves of the k-means artifact so the "-k" staleness suffix
-    (pre-r12 adaptive-k artifacts must not serve the pinned k) cannot
-    drift between them."""
-    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-k{clustering.KMEANS_K}"
+    (the derived k is part of the artifact identity: r12 pinned-k
+    artifacts and any pre-growth smaller-k artifacts must not serve)
+    cannot drift between them."""
+    k = _kmeans_k(spark, sf_dir)
+    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-ka{k}"
     base = Path(__file__).resolve().parent / ".cache"
     return fp, base / "kmeans" / fp, base / "kmeans_cent" / fp
 
@@ -2089,7 +2115,7 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (built by _kmeans_artifact; exact doubles survive the parquet
     round trip)."""
     _kmeans_artifact(spark, sf_dir)  # ensure both halves exist
-    _, _, cent_dir = _kmeans_cache_dirs(sf_dir)
+    _, _, cent_dir = _kmeans_cache_dirs(spark, sf_dir)
     return spark.read.parquet(str(cent_dir))
 
 
@@ -2752,12 +2778,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lm_perplexity": oracles.lm_score_sql(text_analytics.LM_ALPHA),
         "embed_kmeans": oracles.kmeans_sql(
-            clustering.KMEANS_K, clustering.KMEANS_ITERS,
+            clustering.KMEANS_ITERS,
             EMBEDDING_DIM, clustering.KMEANS_SCALE,
         ),
         "semdedup": oracles.semdedup_sql(
             clustering.SEMDEDUP_THRESHOLD,
-            clustering.KMEANS_K, clustering.KMEANS_ITERS,
+            clustering.KMEANS_ITERS,
             EMBEDDING_DIM, clustering.KMEANS_SCALE,
         ),
         "bloom_gate": oracles.bloom_gate_sql(
@@ -2770,7 +2796,7 @@ def oracle_sql() -> dict[str, str]:
             classifier.PERCEPTRON_ROUNDS
         ),
         "kmeans_outliers": oracles.kmeans_outliers_sql(
-            clustering.KMEANS_K, clustering.KMEANS_ITERS,
+            clustering.KMEANS_ITERS,
             EMBEDDING_DIM, clustering.KMEANS_SCALE,
             clustering.OUTLIER_KEEP_NUM, clustering.OUTLIER_KEEP_DEN,
         ),

@@ -4327,14 +4327,33 @@ LEFT JOIN rolled_b rb USING (doc_id)
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_ctes(k: int, iters: int, dim: int, scale: int) -> str:
+def _kmeans_ctes(iters: int, dim: int, scale: int,
+                 k_min: int | None = None,
+                 k_target: int | None = None) -> str:
     """Unrolled Lloyd's twin of ``clustering.kmeans_fit``: quantized
     integer inputs make every centroid mean an exact-integer-sum /
     count (bit-identical across engines with no rounding), and the
     squared distance is the same left-associated term chain as the
     engine's ``F.aggregate`` fold, so assignments agree exactly
     (ties → lowest cid via ORDER BY (d, cid), the engine's
-    ``array_position``-of-first-min)."""
+    ``array_position``-of-first-min).
+
+    k is COUNT-DERIVED in SQL — ``kk`` replays
+    ``clustering.kmeans_k_for`` with exact integer ceiling division
+    (``greatest(k_min, (n + k_target - 1) // k_target)``) so the
+    oracle tracks the engine's adaptive-k contract at ANY sf without a
+    per-sf literal (the same trick ``knn_graph_lsh_sql``'s ``np`` CTE
+    uses for the plane count). Every other CTE is k-free: the
+    assignment cross-join and the centroid-mean update are sized by
+    whatever ``c0`` emits."""
+    from rag_database_spark.operators.clustering import (
+        KMEANS_K, KMEANS_TARGET_CLUSTER,
+    )
+
+    if k_min is None:
+        k_min = KMEANS_K
+    if k_target is None:
+        k_target = KMEANS_TARGET_CLUSTER
     dist = " + ".join(
         f"(q.x[{i}]-c.c[{i}])*(q.x[{i}]-c.c[{i}])" for i in range(1, dim + 1)
     )
@@ -4356,9 +4375,16 @@ def _kmeans_ctes(k: int, iters: int, dim: int, scale: int) -> str:
          list_transform(embedding::DOUBLE[], v -> round(v*{scale})) AS x
   FROM embeddings
 )""",
+        f"""kk AS (
+  -- clustering.kmeans_k_for: max(k_min, ceil(n / k_target)) in exact
+  -- integer arithmetic (no float ceil)
+  SELECT greatest({k_min}, (count(*) + {k_target - 1}) // {k_target}) AS k
+  FROM xq
+)""",
         f"""c0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c
-  FROM (SELECT vec_id, x FROM xq ORDER BY vec_id LIMIT {k})
+  SELECT rn - 1 AS cid, x AS c FROM (
+    SELECT x, row_number() OVER (ORDER BY vec_id) AS rn FROM xq
+  ) WHERE rn <= (SELECT k FROM kk)
 )""",
     ]
     for t in range(1, iters + 1):
@@ -4373,21 +4399,21 @@ def _kmeans_ctes(k: int, iters: int, dim: int, scale: int) -> str:
     return ",\n".join(parts)
 
 
-def kmeans_sql(k: int, iters: int, dim: int, scale: int) -> str:
+def kmeans_sql(iters: int, dim: int, scale: int) -> str:
     return f"""
-WITH {_kmeans_ctes(k, iters, dim, scale)}
+WITH {_kmeans_ctes(iters, dim, scale)}
 SELECT e.vec_id, a.cid AS cluster_id, e.label
 FROM embeddings e JOIN af a ON a.vec_id = e.vec_id
 """
 
 
-def semdedup_sql(threshold: float, k: int, iters: int, dim: int,
+def semdedup_sql(threshold: float, iters: int, dim: int,
                  scale: int) -> str:
     """Twin of ``clustering.semdedup`` over the shared k-means CTEs:
     pairwise cosine only within a cluster, drop iff a LOWER-id
     cluster-mate sits at rounded cosine ≥ threshold."""
     return f"""
-WITH {_kmeans_ctes(k, iters, dim, scale)},
+WITH {_kmeans_ctes(iters, dim, scale)},
 pairs AS (
   SELECT a.vec_id AS id,
          round(list_cosine_similarity(ea.embedding::DOUBLE[],
@@ -4403,7 +4429,7 @@ FROM af a LEFT JOIN best b ON b.id = a.vec_id
 """
 
 
-def kmeans_outliers_sql(k: int, iters: int, dim: int, scale: int,
+def kmeans_outliers_sql(iters: int, dim: int, scale: int,
                         keep_num: int, keep_den: int) -> str:
     """Twin of ``clustering.centroid_outliers`` over the shared
     k-means CTEs: squared distance to the OWN cluster's final centroid
@@ -4415,7 +4441,7 @@ def kmeans_outliers_sql(k: int, iters: int, dim: int, scale: int,
         f"(a.x[{i}]-c.c[{i}])*(a.x[{i}]-c.c[{i}])" for i in range(1, dim + 1)
     )
     return f"""
-WITH {_kmeans_ctes(k, iters, dim, scale)},
+WITH {_kmeans_ctes(iters, dim, scale)},
 dd AS (
   SELECT a.vec_id, a.cid, {dist} AS d
   FROM af a JOIN c{iters} c ON c.cid = a.cid
