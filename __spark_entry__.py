@@ -184,8 +184,15 @@ def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Persisted IVF artifact (centroids + centroid-partitioned lists),
     built once per corpus fingerprint — the k-means fit never runs in
-    the query path (pinned by tests/test_plans.py)."""
-    fp = _source_fingerprint(sf_dir, table="embeddings")
+    the query path (pinned by tests/test_plans.py). Built with the
+    DETERMINISTIC method (clustering.kmeans_fit in the quantized
+    frame) and a count-derived centroid count (similarity.ivf_k_for),
+    so the DuckDB oracle replays the whole index CTE-for-CTE at any
+    sf; the cache key is versioned with method + derived k so neither
+    a pre-r13 MLlib artifact nor a stale smaller-k one can serve."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = similarity.ivf_k_for(n)
+    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-det-ka{k}"
     if fp in _IVF_CACHE:
         return _IVF_CACHE[fp]
     cache_dir = Path(__file__).resolve().parent / ".cache" / "ivf_index" / fp
@@ -193,6 +200,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         similarity.write_ivf_index(
             load_table(spark, sf_dir, "embeddings"),
             str(cache_dir),
+            n_centroids=k,
             id_col="vec_id",
             vec_col="embedding",
         )
@@ -204,9 +212,10 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: IVF coarse-quantizer top-k over the PERSISTED
     index (k-means runs at build time only; the query is a partition-
-    pruned probe of n_probe centroid lists). Approximate by design →
-    rows-only driver check; recall vs brute force is pinned in
-    tests/test_similarity."""
+    pruned probe of n_probe centroid lists). Det build + quantized
+    probe make every step exactly replayable in SQL
+    (oracles.ann_ivf_topk_sql) — hash-certified since r13; recall vs
+    brute force additionally pinned in tests/test_similarity."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = workload.queries_df(spark)
     qvecs = queries.join(
@@ -215,6 +224,7 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, lists = _ivf_index(spark, sf_dir)
     return similarity.ivf_topk_indexed(
         qvecs, centroids, lists, workload.HYBRID_LIMIT,
+        probe="quantized",
     ).select(
         "query_id",
         "id",
@@ -648,8 +658,14 @@ def _bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted packed Bloom bitmap over the STANDING corpus'
     content fingerprints (docs outside the simulated incoming batch) —
     built once per corpus fingerprint, ≤ m/32 rows regardless of
-    corpus size (dedup.bloom_filter_build)."""
-    fp = f"{_source_fingerprint(sf_dir)}-m{BLOOM_FIXTURE_M_BITS}"
+    corpus size (dedup.bloom_filter_build). The cache key folds in
+    EVERY constant the bitmap depends on (m, BLOOM_K, the batch-split
+    mod) — changing any of them must rebuild, not serve a bitmap the
+    rebuilt oracle no longer matches (ADVICE r12)."""
+    fp = (
+        f"{_source_fingerprint(sf_dir)}-m{BLOOM_FIXTURE_M_BITS}"
+        f"-k{dedup.BLOOM_K}-g{INGEST_GATE_MOD}"
+    )
     cache_dir = Path(__file__).resolve().parent / ".cache" / "bloom" / fp
     if not (cache_dir / "_SUCCESS").exists():
         docs = load_table(spark, sf_dir, "documents")
@@ -679,8 +695,12 @@ def _bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_paras_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted packed Bloom bitmap over the STANDING corpus'
     PARAGRAPH fingerprints — the paragraph half of the Dolma-style
-    gate (dedup.doc_paragraphs feeds the same builder)."""
-    fp = f"{_source_fingerprint(sf_dir)}-m{BLOOM_FIXTURE_M_BITS}"
+    gate (dedup.doc_paragraphs feeds the same builder). Same
+    constant-folding cache key as _bloom_filter_words (ADVICE r12)."""
+    fp = (
+        f"{_source_fingerprint(sf_dir)}-m{BLOOM_FIXTURE_M_BITS}"
+        f"-k{dedup.BLOOM_K}-g{INGEST_GATE_MOD}"
+    )
     cache_dir = Path(__file__).resolve().parent / ".cache" / "bloom_paras" / fp
     if not (cache_dir / "_SUCCESS").exists():
         docs = load_table(spark, sf_dir, "documents")
@@ -2435,7 +2455,9 @@ def _dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose SURVEY component has no other driver-green representative must
 # sit inside that window.
 ROWS_ONLY_ENTRIES: tuple[str, ...] = (
-    "ann_ivf_topk",
+    # ann_ivf_topk left this list in r13: the deterministic IVF build
+    # (quantized-frame kmeans_fit) + quantized probe made the whole
+    # path SQL-replayable (oracles.ann_ivf_topk_sql)
     "semantic_chunks",
     "route_and_chunk",
     # iterative merge training: not SQL-expressible; pinned against a
@@ -2566,9 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_join": _events_window_join,
         "asof_attribution": _asof_attribution,
         "lm_perplexity": _lm_perplexity,
-        "temperature_mix": _temperature_mix,
         "c4_rules": _c4_rules,
-        "gopher_rules": _gopher_rules,
         "doc_keywords": _doc_keywords,
         "decontam": _decontam,
         "dup_spans": _dup_spans,
@@ -2606,11 +2626,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lm_perplexity, text-cleaning by doc_keywords / redact_pii)
         "bloom_gate": _bloom_gate,
         "bloom_gate_paras": _bloom_gate_paras,
+        # Round-13 ROTATION (VERDICT r12 items 2/3): ann_ivf_topk
+        # upgraded from rows-only to a full hash oracle (deterministic
+        # build + quantized probe) and ann_lsh_topk changed behavior
+        # (count-derived plane prefix of the canonical draw) — both
+        # need fresh driver certification, so they take the slots of
+        # gopher_rules (quality stays repped by c4_rules /
+        # lm_perplexity / perceptron_select) and temperature_mix
+        # (selection stays repped by contrastive_select /
+        # token_budget_select / dsir_select / dsir_resample), both
+        # driver-green r12 and replica-kept in the tail.
+        "ann_ivf_topk": _ann_ivf_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
         # --- entry 51+: outside the driver window ---
         # rows-only by design (no oracle possible): their weaker
         # rows-only driver row exists from r11; the local suite pins
         # them (BPE vs pure-Python reference, IVF recall unit)
-        "ann_ivf_topk": _ann_ivf_topk,
         "semantic_chunks": _semantic_chunks,
         "route_and_chunk": _route_and_chunk,
         "bpe_vocab": _bpe_vocab,
@@ -2679,9 +2710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
         "conversions": _conversions,
+        # demoted to the tail in r13 to fit the re-certifying ANN pair
+        # in-window; driver-green r12, local replica keeps them green
+        "gopher_rules": _gopher_rules,
+        "temperature_mix": _temperature_mix,
         # demoted to the tail in r11 to fit the three new r11 entries
         # in-window; driver-green r7-r9, local replica keeps them green
-        "ann_lsh_topk": _ann_lsh_topk,
         "curate_corpus": _curate_corpus,
         "vector_upsert": _vector_upsert,
         "extract_metadata": _extract_metadata,
@@ -2966,4 +3000,5 @@ def oracle_sql() -> dict[str, str]:
         "decontam": oracles.decontaminate_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(workload.HYBRID_LIMIT),
+        "ann_ivf_topk": oracles.ann_ivf_topk_sql(workload.HYBRID_LIMIT),
     }

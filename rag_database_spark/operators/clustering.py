@@ -77,12 +77,14 @@ def quantize_embeddings_int(vec_col) -> F.Column:
     )
 
 
-def _sq_dist_to(centroid: list[float]) -> F.Column:
+def _sq_dist_to(centroid: list[float], col: str = "x") -> F.Column:
     """Left-fold Σ(x_i − c_i)² against one frozen centroid literal —
-    same associativity as the oracle's unrolled term chain."""
+    same associativity as the oracle's unrolled term chain (the
+    leading ``0.0 + t1`` is exact: IEEE ``0.0 + x == x`` and the
+    squared terms are never −0.0)."""
     carr = F.array(*[F.lit(float(v)) for v in centroid])
     return F.aggregate(
-        F.zip_with(F.col("x"), carr, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(F.col(col), carr, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

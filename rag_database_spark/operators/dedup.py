@@ -114,8 +114,16 @@ def _read_slices(
 
     def _norm(df: DataFrame) -> DataFrame:
         if "ingest_batch" in df.columns:
+            # legacy flat files carry no ingest_batch column — under a
+            # mergeSchema read their rows surface as NULL, which a
+            # plain `!= N` exclusion filter would silently drop;
+            # coalesce them to the same -1 the no-column branch uses
             df = df.withColumn(
-                "ingest_batch", F.col("ingest_batch").cast("long")
+                "ingest_batch",
+                F.coalesce(
+                    F.col("ingest_batch").cast("long"),
+                    F.lit(-1).cast("long"),
+                ),
             )
         else:
             df = df.withColumn("ingest_batch", F.lit(-1).cast("long"))
@@ -123,15 +131,22 @@ def _read_slices(
             df = df.filter(F.col("ingest_batch") != int(exclude_batch))
         return df
 
+    # flat halves read with mergeSchema: a root can mix legacy flat
+    # files (no ingest_batch column) with compacted flat files (column
+    # present), and a plain read would pick ONE file's schema — either
+    # dropping legacy rows via the NULL exclusion filter or erasing
+    # the replay-exclusion column entirely (ADVICE r12)
     if part_dirs and flat_files:
         part = _norm(spark.read.option("basePath", path).parquet(*part_dirs))
-        flat = _norm(spark.read.parquet(*flat_files))
+        flat = _norm(
+            spark.read.option("mergeSchema", "true").parquet(*flat_files)
+        )
         if columns is None:
             columns = [c for c in flat.columns if c != "ingest_batch"]
         if keep_batch:
             columns = [*columns, "ingest_batch"]
         return flat.select(*columns).unionByName(part.select(*columns))
-    df = _norm(spark.read.parquet(path))
+    df = _norm(spark.read.option("mergeSchema", "true").parquet(path))
     if columns is None:
         columns = [c for c in df.columns if c != "ingest_batch"]
     if keep_batch:
@@ -774,7 +789,7 @@ LSH_MAX_PLANES = 32
 
 
 def adaptive_n_planes(n_rows: int, target: int = LSH_TARGET_OCCUPANCY,
-                      floor: int = 8) -> int:
+                      floor: int = 8, cap: int = LSH_MAX_PLANES) -> int:
     """Planes so that 2^planes ≈ n_rows / target. A FIXED plane count
     is quadratic at scale — 8 planes is 256 buckets whether the corpus
     has 2e3 or 2e9 vectors, so per-bucket pairs grow as (n/256)²; the
@@ -784,12 +799,18 @@ def adaptive_n_planes(n_rows: int, target: int = LSH_TARGET_OCCUPANCY,
     thresholds: at cos ≥ .99 the per-plane split probability is ~θ/π ≈
     0.03, so even 16 planes keep per-table collision ≈ .97^16 ≈ .6 and
     4 tables ≈ 0.97+ overall (exact verification removes all false
-    positives regardless)."""
+    positives regardless).
+
+    Clamped at ``cap`` (LSH_MAX_PLANES): past ~target·2^cap rows the
+    canonical prefix draw has no more bits to append, so both engine
+    and the oracles' count-derived np CTEs saturate there instead of
+    the engine raising in ``rp_blocks`` while the oracle silently
+    truncates (ADVICE r12)."""
     import math
 
     if n_rows <= target:
-        return floor
-    return max(floor, math.ceil(math.log2(n_rows / target)))
+        return min(cap, floor)
+    return min(cap, max(floor, math.ceil(math.log2(n_rows / target))))
 
 
 def embedding_near_dupes_lsh(

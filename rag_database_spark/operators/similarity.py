@@ -459,22 +459,69 @@ def maxsim_scores_pruned(
     )
 
 
+# IVF geometry: centroid count grows with the corpus so the expected
+# inverted-list length stays ~IVF_TARGET_LIST — a FIXED n_centroids
+# means a probe reads n/k rows at any scale (linear in corpus size),
+# the same shape defect adaptive_n_planes fixes for LSH buckets.
+IVF_MIN_CENTROIDS = 16
+IVF_TARGET_LIST = 256
+
+
+def ivf_k_for(n: int, target: int = IVF_TARGET_LIST) -> int:
+    """Centroid count so the expected list length stays ~``target``
+    as the corpus grows (exact integer ceiling division, mirrored by
+    the oracle's kk CTE)."""
+    return max(IVF_MIN_CENTROIDS, -(-n // target))
+
+
 def _ivf_fit(
     corpus: DataFrame,
     n_centroids: int,
     seed: int,
     id_col: str,
     vec_col: str,
+    method: str = "det",
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF index BUILD: seeded MLlib k-means over the corpus, every
-    vector assigned to its nearest centroid. Returns
-    (centroids(centroid_id, cvec), lists(centroid_id, id, vec)).
-    The expensive multi-pass clustering lives ONLY here — the query
-    path consumes the returned/persisted tables."""
+    """IVF index BUILD — k-means over the corpus, every vector assigned
+    to its nearest centroid. Returns (centroids(centroid_id, cvec,
+    frame_scale), lists(centroid_id, id, vec)). The expensive
+    multi-pass clustering lives ONLY here — the query path consumes
+    the returned/persisted tables.
+
+    ``method='det'`` (default): deterministic Lloyd's over the
+    QUANTIZED integer frame (``clustering.kmeans_fit`` — the exact
+    cross-engine machinery behind embed_kmeans), centroids stored in
+    that frame with ``frame_scale = KMEANS_SCALE``. This is the build
+    the DuckDB oracle can replay CTE-for-CTE, upgrading ann_ivf_topk
+    from a rows-only check to full hash certification.
+    ``method='mllib'``: seeded MLlib k-means on raw vectors
+    (``frame_scale = 1``) — kept for float-native builds; its
+    centroids are NOT cross-engine replayable."""
+    spark = corpus.sparkSession
+    if method == "det":
+        from rag_database_spark.operators import clustering
+
+        assign, cents = clustering.kmeans_fit(
+            corpus, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+        centroids = spark.createDataFrame(
+            [(i, c, clustering.KMEANS_SCALE) for i, c in enumerate(cents)],
+            "centroid_id int, cvec array<double>, frame_scale int",
+        )
+        lists = (
+            corpus.select(
+                F.col(id_col).alias("id"),
+                to_double_array(F.col(vec_col)).alias("vec"),
+            )
+            .join(assign, "id")
+            .select(F.col("cluster_id").alias("centroid_id"), "id", "vec")
+        )
+        return centroids, lists
+    if method != "mllib":
+        raise ValueError(f"_ivf_fit: unknown method {method!r}")
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = corpus.sparkSession
     c = corpus.select(
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("vec"),
@@ -485,10 +532,10 @@ def _ivf_fit(
     )
     centroids = spark.createDataFrame(
         [
-            (i, [float(x) for x in ctr])
+            (i, [float(x) for x in ctr], 1)
             for i, ctr in enumerate(model.clusterCenters())
         ],
-        "centroid_id int, cvec array<double>",
+        "centroid_id int, cvec array<double>, frame_scale int",
     )
     lists = model.transform(ml_df).select(
         F.col("prediction").alias("centroid_id"), "id", "vec"
@@ -499,17 +546,27 @@ def _ivf_fit(
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     seed: int = 42,
     id_col: str = "id",
     vec_col: str = "vec",
+    method: str = "det",
 ) -> None:
     """Persist the IVF artifact like ``bm25.write_index`` persists
     postings (reference analog: Qdrant's persisted HNSW collections,
     src/storage/vector_store.py:136-145): centroids as one tiny parquet,
     inverted lists PARTITIONED BY centroid_id so a probe of p centroids
-    reads p directories — a partition-pruned scan, not a corpus pass."""
-    centroids, lists = _ivf_fit(corpus, n_centroids, seed, id_col, vec_col)
+    reads p directories — a partition-pruned scan, not a corpus pass.
+
+    ``n_centroids=None`` (default) sizes the centroid count from the
+    corpus (``ivf_k_for``) so list length — and with it probe cost —
+    stays ~IVF_TARGET_LIST as the corpus grows, the same adaptive
+    contract as ``dedup.adaptive_n_planes``."""
+    if n_centroids is None:
+        n_centroids = ivf_k_for(corpus.count())
+    centroids, lists = _ivf_fit(
+        corpus, n_centroids, seed, id_col, vec_col, method
+    )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     (
         lists.write.mode("overwrite")
@@ -593,12 +650,91 @@ def append_ivf_index(
     periodic offline ``write_ivf_index`` rebuild."""
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids")
+    scale = _ivf_frame_scale(centroids)
+    nv = new_vectors.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("vec"),
+    )
+    if scale != 1:
+        # det-built index: centroids live in the quantized frame, so
+        # the incoming vectors are quantized for the assignment GEMM
+        # (argmin matches the build up to float-noise near quantized
+        # cluster boundaries) while the stored list row keeps the RAW
+        # vector for the cosine rescore.
+        assigned = assign_centroids(
+            nv.withColumn(
+                "qx",
+                F.transform(
+                    F.col("vec"), lambda v: F.round(v * F.lit(float(scale)), 0)
+                ),
+            ),
+            centroids,
+            id_col="id",
+            vec_col="qx",
+        ).select("centroid_id", "id")
+        out = assigned.join(nv, "id").select("centroid_id", "id", "vec")
+    else:
+        out = assign_centroids(nv, centroids, id_col="id", vec_col="vec")
     (
-        assign_centroids(new_vectors, centroids, id_col, vec_col)
-        .write.mode("append")
+        out.write.mode("append")
         .partitionBy("centroid_id")
         .parquet(f"{path}/lists")
     )
+
+
+def _ivf_frame_scale(centroids: DataFrame) -> int:
+    """The frame the centroids live in: ``frame_scale`` when the
+    artifact carries it (det builds = KMEANS_SCALE, mllib = 1), else 1
+    for pre-frame_scale artifacts."""
+    if "frame_scale" not in centroids.columns:
+        return 1
+    row = centroids.select("frame_scale").first()
+    return 1 if row is None else int(row["frame_scale"])
+
+
+def _ivf_probe_quantized(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> list[tuple[int, int]]:
+    """(query_id, centroid_id) probe pairs under the det index's own
+    metric: quantized query vector, squared distance to each centroid
+    literal via the exact left fold, top n_probe per query (ties →
+    lowest centroid_id). Column expressions end-to-end so the
+    arithmetic is the bit-identical twin of the oracle's unrolled
+    term chain; the result is bounded at queries × n_probe rows."""
+    from rag_database_spark.operators.clustering import (
+        _sq_dist_to, quantize_embeddings_int,
+    )
+
+    cent = sorted(
+        (int(r["centroid_id"]), list(r["cvec"]))
+        for r in centroids.collect()
+    )
+    if not cent:
+        return []
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_embeddings_int(F.col(query_vec_col)).alias("qx"),
+    )
+    dists = F.array(*[_sq_dist_to(c, col="qx") for _, c in cent])
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in cent])
+    # cent is sorted by centroid_id, so pos ASC == centroid_id ASC —
+    # the oracle's ORDER BY (d, cid) tie rule
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("pos"))
+    probed = (
+        q.select("query_id", F.posexplode(dists).alias("pos", "d"))
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            "query_id",
+            F.element_at(cid_arr, F.col("pos") + 1).alias("centroid_id"),
+        )
+        .collect()
+    )
+    return [(r["query_id"], int(r["centroid_id"])) for r in probed]
 
 
 def ivf_topk_indexed(
@@ -609,17 +745,26 @@ def ivf_topk_indexed(
     n_probe: int = 4,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    probe: str = "cosine",
 ) -> DataFrame:
     """IVF QUERY path over a built index — no clustering, no corpus
     pass:
 
     1. The centroid table (tiny: n_centroids rows) is collected and the
-       ``n_probe`` nearest centroids per query chosen driver-side.
+       ``n_probe`` nearest centroids per query chosen.
     2. The probed centroid ids become a static ``isin`` filter on the
        lists scan — with ``write_ivf_index``'s partitionBy layout that
        is partition pruning (only probed directories are read; pinned
        by plan test).
     3. Exact cosine over the ≤ queries × probe-list candidates, ranked.
+
+    ``probe='cosine'``: normalized-dot probe driver-side in numpy —
+    the float-native serving path. ``probe='quantized'``: squared
+    Euclidean distance in the QUANTIZED frame via the same literal
+    fold the det build assigned with (``clustering._sq_dist_to``,
+    ties → lowest centroid_id) — the metric the DuckDB twin replays
+    term-for-term, so a det-built index + quantized probe is exactly
+    hash-certifiable. Requires a det-built (frame_scale > 1) index.
 
     Approximate exactly as the reference's ANN leg is: a true neighbor
     assigned to an unprobed centroid is missed; recall vs brute force
@@ -627,25 +772,36 @@ def ivf_topk_indexed(
     import numpy as np
 
     spark = queries.sparkSession
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        to_double_array(F.col(query_vec_col)).alias("qvec"),
-    ).collect()
-    if not q_rows:
+    if probe == "quantized":
+        probes = _ivf_probe_quantized(
+            queries, centroids, n_probe, query_id_col, query_vec_col
+        )
+    elif probe != "cosine":
+        raise ValueError(f"ivf_topk_indexed: unknown probe {probe!r}")
+    else:
+        q_rows = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            to_double_array(F.col(query_vec_col)).alias("qvec"),
+        ).collect()
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "query_id long, id long, score double, rank int"
+            )
+        cent_rows = centroids.collect()
+        cids = np.array([r["centroid_id"] for r in cent_rows])
+        C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+        cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+        probes = []
+        for r in q_rows:
+            qv = np.asarray(r["qvec"], dtype=np.float64)
+            qv = qv / max(np.linalg.norm(qv), 1e-30)
+            order = np.argsort(-(cn @ qv))[:n_probe]
+            for j in order:
+                probes.append((r["query_id"], int(cids[j])))
+    if not probes:
         return spark.createDataFrame(
             [], "query_id long, id long, score double, rank int"
         )
-    cent_rows = centroids.collect()
-    cids = np.array([r["centroid_id"] for r in cent_rows])
-    C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
-    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
-    probes = []
-    for r in q_rows:
-        qv = np.asarray(r["qvec"], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-30)
-        order = np.argsort(-(cn @ qv))[:n_probe]
-        for j in order:
-            probes.append((r["query_id"], int(cids[j])))
     probe_df = spark.createDataFrame(
         probes, "query_id long, centroid_id int"
     )
@@ -679,6 +835,7 @@ def ivf_topk(
     query_vec_col: str = "qvec",
     id_col: str = "id",
     vec_col: str = "vec",
+    method: str = "det",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     scale path next to brute force and LSH (build brief: 'IVF or
@@ -686,8 +843,10 @@ def ivf_topk(
     one call — for ad-hoc/unit use. Production callers persist once
     with ``write_ivf_index`` and serve every query batch through
     ``ivf_topk_indexed``; refitting k-means per query batch at 100 TB
-    would be a multi-pass MLlib job per call."""
-    centroids, lists = _ivf_fit(corpus, n_centroids, seed, id_col, vec_col)
+    would be a multi-pass clustering job per call."""
+    centroids, lists = _ivf_fit(
+        corpus, n_centroids, seed, id_col, vec_col, method
+    )
     return ivf_topk_indexed(
         queries, centroids, lists, k, n_probe, query_id_col, query_vec_col
     )
@@ -699,7 +858,7 @@ def lsh_topk(
     k: int,
     dim: int,
     n_tables: int = 4,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
@@ -724,19 +883,33 @@ def lsh_topk(
     the right path for one-shot batch queries over cold data, while a
     served index should prefer ``write_ivf_index``/``ivf_topk_indexed``.
 
+    ``n_planes=None`` (default) derives the plane count from the
+    corpus row count (``adaptive_n_planes``) — a fixed plane count
+    leaves per-query candidate volume linear in corpus size
+    (n·n_tables/2^p rows rescored per query at any n). Planes are a
+    prefix of the canonical LSH_MAX_PLANES draw, so growing the corpus
+    only APPENDS sign bits; the oracle derives the same count from
+    count(*) in SQL and slices the same canonical plane table.
+
     Recall: a true neighbor is missed only if its signs differ from the
     query's in every table, P(miss) = (1-(1-θ/π)^p)^t — unit-pinned vs
     brute force. Deterministic given the seed (planes from a seeded
     driver RNG, broadcast), so the DuckDB oracle replays the identical
     candidate set from the same plane literals
     (``oracles.ann_lsh_topk_sql``)."""
-    from rag_database_spark.operators.dedup import rp_blocks
+    from rag_database_spark.operators.dedup import (
+        LSH_MAX_PLANES, adaptive_n_planes, rp_blocks,
+    )
 
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count())
     cb = rp_blocks(
-        corpus, dim, n_tables, n_planes, seed, id_col, vec_col
+        corpus, dim, n_tables, n_planes, seed, id_col, vec_col,
+        max_planes=LSH_MAX_PLANES,
     )
     qb = rp_blocks(
-        queries, dim, n_tables, n_planes, seed, query_id_col, query_vec_col
+        queries, dim, n_tables, n_planes, seed, query_id_col,
+        query_vec_col, max_planes=LSH_MAX_PLANES,
     ).withColumnRenamed("id", "query_id")
     cands = (
         cb.join(F.broadcast(qb), ["table_idx", "bucket"])

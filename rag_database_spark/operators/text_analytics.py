@@ -97,6 +97,14 @@ def model_lang_id(
             labels, probs = model.predict(texts, k=1)
             langs, confs = [], []
             for lab, pr in zip(labels, probs):
+                if len(lab) == 0:
+                    # fastText returns an EMPTY label tuple for
+                    # token-less input (blank/whitespace text, or the
+                    # "" a NULL row maps to) — that really is just an
+                    # unknown-language doc, not an IndexError
+                    langs.append("unknown")
+                    confs.append(0.0)
+                    continue
                 conf = float(pr[0])
                 lang = lab[0].replace("__label__", "")
                 langs.append(

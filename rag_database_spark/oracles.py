@@ -112,24 +112,32 @@ def ann_lsh_topk_sql(
     limit: int = HYBRID_LIMIT,
     dim: int = 64,
     n_tables: int = 4,
-    n_planes: int = 8,
     seed: int = 42,
 ) -> str:
-    """Exact twin of ``similarity.lsh_topk``: the hyperplanes come from
-    the same seeded numpy generator and are embedded as DOUBLE[]
-    literals, so DuckDB derives the identical sign-pattern buckets →
-    identical candidate set → identical exact-cosine top-k. (A sign
-    can only disagree across engines if a dot product lands within
-    ulps of zero — unreachable for real-valued embeddings.)"""
+    """Exact twin of ``similarity.lsh_topk`` with the ADAPTIVE plane
+    count: the SQL emits the one canonical (n_tables × LSH_MAX_PLANES)
+    plane table (the same seeded draw ``rp_blocks(max_planes=
+    LSH_MAX_PLANES)`` prefixes) and derives the active plane count
+    from count(embeddings) with ``adaptive_n_planes``'s formula —
+    clamped at LSH_MAX_PLANES exactly like the engine — so the oracle
+    tracks the engine at any sf. Identical sign buckets → identical
+    candidate set → identical exact-cosine top-k. (A sign can only
+    disagree across engines if a dot product lands within ulps of
+    zero — unreachable for real-valued embeddings.)"""
     import numpy as np
 
+    from rag_database_spark.operators.dedup import (
+        LSH_MAX_PLANES, LSH_TARGET_OCCUPANCY,
+    )
+
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim))
+    planes = rng.normal(size=(n_tables, LSH_MAX_PLANES, dim))
     rows = ",\n    ".join(
         f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t][p])}]::DOUBLE[])"
         for t in range(n_tables)
-        for p in range(n_planes)
+        for p in range(LSH_MAX_PLANES)
     )
+    tgt = LSH_TARGET_OCCUPANCY
     return f"""
 WITH qv AS (
   SELECT q.query_id, e.embedding::DOUBLE[] AS qvec
@@ -140,18 +148,29 @@ planes(table_idx, plane_idx, pvec) AS (
   VALUES
     {rows}
 ),
+np AS (
+  -- adaptive_n_planes(count): floor 8, else ceil(log2(n / target)),
+  -- clamped at LSH_MAX_PLANES like the engine
+  SELECT least({LSH_MAX_PLANES},
+               CASE WHEN count(*) <= {tgt} THEN 8
+                    ELSE greatest(8, CAST(ceil(log2(count(*)::DOUBLE / {tgt}))
+                                        AS INT)) END) AS n_planes
+  FROM embeddings
+),
 corpus_sig AS (
   SELECT e.vec_id AS id, p.table_idx,
          sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pvec) > 0
-                  THEN 1 << p.plane_idx ELSE 0 END) AS bucket
-  FROM embeddings e CROSS JOIN planes p
+                  THEN 1::BIGINT << p.plane_idx ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p CROSS JOIN np
+  WHERE p.plane_idx < np.n_planes
   GROUP BY e.vec_id, p.table_idx
 ),
 query_sig AS (
   SELECT qv.query_id, p.table_idx,
          sum(CASE WHEN list_dot_product(qv.qvec, p.pvec) > 0
-                  THEN 1 << p.plane_idx ELSE 0 END) AS bucket
-  FROM qv CROSS JOIN planes p
+                  THEN 1::BIGINT << p.plane_idx ELSE 0 END) AS bucket
+  FROM qv CROSS JOIN planes p CROSS JOIN np
+  WHERE p.plane_idx < np.n_planes
   GROUP BY qv.query_id, p.table_idx
 ),
 cands AS (
@@ -4458,6 +4477,77 @@ FROM rr
 """
 
 
+def ann_ivf_topk_sql(
+    limit: int,
+    n_probe: int = 4,
+    iters: int | None = None,
+    dim: int = 64,
+    scale: int | None = None,
+) -> str:
+    """Exact twin of the DETERMINISTIC IVF path (``similarity._ivf_fit
+    method='det'`` + ``ivf_topk_indexed probe='quantized'``): the
+    shared unrolled Lloyd's CTEs rebuild the engine's persisted index
+    bit-for-bit (same quantized frame, same count-derived centroid
+    count via the kk CTE with IVF geometry), the probe picks each
+    query's ``n_probe`` nearest FINAL centroids under the identical
+    squared-distance term chain (ties → lowest cid), and candidates
+    are exactly the probed lists (``af`` = the engine's partitioned
+    list assignment) rescored by 6dp cosine with the (score DESC, id)
+    rank discipline every dense entry uses. This upgrades ann_ivf_topk
+    from the rows-only check the MLlib build forced (float centroids
+    no SQL engine can replay) to full hash certification."""
+    from rag_database_spark.operators.clustering import (
+        KMEANS_ITERS, KMEANS_SCALE,
+    )
+    from rag_database_spark.operators.similarity import (
+        IVF_MIN_CENTROIDS, IVF_TARGET_LIST,
+    )
+
+    if iters is None:
+        iters = KMEANS_ITERS
+    if scale is None:
+        scale = KMEANS_SCALE
+    qdist = " + ".join(
+        f"(qv.qx[{i}]-c.c[{i}])*(qv.qx[{i}]-c.c[{i}])"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+WITH {_kmeans_ctes(iters, dim, scale,
+                   k_min=IVF_MIN_CENTROIDS, k_target=IVF_TARGET_LIST)},
+qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS qvec,
+         list_transform(e.embedding::DOUBLE[], v -> round(v*{scale})) AS qx
+  FROM {queries_values_sql()}
+  JOIN embeddings e ON e.vec_id = q.query_vec_id
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT qv.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY qv.query_id ORDER BY {qdist}, c.cid
+           ) AS pr
+    FROM qv CROSS JOIN c{iters} c
+  ) WHERE pr <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS id
+  FROM probe p JOIN af a ON a.cid = p.cid
+),
+scored AS (
+  SELECT cd.query_id, cd.id,
+         list_cosine_similarity(qv.qvec, e.embedding::DOUBLE[]) AS score
+  FROM cand cd
+  JOIN qv USING (query_id)
+  JOIN embeddings e ON e.vec_id = cd.id
+)
+SELECT query_id, id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {limit}
+"""
+
+
 def perceptron_select_sql(rounds: int) -> str:
     """Unrolled twin of ``classifier.perceptron_train`` +
     ``perceptron_score``: the batch-perceptron update is pure int64
@@ -4702,10 +4792,12 @@ WITH planes(table_idx, plane_idx, pvec) AS (
     {rows}
 ),
 np AS (
-  -- adaptive_n_planes(count): floor 8, else ceil(log2(n / target))
-  SELECT CASE WHEN count(*) <= {tgt} THEN 8
-         ELSE greatest(8, CAST(ceil(log2(count(*)::DOUBLE / {tgt}))
-                             AS INT)) END AS n_planes
+  -- adaptive_n_planes(count): floor 8, else ceil(log2(n / target)),
+  -- clamped at LSH_MAX_PLANES like the engine
+  SELECT least({LSH_MAX_PLANES},
+               CASE WHEN count(*) <= {tgt} THEN 8
+                    ELSE greatest(8, CAST(ceil(log2(count(*)::DOUBLE / {tgt}))
+                                        AS INT)) END) AS n_planes
   FROM embeddings
 ),
 sig AS MATERIALIZED (

@@ -206,3 +206,51 @@ def test_time_travel_snapshots(table, spark):
 
     table.compact()                      # truncates travel history
     assert _ids(table.read(as_of_epoch=e1)) == []  # re-stamped past e1
+
+
+def test_retention_sweep_tombstone_time_travel_end_to_end(spark, tmp_path):
+    """The full compliance loop (VERDICT r11/r12): retention_actions
+    classifies, apply_retention tombstones the sweep set, and the
+    epochs tell the story — swept docs vanish from the current view,
+    legal-hold docs survive even with expired retention, and a
+    pre-sweep snapshot still reads every swept doc until compact()
+    truncates history."""
+    from rag_database_spark.operators.lifecycle import apply_retention
+
+    t = TombstoneTable(spark, str(tmp_path / "docs"), key_col="doc_id")
+    rows = [
+        # (doc_id, retention_until, legal_hold)
+        (1, "2026-01-01", False),   # expired -> sweep
+        (2, "2026-01-01", True),    # expired but held -> hold
+        (3, "2027-01-01", False),   # inside window -> retain
+        (4, None, False),           # no policy -> retain
+        (5, "2025-06-30", False),   # expired -> sweep
+    ]
+    t.append(
+        spark.createDataFrame(
+            rows, "doc_id long, retention_until string, legal_hold boolean"
+        ).withColumn("retention_until", F.to_date("retention_until"))
+    )
+    pre_sweep_epoch = t._current_epoch()
+
+    swept = apply_retention(t, as_of="2026-08-15")
+    assert swept == 2
+
+    # current view: swept docs gone, hold + retain docs intact
+    now_ids = sorted(r["doc_id"] for r in t.read().collect())
+    assert now_ids == [2, 3, 4]
+
+    # idempotent: a second sweep sees no remaining sweep rows
+    assert apply_retention(t, as_of="2026-08-15") == 0
+
+    # time travel: the pre-sweep snapshot still reads the swept docs
+    before = sorted(
+        r["doc_id"] for r in t.read(as_of_epoch=pre_sweep_epoch).collect()
+    )
+    assert before == [1, 2, 3, 4, 5]
+
+    # compaction folds the tombstones away; the view is unchanged but
+    # the pre-sweep epoch is no longer reachable (snapshot expiry)
+    t.compact()
+    assert sorted(r["doc_id"] for r in t.read().collect()) == [2, 3, 4]
+    assert t.tombstone_count() == 0

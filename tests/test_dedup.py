@@ -497,3 +497,25 @@ def test_bloom_gate_duplicate_batch_rows_still_flag(spark):
     assert len(prow) == 2
     assert prow[100]["n_paras"] == 1 and prow[100]["n_dup_paras"] == 1
     assert prow[101]["n_paras"] == 2 and prow[101]["n_dup_paras"] == 0
+
+
+def test_adaptive_n_planes_contract():
+    """Occupancy-pinning geometry: floor at small n, log2 growth so
+    2^planes tracks n/target, and a hard clamp at LSH_MAX_PLANES so
+    an astronomically large corpus saturates instead of rp_blocks
+    raising while the oracle's np CTE silently truncates (ADVICE
+    r12)."""
+    from rag_database_spark.operators.dedup import (
+        LSH_MAX_PLANES, LSH_TARGET_OCCUPANCY, adaptive_n_planes,
+    )
+
+    t = LSH_TARGET_OCCUPANCY
+    assert adaptive_n_planes(0) == 8
+    assert adaptive_n_planes(t) == 8
+    # growth: 2^planes ≈ n / target once past the floor
+    assert adaptive_n_planes(t * 2**12) == 12
+    assert adaptive_n_planes(t * 2**12 - 1) == 12
+    assert adaptive_n_planes(t * 2**12 + 1) == 13
+    # clamp: never exceeds the canonical draw, engine == oracle
+    assert adaptive_n_planes(t * 2**40) == LSH_MAX_PLANES
+    assert adaptive_n_planes(2**62) == LSH_MAX_PLANES

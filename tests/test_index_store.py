@@ -122,14 +122,19 @@ def test_append_ivf_index_assigns_like_kmeans(spark, tmp_path):
     similarity.append_ivf_index(batch, path)
 
     centroids, lists = similarity.read_ivf_index(spark, path)
-    ctr = {r["centroid_id"]: np.array(r["cvec"]) for r in centroids.collect()}
+    cent_rows = centroids.collect()
+    # det-built indexes store centroids in the quantized frame — the
+    # numpy re-derivation must compare in the same frame
+    scale = cent_rows[0]["frame_scale"]
+    ctr = {r["centroid_id"]: np.array(r["cvec"]) for r in cent_rows}
     got = {
         r["id"]: r["centroid_id"]
         for r in lists.filter(lists.id >= 100).collect()
     }
     assert set(got) == {100 + i for i in range(10)}
     for vid, vec in batch_rows:
-        d2 = {cid: float(((np.array(vec) - c) ** 2).sum()) for cid, c in ctr.items()}
+        qx = np.round(np.array(vec) * scale)
+        d2 = {cid: float(((qx - c) ** 2).sum()) for cid, c in ctr.items()}
         assert got[vid] == min(sorted(d2), key=lambda c: (d2[c], c)), vid
     # the probe serves the appended vector: querying with its own
     # value must return it at rank 1

@@ -494,7 +494,13 @@ def test_model_lang_id_plumbing_with_fake_fasttext(spark, monkeypatch):
             assert all("\n" not in t for t in texts)
             labels, probs = [], []
             for t in texts:
-                if "bonjour" in t:
+                if not t.strip():
+                    # real fastText returns an EMPTY tuple for
+                    # token-less input — the fake must mirror it or
+                    # the blank/NULL guard is untestable (ADVICE r12)
+                    labels.append(())
+                    probs.append(())
+                elif "bonjour" in t:
                     labels.append(("__label__fr",))
                     probs.append((0.99,))
                 else:
@@ -506,7 +512,12 @@ def test_model_lang_id_plumbing_with_fake_fasttext(spark, monkeypatch):
     monkeypatch.setitem(sys.modules, "fasttext", fake)
 
     df = spark.createDataFrame(
-        [(1, "hello\nworld"), (2, "bonjour le monde")],
+        [
+            (1, "hello\nworld"),
+            (2, "bonjour le monde"),
+            (3, None),
+            (4, "   "),
+        ],
         "doc_id long, text string",
     )
     rows = {
@@ -519,6 +530,11 @@ def test_model_lang_id_plumbing_with_fake_fasttext(spark, monkeypatch):
     # but the raw confidence is still reported
     assert rows[1]["lang_pred"] == "unknown"
     assert rows[1]["confidence"] == pytest.approx(0.42)
+    # NULL and blank texts: fastText emits an empty label tuple —
+    # mapped to ('unknown', 0.0), never IndexError (ADVICE r12)
+    for blank_id in (3, 4):
+        assert rows[blank_id]["lang_pred"] == "unknown"
+        assert rows[blank_id]["confidence"] == 0.0
 
 
 def test_lang_id_auto_falls_back_to_heuristic(spark):

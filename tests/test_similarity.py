@@ -397,3 +397,62 @@ def test_knn_graph_lsh_recall_vs_exact(spark):
     # carries its exact cosine and excludes self
     for r in approx.collect():
         assert r["src"] != r["dst"]
+
+
+def test_ivf_k_for_contract():
+    """Adaptive IVF geometry: centroid count grows with the corpus so
+    the expected inverted-list length stays ~IVF_TARGET_LIST (a fixed
+    n_centroids leaves probe cost linear in corpus size)."""
+    from rag_database_spark.operators.similarity import (
+        IVF_MIN_CENTROIDS, IVF_TARGET_LIST, ivf_k_for,
+    )
+
+    assert ivf_k_for(0) == IVF_MIN_CENTROIDS
+    assert ivf_k_for(IVF_MIN_CENTROIDS * IVF_TARGET_LIST) == IVF_MIN_CENTROIDS
+    assert ivf_k_for(IVF_MIN_CENTROIDS * IVF_TARGET_LIST + 1) == (
+        IVF_MIN_CENTROIDS + 1
+    )
+    assert ivf_k_for(1_000_000) == -(-1_000_000 // IVF_TARGET_LIST)
+
+
+def test_ivf_det_quantized_probe_serves_exact_member(spark):
+    """Det-built index + quantized probe: querying with a corpus
+    vector's own value must surface that vector at rank 1 (its list is
+    always probed — distance 0 to its own centroid ranking first is
+    not guaranteed, but the true nearest centroid is by construction
+    the assigned one), and every returned score is the exact
+    brute-force cosine."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rag_database_spark.operators.similarity import (
+        cosine_topk, ivf_topk_indexed, read_ivf_index, write_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    path = str(spark.conf.get("spark.sql.warehouse.dir")).replace(
+        "file:", ""
+    ) + "/ivf_det_probe_test"
+    write_ivf_index(corpus, path, n_centroids=4)
+    centroids, lists = read_ivf_index(spark, path)
+    assert centroids.columns == ["centroid_id", "cvec", "frame_scale"]
+
+    queries = spark.createDataFrame(
+        [(qi, rows[qi][1]) for qi in range(5)],
+        "query_id long, qvec array<double>",
+    )
+    got = ivf_topk_indexed(
+        queries, centroids, lists, 5, n_probe=2, probe="quantized"
+    ).collect()
+    rank1 = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
+    assert rank1 == {qi: qi for qi in range(5)}
+    brute = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in cosine_topk(queries, corpus, 80).collect()
+    }
+    for r in got:
+        assert r["score"] == _pytest.approx(
+            brute[(r["query_id"], r["id"])], rel=1e-12
+        )
