@@ -2457,13 +2457,13 @@ def _dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROWS_ONLY_ENTRIES: tuple[str, ...] = (
     # ann_ivf_topk left this list in r13: the deterministic IVF build
     # (quantized-frame kmeans_fit) + quantized probe made the whole
-    # path SQL-replayable (oracles.ann_ivf_topk_sql)
+    # path SQL-replayable (oracles.ann_ivf_topk_sql). bpe_vocab /
+    # bpe_tokens left too: the merge loop unrolls after all
+    # (oracles._bpe_train_ctes) — the r11 "not SQL-expressible"
+    # assertion was really a DuckDB CTE-inlining blowup, fixed by
+    # MATERIALIZED rounds.
     "semantic_chunks",
     "route_and_chunk",
-    # iterative merge training: not SQL-expressible; pinned against a
-    # pure-Python BPE reference in tests/test_bpe.py
-    "bpe_vocab",
-    "bpe_tokens",
 )
 
 
@@ -2589,9 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _asof_attribution,
         "lm_perplexity": _lm_perplexity,
         "c4_rules": _c4_rules,
-        "doc_keywords": _doc_keywords,
         "decontam": _decontam,
-        "dup_spans": _dup_spans,
         "ingest_pairs": _ingest_pairs,
         "dense_filtered_topk": _dense_filtered_topk,
         "quantize_embeddings": _quantize_embeddings,
@@ -2638,14 +2636,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green r12 and replica-kept in the tail.
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        # r13: the BPE training chain unrolled after all
+        # (oracles._bpe_train_ctes — the r11 blocker was DuckDB CTE
+        # inlining, not expressibility), upgrading both entries from
+        # rows-only to hash; they re-enter the window for their first
+        # hash row (doc_keywords / dup_spans demoted — keyword family
+        # repped by search_terms' U4 analyses + redact_pii text ops,
+        # dup-span family by decontam / ingest_pairs / bloom gates;
+        # both driver-green r10-r12 and replica-kept)
+        "bpe_vocab": _bpe_vocab,
+        "bpe_tokens": _bpe_tokens,
         # --- entry 51+: outside the driver window ---
         # rows-only by design (no oracle possible): their weaker
         # rows-only driver row exists from r11; the local suite pins
-        # them (BPE vs pure-Python reference, IVF recall unit)
+        # them (semantic chunker: model-dependent by nature)
         "semantic_chunks": _semantic_chunks,
         "route_and_chunk": _route_and_chunk,
-        "bpe_vocab": _bpe_vocab,
-        "bpe_tokens": _bpe_tokens,
         # demoted in r12 (driver-green r11; family reps remain)
         "events_cube": _events_cube,
         "pack_rows": _pack_rows,
@@ -2711,9 +2717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _user_sessions,
         "conversions": _conversions,
         # demoted to the tail in r13 to fit the re-certifying ANN pair
-        # in-window; driver-green r12, local replica keeps them green
+        # and the upgraded BPE pair in-window; driver-green r12, local
+        # replica keeps them green
         "gopher_rules": _gopher_rules,
         "temperature_mix": _temperature_mix,
+        "doc_keywords": _doc_keywords,
+        "dup_spans": _dup_spans,
         # demoted to the tail in r11 to fit the three new r11 entries
         # in-window; driver-green r7-r9, local replica keeps them green
         "curate_corpus": _curate_corpus,
@@ -2791,6 +2800,12 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_bpe.py, and bpe_pair_stats oracles the shared
         # word/pair counting they build on.
         "bpe_pair_stats": oracles.bpe_pair_stats_sql(100),
+        "bpe_vocab": oracles.bpe_vocab_sql(
+            bpe_ops.DEFAULT_MERGES, bpe_ops.DEFAULT_MIN_COUNT
+        ),
+        "bpe_tokens": oracles.bpe_tokens_sql(
+            bpe_ops.DEFAULT_MERGES, bpe_ops.DEFAULT_MIN_COUNT
+        ),
         "token_budget_select": oracles.token_budget_select_sql(
             text_analytics.TOKEN_BUDGET_FRAC
         ),

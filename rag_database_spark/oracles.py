@@ -4241,6 +4241,143 @@ LIMIT {top_n}
 """
 
 
+def _bpe_train_ctes(num_merges: int, min_count: int) -> str:
+    """Unrolled twin of ``bpe.train_bpe`` — the iterative merge loop
+    the r11/r12 entries declared "not SQL-expressible", expressed as
+    ``num_merges`` rounds over a LONG-format symbol table
+    ``w{{t}}(word, cnt, pos, sym)`` (never re-nested into lists, so no
+    fold/accumulator is needed):
+
+    - ``pc{{t}}``: adjacent-pair counts via ``lead()`` per word — the
+      twin of ``bpe.pair_counts``.
+    - ``best{{t}}``: the 1-row argmax under the engine's exact
+      tie-break (count DESC, lhs, rhs) and ``min_count`` guard. An
+      EMPTY best (early stop) makes the round a provable no-op: the
+      scalar subqueries go NULL, no candidate matches, the table
+      passes through unchanged — and emptiness is monotone, exactly
+      the engine's ``break``.
+    - greedy left-to-right non-overlap: matches of one rule can only
+      be adjacent when lhs = rhs (a match at i and i+1 forces
+      s[i+1] = rhs = lhs), so ``sel{{t}}`` keeps the odd-ranked
+      candidates inside each gaps-and-islands run — exactly the
+      ``merge_pair`` fold's behavior (unit-proven against the pure-
+      Python reference in tests/test_bpe.py for same-symbol runs).
+    - ``w{{t+1}}``: selected rows become ``lhs||rhs``, the consumed
+      right neighbors drop, positions re-number densely.
+
+    Multiply-referenced CTEs are MATERIALIZED — DuckDB otherwise
+    inlines each reference and the 32-round chain explodes
+    exponentially (the measured blocker behind the r11 assertion: the
+    un-materialized form never finishes; materialized, 32 rounds run
+    in ~1 s at sf0.01)."""
+    tok = _TOKENIZE.format(text="text")
+    parts = [
+        f"""wc AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT w AS word FROM (SELECT {tok} AS w FROM documents)
+    WHERE length(w) > 0
+  ) GROUP BY word
+)""",
+        """w0 AS (
+  SELECT word, cnt, i AS pos, substr(word, i, 1) AS sym
+  FROM (SELECT word, cnt, unnest(range(1, length(word)+1)) AS i FROM wc)
+  UNION ALL
+  SELECT word, cnt, length(word)+1 AS pos, '</w>' FROM wc
+)""",
+    ]
+    for t in range(num_merges):
+        parts.append(f"""pc{t} AS (
+  SELECT sym AS lhs, nxt AS rhs, sum(cnt)::BIGINT AS pair_count
+  FROM (SELECT cnt, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM w{t})
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+best{t} AS MATERIALIZED (
+  SELECT lhs, rhs, pair_count FROM pc{t}
+  WHERE pair_count >= {min_count}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+x{t} AS MATERIALIZED (
+  SELECT word, cnt, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM w{t}
+),
+cnd{t} AS (
+  SELECT word, pos FROM x{t}
+  WHERE sym = (SELECT lhs FROM best{t}) AND nxt = (SELECT rhs FROM best{t})
+),
+sel{t} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS k
+    FROM (SELECT word, pos,
+                 pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM cnd{t})
+  ) WHERE k % 2 = 1
+),
+w{t + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         row_number() OVER (PARTITION BY word ORDER BY opos) AS pos, sym
+  FROM (
+    SELECT x.word, x.cnt, x.pos AS opos,
+           CASE WHEN s.pos IS NOT NULL
+                THEN x.sym || (SELECT rhs FROM best{t}) ELSE x.sym END AS sym
+    FROM x{t} x
+    LEFT JOIN sel{t} s ON s.word = x.word AND s.pos = x.pos
+    LEFT JOIN sel{t} p ON p.word = x.word AND p.pos = x.pos - 1
+    WHERE p.pos IS NULL
+  )
+)""")
+    return ",\n".join(parts)
+
+
+def bpe_vocab_sql(num_merges: int, min_count: int) -> str:
+    """Twin of the ``bpe_vocab`` entry: the ordered merge list
+    (rank, lhs, rhs, merged, pair_count) from the unrolled training
+    chain — each round's 1-row ``best`` CTE IS that round's merge;
+    early-stopped rounds contribute no row, so ranks stay the dense
+    0..m-1 prefix the engine's loop-break produces."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS rank, lhs, rhs, lhs||rhs AS merged, pair_count "
+        f"FROM best{t}"
+        for t in range(num_merges)
+    )
+    return f"""
+WITH {_bpe_train_ctes(num_merges, min_count)}
+SELECT * FROM ({union}) ORDER BY rank
+"""
+
+
+def bpe_tokens_sql(num_merges: int, min_count: int) -> str:
+    """Twin of the ``bpe_tokens`` entry (``bpe.encode_docs`` against
+    the trained table): per-word final token count = rows per word in
+    the settled ``w{{num_merges}}`` long table, joined to the per-doc
+    word rollup over the same tokenizer; byte-fallback coalesce
+    (length+1) mirrored even though a same-corpus join always hits."""
+    tok = _TOKENIZE.format(text="text")
+    return f"""
+WITH {_bpe_train_ctes(num_merges, min_count)},
+n_tok AS (
+  SELECT word, count(*)::BIGINT AS n_tok
+  FROM w{num_merges} GROUP BY word
+),
+per_word AS (
+  SELECT doc_id, word, count(*)::BIGINT AS n FROM (
+    SELECT doc_id, {tok} AS word FROM documents
+  ) WHERE length(word) > 0
+  GROUP BY doc_id, word
+)
+SELECT p.doc_id,
+       sum(p.n)::BIGINT AS n_words,
+       sum(p.n * coalesce(t.n_tok, length(p.word) + 1))::BIGINT
+         AS n_bpe_tokens,
+       round(sum(p.n * coalesce(t.n_tok, length(p.word) + 1))
+             / sum(p.n), 6) AS avg_tokens_per_word
+FROM per_word p LEFT JOIN n_tok t USING (word)
+GROUP BY p.doc_id
+"""
+
+
 def token_budget_select_sql(frac: float) -> str:
     """Twin of ``text_analytics.token_budget_select``: same 6dp-rounded
     quality score (``doc_quality_sql``), same whitespace token count as
