@@ -96,16 +96,11 @@ def test_driver_window_composition_is_pinned():
     oracled = set(entrymod.oracle_sql())
     rows_only = set(entrymod.ROWS_ONLY_ENTRIES)
 
-    # r10 exception (VERDICT r7-r9 item 1): these rows-only entries
-    # had never had ANY driver row, so they occupy window slots this
-    # round to collect their first (weaker, rows-only) certification.
-    # Rotate them back to the tail once CORRECTNESS_r10 records them.
-    certifying_rows_only = {
-        "ann_ivf_topk", "semantic_chunks", "route_and_chunk",
-        # new in r10 — BPE tokenizer model + per-doc encoding
-        # (tests/test_bpe.py pins both against a python reference)
-        "bpe_vocab", "bpe_tokens",
-    }
+    # No certifying-rows-only exception remains: r12 rotated the
+    # rows-only tail out of the window after CORRECTNESS_r11 recorded
+    # them, and r13 upgraded ann_ivf_topk / bpe_vocab / bpe_tokens to
+    # full hash oracles — every window slot must now be oracle-backed.
+    certifying_rows_only: set[str] = set()
 
     not_oracled = [
         k for k in head

@@ -80,15 +80,11 @@ AUDIT_NOTES = {
     "the correctness baseline the approximate graph is pinned "
     "against; the scale path is knn_graph_lsh (bucket self-join, "
     "measured exponent 0.74 on the same probe)",
-    "semdedup": "the FIXTURE pins k=KMEANS_K so the static oracle's "
-    "unrolled CTEs replay exactly (ADVICE r11 #1 — adaptive k "
-    "silently broke hash equality past 512 rows), which makes "
-    "cluster size grow with the corpus and the within-cluster pair "
-    "join Σ|cluster|² ~quadratic on the probe; the OPERATOR'S scale "
-    "contract is adaptive k (clustering.kmeans_k_for, cluster size "
-    "pinned at ~64 → pairs linear — the r11 adaptive-k probe "
-    "measured ~0.3 on this shape); production callers pass "
-    "k=kmeans_k_for(n)",
+    # semdedup's r12 note (fixture-pinned k → Σ|cluster|² quadratic)
+    # is GONE as of r13: the entry derives k from count() on both
+    # engine and oracle sides (the knn_graph_lsh plane trick), so the
+    # probe now measures the adaptive-k contract — any superlinear
+    # exponent here is a real alarm again.
 }
 
 
