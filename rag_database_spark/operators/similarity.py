@@ -459,19 +459,29 @@ def maxsim_scores_pruned(
     )
 
 
-# IVF geometry: centroid count grows with the corpus so the expected
-# inverted-list length stays ~IVF_TARGET_LIST — a FIXED n_centroids
-# means a probe reads n/k rows at any scale (linear in corpus size),
-# the same shape defect adaptive_n_planes fixes for LSH buckets.
+# IVF geometry: centroid count grows with the corpus — a FIXED
+# n_centroids means a probe reads n/k rows at any scale (linear in
+# corpus size), the same shape defect adaptive_n_planes fixes for LSH
+# buckets. Two growth regimes: ceil(n/IVF_TARGET_LIST) until lists
+# reach ~target length, then ceil(sqrt(n)) — the classic balanced IVF
+# sizing where BOTH the centroid scan per query and the probed list
+# length grow as sqrt(n), instead of the centroid table itself going
+# linear (4M centroids at 1e9 rows under a pure n/target rule).
 IVF_MIN_CENTROIDS = 16
 IVF_TARGET_LIST = 256
 
 
 def ivf_k_for(n: int, target: int = IVF_TARGET_LIST) -> int:
-    """Centroid count so the expected list length stays ~``target``
-    as the corpus grows (exact integer ceiling division, mirrored by
-    the oracle's kk CTE)."""
-    return max(IVF_MIN_CENTROIDS, -(-n // target))
+    """max(min, min(ceil(n/target), ceil(sqrt(n)))) — exact integer
+    arithmetic (isqrt, no float), mirrored by the oracle's kk CTE
+    (whose float sqrt is correctly rounded and therefore agrees with
+    isqrt at every n below 2^52)."""
+    import math
+
+    if n <= 0:
+        return IVF_MIN_CENTROIDS
+    s = math.isqrt(n - 1) + 1  # ceil(sqrt(n)) without float
+    return max(IVF_MIN_CENTROIDS, min(-(-n // target), s))
 
 
 def _ivf_fit(

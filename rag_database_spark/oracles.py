@@ -4485,7 +4485,8 @@ LEFT JOIN rolled_b rb USING (doc_id)
 
 def _kmeans_ctes(iters: int, dim: int, scale: int,
                  k_min: int | None = None,
-                 k_target: int | None = None) -> str:
+                 k_target: int | None = None,
+                 k_sql: str | None = None) -> str:
     """Unrolled Lloyd's twin of ``clustering.kmeans_fit``: quantized
     integer inputs make every centroid mean an exact-integer-sum /
     count (bit-identical across engines with no rounding), and the
@@ -4496,12 +4497,13 @@ def _kmeans_ctes(iters: int, dim: int, scale: int,
 
     k is COUNT-DERIVED in SQL — ``kk`` replays
     ``clustering.kmeans_k_for`` with exact integer ceiling division
-    (``greatest(k_min, (n + k_target - 1) // k_target)``) so the
-    oracle tracks the engine's adaptive-k contract at ANY sf without a
-    per-sf literal (the same trick ``knn_graph_lsh_sql``'s ``np`` CTE
-    uses for the plane count). Every other CTE is k-free: the
-    assignment cross-join and the centroid-mean update are sized by
-    whatever ``c0`` emits."""
+    (``greatest(k_min, (n + k_target - 1) // k_target)``), or an
+    explicit ``k_sql`` aggregate expression over ``xq`` (the IVF
+    sizing rule passes its own), so the oracle tracks the engine's
+    adaptive-k contract at ANY sf without a per-sf literal (the same
+    trick ``knn_graph_lsh_sql``'s ``np`` CTE uses for the plane
+    count). Every other CTE is k-free: the assignment cross-join and
+    the centroid-mean update are sized by whatever ``c0`` emits."""
     from rag_database_spark.operators.clustering import (
         KMEANS_K, KMEANS_TARGET_CLUSTER,
     )
@@ -4532,9 +4534,11 @@ def _kmeans_ctes(iters: int, dim: int, scale: int,
   FROM embeddings
 )""",
         f"""kk AS (
-  -- clustering.kmeans_k_for: max(k_min, ceil(n / k_target)) in exact
-  -- integer arithmetic (no float ceil)
-  SELECT greatest({k_min}, (count(*) + {k_target - 1}) // {k_target}) AS k
+  -- count-derived k: kmeans_k_for / ivf_k_for twin in exact
+  -- integer arithmetic
+  SELECT {k_sql or
+          f'greatest({k_min}, (count(*) + {k_target - 1}) // {k_target})'}
+         AS k
   FROM xq
 )""",
         f"""c0 AS (
@@ -4648,9 +4652,16 @@ def ann_ivf_topk_sql(
         f"(qv.qx[{i}]-c.c[{i}])*(qv.qx[{i}]-c.c[{i}])"
         for i in range(1, dim + 1)
     )
+    # kk twin of similarity.ivf_k_for: greatest(min, least(ceil(n /
+    # target), ceil(sqrt(n)))) — the float sqrt is correctly rounded,
+    # so its ceil agrees with the engine's isqrt at every n < 2^52
+    k_sql = (
+        f"greatest({IVF_MIN_CENTROIDS}, least("
+        f"(count(*) + {IVF_TARGET_LIST - 1}) // {IVF_TARGET_LIST}, "
+        f"CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)))"
+    )
     return f"""
-WITH {_kmeans_ctes(iters, dim, scale,
-                   k_min=IVF_MIN_CENTROIDS, k_target=IVF_TARGET_LIST)},
+WITH {_kmeans_ctes(iters, dim, scale, k_sql=k_sql)},
 qv AS (
   SELECT q.query_id, e.embedding::DOUBLE[] AS qvec,
          list_transform(e.embedding::DOUBLE[], v -> round(v*{scale})) AS qx

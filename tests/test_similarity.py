@@ -400,9 +400,14 @@ def test_knn_graph_lsh_recall_vs_exact(spark):
 
 
 def test_ivf_k_for_contract():
-    """Adaptive IVF geometry: centroid count grows with the corpus so
-    the expected inverted-list length stays ~IVF_TARGET_LIST (a fixed
-    n_centroids leaves probe cost linear in corpus size)."""
+    """Adaptive IVF geometry, two regimes: ceil(n/target) while lists
+    fill toward IVF_TARGET_LIST, then ceil(sqrt(n)) — balanced IVF
+    where per-query centroid scan AND probed-list length both grow as
+    sqrt(n) instead of the centroid table going linear (a fixed
+    n_centroids leaves probe cost linear in corpus size; a pure
+    n/target rule puts 4M centroids on the driver at 1e9 rows)."""
+    import math
+
     from rag_database_spark.operators.similarity import (
         IVF_MIN_CENTROIDS, IVF_TARGET_LIST, ivf_k_for,
     )
@@ -412,7 +417,12 @@ def test_ivf_k_for_contract():
     assert ivf_k_for(IVF_MIN_CENTROIDS * IVF_TARGET_LIST + 1) == (
         IVF_MIN_CENTROIDS + 1
     )
-    assert ivf_k_for(1_000_000) == -(-1_000_000 // IVF_TARGET_LIST)
+    # crossover: n/target == sqrt(n) at n = target² (65536)
+    assert ivf_k_for(IVF_TARGET_LIST**2) == IVF_TARGET_LIST
+    # sqrt regime: balanced k, exact integer ceil-sqrt
+    assert ivf_k_for(1_000_000) == 1000
+    assert ivf_k_for(1_000_001) == 1001
+    assert ivf_k_for(10**9) == math.isqrt(10**9 - 1) + 1
 
 
 def test_ivf_det_quantized_probe_serves_exact_member(spark):
