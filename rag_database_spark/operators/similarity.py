@@ -572,8 +572,22 @@ def write_ivf_index(
     corpus (``ivf_k_for``) so list length — and with it probe cost —
     stays ~IVF_TARGET_LIST as the corpus grows, the same adaptive
     contract as ``dedup.adaptive_n_planes``."""
+    n = corpus.count()
     if n_centroids is None:
-        n_centroids = ivf_k_for(corpus.count())
+        n_centroids = ivf_k_for(n)
+    if n == 0:
+        # bootstrap-empty corpus: a zero-row partitionBy write emits
+        # no files and the read-back loses the schema entirely —
+        # write schema-carrying empty tables instead (the det fit
+        # would also return no centroids to partition on)
+        spark = corpus.sparkSession
+        spark.createDataFrame(
+            [], "centroid_id int, cvec array<double>, frame_scale int"
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [], "centroid_id int, id long, vec array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/lists")
+        return
     centroids, lists = _ivf_fit(
         corpus, n_centroids, seed, id_col, vec_col, method
     )

@@ -173,3 +173,61 @@ def test_r12_operators_tolerate_empty_corpus(spark):
     fw2 = dedup.bloom_filter_build(batch)
     assert dedup.bloom_gate(empty_docs, fw2).count() == 0
     assert dedup.bloom_gate_paragraphs(empty_docs, fw2).count() == 0
+
+
+def test_r13_ivf_and_retention_tolerate_degenerate_input(spark, tmp_path):
+    """r13 additions: det-IVF quantized probe with empty queries /
+    empty corpus, apply_retention over an all-retain table."""
+    import numpy as np
+
+    from rag_database_spark.operators import similarity
+    from rag_database_spark.operators.lifecycle import apply_retention
+    from rag_database_spark.sources.acid import TombstoneTable
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, rng.normal(size=4).tolist()) for i in range(20)],
+        "id long, vec array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(corpus, path, n_centroids=2)
+    centroids, lists = similarity.read_ivf_index(spark, path)
+
+    empty_q = spark.createDataFrame([], "query_id long, qvec array<double>")
+    out = similarity.ivf_topk_indexed(
+        empty_q, centroids, lists, 3, probe="quantized"
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "id", "score", "rank"]
+
+    # empty centroid table (bootstrap index): probe returns nothing
+    q = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0])], "query_id long, qvec array<double>"
+    )
+    empty_cent = spark.createDataFrame(
+        [], "centroid_id int, cvec array<double>, frame_scale int"
+    )
+    assert similarity.ivf_topk_indexed(
+        q, empty_cent, lists, 3, probe="quantized"
+    ).count() == 0
+
+    # ivf_k_for(0) stays at the floor; write over an empty corpus is
+    # a no-op-sized but valid index (0 lists, floor centroids request
+    # collapses to however many distinct init vectors exist: none)
+    empty_c = spark.createDataFrame([], "id long, vec array<double>")
+    path2 = str(tmp_path / "ivf_empty")
+    similarity.write_ivf_index(empty_c, path2)
+    cent2, lists2 = similarity.read_ivf_index(spark, path2)
+    assert cent2.count() == 0 and lists2.count() == 0
+
+    # retention over a table with nothing to sweep: zero, view intact
+    t = TombstoneTable(spark, str(tmp_path / "docs"), key_col="doc_id")
+    t.append(
+        spark.createDataFrame(
+            [(1, None, False)],
+            "doc_id long, retention_until string, legal_hold boolean",
+        ).withColumn("retention_until", F.to_date("retention_until"))
+    )
+    assert apply_retention(t, as_of="2026-08-15") == 0
+    assert t.read().count() == 1
