@@ -196,7 +196,16 @@ GEMM_MAX_CELLS = 50_000_000
 # all-pairs COMPUTE is inherently quadratic even when output and
 # memory are linear. Above this budget auto routes to LSH, whose
 # candidate join scales with true-pair density instead of N².
-GEMM_MAX_COMPARE = 5_000_000_000
+#
+# MEASURED, not guessed (r13, tools/gemm_crossover.py →
+# SCALING.json "gemm_crossover"): on this box (local[32]) the exact
+# GEMM's wall-clock stays below the LSH path's up to the largest
+# probed prefix (20k rows: 4.3 s vs 7.6 s) and the quadratic/linear
+# extrapolation crosses near n≈35k ≈ 7.8e10 flops. 2e10 sits ~4×
+# under that lower-bound crossover — margin for busier executors and
+# narrower parallelism than the probe box — and leaves the
+# test-decade dispatch unchanged (2k rows → GEMM, 20k probe → LSH).
+GEMM_MAX_COMPARE = 20_000_000_000
 
 
 def embedding_near_dupes(

@@ -4696,6 +4696,119 @@ QUALIFY rank <= {limit}
 """
 
 
+def pq_topk_sql(
+    limit: int,
+    dim: int = 64,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+    scale: int | None = None,
+) -> str:
+    """Exact twin of the PQ path (``pq.pq_fit`` +
+    ``pq_topk_indexed``): per subspace, the same unrolled quantized-
+    frame Lloyd's chain as ``_kmeans_ctes`` — instantiated over the
+    slice ``(embedding::DOUBLE[])[start:end]`` with suffixed CTE names
+    — rebuilds codebook and codes bit-for-bit (K is a static FORMAT
+    constant here: the code width is the compression contract, so no
+    kk CTE); the ADC score joins each subspace's final assignment and
+    settled centroid per corpus id and sums the M fold-twin distance
+    chains in the engine's fixed left-to-right subspace order (never a
+    GROUP BY SUM, whose re-association would split engines); rank =
+    (adc ASC, id). Inner chain CTEs are MATERIALIZED — the BPE lesson:
+    multiply-referenced round CTEs inline exponentially otherwise."""
+    from rag_database_spark.operators.clustering import (
+        KMEANS_ITERS, KMEANS_SCALE,
+    )
+    from rag_database_spark.operators.pq import PQ_K, PQ_M, _sub_slices
+
+    if m is None:
+        m = PQ_M
+    if k is None:
+        k = PQ_K
+    if iters is None:
+        iters = KMEANS_ITERS
+    if scale is None:
+        scale = KMEANS_SCALE
+    slices = _sub_slices(dim, m)
+    sub = dim // m
+    parts: list[str] = []
+    for j, (start, _) in enumerate(slices):
+        s = f"_s{j}"
+        dist = " + ".join(
+            f"(q.x[{i}]-c.c[{i}])*(q.x[{i}]-c.c[{i}])"
+            for i in range(1, sub + 1)
+        )
+        mean = ", ".join(f"sum(x[{i}])/count(*)" for i in range(1, sub + 1))
+
+        def assign(name: str, cent: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, x, cid FROM (
+    SELECT vec_id, x, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (SELECT q.vec_id, q.x, c.cid, {dist} AS d
+          FROM xq{s} q, {cent} c)
+  ) WHERE rn = 1
+)"""
+
+        parts.append(f"""xq{s} AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform((embedding::DOUBLE[])[{start}:{start + sub - 1}],
+                        v -> round(v*{scale})) AS x
+  FROM embeddings
+)""")
+        parts.append(f"""c0{s} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c
+  FROM (SELECT vec_id, x FROM xq{s} ORDER BY vec_id LIMIT {k})
+)""")
+        for t in range(1, iters + 1):
+            parts.append(assign(f"a{t}{s}", f"c{t - 1}{s}"))
+            parts.append(f"""c{t}{s} AS MATERIALIZED (
+  SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.c ELSE u.c END AS c
+  FROM c{t - 1}{s} p LEFT JOIN (
+    SELECT cid, [{mean}] AS c FROM a{t}{s} GROUP BY cid
+  ) u ON u.cid = p.cid
+)""")
+        parts.append(assign(f"af{s}", f"c{iters}{s}"))
+    adc_terms = []
+    joins = []
+    for j, (start, _) in enumerate(slices):
+        s = f"_s{j}"
+        if j > 0:
+            joins.append(f"JOIN af{s} a{j} ON a{j}.vec_id = a0.vec_id")
+        joins.append(f"JOIN c{iters}{s} cb{j} ON cb{j}.cid = a{j}.cid")
+        adc_terms.append(
+            "("
+            + " + ".join(
+                f"(q.qx[{start + i}]-cb{j}.c[{i + 1}])"
+                f"*(q.qx[{start + i}]-cb{j}.c[{i + 1}])"
+                for i in range(sub)
+            )
+            + ")"
+        )
+    join_sql = "\n  ".join(joins)
+    adc_sql = " + ".join(adc_terms)
+    return f"""
+WITH {",".join(parts)},
+qv AS (
+  SELECT q.query_id,
+         list_transform(e.embedding::DOUBLE[], v -> round(v*{scale})) AS qx
+  FROM {queries_values_sql()}
+  JOIN embeddings e ON e.vec_id = q.query_vec_id
+),
+scored AS (
+  SELECT q.query_id, a0.vec_id AS id, {adc_sql} AS adc
+  FROM af_s0 a0
+  {join_sql}
+  CROSS JOIN qv q
+)
+SELECT query_id, id, round(adc, 6) AS adc_dist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc, id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {limit}
+"""
+
+
 def perceptron_select_sql(rounds: int) -> str:
     """Unrolled twin of ``classifier.perceptron_train`` +
     ``perceptron_score``: the batch-perceptron update is pure int64

@@ -1,0 +1,140 @@
+"""Product quantization: codes == per-slice deterministic k-means,
+ADC == numpy replication, recall vs brute force, degenerate inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rag_database_spark.operators import pq
+from rag_database_spark.operators.clustering import (
+    KMEANS_SCALE, kmeans_fit,
+)
+
+
+def _corpus(spark, n=60, dim=16, seed=5, normalize=False):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        v = rng.normal(size=dim)
+        if normalize:
+            v = v / np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+    return rows, spark.createDataFrame(rows, "id long, vec array<double>")
+
+
+def test_pq_codes_are_per_slice_kmeans_assignments(spark):
+    """pq_fit's code columns must equal an independent kmeans_fit over
+    each slice — the PQ build is exactly M deterministic sub-fits."""
+    rows, corpus = _corpus(spark, n=40, dim=16)
+    codebooks, codes = pq.pq_fit(corpus, dim=16, m=4, k=4)
+    got = {r["id"]: [r[f"code{j}"] for j in range(4)] for r in codes.collect()}
+    for j in range(4):
+        sub = corpus.select(
+            F.col("id").alias("vec_id"),
+            F.slice("vec", j * 4 + 1, 4).alias("subvec"),
+        )
+        assign, cents = kmeans_fit(
+            sub, k=4, id_col="vec_id", vec_col="subvec", impl="expr"
+        )
+        exp = {r["id"]: r["cluster_id"] for r in assign.collect()}
+        for vid, cs in got.items():
+            assert cs[j] == exp[vid], (j, vid)
+        cb = {
+            r["cid"]: r["cvec"]
+            for r in codebooks.filter(F.col("m") == j).collect()
+        }
+        assert cb == {i: c for i, c in enumerate(cents)}
+
+
+def test_pq_adc_matches_numpy(spark):
+    """ADC distance replays in numpy: quantized query slice vs the
+    coded centroid, summed over subspaces."""
+    rows, corpus = _corpus(spark, n=30, dim=16)
+    codebooks, codes = pq.pq_fit(corpus, dim=16, m=4, k=4)
+    cb = {
+        (r["m"], r["cid"]): np.array(r["cvec"])
+        for r in codebooks.collect()
+    }
+    code_map = {
+        r["id"]: [r[f"code{j}"] for j in range(4)] for r in codes.collect()
+    }
+    queries = spark.createDataFrame(
+        [(0, rows[3][1]), (1, rows[17][1])],
+        "query_id long, qvec array<double>",
+    )
+    out = pq.pq_topk_indexed(queries, codebooks, codes, 30, dim=16, m=4)
+    got = {
+        (r["query_id"], r["id"]): r["adc_dist"] for r in out.collect()
+    }
+    for qid, qvec in ((0, rows[3][1]), (1, rows[17][1])):
+        qx = np.round(np.array(qvec) * KMEANS_SCALE)
+        for vid, cs in code_map.items():
+            exp = sum(
+                float(((qx[j * 4:(j + 1) * 4] - cb[(j, cs[j])]) ** 2).sum())
+                for j in range(4)
+            )
+            assert got[(qid, vid)] == pytest.approx(round(exp, 6), abs=5e-6)
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """On a clustered unit-norm corpus (L2 order == cosine order) the
+    4-bit ADC scan serves as a SHORTLIST: the standard PQ deployment
+    over-fetches then rescores exactly, so the contract is shortlist
+    recall — a 3x ADC shortlist must hold nearly all of the true
+    top-10 (a numpy replication measures 0.925 here; direct recall@10
+    is ~0.5 at this code width, which is what 4-bit codes buy)."""
+    from rag_database_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(9)
+    centers = [rng.normal(size=16) for _ in range(4)]
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.normal(scale=0.25, size=16)
+        v = v / np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    queries = spark.createDataFrame(
+        [(qi, rows[qi][1]) for qi in range(4)],
+        "query_id long, qvec array<double>",
+    )
+    exact = cosine_topk(queries, corpus, 10).collect()
+    # production code width: 4-bit codebooks (PQ_K=16) per subspace
+    shortlist = pq.pq_topk(queries, corpus, 30, dim=16, m=4,
+                           n_codes=16).collect()
+    key = lambda rs: {(r["query_id"], r["id"]) for r in rs}
+    recall = len(key(exact) & key(shortlist)) / len(key(exact))
+    assert recall >= 0.8, recall
+    # deterministic and partition-invariant
+    again = sorted(
+        (r["query_id"], r["id"], r["rank"])
+        for r in pq.pq_topk(
+            queries.repartition(5), corpus.repartition(11), 30, dim=16,
+            m=4, n_codes=16,
+        ).collect()
+    )
+    assert again == sorted(
+        (r["query_id"], r["id"], r["rank"]) for r in shortlist
+    )
+
+
+def test_pq_rejects_indivisible_dim():
+    with pytest.raises(ValueError, match="not divisible"):
+        pq._sub_slices(10, 4)
+
+
+def test_pq_empty_inputs(spark):
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    codebooks, codes = pq.pq_fit(empty, dim=8, m=2, k=2)
+    assert codebooks.count() == 0 and codes.count() == 0
+    q = spark.createDataFrame(
+        [(1, [0.0] * 8)], "query_id long, qvec array<double>"
+    )
+    assert pq.pq_topk_indexed(q, codebooks, codes, 3, dim=8, m=2).count() == 0
+    _, corpus = _corpus(spark, n=10, dim=8)
+    cb2, codes2 = pq.pq_fit(corpus, dim=8, m=2, k=2)
+    empty_q = spark.createDataFrame([], "query_id long, qvec array<double>")
+    out = pq.pq_topk_indexed(empty_q, cb2, codes2, 3, dim=8, m=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "id", "adc_dist", "rank"]

@@ -93,6 +93,17 @@ def main() -> dict:
         print(f"n={n}: gemm={t_gemm}s lsh={t_lsh}s ({flops:.1e} flops)")
 
     budget = similarity.GEMM_MAX_COMPARE
+    # no in-range crossover: extrapolate with the asymptotic shapes —
+    # GEMM wall-clock ~ a·n² through the largest point, LSH ~ b·n
+    # through the largest point (its fixed Spark overhead makes this
+    # an overestimate of the slope, i.e. the extrapolated crossover
+    # is a LOWER bound on the true one)
+    extrapolated = None
+    if crossover_n is None and points:
+        last = points[-1]
+        a = last["t_gemm_s"] / (last["n"] ** 2)
+        b = last["t_lsh_s"] / last["n"]
+        extrapolated = int(b / a)
     blob_entry = {
         "probe": "distinct-doc corpus prefixes, dim=64, threshold "
         f"{THRESHOLD}; exact broadcast-GEMM vs adaptive-plane LSH on "
@@ -101,6 +112,10 @@ def main() -> dict:
         "crossover_n": crossover_n,
         "crossover_n2d_flops": (
             crossover_n * crossover_n * DIM if crossover_n else None
+        ),
+        "crossover_n_extrapolated": extrapolated,
+        "crossover_flops_extrapolated": (
+            extrapolated * extrapolated * DIM if extrapolated else None
         ),
         "budget_GEMM_MAX_COMPARE": budget,
     }
