@@ -63,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _INDEX_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 _IVF_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 _PQ_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_IVFPQ_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 # Prepared-query plans: the search entries are parameterized templates
 # over a fixed workload, and for the composite ones (three-leg hybrid,
@@ -194,7 +195,10 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     a pre-r13 MLlib artifact nor a stale smaller-k one can serve."""
     n = load_table(spark, sf_dir, "embeddings").count()
     k = similarity.ivf_k_for(n)
-    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-det-ka{k}"
+    fp = (
+        f"{_source_fingerprint(sf_dir, table='embeddings')}-det-ka{k}"
+        f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
+    )
     if fp in _IVF_CACHE:
         return _IVF_CACHE[fp]
     cache_dir = Path(__file__).resolve().parent / ".cache" / "ivf_index" / fp
@@ -243,6 +247,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     fp = (
         f"{_source_fingerprint(sf_dir, table='embeddings')}"
         f"-m{pq_ops.PQ_M}-k{pq_ops.PQ_K}"
+        f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
     )
     if fp in _PQ_CACHE:
         return _PQ_CACHE[fp]
@@ -275,6 +280,55 @@ def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, codes = _pq_index(spark, sf_dir)
     return pq_ops.pq_topk_indexed(
         qvecs, codebooks, codes, workload.HYBRID_LIMIT, dim=EMBEDDING_DIM
+    )
+
+
+def _ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Persisted IVF-PQ artifact (coarse centroids + sub-codebooks +
+    coded lists partitioned by coarse list) — the composed
+    billion-scale layout (pq.write_ivfpq_index); every constant the
+    artifact bakes in versions the cache key."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    kc = similarity.ivf_k_for(n)
+    fp = (
+        f"{_source_fingerprint(sf_dir, table='embeddings')}"
+        f"-kc{kc}-m{pq_ops.PQ_M}-k{pq_ops.PQ_K}"
+        f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
+    )
+    if fp in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[fp]
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "ivfpq" / fp
+    if not (cache_dir / "lists" / "_SUCCESS").exists():
+        pq_ops.write_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"),
+            str(cache_dir),
+            dim=EMBEDDING_DIM,
+            n_centroids=kc,
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+    triple = pq_ops.read_ivfpq_index(spark, str(cache_dir))
+    _IVFPQ_CACHE[fp] = triple
+    return triple
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-k — the composed serving layout (Faiss IVFADC
+    minus residual encoding): exact quantized probe of the coarse
+    centroids, partition-pruned scan of ONLY the probed coded lists,
+    fixed-order ADC, rank (adc ASC, id). Oracle composes the two
+    proven chains (oracles.ivfpq_topk_sql) — hash-certified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    qvecs = queries.join(
+        emb, queries["query_vec_id"] == emb["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    centroids, codebooks, lists = _ivfpq_index(spark, sf_dir)
+    return pq_ops.ivfpq_topk(
+        qvecs, centroids, codebooks, lists, workload.HYBRID_LIMIT,
+        dim=EMBEDDING_DIM,
     )
 
 
@@ -457,9 +511,13 @@ _JACCARD_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every constant the artifact bakes in rides the cache key —
+    # changing SHINGLE_K must rebuild, not serve stale shingles
+    # (the ADVICE r12 staleness class, swept repo-wide in r13)
     cache_dir = (
         Path(__file__).resolve().parent
-        / ".cache" / "shingle_index" / _source_fingerprint(sf_dir)
+        / ".cache" / "shingle_index"
+        / f"{_source_fingerprint(sf_dir)}-s{dedup.SHINGLE_K}"
     )
     if not (cache_dir / "_SUCCESS").exists():
         dedup.write_shingle_index(
@@ -475,7 +533,10 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dedup/graph consumer from disk instead of re-running the
     inverted-index self-join. The in-memory memo on top keeps the
     read-back frame persisted across the session's many consumers."""
-    fp = _source_fingerprint(sf_dir)
+    fp = (
+        f"{_source_fingerprint(sf_dir)}"
+        f"-s{dedup.SHINGLE_K}-j{JACCARD_THRESHOLD}"
+    )
     hit = _JACCARD_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
         return hit[1]
@@ -510,7 +571,11 @@ _LABEL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = _source_fingerprint(sf_dir)
+    # labels derive from the pair set → same constant suffix
+    fp = (
+        f"{_source_fingerprint(sf_dir)}"
+        f"-s{dedup.SHINGLE_K}-j{JACCARD_THRESHOLD}"
+    )
     hit = _LABEL_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
         return hit[1]
@@ -882,7 +947,8 @@ def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = (
         Path(__file__).resolve().parent
-        / ".cache" / "tt_table" / _source_fingerprint(sf_dir)
+        / ".cache" / "tt_table"
+        / f"{_source_fingerprint(sf_dir)}-d{TIME_TRAVEL_DELETE_MOD}"
     )
     tbl = acid.TombstoneTable(spark, str(root), key_col="doc_id")
     if tbl._current_epoch() < 2:  # epoch 1 = append, epoch 2 = delete
@@ -943,7 +1009,9 @@ def _lm_artifact(spark: SparkSession, sf_dir: str, subdir: str,
     the read-back model instead of re-aggregating the corpus. One
     cache-probe / _SUCCESS-check / train-write / read-back sequence
     serves both the whole-corpus and in-domain models."""
-    fp = _source_fingerprint(sf_dir)
+    # LM_ALPHA is baked into the persisted log-probs → it versions
+    # the key (ADVICE r12 staleness class)
+    fp = f"{_source_fingerprint(sf_dir)}-a{text_analytics.LM_ALPHA}"
     key = f"{subdir}:{fp}"
     hit = _LM_MODEL_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -987,7 +1055,10 @@ def _bpe_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     fingerprint and persisted (same discipline as the BM25 / IVF / LM
     artifacts — the merge loop never runs at query time; encoding is a
     keyed join against the read-back table)."""
-    fp = _source_fingerprint(sf_dir)
+    fp = (
+        f"{_source_fingerprint(sf_dir)}"
+        f"-n{bpe_ops.DEFAULT_MERGES}-c{bpe_ops.DEFAULT_MIN_COUNT}"
+    )
     hit = _BPE_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
         return hit[1], hit[2]
@@ -1721,7 +1792,11 @@ def _pagerank_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_scores(
     spark: SparkSession, sf_dir: str, weighted: bool = False
 ) -> DataFrame:
-    fp = _source_fingerprint(sf_dir)
+    # iteration count and damping are baked into the persisted scores
+    fp = (
+        f"{_source_fingerprint(sf_dir)}"
+        f"-i{graph_ops.PAGERANK_ITERATIONS}-d{graph_ops.PAGERANK_DAMPING}"
+    )
     key = fp + ("_w" if weighted else "")
     hit = _PAGERANK_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -2170,7 +2245,10 @@ def _kmeans_cache_dirs(
     artifacts and any pre-growth smaller-k artifacts must not serve)
     cannot drift between them."""
     k = _kmeans_k(spark, sf_dir)
-    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-ka{k}"
+    fp = (
+        f"{_source_fingerprint(sf_dir, table='embeddings')}-ka{k}"
+        f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
+    )
     base = Path(__file__).resolve().parent / ".cache"
     return fp, base / "kmeans" / fp, base / "kmeans_cent" / fp
 
@@ -2297,7 +2375,10 @@ def _dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     log ratios between the in-domain slice (lang = en, the same slice
     Moore-Lewis uses) and the whole corpus — trained once per corpus
     fingerprint (text_analytics.train_dsir)."""
-    fp = _source_fingerprint(sf_dir)
+    fp = (
+        f"{_source_fingerprint(sf_dir)}-b{text_analytics.DSIR_BUCKETS}"
+        f"-a{text_analytics.DSIR_ALPHA}-l{CONTRASTIVE_IN_LANG}"
+    )
     key = f"dsir_model:{fp}"
     hit = _LM_MODEL_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -2554,6 +2635,7 @@ _PURE_LAZY = frozenset({
     "conversions", "route_stats", "gopher_rules", "c4_rules",
     "repetition_signals", "asof_attribution", "quantize_embeddings",
     "quantized_topk", "ann_ivf_topk", "ann_lsh_topk", "pq_topk",
+    "ivfpq_topk",
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
 
@@ -2636,12 +2718,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _c4_rules,
         "decontam": _decontam,
         "ingest_pairs": _ingest_pairs,
-        "dense_filtered_topk": _dense_filtered_topk,
-        # new in r13: product-quantization ADC top-k (quantize_embeddings
-        # demoted to the tail — the vector-compression family stays
-        # repped in-window by pq_topk itself + quantized_topk's int8
-        # twin in the r1-r12 union; pq needs its first driver row)
+        # new in r13: product-quantization ADC top-k + the composed
+        # IVF-PQ serving layout (quantize_embeddings and
+        # dense_filtered_topk demoted to the tail — vector compression
+        # stays repped in-window by the PQ pair, dense retrieval by
+        # text_embed_topk; both new entries need their first driver
+        # row)
         "pq_topk": _pq_topk,
+        "ivfpq_topk": _ivfpq_topk,
         "pack_sequences": _pack_sequences,
         "route_stats": _route_stats,
         # Round-12 ROTATION (VERDICT r11 item 1): the six r11 entries
@@ -2773,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _doc_keywords,
         "dup_spans": _dup_spans,
         "quantize_embeddings": _quantize_embeddings,
+        "dense_filtered_topk": _dense_filtered_topk,
         # demoted to the tail in r11 to fit the three new r11 entries
         # in-window; driver-green r7-r9, local replica keeps them green
         "curate_corpus": _curate_corpus,
@@ -3067,4 +3152,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(workload.HYBRID_LIMIT),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(workload.HYBRID_LIMIT),
         "pq_topk": oracles.pq_topk_sql(workload.HYBRID_LIMIT),
+        "ivfpq_topk": oracles.ivfpq_topk_sql(workload.HYBRID_LIMIT),
     }

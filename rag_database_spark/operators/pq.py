@@ -163,14 +163,27 @@ def pq_topk_indexed(
     is a fixed-order ``+`` chain — one codegen'd projection over the
     code table, no Python, no re-associated float sums. The corpus'
     raw vectors are never read: that is the entire point of PQ."""
-    slices = _sub_slices(dim, m)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantize_embeddings_int(F.col(query_vec_col)).alias("qx"),
     )
-    joined = codes.crossJoin(F.broadcast(q))
+    scored = _adc_score(
+        codes.crossJoin(F.broadcast(q)), codebooks, dim, m
+    )
+    return _adc_ranked(scored, k)
+
+
+def _adc_score(
+    joined: DataFrame, codebooks: DataFrame, dim: int, m: int
+) -> DataFrame:
+    """(query_id, id, adc) from a frame carrying ``qx`` +
+    ``code0..code{m-1}``: each subspace's codebook broadcast-joins on
+    its code column, per-subspace distance is the zip_with fold of the
+    query slice vs the joined centroid, total is the FIXED-ORDER ``+``
+    chain (never a re-associating aggregate). Shared by the flat PQ
+    scan and the IVF-PQ pruned probe."""
     terms = []
-    for j, (start, sub) in enumerate(slices):
+    for j, (start, sub) in enumerate(_sub_slices(dim, m)):
         cb = codebooks.filter(F.col("m") == j).select(
             F.col("cid").alias(f"code{j}"),
             F.col("cvec").alias(f"_cb{j}"),
@@ -188,7 +201,10 @@ def pq_topk_indexed(
             )
         )
     adc = reduce(lambda a, b: a + b, terms)  # fixed left-to-right order
-    scored = joined.select("query_id", "id", adc.alias("adc"))
+    return joined.select("query_id", "id", adc.alias("adc"))
+
+
+def _adc_ranked(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -223,3 +239,130 @@ def pq_topk(
     return pq_topk_indexed(
         queries, codebooks, codes, k, dim, m, query_id_col, query_vec_col
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse-quantizer lists over PQ codes — the Faiss IVFADC
+# serving layout (minus residual encoding: codes quantize the raw
+# vectors, so the flat-PQ codebooks are reusable and the oracle stays
+# a composition of the two proven chains)
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int | None = None,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> None:
+    """The billion-scale ANN layout: PQ codes PARTITIONED BY their
+    IVF coarse list. A probe of p lists is a partition-pruned scan of
+    ~p·(n/k_coarse) FOUR-BYTE codes — the two index structures
+    compose so neither the raw vectors nor the full code table is
+    read per query. Coarse centroids from the deterministic
+    quantized-frame Lloyd's with the count-derived ``ivf_k_for``
+    sizing; sub-codebooks from ``pq_fit``."""
+    from rag_database_spark.operators.similarity import ivf_k_for
+
+    spark = corpus.sparkSession
+    n = corpus.count()
+    if n_centroids is None:
+        n_centroids = ivf_k_for(n)
+    if n == 0:
+        spark.createDataFrame(
+            [], "centroid_id int, cvec array<double>, frame_scale int"
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [], "m int, cid int, cvec array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        spark.createDataFrame(
+            [],
+            "centroid_id int, id long, "
+            + ", ".join(f"code{j} int" for j in range(m)),
+        ).write.mode("overwrite").parquet(f"{path}/lists")
+        return
+    from rag_database_spark.operators.clustering import KMEANS_SCALE
+
+    coarse_assign, coarse_cents = kmeans_fit(
+        corpus, k=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    codebooks, codes = pq_fit(corpus, dim, m, k, id_col=id_col,
+                              vec_col=vec_col)
+    spark.createDataFrame(
+        [(i, c, KMEANS_SCALE) for i, c in enumerate(coarse_cents)],
+        "centroid_id int, cvec array<double>, frame_scale int",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        codes.join(
+            coarse_assign.select(
+                "id", F.col("cluster_id").alias("centroid_id")
+            ),
+            "id",
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+
+
+def read_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(coarse centroids, sub-codebooks, coded lists)."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/lists"),
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    lists: DataFrame,
+    k: int,
+    dim: int,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-PQ query: exact quantized-frame probe of the coarse
+    centroids (``similarity._ivf_probe_quantized`` — the metric the
+    coarse fit assigned under, ties → lowest cid), then ADC over ONLY
+    the probed coded lists (a static ``isin`` on the partition column
+    → partition pruning), ranked (adc ASC, id). Every step replays in
+    SQL (``oracles.ivfpq_topk_sql``) — the composed index is as
+    hash-certifiable as its two halves."""
+    from rag_database_spark.operators.similarity import (
+        _ivf_probe_quantized,
+    )
+
+    spark = queries.sparkSession
+    probes = _ivf_probe_quantized(
+        queries, centroids, n_probe, query_id_col, query_vec_col
+    )
+    if not probes:
+        return spark.createDataFrame(
+            [], "query_id long, id long, adc_dist double, rank long"
+        )
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, centroid_id int"
+    )
+    probed_cids = sorted({cid for _, cid in probes})
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_embeddings_int(F.col(query_vec_col)).alias("qx"),
+    )
+    cands = (
+        lists.filter(F.col("centroid_id").isin(probed_cids))
+        .join(F.broadcast(probe_df), "centroid_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    return _adc_ranked(_adc_score(cands, codebooks, dim, m), k)

@@ -4716,19 +4716,53 @@ def pq_topk_sql(
     GROUP BY SUM, whose re-association would split engines); rank =
     (adc ASC, id). Inner chain CTEs are MATERIALIZED — the BPE lesson:
     multiply-referenced round CTEs inline exponentially otherwise."""
+    m, k, iters, scale = _pq_defaults(m, k, iters, scale)
+    parts = _pq_chain_parts(dim, m, k, iters, scale)
+    joins, adc_sql = _pq_adc_sql(dim, m, iters, anchor="a0.vec_id",
+                                 skip_first_assign=True)
+    return f"""
+WITH {",".join(parts)},
+qv AS (
+  SELECT q.query_id,
+         list_transform(e.embedding::DOUBLE[], v -> round(v*{scale})) AS qx
+  FROM {queries_values_sql()}
+  JOIN embeddings e ON e.vec_id = q.query_vec_id
+),
+scored AS (
+  SELECT q.query_id, a0.vec_id AS id, {adc_sql} AS adc
+  FROM af_s0 a0
+  {joins}
+  CROSS JOIN qv q
+)
+SELECT query_id, id, round(adc, 6) AS adc_dist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc, id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {limit}
+"""
+
+
+def _pq_defaults(m, k, iters, scale) -> tuple[int, int, int, int]:
     from rag_database_spark.operators.clustering import (
         KMEANS_ITERS, KMEANS_SCALE,
     )
-    from rag_database_spark.operators.pq import PQ_K, PQ_M, _sub_slices
+    from rag_database_spark.operators.pq import PQ_K, PQ_M
 
-    if m is None:
-        m = PQ_M
-    if k is None:
-        k = PQ_K
-    if iters is None:
-        iters = KMEANS_ITERS
-    if scale is None:
-        scale = KMEANS_SCALE
+    return (
+        PQ_M if m is None else m,
+        PQ_K if k is None else k,
+        KMEANS_ITERS if iters is None else iters,
+        KMEANS_SCALE if scale is None else scale,
+    )
+
+
+def _pq_chain_parts(dim: int, m: int, k: int, iters: int,
+                    scale: int) -> list[str]:
+    """The M per-subspace unrolled Lloyd's chains (CTE names suffixed
+    ``_s{j}``) over ``(embedding::DOUBLE[])[lo:hi]`` slices — shared
+    by the flat-PQ and IVF-PQ oracles."""
+    from rag_database_spark.operators.pq import _sub_slices
+
     slices = _sub_slices(dim, m)
     sub = dim // m
     parts: list[str] = []
@@ -4769,12 +4803,25 @@ def pq_topk_sql(
   ) u ON u.cid = p.cid
 )""")
         parts.append(assign(f"af{s}", f"c{iters}{s}"))
-    adc_terms = []
-    joins = []
+    return parts
+
+
+def _pq_adc_sql(dim: int, m: int, iters: int, anchor: str,
+                skip_first_assign: bool) -> tuple[str, str]:
+    """(join clauses, ADC expression) against the ``_s{j}`` chains:
+    per-subspace assignment joined on ``anchor``'s vec_id, settled
+    centroid joined per assignment, terms summed in fixed subspace
+    order. ``skip_first_assign`` = the caller's FROM already binds
+    ``af_s0 a0``."""
+    from rag_database_spark.operators.pq import _sub_slices
+
+    slices = _sub_slices(dim, m)
+    sub = dim // m
+    joins, adc_terms = [], []
     for j, (start, _) in enumerate(slices):
         s = f"_s{j}"
-        if j > 0:
-            joins.append(f"JOIN af{s} a{j} ON a{j}.vec_id = a0.vec_id")
+        if j > 0 or not skip_first_assign:
+            joins.append(f"JOIN af{s} a{j} ON a{j}.vec_id = {anchor}")
         joins.append(f"JOIN c{iters}{s} cb{j} ON cb{j}.cid = a{j}.cid")
         adc_terms.append(
             "("
@@ -4785,21 +4832,71 @@ def pq_topk_sql(
             )
             + ")"
         )
-    join_sql = "\n  ".join(joins)
-    adc_sql = " + ".join(adc_terms)
+    return "\n  ".join(joins), " + ".join(adc_terms)
+
+
+def ivfpq_topk_sql(
+    limit: int,
+    n_probe: int = 4,
+    dim: int = 64,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+    scale: int | None = None,
+) -> str:
+    """Exact twin of ``pq.ivfpq_topk`` over a ``write_ivfpq_index``
+    artifact — the composed billion-scale layout: the COARSE layer is
+    the count-derived IVF Lloyd's chain (``_kmeans_ctes`` with the
+    ``ivf_k_for`` kk twin), the FINE layer is the M per-subspace PQ
+    chains, the probe picks each query's n_probe nearest coarse
+    centroids under the exact quantized fold (ties → lowest cid), and
+    candidates = the probed coarse lists (``af``) ADC-scored through
+    the subspace assignments. Composition of the two proven oracles;
+    every join is on exact values, rank = (adc ASC, id)."""
+    from rag_database_spark.operators.similarity import (
+        IVF_MIN_CENTROIDS, IVF_TARGET_LIST,
+    )
+
+    m, k, iters, scale = _pq_defaults(m, k, iters, scale)
+    coarse_k_sql = (
+        f"greatest({IVF_MIN_CENTROIDS}, least("
+        f"(count(*) + {IVF_TARGET_LIST - 1}) // {IVF_TARGET_LIST}, "
+        f"CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT)))"
+    )
+    qdist = " + ".join(
+        f"(qv.qx[{i}]-c.c[{i}])*(qv.qx[{i}]-c.c[{i}])"
+        for i in range(1, dim + 1)
+    )
+    pq_parts = _pq_chain_parts(dim, m, k, iters, scale)
+    joins, adc_sql = _pq_adc_sql(dim, m, iters, anchor="cd.vec_id",
+                                 skip_first_assign=False)
     return f"""
-WITH {",".join(parts)},
+WITH {_kmeans_ctes(iters, dim, scale, k_sql=coarse_k_sql)},
+{",".join(pq_parts)},
 qv AS (
   SELECT q.query_id,
          list_transform(e.embedding::DOUBLE[], v -> round(v*{scale})) AS qx
   FROM {queries_values_sql()}
   JOIN embeddings e ON e.vec_id = q.query_vec_id
 ),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT qv.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY qv.query_id ORDER BY {qdist}, c.cid
+           ) AS pr
+    FROM qv CROSS JOIN c{iters} c
+  ) WHERE pr <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN af a ON a.cid = p.cid
+),
 scored AS (
-  SELECT q.query_id, a0.vec_id AS id, {adc_sql} AS adc
-  FROM af_s0 a0
-  {join_sql}
-  CROSS JOIN qv q
+  SELECT q.query_id, cd.vec_id AS id, {adc_sql} AS adc
+  FROM cand cd
+  {joins}
+  JOIN qv q ON q.query_id = cd.query_id
 )
 SELECT query_id, id, round(adc, 6) AS adc_dist,
        row_number() OVER (PARTITION BY query_id

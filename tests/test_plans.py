@@ -458,3 +458,33 @@ def test_bloom_gate_broadcasts_small_filter(spark):
     p = plan_of(df, "simple")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_adc_scan_broadcasts_codebooks_no_python(spark, tmp_path):
+    """The PQ ADC scan must be one pass over the code table: every
+    codebook join is a broadcast (16 rows each), the query block rides
+    a broadcast too, and the whole scoring projection is JVM column
+    expressions — no shuffle of the codes, no Python stage, raw
+    vectors never read."""
+    import numpy as np
+
+    from rag_database_spark.operators import pq
+
+    rng = np.random.default_rng(2)
+    corpus = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(80)],
+        "id long, vec array<double>",
+    )
+    path = str(tmp_path / "pq")
+    pq.write_pq_index(corpus, path, dim=16, m=4, k=4)
+    codebooks, codes = pq.read_pq_index(spark, path)
+    queries = spark.createDataFrame(
+        [(1, rng.normal(size=16).tolist())],
+        "query_id long, qvec array<double>",
+    )
+    out = pq.pq_topk_indexed(queries, codebooks, codes, 5, dim=16, m=4)
+    p = plan_of(out, "simple")
+    assert "SortMergeJoin" not in p          # codes never shuffle on a key
+    assert "BroadcastHashJoin" in p          # codebook joins broadcast
+    assert "PythonEval" not in p and "ArrowEval" not in p
+    assert "WindowGroupLimit" in p           # top-k pushdown on the rank

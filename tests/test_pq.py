@@ -138,3 +138,71 @@ def test_pq_empty_inputs(spark):
     out = pq.pq_topk_indexed(empty_q, cb2, codes2, 3, dim=8, m=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "id", "adc_dist", "rank"]
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark, tmp_path):
+    """With n_probe covering every coarse list, the IVF layer prunes
+    nothing — IVF-PQ must return EXACTLY the flat PQ scan (same codes,
+    same ADC arithmetic, same rank discipline)."""
+    rows, corpus = _corpus(spark, n=80, dim=16, seed=21)
+    path = str(tmp_path / "ivfpq")
+    pq.write_ivfpq_index(corpus, path, dim=16, n_centroids=4, m=4, k=4)
+    centroids, codebooks, lists = pq.read_ivfpq_index(spark, path)
+    queries = spark.createDataFrame(
+        [(qi, rows[qi][1]) for qi in range(3)],
+        "query_id long, qvec array<double>",
+    )
+    full = sorted(
+        map(tuple, pq.ivfpq_topk(
+            queries, centroids, codebooks, lists, 10, dim=16,
+            n_probe=4, m=4,
+        ).collect())
+    )
+    flat = sorted(
+        map(tuple, pq.pq_topk(
+            queries, corpus, 10, dim=16, m=4, n_codes=4
+        ).collect())
+    )
+    assert full == flat
+
+
+def test_ivfpq_pruned_probe_is_subset_and_self_served(spark, tmp_path):
+    """A partial probe scores only the probed lists: results are a
+    subset of the corpus restricted to those lists, and a corpus
+    member querying its own value is served at rank 1 (its own list
+    is by construction the nearest coarse centroid)."""
+    rows, corpus = _corpus(spark, n=80, dim=16, seed=22)
+    path = str(tmp_path / "ivfpq2")
+    pq.write_ivfpq_index(corpus, path, dim=16, n_centroids=4, m=4, k=8)
+    centroids, codebooks, lists = pq.read_ivfpq_index(spark, path)
+    queries = spark.createDataFrame(
+        [(qi, rows[qi][1]) for qi in range(3)],
+        "query_id long, qvec array<double>",
+    )
+    out = pq.ivfpq_topk(
+        queries, centroids, codebooks, lists, 5, dim=16, n_probe=1, m=4
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    # every returned id belongs to the single probed list of its query
+    list_of = {
+        r["id"]: r["centroid_id"] for r in lists.collect()
+    }
+    for qid in (0, 1, 2):
+        ids = [r["id"] for r in out if r["query_id"] == qid]
+        assert len({list_of[i] for i in ids}) == 1
+    rank1 = {r["query_id"]: r["id"] for r in out if r["rank"] == 1}
+    assert rank1 == {qi: qi for qi in range(3)}
+
+
+def test_ivfpq_empty_inputs(spark, tmp_path):
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    path = str(tmp_path / "ivfpq_empty")
+    pq.write_ivfpq_index(empty, path, dim=8, m=2, k=2)
+    centroids, codebooks, lists = pq.read_ivfpq_index(spark, path)
+    assert centroids.count() == 0 and lists.count() == 0
+    q = spark.createDataFrame(
+        [(1, [0.0] * 8)], "query_id long, qvec array<double>"
+    )
+    out = pq.ivfpq_topk(q, centroids, codebooks, lists, 3, dim=8, m=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "id", "adc_dist", "rank"]
