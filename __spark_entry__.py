@@ -283,6 +283,40 @@ def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over the dense leg (diversify.mmr_rerank):
+    the retriever's 3× over-fetch re-ranked by greedy Maximal Marginal
+    Relevance — λ·relevance − (1−λ)·max-cosine-to-already-selected —
+    the step a RAG stack runs so near-duplicate passages don't burn
+    the context window. k greedy rounds over a BOUNDED per-query
+    candidate frame; the oracle unrolls the rounds exactly
+    (oracles.mmr_rerank_sql)."""
+    from rag_database_spark.operators import diversify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    qvecs = queries.join(
+        emb, queries["query_vec_id"] == emb["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    fetch = workload.HYBRID_LIMIT * FETCH_MULTIPLIER
+    cands = (
+        similarity.cosine_topk(
+            qvecs, emb, fetch, id_col="vec_id", vec_col="embedding"
+        )
+        .select(
+            "query_id", "id", F.round("score", 6).alias("rel")
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("v"),
+            ),
+            "id",
+        )
+    )
+    return diversify.mmr_rerank(cands, k=workload.HYBRID_LIMIT)
+
+
 def _ivfpq_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -2636,6 +2670,9 @@ _PURE_LAZY = frozenset({
     "repetition_signals", "asof_attribution", "quantize_embeddings",
     "quantized_topk", "ann_ivf_topk", "ann_lsh_topk", "pq_topk",
     "ivfpq_topk",
+    # mmr_rerank stays OUT: its greedy rounds localCheckpoint eagerly
+    # inside the builder — exactly what the prepared-plan contract
+    # excludes
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
 })
 
@@ -2697,13 +2734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _media_resize,
         "audio_near_dup": _audio_near_dup,
         "video_near_dup": _video_near_dup,
-        # new in r10: BPE tokenizer training (chunk_documents /
-        # quality_report / graph_expand moved to the tail to make room —
-        # chunking repped in-window by semantic_chunks/route_and_chunk,
-        # quality by c4_rules/gopher_rules, graph by the pagerank trio;
-        # bpe_vocab/bpe_tokens moved to the tail in r12 — rows-only by
-        # design, their r11 rows-only row is all they can ever earn)
-        "bpe_pair_stats": _bpe_pair_stats,
+        # new in r13: MMR diversification rerank (bpe_pair_stats
+        # demoted to the tail — the BPE family is now repped in-window
+        # by the upgraded bpe_vocab/bpe_tokens hash entries;
+        # mmr_rerank needs its first driver row)
+        "mmr_rerank": _mmr_rerank,
         # never-driver-certified until r10 (rotated in this round)
         "doc_pagerank": _doc_pagerank,
         "ppr_topk": _ppr_topk,
@@ -2858,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _dup_spans,
         "quantize_embeddings": _quantize_embeddings,
         "dense_filtered_topk": _dense_filtered_topk,
+        "bpe_pair_stats": _bpe_pair_stats,
         # demoted to the tail in r11 to fit the three new r11 entries
         # in-window; driver-green r7-r9, local replica keeps them green
         "curate_corpus": _curate_corpus,
@@ -3153,4 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(workload.HYBRID_LIMIT),
         "pq_topk": oracles.pq_topk_sql(workload.HYBRID_LIMIT),
         "ivfpq_topk": oracles.ivfpq_topk_sql(workload.HYBRID_LIMIT),
+        "mmr_rerank": oracles.mmr_rerank_sql(
+            workload.HYBRID_LIMIT * FETCH_MULTIPLIER
+        ),
     }

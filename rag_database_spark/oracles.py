@@ -4835,6 +4835,69 @@ def _pq_adc_sql(dim: int, m: int, iters: int, anchor: str,
     return "\n  ".join(joins), " + ".join(adc_terms)
 
 
+def mmr_rerank_sql(
+    fetch: int,
+    k: int | None = None,
+    lam: float | None = None,
+) -> str:
+    """Unrolled twin of ``diversify.mmr_rerank`` over the dense leg:
+    candidates = the shared dense top-``fetch`` (rel at 6dp, vector
+    carried), then k greedy rounds — each round's pick is a per-query
+    row_number over the UNROUNDED λ·rel − (1−λ)·max_sim with ties →
+    lowest id (λ and its exact IEEE complement embedded as reprs, so
+    both engines multiply by identical doubles), and the remaining
+    rows fold the 6dp cosine to the pick into ``max_sim`` via a 2-ary
+    greatest. Round CTEs are MATERIALIZED (each feeds two downstream
+    references — the BPE inlining lesson). An exhausted query simply
+    stops contributing rows, matching the engine's empty windows."""
+    from rag_database_spark.operators.diversify import MMR_K, MMR_LAMBDA
+
+    if k is None:
+        k = MMR_K
+    if lam is None:
+        lam = MMR_LAMBDA
+    l_sql, o_sql = repr(lam), repr(1.0 - lam)
+    parts = [
+        f"""cand AS MATERIALIZED (
+  SELECT d.query_id, d.id, round(d.score, 6) AS rel,
+         e.embedding::DOUBLE[] AS v
+  FROM dense_ranked d JOIN embeddings e ON e.vec_id = d.id
+  WHERE d.rank <= {fetch}
+)""",
+        "r0 AS (SELECT query_id, id, rel, v, 0.0 AS max_sim FROM cand)",
+    ]
+    for t in range(1, k + 1):
+        parts.append(f"""sel{t} AS MATERIALIZED (
+  SELECT query_id, id, rel, v,
+         round({l_sql}*rel - {o_sql}*max_sim, 6) AS mmr
+  FROM (
+    SELECT query_id, id, rel, v, max_sim,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {l_sql}*rel - {o_sql}*max_sim DESC, id
+           ) AS rn
+    FROM r{t - 1}
+  ) WHERE rn = 1
+)""")
+        if t < k:
+            parts.append(f"""r{t} AS MATERIALIZED (
+  SELECT r.query_id, r.id, r.rel, r.v,
+         greatest(r.max_sim,
+                  round(list_cosine_similarity(r.v, s.v), 6)) AS max_sim
+  FROM r{t - 1} r JOIN sel{t} s ON s.query_id = r.query_id
+  WHERE r.id <> s.id
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, id, rel, mmr, {t}::BIGINT AS rank FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+WITH {_dense_ctes(fetch)},
+{",".join(parts)}
+{union}
+"""
+
+
 def ivfpq_topk_sql(
     limit: int,
     n_probe: int = 4,
