@@ -1981,18 +1981,21 @@ def _related_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 (rows-only: the sequential centroid-grouping walk has no
-    tractable SQL twin — per-sentence membership depends on the running
-    chunk centroid). Correctness is unit-tested against the Python
-    reference implementation; this entry gives the driver a
-    deterministic rows/schema check."""
+    """C4: sentences grouped by cosine to the running chunk centroid
+    under the deterministic hash embedder. Hash-oracled since r13 —
+    the sequential walk replays as one RECURSIVE CTE
+    (oracles.semantic_chunks_sql: dyadic-exact md5 projections, the
+    engine's recomputed centroid IS the incremental accumulation);
+    the real-model seam stays injection-tested in tests/."""
     return chunking.semantic_chunks(chunking.section_fixtures_df(spark))
 
 
 def _route_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 (rows-only: routes through the C4 chunkers, same SQL-twin
-    caveat). Tier assigned deterministically from doc_id so all four
-    strategies exercise."""
+    """C1 routing through all four chunkers; tier assigned
+    deterministically from doc_id so every strategy exercises.
+    Hash-oracled since r13 (oracles.route_and_chunk_sql — the
+    recursive semantic/sdpm twins unioned with the long-proven
+    sentence/token builders)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 8)
@@ -2614,17 +2617,15 @@ def _dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the declaration-order head), so every oracle-backed entry
 # whose SURVEY component has no other driver-green representative must
 # sit inside that window.
-ROWS_ONLY_ENTRIES: tuple[str, ...] = (
-    # ann_ivf_topk left this list in r13: the deterministic IVF build
-    # (quantized-frame kmeans_fit) + quantized probe made the whole
-    # path SQL-replayable (oracles.ann_ivf_topk_sql). bpe_vocab /
-    # bpe_tokens left too: the merge loop unrolls after all
-    # (oracles._bpe_train_ctes) — the r11 "not SQL-expressible"
-    # assertion was really a DuckDB CTE-inlining blowup, fixed by
-    # MATERIALIZED rounds.
-    "semantic_chunks",
-    "route_and_chunk",
-)
+# EMPTY as of r13: every registered entry now ships a full hash
+# oracle. The last holdouts fell this round — ann_ivf_topk (det build
+# + quantized probe), bpe_vocab/bpe_tokens (the merge loop unrolls;
+# the r11 "not SQL-expressible" assertion was a DuckDB CTE-inlining
+# blowup, fixed by MATERIALIZED rounds), and semantic_chunks /
+# route_and_chunk (the sequential centroid walk replays as ONE
+# recursive CTE under the deterministic hash embedder —
+# oracles.semantic_chunks_sql; the model seam stays injection-tested).
+ROWS_ONLY_ENTRIES: tuple[str, ...] = ()
 
 
 # Entries eligible for the prepared-plan cache: pure lazy templates
@@ -2729,11 +2730,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r10 (need their first driver row; visual_search /
         # enhanced_search / db_stats moved to the tail to make room —
         # their families stay repped in-window by maxsim_topk /
-        # query_analysis / table_summary)
+        # query_analysis / table_summary). media_resize /
+        # video_near_dup demoted r13 for the upgraded chunker pair —
+        # media stays repped by image/audio near-dup.
         "image_near_dup": _image_near_dup,
-        "media_resize": _media_resize,
         "audio_near_dup": _audio_near_dup,
-        "video_near_dup": _video_near_dup,
+        # upgraded in r13 from rows-only to full hash oracles (the
+        # recursive-CTE semantic walk) — they re-enter the window for
+        # their first hash rows
+        "semantic_chunks": _semantic_chunks,
+        "route_and_chunk": _route_and_chunk,
         # new in r13: MMR diversification rerank (bpe_pair_stats
         # demoted to the tail — the BPE family is now repped in-window
         # by the upgraded bpe_vocab/bpe_tokens hash entries;
@@ -2815,11 +2821,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _bpe_vocab,
         "bpe_tokens": _bpe_tokens,
         # --- entry 51+: outside the driver window ---
-        # rows-only by design (no oracle possible): their weaker
-        # rows-only driver row exists from r11; the local suite pins
-        # them (semantic chunker: model-dependent by nature)
-        "semantic_chunks": _semantic_chunks,
-        "route_and_chunk": _route_and_chunk,
+        # demoted in r13 for the upgraded chunker pair (driver-green
+        # r12; media stays repped in-window by image/audio near-dup)
+        "media_resize": _media_resize,
+        "video_near_dup": _video_near_dup,
         # demoted in r12 (driver-green r11; family reps remain)
         "events_cube": _events_cube,
         "pack_rows": _pack_rows,
@@ -3175,6 +3180,8 @@ def oracle_sql() -> dict[str, str]:
         "sentence_chunks": oracles.sentence_chunks_sql(),
         "table_texts": oracles.table_texts_sql(),
         "route_stats": oracles.route_stats_sql(),
+        "semantic_chunks": oracles.semantic_chunks_sql(),
+        "route_and_chunk": oracles.route_and_chunk_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
         "c4_rules": oracles.c4_rules_sql(),
         "repetition_signals": oracles.repetition_signals_sql(),

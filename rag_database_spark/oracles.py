@@ -3181,12 +3181,14 @@ FROM det WHERE family IS NOT NULL
 """
 
 
-def sentence_chunks_sql() -> str:
+def sentence_chunks_sql(src_sql: str | None = None) -> str:
     from rag_database_spark.operators.chunking import (
         MIN_SENTENCE_CHARS,
         section_fixtures_values_sql,
     )
 
+    if src_sql is None:
+        src_sql = f"SELECT * FROM {section_fixtures_values_sql()}"
     # RE2 has no lookbehind, so Spark's (?<=[.!?])\s+ split becomes:
     # replace punct+whitespace with punct+sentinel (chr(30)), then split
     # on the sentinel — identical pieces. The whitespace class is the
@@ -3194,7 +3196,7 @@ def sentence_chunks_sql() -> str:
     # RE2 \s agree on those).
     boundary = "'([.!?])[ ' || chr(9) || chr(10) || ']+'"
     return f"""
-WITH fx AS (SELECT * FROM {section_fixtures_values_sql()}),
+WITH fx AS ({src_sql}),
 parts AS (
   SELECT doc_id,
          string_split(
@@ -4833,6 +4835,181 @@ def _pq_adc_sql(dim: int, m: int, iters: int, anchor: str,
             + ")"
         )
     return "\n  ".join(joins), " + ".join(adc_terms)
+
+
+_SEM_DIM = 8  # chunking._hash_embed_py default — one md5 digest
+
+
+def semantic_chunks_sql(
+    src_sql: str | None = None,
+    threshold: float | None = None,
+    skip_window: int = 0,
+) -> str:
+    """Exact twin of ``chunking.semantic_chunks`` under the default
+    deterministic hash embedder — the sequential centroid walk the
+    r3-r12 entries declared 'no tractable SQL twin', expressed as ONE
+    RECURSIVE CTE: per step, each document's next sentence joins the
+    open chunk iff its cosine to the running centroid ≥ threshold
+    (SDPM ``skip_window`` > 0 additionally looks ahead via that many
+    LEFT JOINs, bridging a gap when a near-future sentence would
+    join). Exactness chain:
+
+    - sentence split: RE2 has no lookbehind → sentinel rewrite (the
+      ``sentence_chunks_sql`` idiom), then per-sentence strip/filter.
+    - embedding: the md5 16-bit-slice projection is DYADIC (every
+      token contribution is (h−32768)/32768), so token sums are exact
+      in any order; ``(Σh/32768 − n)/n`` equals the engine's
+      accumulate-then-divide bit for bit.
+    - walk state: (chunk_idx, cnt, running component sums) — the
+      engine recomputes its centroid as a left-associated sum over
+      ascending members, which IS the incremental accumulation, so
+      cosines agree exactly; ties and the zero-norm guard mirror
+      ``chunking._cos``.
+    """
+    from rag_database_spark.functions.text import (
+        MIN_TOKEN_LEN, PUNCT_RE, SPLIT_RE,
+    )
+    from rag_database_spark.operators.chunking import (
+        SEMANTIC_THRESHOLD, section_fixtures_values_sql,
+    )
+
+    if src_sql is None:
+        src_sql = f"SELECT doc_id, text FROM {section_fixtures_values_sql()}"
+    th = repr(SEMANTIC_THRESHOLD if threshold is None else threshold)
+    dim = _SEM_DIM
+    boundary = "'([.!?])[ ' || chr(9) || chr(10) || ']+'"
+    eml = ", ".join(
+        f"coalesce(sum(('0x' || substr(h, {4 * i + 1}, 4))::BIGINT), 0)"
+        f" AS v{i}"
+        for i in range(dim)
+    )
+    ecols = ", ".join(
+        f"CASE WHEN nt = 0 THEN 0.0 ELSE (v{i}/32768.0 - nt)/nt END AS e{i}"
+        for i in range(dim)
+    )
+
+    def cos(pfx: str) -> str:
+        dot = " + ".join(f"(w.s{i}/w.cnt)*({pfx}e{i})" for i in range(dim))
+        na = " + ".join(
+            f"(w.s{i}/w.cnt)*(w.s{i}/w.cnt)" for i in range(dim)
+        )
+        nb = " + ".join(f"({pfx}e{i})*({pfx}e{i})" for i in range(dim))
+        return (
+            f"CASE WHEN sqrt({na}) > 0 AND sqrt({nb}) > 0 "
+            f"THEN ({dot}) / (sqrt({na}) * sqrt({nb})) ELSE 0.0 END"
+        )
+
+    joins_cond = f"{cos('e.')} >= {th}"
+    look_joins = ""
+    for lk in range(1, skip_window + 1):
+        look_joins += (
+            f"\n    LEFT JOIN semb l{lk} ON l{lk}.doc_id = w.doc_id "
+            f"AND l{lk}.idx = w.idx + {1 + lk}"
+        )
+        joins_cond += f" OR coalesce({cos(f'l{lk}.')} >= {th}, FALSE)"
+    scols_base = ", ".join(f"e{i} AS s{i}" for i in range(dim))
+    e_pass = ", ".join(f"e.e{i} AS e{i}" for i in range(dim))
+    s_pass = ", ".join(f"w.s{i} AS s{i}" for i in range(dim))
+    scols_rec = ", ".join(
+        f"CASE WHEN _j THEN s{i} + e{i} ELSE e{i} END AS s{i}"
+        for i in range(dim)
+    )
+    return f"""
+WITH RECURSIVE src AS ({src_sql}),
+parts AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(text, {boundary}, '\\1' || chr(30), 'g'),
+           chr(30)) AS ps
+  FROM src
+),
+sraw AS (
+  SELECT doc_id,
+         unnest([{{'i': i, 's': trim(ps[i], ' ' || chr(9) || chr(10))}}
+                 for i in range(1, len(ps) + 1)]) AS u
+  FROM parts
+),
+sent AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY u.i) AS idx,
+         u.s AS sentence
+  FROM sraw WHERE length(u.s) > 0
+),
+stoks AS (
+  SELECT doc_id, idx, t FROM (
+    SELECT doc_id, idx,
+           unnest(regexp_split_to_array(
+             regexp_replace(lower(sentence), '{PUNCT_RE}', ' ', 'g'),
+             '{SPLIT_RE}')) AS t
+    FROM sent)
+  WHERE length(t) >= {MIN_TOKEN_LEN} AND t NOT IN ({_STOPLIST})
+),
+sagg AS (
+  SELECT doc_id, idx, count(*) AS nt, {eml}
+  FROM (SELECT doc_id, idx, md5('0|' || t) AS h FROM stoks)
+  GROUP BY doc_id, idx
+),
+semb AS (
+  SELECT s.doc_id, s.idx, coalesce(a.nt, 0) AS nt, {ecols}
+  FROM sent s LEFT JOIN sagg a USING (doc_id, idx)
+),
+walk AS (
+  SELECT doc_id, idx, 0 AS chunk_idx, 1 AS cnt, {scols_base}
+  FROM semb WHERE idx = 1
+  UNION ALL
+  SELECT doc_id, idx,
+         CASE WHEN _j THEN chunk_idx ELSE chunk_idx + 1 END AS chunk_idx,
+         CASE WHEN _j THEN cnt + 1 ELSE 1 END AS cnt,
+         {scols_rec}
+  FROM (
+    SELECT w.doc_id, e.idx, w.chunk_idx, w.cnt, {s_pass}, {e_pass},
+           ({joins_cond}) AS _j
+    FROM walk w
+    JOIN semb e ON e.doc_id = w.doc_id AND e.idx = w.idx + 1{look_joins}
+  )
+)
+SELECT w.doc_id, w.chunk_idx::BIGINT AS chunk_index,
+       string_agg(s.sentence, ' ' ORDER BY w.idx) AS chunk_text,
+       count(*)::BIGINT AS n_sentences
+FROM walk w JOIN sent s USING (doc_id, idx)
+GROUP BY 1, 2
+"""
+
+
+def route_and_chunk_sql() -> str:
+    """Twin of the ``route_and_chunk`` entry: each tier's chunker twin
+    over its ``doc_id % 4`` slice of ``documents WHERE doc_id < 8``
+    (the entry's deterministic tier fixture), unioned with the
+    strategy tag — sdpm/semantic are the recursive walk (with/without
+    lookahead), sentence/token WRAP the long-proven standalone
+    builders."""
+    from rag_database_spark.operators.chunking import SDPM_SKIP_WINDOW
+
+    def src(mod: int) -> str:
+        return (
+            "SELECT doc_id, text FROM documents "
+            f"WHERE doc_id < 8 AND doc_id % 4 = {mod}"
+        )
+
+    return f"""
+SELECT doc_id, chunk_index, chunk_text, n_sentences,
+       'sdpm' AS strategy
+FROM ({semantic_chunks_sql(src(0), skip_window=SDPM_SKIP_WINDOW)})
+UNION ALL
+SELECT doc_id, chunk_index, chunk_text, n_sentences,
+       'semantic' AS strategy
+FROM ({semantic_chunks_sql(src(1))})
+UNION ALL
+SELECT doc_id, sentence_index::BIGINT AS chunk_index,
+       sentence AS chunk_text, 1::BIGINT AS n_sentences,
+       'sentence' AS strategy
+FROM ({sentence_chunks_sql(src(2))})
+UNION ALL
+SELECT doc_id, chunk_index, chunk_text, NULL::BIGINT AS n_sentences,
+       'token' AS strategy
+FROM ({chunk_documents_sql()})
+WHERE doc_id < 8 AND doc_id % 4 = 3 AND level = 'paragraph'
+"""
 
 
 def mmr_rerank_sql(
