@@ -97,6 +97,10 @@ def mmr_rerank(
                     F.round(cosine(F.col("v"), F.col("_sv")), 6),
                 ).alias("max_sim"),
             )
+            # lineage cut per round: the picks are each consumed twice
+            # (union output + next round's join), so skipping the cut
+            # re-executes the growing window/join chain per pick —
+            # measured ~2× SLOWER than per-round checkpoints at sf0.1
             .localCheckpoint()
         )
     out = picks[0]
