@@ -366,3 +366,56 @@ def ivfpq_topk(
         .join(F.broadcast(q), "query_id")
     )
     return _adc_ranked(_adc_score(cands, codebooks, dim, m), k)
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    dim: int,
+    m: int = PQ_M,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> None:
+    """Incremental IVF-PQ maintenance — the composed twin of
+    ``similarity.append_ivf_index``: new vectors are assigned to a
+    coarse list under the FROZEN persisted centroids and PQ-encoded
+    under the FROZEN sub-codebooks, then appended into the coded lists
+    (dynamic partition append touches only the lists that gain rows).
+    No refit anywhere — cost ∝ batch, never ∝ corpus; centroids and
+    codebooks drift from the true means as the corpus grows, fixed by
+    a periodic offline ``write_ivfpq_index`` rebuild (the standard
+    serving-index compromise)."""
+    from rag_database_spark.operators.similarity import assign_centroids
+
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    nv = new_vectors.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn("qx", quantize_embeddings_int(F.col("v")))
+    # coarse assignment in the quantized frame the centroids live in
+    coarse = assign_centroids(
+        nv, centroids, id_col="id", vec_col="qx"
+    ).select("centroid_id", "id")
+    out = coarse
+    for j, (start, sub) in enumerate(_sub_slices(dim, m)):
+        cb = codebooks.filter(F.col("m") == j).select(
+            F.col("cid").alias("centroid_id"), "cvec"
+        )
+        sub_assign = assign_centroids(
+            nv.select("id", F.slice(F.col("qx"), start, sub).alias("sx")),
+            cb,
+            id_col="id",
+            vec_col="sx",
+        ).select(F.col("id"), F.col("centroid_id").alias(f"code{j}"))
+        out = out.join(sub_assign, "id")
+    (
+        out.select(
+            "centroid_id", "id",
+            *[f"code{j}" for j in range(m)],
+        )
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )

@@ -206,3 +206,59 @@ def test_ivfpq_empty_inputs(spark, tmp_path):
     out = pq.ivfpq_topk(q, centroids, codebooks, lists, 3, dim=8, m=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "id", "adc_dist", "rank"]
+
+
+def test_append_ivfpq_assigns_and_encodes_like_frozen_artifacts(
+    spark, tmp_path
+):
+    """Appended vectors must land in the coarse list AND carry the PQ
+    codes a frozen-artifact re-derivation chooses (numpy argmin in the
+    quantized frame for both layers), and the probe must serve them."""
+    rows, corpus = _corpus(spark, n=60, dim=16, seed=31)
+    path = str(tmp_path / "ivfpq_app")
+    pq.write_ivfpq_index(corpus, path, dim=16, n_centroids=3, m=4, k=4)
+    batch_rows, batch = _corpus(spark, n=10, dim=16, seed=32)
+    batch = batch.select(
+        (F.col("id") + 100).alias("id"), "vec"
+    )
+    pq.append_ivfpq_index(batch, path, dim=16, m=4)
+
+    centroids, codebooks, lists = pq.read_ivfpq_index(spark, path)
+    ctr = {
+        r["centroid_id"]: np.array(r["cvec"]) for r in centroids.collect()
+    }
+    cb = {
+        (r["m"], r["cid"]): np.array(r["cvec"])
+        for r in codebooks.collect()
+    }
+    got = {
+        r["id"]: (r["centroid_id"], [r[f"code{j}"] for j in range(4)])
+        for r in lists.filter(lists.id >= 100).collect()
+    }
+    assert set(got) == {100 + i for i in range(10)}
+    for bid, vec in ((100 + i, v) for i, v in enumerate(
+        r[1] for r in batch_rows
+    )):
+        qx = np.round(np.array(vec) * KMEANS_SCALE)
+        d_coarse = {
+            cid: float(((qx - c) ** 2).sum()) for cid, c in ctr.items()
+        }
+        exp_coarse = min(sorted(d_coarse), key=lambda c: (d_coarse[c], c))
+        assert got[bid][0] == exp_coarse, bid
+        for j in range(4):
+            sx = qx[j * 4:(j + 1) * 4]
+            d = {
+                cid: float(((sx - cb[(j, cid)]) ** 2).sum())
+                for mm, cid in cb if mm == j
+            }
+            assert got[bid][1][j] == min(
+                sorted(d), key=lambda c: (d[c], c)
+            ), (bid, j)
+    # the probe serves an appended vector at rank 1 for its own value
+    q = spark.createDataFrame(
+        [(1, batch_rows[0][1])], "query_id long, qvec array<double>"
+    )
+    top = pq.ivfpq_topk(
+        q, centroids, codebooks, lists, 3, dim=16, n_probe=1, m=4
+    ).collect()
+    assert top[0]["id"] == 100
