@@ -288,9 +288,11 @@ def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the retriever's 3× over-fetch re-ranked by greedy Maximal Marginal
     Relevance — λ·relevance − (1−λ)·max-cosine-to-already-selected —
     the step a RAG stack runs so near-duplicate passages don't burn
-    the context window. k greedy rounds over a BOUNDED per-query
-    candidate frame; the oracle unrolls the rounds exactly
-    (oracles.mmr_rerank_sql)."""
+    the context window. The greedy state is per-query-local over the
+    BOUNDED over-fetch, so the default impl runs the whole loop in
+    one Arrow batch per query (one exchange, zero driver rounds) —
+    bit-identical to the k-round DataFrame form the oracle unrolls
+    (oracles.mmr_rerank_sql; equality pinned in tests/test_diversify)."""
     from rag_database_spark.operators import diversify
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2099,6 +2101,41 @@ def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.c4_rules(text_analytics.c4_fixtures_df(spark))
 
 
+def _flagged_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-word filter (C4 §2.2 any-hit + Dolma ratio rule) over
+    the documents table: one codegen scan, no shuffle — the bad-word
+    step ``c4_rules`` delegates. Fixture blocklist drawn from the
+    synthetic vocabulary so both decision branches are exercised."""
+    return text_analytics.flagged_words(load_table(spark, sf_dir, "documents"))
+
+
+def _shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: seeded hash60 sort key,
+    modulo shard, within-shard rank — one narrow projection + one
+    per-shard window, reproducible on any cluster size."""
+    from rag_database_spark.operators.packing import shuffle_export
+
+    return shuffle_export(load_table(spark, sf_dir, "documents"))
+
+
+def _matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-cascade top-k: 16-dim prefix shortlist
+    (12dp prefetch quantization) -> full-dim exact rescore of the 3x
+    over-fetch — the column-pruned cheap-scan ANN path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    qvecs = queries.join(
+        emb, queries["query_vec_id"] == emb["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    return similarity.matryoshka_topk(
+        qvecs, emb, workload.HYBRID_LIMIT,
+        id_col="vec_id", vec_col="embedding",
+    ).select(
+        "query_id", "id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (training-batch assembly): per-shard contiguous
     token-stream offsets and the fixed-budget training-row span of each
@@ -2751,9 +2788,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _pagerank_weighted,
         "graph_triangles": _graph_triangles,
         "related_ids": _related_ids,
-        "event_funnel": _event_funnel,
-        "cohort_retention": _cohort_retention,
-        "events_window_join": _events_window_join,
+        # new in r13 (second batch): flagged-word filter, deterministic
+        # shuffle export, matryoshka prefix-cascade top-k — they take
+        # the window rows of event_funnel / cohort_retention /
+        # events_window_join (each driver-green twice, r11 AND r12;
+        # the behavioral family stays repped in-window by
+        # asof_attribution)
+        "flagged_words": _flagged_words,
+        "shuffle_export": _shuffle_export,
+        "matryoshka_topk": _matryoshka_topk,
         "asof_attribution": _asof_attribution,
         "lm_perplexity": _lm_perplexity,
         "c4_rules": _c4_rules,
@@ -2821,6 +2864,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _bpe_vocab,
         "bpe_tokens": _bpe_tokens,
         # --- entry 51+: outside the driver window ---
+        # demoted in r13 for the flagged/shuffle/matryoshka trio
+        # (driver-green r11 AND r12; behavioral family stays repped
+        # in-window by asof_attribution)
+        "event_funnel": _event_funnel,
+        "cohort_retention": _cohort_retention,
+        "events_window_join": _events_window_join,
         # demoted in r13 for the upgraded chunker pair (driver-green
         # r12; media stays repped in-window by image/audio near-dup)
         "media_resize": _media_resize,
@@ -3190,6 +3239,9 @@ def oracle_sql() -> dict[str, str]:
         "quantized_topk": oracles.quantized_topk_sql(workload.HYBRID_LIMIT),
         "pack_sequences": oracles.pack_sequences_sql(),
         "pack_rows": oracles.pack_rows_sql(),
+        "flagged_words": oracles.flagged_words_sql(),
+        "shuffle_export": oracles.shuffle_export_sql(),
+        "matryoshka_topk": oracles.matryoshka_topk_sql(workload.HYBRID_LIMIT),
         "decontam": oracles.decontaminate_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(workload.HYBRID_LIMIT),

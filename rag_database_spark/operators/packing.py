@@ -188,6 +188,55 @@ def pack_rows(
     )
 
 
+SHUFFLE_NSHARDS = 8
+SHUFFLE_SEED = 42
+
+
+def shuffle_export(
+    docs: DataFrame,
+    n_shards: int = SHUFFLE_NSHARDS,
+    seed: int = SHUFFLE_SEED,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training export — the step
+    between curation and ``pack_sequences``: a trainer must read the
+    corpus in random order, but a 100 TB sort on ``rand()`` is neither
+    reproducible nor restartable. Instead every doc gets a seeded
+    content-free sort key (``hash60`` of ``'shuffle{seed}:' || id``),
+    its shard is ``key % n_shards``, and its position is the key's
+    rank within the shard:
+
+    - one narrow projection + one window partitioned by shard — the
+      only shuffle moves each row once to its shard; the per-shard
+      sort is bounded by ``corpus/n_shards`` and shards scale with
+      the cluster, not the corpus (write form:
+      ``repartition(shard).sortWithinPartitions(sort_key)``);
+    - md5 keys are uniform, so shards balance to ~1/n_shards with no
+      skew handling;
+    - same seed -> byte-identical order on any cluster size (restart-
+      and resume-safe); a new epoch is a new seed, not a new scan
+      of state.
+
+    Output: (doc_id, sort_key, shard, pos)."""
+    from rag_database_spark.operators.dedup import hash60
+
+    keyed = docs.select(F.col(id_col).alias("doc_id")).select(
+        "doc_id",
+        hash60(
+            F.concat(
+                F.lit(f"shuffle{seed}:"), F.col("doc_id").cast("string")
+            )
+        ).alias("sort_key"),
+    )
+    sharded = keyed.withColumn(
+        "shard", (F.col("sort_key") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return sharded.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    )
+
+
 def packing_stats(
     docs: DataFrame,
     budget: int = PACK_BUDGET,

@@ -1072,6 +1072,80 @@ def quantized_topk(
     return _ranked(scored, k)
 
 
+# Matryoshka cascade defaults: a 16-of-64 prefix keeps the shortlist
+# scan at 1/4 of the full-vector read (1/48 of a production 768-d
+# column) while the 3x over-fetch absorbs prefix-vs-full rank churn —
+# the same over-fetch constant the hybrid fusion legs use.
+MRL_PREFIX_DIMS = 16
+MRL_SHORTLIST_MULT = 3
+
+
+def matryoshka_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    prefix_dims: int = MRL_PREFIX_DIMS,
+    shortlist_mult: int = MRL_SHORTLIST_MULT,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    prefix_col: str | None = None,
+) -> DataFrame:
+    """Dimension-cascade top-k (Matryoshka / adaptive retrieval,
+    Kusupati et al. 2022): shortlist on a PREFIX of the embedding,
+    rescore only the shortlist at full dimension.
+
+    - stage 1: cosine over the first ``prefix_dims`` dims, quantized
+      at PREFETCH_ROUND_DP before ranking (the prefetch discipline —
+      the shortlist SET must be engine-independent), keep
+      ``shortlist_mult * k`` per query;
+    - stage 2: exact full-dim cosine for shortlist rows only, 6dp
+      final score, rank by (score DESC, id).
+
+    Scale story: stage 1 is the only corpus-wide scan, and it touches
+    ``prefix_dims/dim`` of the vector bytes — materialize the prefix
+    as its OWN column (pass ``prefix_col``) and parquet column pruning
+    makes that literal: the full vector column is read only for the
+    O(queries x shortlist) stage-2 rows, which arrive as a broadcast
+    semi-join against the corpus (the corpus never shuffles in either
+    stage). With MRL-trained embeddings the prefix IS a trained
+    sub-embedding; with generic embeddings the cascade still bounds
+    recall loss via the over-fetch (unit-pinned vs brute force)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("vec"),
+    )
+    qpre = q.select(
+        "query_id", F.slice("qvec", 1, prefix_dims).alias("qvec")
+    )
+    if prefix_col is not None:
+        cpre = corpus.select(
+            F.col(id_col).alias("id"),
+            to_double_array(F.col(prefix_col)).alias("vec"),
+        )
+    else:
+        cpre = c.select("id", F.slice("vec", 1, prefix_dims).alias("vec"))
+    short = cosine_topk(
+        qpre, cpre, k * shortlist_mult,
+        id_col="id", vec_col="vec", round_dp=PREFETCH_ROUND_DP,
+    ).select("query_id", "id")
+    rescored = (
+        c.join(F.broadcast(short), "id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("score"),
+        )
+    )
+    return _ranked(rescored, k)
+
+
 def best_cosine_match(
     batch: DataFrame,
     corpus: DataFrame,

@@ -21,6 +21,7 @@ from rag_database_spark.functions.text import (
     doc_fingerprint,
     quality_score,
     quality_tier,
+    raw_tokens,
     special_char_ratio,
     stopword_ratio,
     token_count_bpe_ish,
@@ -376,8 +377,8 @@ def c4_rules(docs: DataFrame, id_col: str = "doc_id",
     The reference has no web-cleaning pass (its corpus is parsed
     documents); this is the LLM-curation extension for raw-web data.
     The paper's remaining steps are separate operators here: bad-word
-    filtering → ``redact_pii``-style regex chains, three-sentence
-    dedup → ``dup_ngram_fraction``/``winnow_fp``."""
+    filtering → ``flagged_words``, three-sentence dedup →
+    ``dup_ngram_fraction``/``winnow_fp``."""
     docs = fan_out(docs)
     t = F.col(text_col)
     lines = F.split(t, "\n")
@@ -405,6 +406,53 @@ def c4_rules(docs: DataFrame, id_col: str = "doc_id",
         & ~F.col("has_lorem_ipsum")
         & ~F.col("has_brace"),
     )
+
+
+# Flagged-word filter (the bad-word step C4 §2.2 applies before every
+# other heuristic, and Dolma's flagged-word RATIO refinement — Raffel
+# et al. 2020; Soldaini et al. 2024). The word list is a deployment
+# input (the published LDNOOBW list in production); the default here
+# is a small fixture list drawn from the synthetic corpus vocabulary
+# so the operator's branches are exercised end-to-end. Two decisions
+# ship because the two recipes differ: C4 drops a page on ANY hit
+# (``any_flagged``), Dolma drops above a ratio (``passes``).
+FLAGGED_WORDS: tuple[str, ...] = ("slow", "legacy", "deprecated")
+FLAGGED_MAX_FRAC = 0.05
+
+
+def flagged_words(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  words: tuple[str, ...] = FLAGGED_WORDS,
+                  max_frac: float = FLAGGED_MAX_FRAC) -> DataFrame:
+    """Blocklist-word signals per document — one narrow scan of pure
+    column expressions (no Python, no shuffle, linear at any scale):
+
+    - ``n_words``: raw token count (lowercase → punctuation→space →
+      whitespace split, stopwords KEPT — a bad-word ratio over a
+      stopword-stripped denominator would overstate density)
+    - ``n_flagged``: tokens in ``words`` (duplicates counted —
+      ``array_intersect`` would dedupe)
+    - ``flagged_frac``: 6dp-rounded ratio (0.0 for empty docs)
+    - ``any_flagged``: the C4 §2.2 page-drop rule
+    - ``passes``: the Dolma ratio rule ``flagged_frac <= max_frac``
+
+    The blocklist rides into the plan as a literal IN-list: at any
+    realistic list size (LDNOOBW ~400 terms) that's still a codegen'd
+    set probe per token, never a join. ``c4_rules`` delegates this
+    step here (its docstring's "bad-word filtering" pointer)."""
+    docs = fan_out(docs)
+    toks = raw_tokens(F.col(text_col))
+    n_words = F.size(toks)
+    n_flagged = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        n_flagged.cast("long").alias("n_flagged"),
+        F.round(
+            F.when(n_words > 0, n_flagged / n_words).otherwise(F.lit(0.0)), 6
+        ).alias("flagged_frac"),
+        (n_flagged > 0).alias("any_flagged"),
+    ).withColumn("passes", F.col("flagged_frac") <= F.lit(max_frac))
 
 
 # Gopher repetition bounds (Rae et al. 2021 §A1.1): duplicate-line

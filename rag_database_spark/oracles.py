@@ -271,6 +271,86 @@ FROM dense_ranked WHERE rank <= {limit}
 """
 
 
+def matryoshka_topk_sql(
+    limit: int = HYBRID_LIMIT,
+    prefix_dims: int | None = None,
+    shortlist_mult: int | None = None,
+) -> str:
+    """Twin of ``similarity.matryoshka_topk``: prefix-slice cosine
+    quantized at PREFETCH_ROUND_DP ranks the shortlist (the prefetch
+    discipline — identical candidate SET across engines), then the
+    full-dim cosine rounds to 6dp and ranks (score DESC, id)."""
+    from rag_database_spark.operators.similarity import (
+        MRL_PREFIX_DIMS,
+        MRL_SHORTLIST_MULT,
+        PREFETCH_ROUND_DP,
+    )
+
+    pd_ = prefix_dims or MRL_PREFIX_DIMS
+    fetch = limit * (shortlist_mult or MRL_SHORTLIST_MULT)
+    return f"""
+WITH qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS v
+  FROM {queries_values_sql()}
+  JOIN embeddings e ON e.vec_id = q.query_vec_id
+),
+cv AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+pre AS (
+  SELECT qv.query_id, cv.id,
+         round(list_cosine_similarity(qv.v[1:{pd_}], cv.v[1:{pd_}]),
+               {PREFETCH_ROUND_DP}) AS pscore
+  FROM qv CROSS JOIN cv
+),
+short AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pscore DESC, id) AS prank
+  FROM pre QUALIFY prank <= {fetch}
+),
+resc AS (
+  SELECT s.query_id, s.id,
+         round(list_cosine_similarity(qv.v, cv.v), 6) AS score
+  FROM short s
+  JOIN cv ON cv.id = s.id
+  JOIN qv ON qv.query_id = s.query_id
+)
+SELECT query_id, id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, id)::BIGINT AS rank
+FROM resc
+QUALIFY rank <= {limit}
+"""
+
+
+def shuffle_export_sql(
+    n_shards: int | None = None, seed: int | None = None
+) -> str:
+    """Twin of ``packing.shuffle_export``: the same seeded hash60 sort
+    key, shard by modulo, position by (sort_key, doc_id) rank within
+    the shard."""
+    from rag_database_spark.operators.packing import (
+        SHUFFLE_NSHARDS,
+        SHUFFLE_SEED,
+    )
+
+    n = n_shards or SHUFFLE_NSHARDS
+    s = seed if seed is not None else SHUFFLE_SEED
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle{s}:' || doc_id::VARCHAR), 1, 15))
+           ::BIGINT AS sort_key
+  FROM documents
+)
+SELECT doc_id, sort_key, (sort_key % {n})::BIGINT AS shard,
+       row_number() OVER (PARTITION BY sort_key % {n}
+                          ORDER BY sort_key, doc_id)::BIGINT AS pos
+FROM k
+"""
+
+
 def hybrid_rrf_sql(
     limit: int = HYBRID_LIMIT,
     weights: dict[str, float] | None = None,
@@ -690,6 +770,40 @@ SELECT doc_id, n_lines::BIGINT AS n_lines,
        has_lorem_ipsum, has_brace,
        (n_sentences >= {C4_MIN_SENTENCES}
         AND NOT has_lorem_ipsum AND NOT has_brace) AS passes
+FROM sig
+"""
+
+
+def flagged_words_sql() -> str:
+    """Twin of ``text_analytics.flagged_words`` — the same raw-token
+    list (lowercase → punctuation→space → whitespace split, empties
+    dropped, stopwords KEPT) probed against the same literal IN-list,
+    ratio rounded at 6dp, both the C4 any-hit and Dolma ratio rules."""
+    from rag_database_spark.operators.text_analytics import (
+        FLAGGED_MAX_FRAC,
+        FLAGGED_WORDS,
+    )
+
+    inlist = ", ".join(f"'{w}'" for w in FLAGGED_WORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             regexp_replace(lower(text), '{PUNCT_RE}', ' ', 'g'),
+             '{SPLIT_RE}'), x -> length(x) > 0) AS t
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, len(t) AS n_words,
+         len(list_filter(t, x -> x IN ({inlist}))) AS n_flagged
+  FROM toks
+)
+SELECT doc_id, n_words::BIGINT AS n_words, n_flagged::BIGINT AS n_flagged,
+       round(CASE WHEN n_words > 0 THEN n_flagged / n_words
+                  ELSE 0.0 END, 6) AS flagged_frac,
+       (n_flagged > 0) AS any_flagged,
+       (round(CASE WHEN n_words > 0 THEN n_flagged / n_words
+                   ELSE 0.0 END, 6) <= {FLAGGED_MAX_FRAC}) AS passes
 FROM sig
 """
 

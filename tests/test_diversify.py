@@ -104,3 +104,27 @@ def test_mmr_multi_query_independence(spark):
         for r in mmr_rerank(df, k=2).collect()
     }
     assert got == {(1, 1): 10, (1, 2): 11, (2, 1): 11, (2, 2): 10}
+
+
+def test_mmr_local_equals_loop_exactly(spark):
+    """The Arrow-batched local impl replays the loop impl's float ops
+    bit-for-bit: STRICT equality including the mmr doubles, multiple
+    queries, rel ties, clone vectors, and exhaustion below k."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for qid in (1, 2, 3):
+        for i in range(14):
+            v = rng.normal(size=8)
+            if i % 5 == 0:
+                v = np.array([1.0, 0, 0, 0, 0, 0, 0, 0])  # clones
+            rows.append(
+                (qid, i, round(float(rng.uniform(0.2, 1.0)), 6),
+                 v.tolist())
+            )
+    rows.append((4, 0, 0.5, [1.0] * 8))  # exhausts at 1 < k
+    df = spark.createDataFrame(
+        rows, "query_id long, id long, rel double, v array<double>"
+    )
+    loop = sorted(map(tuple, mmr_rerank(df, k=6, impl="loop").collect()))
+    local = sorted(map(tuple, mmr_rerank(df, k=6, impl="local").collect()))
+    assert loop == local

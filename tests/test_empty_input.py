@@ -231,3 +231,38 @@ def test_r13_ivf_and_retention_tolerate_degenerate_input(spark, tmp_path):
     )
     assert apply_retention(t, as_of="2026-08-15") == 0
     assert t.read().count() == 1
+
+
+def test_r13_flagged_shuffle_matryoshka_tolerate_empty_input(spark):
+    """The r13 second-batch trio: empty corpus/queries yield empty
+    results with the normal schema (no div-by-zero, no window crash,
+    no GEMM on a zero-row side)."""
+    from rag_database_spark.operators.packing import shuffle_export
+    from rag_database_spark.operators.similarity import matryoshka_topk
+    from rag_database_spark.operators.text_analytics import flagged_words
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_vecs = spark.createDataFrame([], "id long, vec array<double>")
+    one_query = spark.createDataFrame(
+        [(1, [1.0] * 24)], "query_id long, qvec array<double>"
+    )
+    some_vecs = spark.createDataFrame(
+        [(1, [1.0] * 24), (2, [0.5] * 24)], "id long, vec array<double>"
+    )
+    empty_queries = spark.createDataFrame(
+        [], "query_id long, qvec array<double>"
+    )
+
+    fw = flagged_words(empty_docs)
+    assert fw.count() == 0
+    assert set(fw.columns) == {
+        "doc_id", "n_words", "n_flagged", "flagged_frac",
+        "any_flagged", "passes",
+    }
+
+    se = shuffle_export(empty_docs)
+    assert se.count() == 0
+    assert set(se.columns) == {"doc_id", "sort_key", "shard", "pos"}
+
+    assert matryoshka_topk(one_query, empty_vecs, 5).count() == 0
+    assert matryoshka_topk(empty_queries, some_vecs, 5).count() == 0

@@ -137,3 +137,39 @@ def test_decontaminate_with_external_bench_table(spark):
     assert set(out) == {10, 11}
     assert out[10]["n_hits"] == 3 and out[10]["is_contaminated"]
     assert out[11]["n_hits"] == 0 and not out[11]["is_contaminated"]
+
+
+def test_shuffle_export_deterministic_and_complete(spark):
+    from rag_database_spark.operators.packing import shuffle_export
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(97)], "doc_id long, text string"
+    )
+    a = shuffle_export(docs).collect()
+    b = shuffle_export(docs.repartition(7)).collect()
+    # same rows regardless of input partitioning, every doc exactly once
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 97 and len({r["doc_id"] for r in a}) == 97
+    # shard is key-derived, pos is a 1..n_shard contiguous rank in
+    # (sort_key, doc_id) order
+    by_shard = {}
+    for r in a:
+        assert r["shard"] == r["sort_key"] % 8
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: (r["sort_key"], r["doc_id"]))
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_shuffle_export_seed_changes_order_not_membership(spark):
+    from rag_database_spark.operators.packing import shuffle_export
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    a = shuffle_export(docs, seed=1).collect()
+    b = shuffle_export(docs, seed=2).collect()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+    # a different epoch seed produces a genuinely different permutation
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(a) != key(b)

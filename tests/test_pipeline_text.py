@@ -829,3 +829,56 @@ def test_temperature_sample_flattens_source_skew(spark):
         for r in temperature_sample(docs.repartition(7)).collect()
     }
     assert again == {s: out[s]["n_kept"] for s in out}
+
+
+def test_flagged_words_hand_case(spark):
+    """Hand-verified blocklist signals: duplicate hits count, the
+    tokenizer matches through punctuation/case, empty docs are 0-safe,
+    and the C4 any-hit vs Dolma ratio decisions diverge exactly where
+    the ratio crosses the threshold."""
+    from rag_database_spark.operators.text_analytics import flagged_words
+
+    docs = spark.createDataFrame(
+        [
+            # 1 hit in 10 words -> frac 0.1 > 0.05: any_flagged, fails
+            (1, "the slow brown fox jumps over the lazy dog again"),
+            # 0 hits: clean, passes
+            (2, "fast table scan with hash join and merge sort"),
+            # 2 hits in 40 words -> frac 0.05: flagged but PASSES
+            #   (boundary: <= is the Dolma rule)
+            (3, "slow " + "word " * 38 + "slow"),
+            # punctuation + case: "Slow," tokenizes to 'slow'
+            (4, "Slow, but steady."),
+            # empty doc: n_words 0, frac 0.0, passes
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in flagged_words(docs).collect()}
+
+    assert rows[1]["n_flagged"] == 1 and rows[1]["n_words"] == 10
+    assert rows[1]["flagged_frac"] == 0.1
+    assert rows[1]["any_flagged"] and not rows[1]["passes"]
+
+    assert rows[2]["n_flagged"] == 0
+    assert not rows[2]["any_flagged"] and rows[2]["passes"]
+
+    assert rows[3]["n_flagged"] == 2 and rows[3]["n_words"] == 40
+    assert rows[3]["flagged_frac"] == 0.05
+    assert rows[3]["any_flagged"] and rows[3]["passes"]
+
+    assert rows[4]["n_flagged"] == 1 and rows[4]["n_words"] == 3
+
+    assert rows[5]["n_words"] == 0 and rows[5]["flagged_frac"] == 0.0
+    assert not rows[5]["any_flagged"] and rows[5]["passes"]
+
+
+def test_flagged_words_custom_list_and_threshold(spark):
+    from rag_database_spark.operators.text_analytics import flagged_words
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma beta")], "doc_id long, text string"
+    )
+    r = flagged_words(docs, words=("beta",), max_frac=0.6).collect()[0]
+    assert r["n_flagged"] == 2 and r["flagged_frac"] == 0.5
+    assert r["passes"]

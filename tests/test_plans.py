@@ -488,3 +488,52 @@ def test_pq_adc_scan_broadcasts_codebooks_no_python(spark, tmp_path):
     assert "BroadcastHashJoin" in p          # codebook joins broadcast
     assert "PythonEval" not in p and "ArrowEval" not in p
     assert "WindowGroupLimit" in p           # top-k pushdown on the rank
+
+
+def test_flagged_words_single_codegen_scan(spark):
+    """The blocklist probe is one projection over the scan — no
+    Exchange, no Python, the IN-list folded into codegen."""
+    from rag_database_spark.operators.text_analytics import flagged_words
+
+    df = flagged_words(load_table(spark, SF_DIR, "documents"))
+    p = plan_of(df, "simple")
+    # no aggregation/join shuffle (fan_out's round-robin reshard is
+    # not a hashpartitioning exchange), no Python
+    assert p.count("Exchange hashpartitioning") == 0
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_shuffle_export_single_shard_exchange(spark):
+    """The training-order shuffle moves each row exactly once: one
+    hash Exchange on the shard key feeding the per-shard rank window;
+    only (doc_id) is read from the corpus."""
+    from rag_database_spark.operators.packing import shuffle_export
+
+    p = plan_of(shuffle_export(load_table(spark, SF_DIR, "documents")), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_matryoshka_rescore_side_broadcasts(spark):
+    """Stage 2 touches the corpus through broadcast joins only (the
+    shortlist and the query vectors broadcast; the corpus never
+    shuffles), and with a materialized prefix column stage 1's scan
+    prunes the full-vector column away."""
+    from pyspark.sql import functions as F2
+
+    from rag_database_spark.operators.similarity import matryoshka_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = (
+        emb.filter(F2.col("vec_id") < 3)
+        .select(F2.col("vec_id").alias("query_id"),
+                F2.col("embedding").alias("qvec"))
+    )
+    p = plan_of(
+        matryoshka_topk(queries, emb, 10,
+                        id_col="vec_id", vec_col="embedding"),
+        "simple",
+    )
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p

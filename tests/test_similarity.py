@@ -466,3 +466,54 @@ def test_ivf_det_quantized_probe_serves_exact_member(spark):
         assert r["score"] == _pytest.approx(
             brute[(r["query_id"], r["id"])], rel=1e-12
         )
+
+
+def test_matryoshka_recall_and_self_serve(spark):
+    """Prefix-cascade top-k: on a clustered corpus the 16-dim prefix
+    shortlist plus full-dim rescore recovers the brute-force top-k
+    almost entirely, and a query that IS a corpus vector serves
+    itself at rank 1 with score 1.0."""
+    from rag_database_spark.operators.similarity import matryoshka_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(4, 32)) * 5
+    rows = [
+        (i, (centers[i % 4] + rng.normal(scale=0.3, size=32)).tolist())
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    queries = spark.createDataFrame(
+        [(qi, rows[qi][1]) for qi in range(4)],
+        "query_id long, qvec array<double>",
+    )
+    exact = cosine_topk(queries, corpus, 10).collect()
+    casc = matryoshka_topk(queries, corpus, 10, prefix_dims=8).collect()
+    key = lambda rs: {(r["query_id"], r["id"]) for r in rs}
+    recall = len(key(exact) & key(casc)) / len(key(exact))
+    assert recall >= 0.8
+    top1 = {r["query_id"]: r for r in casc if r["rank"] == 1}
+    for qi in range(4):
+        assert top1[qi]["id"] == qi
+        assert top1[qi]["score"] == 1.0
+
+
+def test_matryoshka_prefix_col_matches_inline_slice(spark):
+    """A materialized prefix column (the column-pruned 100 TB layout)
+    returns exactly what inline slicing computes."""
+    from pyspark.sql import functions as F
+
+    from rag_database_spark.operators.similarity import matryoshka_topk
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.normal(size=24).tolist()) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    with_prefix = corpus.withColumn("vec16", F.slice("vec", 1, 16))
+    queries = spark.createDataFrame(
+        [(0, rows[3][1]), (1, rows[40][1])],
+        "query_id long, qvec array<double>",
+    )
+    inline = matryoshka_topk(queries, corpus, 5).collect()
+    pruned = matryoshka_topk(
+        queries, with_prefix, 5, prefix_col="vec16"
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, pruned))
