@@ -647,6 +647,29 @@ def _dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware downweighting (dedup.soft_dedup): every doc
+    survives with weight 1/|near-dup component| — a cluster of n
+    duplicates contributes one doc's gradient mass in total, the soft
+    alternative to keep_representatives' hard drop. Reads the same
+    persisted pair artifact as the cluster entries."""
+    return dedup.soft_dedup(
+        _jaccard_pairs(spark, sf_dir),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
+def _cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling (clustering.cluster_quota_sample):
+    every k-means cluster keeps ceil(|c|/2) members by seeded md5
+    order — diversity-preserving downsampling over the shared
+    persisted k-means artifact; the oracle replays the unrolled
+    Lloyd's chain plus the same pick/keep tail."""
+    return clustering.cluster_quota_sample(
+        _kmeans_artifact(spark, sf_dir)
+    ).withColumnRenamed("id", "vec_id")
+
+
 def _dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized deduplicated corpus: one representative
     (component-min doc) per near-dup cluster, with the duplicate count
@@ -2782,10 +2805,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by the upgraded bpe_vocab/bpe_tokens hash entries;
         # mmr_rerank needs its first driver row)
         "mmr_rerank": _mmr_rerank,
-        # never-driver-certified until r10 (rotated in this round)
-        "doc_pagerank": _doc_pagerank,
+        # new in r13 (second batch, cont.): duplicate-aware
+        # downweighting and cluster-balanced subsampling take the
+        # window rows of doc_pagerank / pagerank_weighted (each
+        # driver-green twice, r11 AND r12; the pagerank family stays
+        # repped in-window by ppr_topk + semantic_pagerank)
+        "soft_dedup": _soft_dedup,
+        "cluster_quota_sample": _cluster_quota_sample,
         "ppr_topk": _ppr_topk,
-        "pagerank_weighted": _pagerank_weighted,
         "graph_triangles": _graph_triangles,
         "related_ids": _related_ids,
         # new in r13 (second batch): flagged-word filter, deterministic
@@ -2870,6 +2897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _event_funnel,
         "cohort_retention": _cohort_retention,
         "events_window_join": _events_window_join,
+        # demoted in r13 for soft_dedup / cluster_quota_sample
+        # (driver-green r11 AND r12; pagerank family stays repped
+        # in-window by ppr_topk + semantic_pagerank)
+        "doc_pagerank": _doc_pagerank,
+        "pagerank_weighted": _pagerank_weighted,
         # demoted in r13 for the upgraded chunker pair (driver-green
         # r12; media stays repped in-window by image/audio near-dup)
         "media_resize": _media_resize,
@@ -3242,6 +3274,10 @@ def oracle_sql() -> dict[str, str]:
         "flagged_words": oracles.flagged_words_sql(),
         "shuffle_export": oracles.shuffle_export_sql(),
         "matryoshka_topk": oracles.matryoshka_topk_sql(workload.HYBRID_LIMIT),
+        "soft_dedup": oracles.soft_dedup_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
+        "cluster_quota_sample": oracles.cluster_quota_sample_sql(),
         "decontam": oracles.decontaminate_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(workload.HYBRID_LIMIT),

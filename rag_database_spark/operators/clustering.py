@@ -327,3 +327,64 @@ def centroid_outliers(
         (F.col("crank") - F.lit(1)) * F.lit(keep_den)
         < F.col("cluster_n") * F.lit(keep_num),
     )
+
+
+# Cluster-quota sampling defaults: keep half of every cluster — big
+# enough that every non-singleton cluster visibly splits, exact by the
+# same integer CEIL rule as the outlier pruner.
+QUOTA_NUM = 1
+QUOTA_DEN = 2
+QUOTA_SEED = 42
+
+
+def cluster_quota_sample(
+    assignments: DataFrame,
+    num: int = QUOTA_NUM,
+    den: int = QUOTA_DEN,
+    seed: int = QUOTA_SEED,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Cluster-balanced subsampling — the diversity-preserving
+    downsample step (DataComp / NeMo-Curator recipe): a uniform
+    corpus-wide sample keeps the head topics' mass and starves the
+    tail, so instead every k-means cluster contributes
+    ceil(|cluster| * num/den) documents, chosen by a seeded
+    content-free md5 order. Semantic coverage survives any sampling
+    rate; the CEIL rule means a singleton cluster always keeps its
+    member (the same integer boundary ``centroid_outliers`` uses, so
+    the keep set is exact in any engine).
+
+    Input is the persisted (id, cluster_id) k-means assignment
+    artifact — serving never re-runs the fit. Returns one AUDITABLE
+    row per input vector: (id, cluster_id, pick_key, pick_rank,
+    cluster_n, keep).
+
+    Plan: one narrow projection + one shuffle on cluster_id shared by
+    the rank and count windows — no text, no vectors, no driver
+    state; at 100 TB the assignment table is one narrow row per
+    document and everything here is linear with a single exchange."""
+    from pyspark.sql import Window
+
+    from rag_database_spark.operators.dedup import hash60
+
+    keyed = assignments.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster_id"),
+    ).withColumn(
+        "pick_key",
+        hash60(F.concat(F.lit(f"cqs{seed}:"), F.col("id").cast("string"))),
+    )
+    w = Window.partitionBy("cluster_id").orderBy("pick_key", "id")
+    wn = Window.partitionBy("cluster_id")
+    return keyed.select(
+        "id",
+        "cluster_id",
+        "pick_key",
+        F.row_number().over(w).cast("long").alias("pick_rank"),
+        F.count(F.lit(1)).over(wn).alias("cluster_n"),
+    ).withColumn(
+        "keep",
+        (F.col("pick_rank") - F.lit(1)) * F.lit(den)
+        < F.col("cluster_n") * F.lit(num),
+    )

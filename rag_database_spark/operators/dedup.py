@@ -972,6 +972,45 @@ def keep_representatives(
     )
 
 
+def soft_dedup(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate-aware DOWNWEIGHTING — the soft alternative to
+    dropping: instead of keeping one representative per near-dup
+    component (``keep_representatives``), every document survives
+    with training weight 1/|component|, so a cluster of n duplicates
+    contributes one document's worth of gradient mass in total while
+    phrasing variation inside the cluster is preserved. (The
+    duplicate-discounting recipe several recent pretraining pipelines
+    use in place of hard removal; composes the same pair graph the
+    hard-dedup family generates.)
+
+    Returns one row per corpus document: (doc_id, cluster_id,
+    group_size, weight) with ``weight = round(1/group_size, 6)`` —
+    singletons get weight 1.0, so downstream samplers can consume the
+    column unconditionally.
+
+    Plan: connected components over the pair graph
+    (``dedup_clusters`` — its scale contract carries over verbatim),
+    then ONE groupBy on cluster_id (uniform small keys, map-side
+    partials) and one keyed join back: no step beyond the pair
+    generation itself touches document text."""
+    cl = dedup_clusters(pairs, docs, id_col, src_col, dst_col)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return cl.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.round(F.lit(1.0) / F.col("group_size"), 6).alias("weight"),
+    )
+
+
 # fuzzy-decontamination defaults: eval slice mirrors the exact-overlap
 # decontaminate() fixture (doc_id < 20); the Jaccard bar is deliberately
 # lower than the 0.8 near-dup threshold — contamination checks want

@@ -3802,6 +3802,64 @@ WHERE c.doc_id = c.cluster_id
 """
 
 
+def soft_dedup_sql(threshold: float, k: int) -> str:
+    """Twin of ``dedup.soft_dedup``: the shared recursive component
+    CTEs plus per-component size and the 1/size training weight."""
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold, k)},
+cs AS (
+  SELECT cluster_id, count(*)::BIGINT AS group_size FROM cl GROUP BY 1
+)
+SELECT c.doc_id, c.cluster_id, cs.group_size,
+       round(1.0 / cs.group_size, 6) AS weight
+FROM cl c JOIN cs USING (cluster_id)
+"""
+
+
+def cluster_quota_sample_sql(
+    num: int | None = None,
+    den: int | None = None,
+    seed: int | None = None,
+    iters: int | None = None,
+    dim: int = 64,
+    scale: int | None = None,
+) -> str:
+    """Twin of ``clustering.cluster_quota_sample`` over the shared
+    unrolled k-means CTEs: the same seeded hash60 pick key, per-cluster
+    (pick_key, id) rank + count windows, and the integer CEIL keep
+    rule (pick_rank−1)·den < cluster_n·num."""
+    from rag_database_spark.operators.clustering import (
+        KMEANS_ITERS, KMEANS_SCALE, QUOTA_DEN, QUOTA_NUM, QUOTA_SEED,
+    )
+
+    num = num or QUOTA_NUM
+    den = den or QUOTA_DEN
+    seed = seed if seed is not None else QUOTA_SEED
+    if iters is None:
+        iters = KMEANS_ITERS
+    if scale is None:
+        scale = KMEANS_SCALE
+    return f"""
+WITH {_kmeans_ctes(iters, dim, scale)},
+kq AS (
+  SELECT vec_id, cid,
+         ('0x' || substr(md5('cqs{seed}:' || vec_id::VARCHAR), 1, 15))
+           ::BIGINT AS pick_key
+  FROM af
+),
+rr AS (
+  SELECT vec_id, cid, pick_key,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY pick_key, vec_id)::BIGINT AS pick_rank,
+         count(*) OVER (PARTITION BY cid)::BIGINT AS cluster_n
+  FROM kq
+)
+SELECT vec_id, cid AS cluster_id, pick_key, pick_rank, cluster_n,
+       ((pick_rank - 1) * {den} < cluster_n * {num}) AS keep
+FROM rr
+"""
+
+
 def fuzzy_decontam_sql(bench_max: int, threshold: float, k: int) -> str:
     """Best shingle-Jaccard eval-set match per probed corpus document;
     argmax tie-break (jaccard desc, bench_id asc) on 6dp-rounded scores

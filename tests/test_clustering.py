@@ -337,3 +337,47 @@ def test_centroid_outliers_tie_break_and_small_cluster(spark):
     # exact boundary: n=20 keeps exactly ceil(18)=18 (checked in the
     # numpy test above); here pin the formula itself
     assert ((18 - 1) * 10 < 20 * 9) and not ((19 - 1) * 10 < 20 * 9)
+
+
+def test_cluster_quota_sample_ceil_rule_and_order(spark):
+    """Keep set = first ceil(|c|·num/den) members in seeded md5
+    order: verified against a hashlib replay; a singleton cluster
+    always keeps its member; repartitioning doesn't change the
+    result."""
+    import hashlib
+
+    from rag_database_spark.operators.clustering import (
+        cluster_quota_sample,
+    )
+
+    assign = spark.createDataFrame(
+        [(i, 0) for i in range(10)]        # 10-member cluster
+        + [(100 + i, 1) for i in range(3)]  # 3-member cluster
+        + [(999, 2)],                       # singleton
+        "id long, cluster_id int",
+    )
+    rows = cluster_quota_sample(assign, num=1, den=2, seed=7).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster_id"], []).append(r)
+
+    def key(i):
+        return int(hashlib.md5(f"cqs7:{i}".encode()).hexdigest()[:15], 16)
+
+    for cid, members in by_c.items():
+        n = len(members)
+        expected_keep = -(-n // 2)  # ceil(n/2)
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == expected_keep
+        order = sorted(members, key=lambda r: (key(r["id"]), r["id"]))
+        assert [r["id"] for r in sorted(members, key=lambda r: r["pick_rank"])] \
+            == [r["id"] for r in order]
+        for r in members:
+            assert r["pick_key"] == key(r["id"])
+            assert r["cluster_n"] == n
+    assert by_c[2][0]["keep"]  # singleton survives
+
+    again = cluster_quota_sample(
+        assign.repartition(5), num=1, den=2, seed=7
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

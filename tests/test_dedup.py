@@ -519,3 +519,29 @@ def test_adaptive_n_planes_contract():
     # clamp: never exceeds the canonical draw, engine == oracle
     assert adaptive_n_planes(t * 2**40) == LSH_MAX_PLANES
     assert adaptive_n_planes(2**62) == LSH_MAX_PLANES
+
+
+def test_soft_dedup_weights(spark):
+    """Component {1,2,3} weights 1/3, pair {5,6} weights 0.5,
+    singleton 4 weights 1.0 — one row per corpus doc, weight rounded
+    at 6dp."""
+    from rag_database_spark.operators.dedup import soft_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in soft_dedup(pairs, docs).collect()}
+    assert len(rows) == 6
+    for d in (1, 2, 3):
+        assert rows[d]["cluster_id"] == 1
+        assert rows[d]["group_size"] == 3
+        assert rows[d]["weight"] == 0.333333
+    assert rows[4]["group_size"] == 1 and rows[4]["weight"] == 1.0
+    for d in (5, 6):
+        assert rows[d]["cluster_id"] == 5
+        assert rows[d]["weight"] == 0.5
+    # total gradient mass ≈ number of distinct components
+    assert abs(sum(r["weight"] for r in rows.values()) - 3.0) < 1e-5

@@ -266,3 +266,33 @@ def test_r13_flagged_shuffle_matryoshka_tolerate_empty_input(spark):
 
     assert matryoshka_topk(one_query, empty_vecs, 5).count() == 0
     assert matryoshka_topk(empty_queries, some_vecs, 5).count() == 0
+
+
+def test_r13_soft_dedup_and_quota_sample_tolerate_empty_input(spark):
+    from rag_database_spark.operators.clustering import (
+        cluster_quota_sample,
+    )
+    from rag_database_spark.operators.dedup import soft_dedup
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    some_docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    empty_assign = spark.createDataFrame([], "id long, cluster_id int")
+
+    sd = soft_dedup(empty_pairs, empty_docs)
+    assert sd.count() == 0
+    assert set(sd.columns) == {
+        "doc_id", "cluster_id", "group_size", "weight",
+    }
+    # no pairs at all: every doc is its own singleton at weight 1.0
+    rows = soft_dedup(empty_pairs, some_docs).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["weight"] == 1.0 for r in rows)
+
+    qs = cluster_quota_sample(empty_assign)
+    assert qs.count() == 0
+    assert set(qs.columns) == {
+        "id", "cluster_id", "pick_key", "pick_rank", "cluster_n", "keep",
+    }

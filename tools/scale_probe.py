@@ -64,6 +64,7 @@ AUDIT_NOTES = {
     "makes it grow ~quadratically by construction",
     "dedup_clusters": "consumes the quadratically-grown pair set",
     "dedup_clusters_cc": "consumes the quadratically-grown pair set",
+    "soft_dedup": "consumes the quadratically-grown pair set",
     "dedup_keep": "consumes the quadratically-grown pair set",
     "curate_corpus": "consumes the quadratically-grown pair set",
     "embedding_near_dup": "replicated embeddings are exact dups → "
@@ -117,6 +118,7 @@ def time_all(spark, sf_dir: str, only=None) -> dict[str, float]:
 # ~linearly like real data) their exponents measure PLAN scaling.
 DEDUP_FAMILY = (
     "near_dup_pairs", "dedup_clusters", "dedup_clusters_cc", "dedup_keep",
+    "soft_dedup",
     "curate_corpus", "fuzzy_decontam", "embedding_near_dup", "minhash_sigs",
     # graph consumers of the near-dup pair set: their join/wedge
     # volume tracks edge count, which the replica corpus inflates
