@@ -293,6 +293,13 @@ def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow batch per query (one exchange, zero driver rounds) —
     bit-identical to the k-round DataFrame form the oracle unrolls
     (oracles.mmr_rerank_sql; equality pinned in tests/test_diversify)."""
+    return _mmr_results(spark, sf_dir)
+
+
+def _mmr_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MMR stage: dense over-fetch candidates (6dp rel, vector
+    carried) through diversify.mmr_rerank — consumed by both the
+    mmr_rerank entry and the rag_context_pack composition."""
     from rag_database_spark.operators import diversify
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -317,6 +324,21 @@ def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return diversify.mmr_rerank(cands, k=workload.HYBRID_LIMIT)
+
+
+def _rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end RAG serving composition: dense retrieval
+    over-fetch → MMR diversification → greedy token-budget context
+    assembly (packing.pack_context) — retrieve, de-duplicate the
+    context, stop at the window budget; rank 1 always ships. The
+    oracle nests the proven dense + MMR chains under the same
+    prefix-sum tail."""
+    from rag_database_spark.operators.packing import pack_context
+
+    return pack_context(
+        _mmr_results(spark, sf_dir),
+        load_table(spark, sf_dir, "documents"),
+    )
 
 
 def _ivfpq_index(
@@ -2825,7 +2847,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_export": _shuffle_export,
         "matryoshka_topk": _matryoshka_topk,
         "asof_attribution": _asof_attribution,
-        "lm_perplexity": _lm_perplexity,
+        # new in r13 (second batch, cont.): the end-to-end RAG serving
+        # composition takes lm_perplexity's window row (driver-green
+        # r11 AND r12; the bigram-LM machinery stays repped in-window
+        # by contrastive_select, which trains and serves two of them)
+        "rag_context_pack": _rag_context_pack,
         "c4_rules": _c4_rules,
         "decontam": _decontam,
         "ingest_pairs": _ingest_pairs,
@@ -2902,6 +2928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window by ppr_topk + semantic_pagerank)
         "doc_pagerank": _doc_pagerank,
         "pagerank_weighted": _pagerank_weighted,
+        # demoted in r13 for rag_context_pack (driver-green r11 AND
+        # r12; LM machinery repped in-window by contrastive_select)
+        "lm_perplexity": _lm_perplexity,
         # demoted in r13 for the upgraded chunker pair (driver-green
         # r12; media stays repped in-window by image/audio near-dup)
         "media_resize": _media_resize,
@@ -3285,6 +3314,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": oracles.pq_topk_sql(workload.HYBRID_LIMIT),
         "ivfpq_topk": oracles.ivfpq_topk_sql(workload.HYBRID_LIMIT),
         "mmr_rerank": oracles.mmr_rerank_sql(
+            workload.HYBRID_LIMIT * FETCH_MULTIPLIER
+        ),
+        "rag_context_pack": oracles.rag_context_pack_sql(
             workload.HYBRID_LIMIT * FETCH_MULTIPLIER
         ),
     }

@@ -188,6 +188,66 @@ def pack_rows(
     )
 
 
+# Context-window budget for pack_context: ~3 synthetic docs (the
+# corpus averages ~50 whitespace tokens/doc), so the greedy cut is
+# exercised on every query at any tested sf.
+CONTEXT_BUDGET = 160
+
+
+def pack_context(
+    results: DataFrame,
+    docs: DataFrame,
+    budget: int = CONTEXT_BUDGET,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy context-window assembly — the LAST step of a RAG
+    serving pipeline: walk each query's ranked (already diversified)
+    results in rank order and keep documents until the token budget
+    is spent. ``kept = cum_tokens <= budget OR rank = 1`` — the top
+    result always ships even if oversized (an empty context is worse
+    than a truncated one); every row returns with its running total
+    so the cut is auditable.
+
+    Output: (query_id, id, rank, n_tokens, cum_tokens, kept).
+
+    Plan: the results frame is O(queries × k) — corpus-sized state
+    never appears; one keyed join pulls ONLY the token counts (a
+    narrow projection of the doc table: at 100 TB that join prunes to
+    two columns and broadcasts the result side), and the running sum
+    is one window per query with an explicit ROWS frame (the default
+    RANGE frame would share totals across rank ties; ranks are unique
+    per query, but the frame is pinned so both engines compute the
+    same prefix sums by construction)."""
+    tok = docs.select(
+        F.col(doc_id_col).alias("id"),
+        token_count_ws(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    seq = results.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).join(tok, "id")
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "query_id",
+        "id",
+        "rank",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    ).withColumn(
+        "kept",
+        (F.col("cum_tokens") <= F.lit(budget)) | (F.col("rank") == 1),
+    )
+
+
 SHUFFLE_NSHARDS = 8
 SHUFFLE_SEED = 42
 

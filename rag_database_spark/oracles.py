@@ -5184,12 +5184,14 @@ WHERE doc_id < 8 AND doc_id % 4 = 3 AND level = 'paragraph'
 """
 
 
-def mmr_rerank_sql(
+def _mmr_parts(
     fetch: int,
     k: int | None = None,
     lam: float | None = None,
-) -> str:
-    """Unrolled twin of ``diversify.mmr_rerank`` over the dense leg:
+) -> tuple[str, str]:
+    """Shared round CTEs of the MMR twin — returns (joined CTE parts,
+    final rank-union SELECT) so compositions can embed the greedy
+    rounds under their own WITH. Semantics:
     candidates = the shared dense top-``fetch`` (rel at 6dp, vector
     carried), then k greedy rounds — each round's pick is a per-query
     row_number over the UNROUNDED λ·rel − (1−λ)·max_sim with ties →
@@ -5240,10 +5242,63 @@ def mmr_rerank_sql(
         f"SELECT query_id, id, rel, mmr, {t}::BIGINT AS rank FROM sel{t}"
         for t in range(1, k + 1)
     )
+    return ",".join(parts), union
+
+
+def mmr_rerank_sql(
+    fetch: int,
+    k: int | None = None,
+    lam: float | None = None,
+) -> str:
+    """Unrolled twin of ``diversify.mmr_rerank`` over the dense leg —
+    see ``_mmr_parts`` for the round structure (shared with the
+    ``rag_context_pack`` composition)."""
+    parts, union = _mmr_parts(fetch, k, lam)
     return f"""
 WITH {_dense_ctes(fetch)},
-{",".join(parts)}
+{parts}
 {union}
+"""
+
+
+def rag_context_pack_sql(
+    fetch: int,
+    k: int | None = None,
+    budget: int | None = None,
+) -> str:
+    """Twin of the end-to-end RAG serving composition: dense
+    over-fetch → MMR diversify (the shared ``_mmr_parts`` rounds) →
+    greedy token-budget context assembly (``packing.pack_context``).
+    The running total is an explicit ROWS-frame prefix sum over the
+    MMR rank; ``kept`` keeps rank 1 unconditionally."""
+    from rag_database_spark.functions.text import SPLIT_RE
+    from rag_database_spark.operators.packing import CONTEXT_BUDGET
+
+    budget = budget or CONTEXT_BUDGET
+    parts, union = _mmr_parts(fetch, k)
+    return f"""
+WITH {_dense_ctes(fetch)},
+{parts},
+mm AS (
+{union}
+),
+tok AS (
+  SELECT doc_id AS id,
+         len(list_filter(string_split_regex(trim(text), '{SPLIT_RE}'),
+                         x -> length(x) > 0))::BIGINT AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT m.query_id, m.id, m.rank, t.n_tokens,
+         sum(t.n_tokens) OVER (
+           PARTITION BY m.query_id ORDER BY m.rank
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS cum_tokens
+  FROM mm m JOIN tok t USING (id)
+)
+SELECT query_id, id, rank, n_tokens, cum_tokens,
+       (cum_tokens <= {budget} OR rank = 1) AS kept
+FROM seq
 """
 
 

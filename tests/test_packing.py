@@ -173,3 +173,30 @@ def test_shuffle_export_seed_changes_order_not_membership(spark):
     # a different epoch seed produces a genuinely different permutation
     key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
     assert key(a) != key(b)
+
+
+def test_pack_context_budget_cut_and_rank1_guarantee(spark):
+    """Greedy context assembly: keep while the running total fits;
+    rank 1 ships even when it alone exceeds the budget; the cut is
+    per-query independent."""
+    from rag_database_spark.operators.packing import pack_context
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, id long, rank long",
+    )
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "d e"), (12, "f g h i"),
+         (20, " ".join(["w"] * 50)), (21, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {(r["query_id"], r["id"]): r
+            for r in pack_context(results, docs, budget=6).collect()}
+    # q1: 3 + 2 = 5 <= 6 keeps ranks 1-2; rank 3 overflows (5+4=9)
+    assert rows[(1, 10)]["kept"] and rows[(1, 10)]["cum_tokens"] == 3
+    assert rows[(1, 11)]["kept"] and rows[(1, 11)]["cum_tokens"] == 5
+    assert not rows[(1, 12)]["kept"] and rows[(1, 12)]["cum_tokens"] == 9
+    # q2: rank 1 is 50 tokens > budget but ships anyway; rank 2 not
+    assert rows[(2, 20)]["kept"]
+    assert not rows[(2, 21)]["kept"]
