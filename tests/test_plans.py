@@ -537,3 +537,66 @@ def test_matryoshka_rescore_side_broadcasts(spark):
     )
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_cluster_quota_sample_single_exchange(spark):
+    """Both windows (rank + count) share ONE hash exchange on
+    cluster_id; only the narrow assignment columns are read."""
+    from rag_database_spark.operators.clustering import (
+        cluster_quota_sample,
+    )
+
+    assign = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, cluster_id int"
+    )
+    p = plan_of(cluster_quota_sample(assign), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_rag_context_pack_token_join_reads_two_columns(spark):
+    """The context-assembly tail joins ONLY (doc_id, text→count)
+    against the bounded results frame: the doc scan prunes to two
+    columns and no corpus-wide sort appears after the join."""
+    from rag_database_spark.operators.packing import pack_context
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, id long, rank long"
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    p = plan_of(pack_context(results, docs))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_matryoshka_prefix_col_scan_prunes_full_vector(spark, tmp_path):
+    """The 100 TB claim behind prefix_col: with the prefix
+    materialized as its own column, stage 1's parquet scan reads ONLY
+    (id, prefix) — the full vector column appears in no scan that
+    feeds the shortlist window."""
+    from pyspark.sql import functions as F2
+
+    from rag_database_spark.operators.similarity import matryoshka_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        F.slice(F.col("embedding"), 1, 16).alias("vec16"),
+    )
+    path = str(tmp_path / "emb_mrl")
+    emb.write.parquet(path)
+    corpus = spark.read.parquet(path)
+    queries = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])],
+        "query_id long, qvec array<double>",
+    )
+    p = plan_of(
+        matryoshka_topk(queries, corpus, 5, prefix_col="vec16")
+    )
+    # one scan reads (id, vec16) for the shortlist, a second reads
+    # (id, vec) only for the rescore join — no scan reads both vector
+    # columns
+    assert "ReadSchema: struct<id:bigint,vec16:array<float>>" in p \
+        or "ReadSchema: struct<id:bigint,vec16:array<double>>" in p
+    assert "vec:array" in p  # the rescore side still reads the full vec
+    for line in p.splitlines():
+        if "ReadSchema" in line:
+            assert not ("vec16" in line and "vec:array" in line), line

@@ -119,3 +119,69 @@ def test_kmeans_k_for_bounds(n, target):
     assert k >= KMEANS_K
     assert k * target >= n
     assert k == KMEANS_K or (k - 1) * target < n
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.floats(min_value=-2.0, max_value=2.0,
+                 allow_nan=False, allow_infinity=False))
+def test_round6_pure_invariants(x):
+    """_round6 (the MMR local impl's replica of Spark Round): within
+    half an ulp-of-grid of the input, idempotent, sign-preserving for
+    |x| >= 1e-6."""
+    from rag_database_spark.operators.diversify import _round6
+
+    r = _round6(x)
+    assert abs(r - x) <= 5e-7 + 1e-12
+    assert _round6(r) == r
+
+
+def test_round6_matches_spark_round_on_adversarial_batch(spark):
+    """One batched Spark comparison (JVM stays out of @given): exact
+    agreement with F.round(col, 6) including dyadic .5-boundary
+    values (0.0078125 = 2^-7 has an exact trailing 5 at the 7th
+    decimal) and a seeded random sweep."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rag_database_spark.operators.diversify import _round6
+
+    rng = random.Random(13)
+    xs = [
+        0.0078125, -0.0078125, 0.0000005, -0.0000005, 1.0000005,
+        0.1, -0.1, 0.3333333333333333, 1.0 - 0.7, 0.0, 1.0, -1.0,
+    ] + [rng.uniform(-1.5, 1.5) for _ in range(3000)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(xs)],
+                               "i long, x double")
+    got = {r["i"]: r["r"]
+           for r in df.select("i", F.round("x", 6).alias("r")).collect()}
+    for i, v in enumerate(xs):
+        assert got[i] == _round6(v), (v, got[i], _round6(v))
+
+
+def test_fold_cosine_matches_jvm_expression_batch(spark):
+    """_fold_cosine (the MMR local impl's cosine) equals the JVM
+    aggregate-fold expression bit-for-bit on a seeded random batch,
+    including zero vectors (both sides emit 0.0)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rag_database_spark.functions.vector import cosine
+    from rag_database_spark.operators.diversify import _fold_cosine
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(400):
+        a = [rng.uniform(-1, 1) for _ in range(17)]
+        b = [rng.uniform(-1, 1) for _ in range(17)]
+        if i % 50 == 0:
+            a = [0.0] * 17
+        rows.append((i, a, b))
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    )
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    for i, a, b in rows:
+        assert got[i] == _fold_cosine(a, b), (i, got[i], _fold_cosine(a, b))
