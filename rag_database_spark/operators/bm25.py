@@ -275,12 +275,62 @@ def read_index_bucketed(spark, table_prefix: str) -> tuple[DataFrame, DataFrame]
     )
 
 
+def remove_from_index(
+    spark,
+    path: str,
+    doc_ids,
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental S7 DELETE — the maintenance half ``append_index``
+    lacked: appending the ids to a tombstone table under the index
+    root makes ``read_index`` anti-join them out of BOTH derived
+    tables, and because corpus stats (N, avgdl, df) are recomputed
+    from the tables at query time, post-delete scores are IDENTICAL
+    to a full rebuild over the surviving corpus (unit-pinned). The
+    reference instead rebuilds BM25Okapi over the remaining documents
+    on every delete (bm25_store.py:257-280) — cost ∝ corpus; the
+    tombstone append is cost ∝ delta, the same asymmetry the add path
+    fixed.
+
+    Idempotent under replay: duplicate tombstone rows change nothing
+    (anti-join semantics). Physical reclamation is a compaction
+    concern — ``write_index`` over the filtered corpus rewrites the
+    artifact and drops the tombstone dir with it; until then deletes
+    are logical, the merge-on-read contract ``sources/acid.py``
+    uses."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], f"{id_col} long"
+        )
+    doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")).write.mode(
+        "append"
+    ).parquet(f"{path}/tombstones")
+
+
+def _tombstones(spark, path: str) -> DataFrame | None:
+    """Tombstone table under an index root, via the root's Hadoop
+    FileSystem so hdfs:// / object-store indexes behave like local
+    ones; None when no delete has ever run."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
+
+
 def read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(postings, doclens) from a ``write_index`` directory."""
-    return (
-        spark.read.parquet(f"{path}/postings"),
-        spark.read.parquet(f"{path}/doclens"),
-    )
+    """(postings, doclens) from a ``write_index`` directory, with any
+    ``remove_from_index`` tombstones anti-joined out of both tables
+    (merge-on-read; the tombstone side is a distinct id list, tiny —
+    AQE broadcasts it)."""
+    postings = spark.read.parquet(f"{path}/postings")
+    doclens = spark.read.parquet(f"{path}/doclens")
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        dead = tomb.select("doc_id").distinct()
+        postings = postings.join(dead, "doc_id", "left_anti")
+        doclens = doclens.join(dead, "doc_id", "left_anti")
+    return postings, doclens
 
 
 def topk(

@@ -397,3 +397,47 @@ def test_bloom_gate_survives_index_compaction(spark, tmp_path):
     assert {r["doc_id"] for r in dd._read_slices(spark, quar).collect()} >= {10, 30}
     acc_ids = {r["doc_id"] for r in dd._read_slices(spark, accept).collect()}
     assert 31 in acc_ids and 30 not in acc_ids
+
+
+def test_remove_from_index_equals_rebuild(spark, tmp_path):
+    """Tombstoned deletes: after remove_from_index, read_index serves
+    EXACTLY what write_index over the surviving corpus would —
+    including the recomputed corpus stats (N, avgdl, df) inside the
+    BM25 scores — and replaying the same delete changes nothing."""
+    from rag_database_spark.workload import queries_df
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx_del")
+    bm25_ops.write_index(docs, path)
+    bm25_ops.remove_from_index(spark, path, [1])
+
+    postings, doclens = bm25_ops.read_index(spark, path)
+    survivors = docs.filter(F.col("doc_id") != 1)
+    rebuilt_p = bm25_ops.build_postings(survivors)
+    rebuilt_d = bm25_ops.build_doclens(survivors)
+    assert sorted(map(tuple, postings.collect())) == sorted(
+        map(tuple, rebuilt_p.collect())
+    )
+    assert sorted(map(tuple, doclens.collect())) == sorted(
+        map(tuple, rebuilt_d.collect())
+    )
+
+    # scores after delete == scores of a fresh index over survivors
+    q = queries_df(spark)
+    got = bm25_ops.score_queries(q, postings, doclens).collect()
+    want = bm25_ops.score_queries(q, rebuilt_p, rebuilt_d).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # replaying the identical delete is a no-op (anti-join semantics)
+    bm25_ops.remove_from_index(spark, path, [1])
+    p2, d2 = bm25_ops.read_index(spark, path)
+    assert sorted(map(tuple, p2.collect())) == sorted(
+        map(tuple, postings.collect())
+    )
+    assert d2.count() == doclens.count()
+
+    # an untouched index root still reads cleanly (no tombstone dir)
+    path2 = str(tmp_path / "idx_plain")
+    bm25_ops.write_index(docs, path2)
+    p3, _ = bm25_ops.read_index(spark, path2)
+    assert p3.count() == bm25_ops.build_postings(docs).count()
