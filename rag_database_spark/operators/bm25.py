@@ -297,25 +297,11 @@ def remove_from_index(
     concern — ``write_index`` over the filtered corpus rewrites the
     artifact and drops the tombstone dir with it; until then deletes
     are logical, the merge-on-read contract ``sources/acid.py``
-    uses."""
-    if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], f"{id_col} long"
-        )
-    doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")).write.mode(
-        "append"
-    ).parquet(f"{path}/tombstones")
+    uses. (Shared primitive: ``sources.tables.append_tombstones`` —
+    the IVF and IVF-PQ artifacts delete the same way.)"""
+    from rag_database_spark.sources.tables import append_tombstones
 
-
-def _tombstones(spark, path: str) -> DataFrame | None:
-    """Tombstone table under an index root, via the root's Hadoop
-    FileSystem so hdfs:// / object-store indexes behave like local
-    ones; None when no delete has ever run."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
-    return spark.read.parquet(f"{path}/tombstones")
+    append_tombstones(spark, path, doc_ids, id_col)
 
 
 def read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -323,11 +309,12 @@ def read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     ``remove_from_index`` tombstones anti-joined out of both tables
     (merge-on-read; the tombstone side is a distinct id list, tiny —
     AQE broadcasts it)."""
+    from rag_database_spark.sources.tables import read_tombstones
+
     postings = spark.read.parquet(f"{path}/postings")
     doclens = spark.read.parquet(f"{path}/doclens")
-    tomb = _tombstones(spark, path)
-    if tomb is not None:
-        dead = tomb.select("doc_id").distinct()
+    dead = read_tombstones(spark, path, "doc_id")
+    if dead is not None:
         postings = postings.join(dead, "doc_id", "left_anti")
         doclens = doclens.join(dead, "doc_id", "left_anti")
     return postings, doclens

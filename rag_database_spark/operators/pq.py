@@ -310,14 +310,34 @@ def write_ivfpq_index(
     )
 
 
+def remove_from_ivfpq_index(spark, path: str, ids) -> None:
+    """Logical delete for the composed layout (twin of
+    ``append_ivfpq_index``): tombstoned ids vanish from the coded
+    lists at read time; coarse centroids and sub-codebooks stay
+    frozen (code geometry never moves on delete), so ADC scores of
+    survivors are unchanged. Replay-idempotent; compaction =
+    ``write_ivfpq_index`` over the surviving corpus."""
+    from rag_database_spark.sources.tables import append_tombstones
+
+    append_tombstones(spark, path, ids, "id")
+
+
 def read_ivfpq_index(
     spark, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(coarse centroids, sub-codebooks, coded lists)."""
+    """(coarse centroids, sub-codebooks, coded lists); any
+    ``remove_from_ivfpq_index`` tombstones anti-join out of the coded
+    lists after the probe's partition pruning."""
+    from rag_database_spark.sources.tables import read_tombstones
+
+    lists = spark.read.parquet(f"{path}/lists")
+    dead = read_tombstones(spark, path, "id")
+    if dead is not None:
+        lists = lists.join(dead, "id", "left_anti")
     return (
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/codebooks"),
-        spark.read.parquet(f"{path}/lists"),
+        lists,
     )
 
 

@@ -608,12 +608,34 @@ def write_ivf_index(
     )
 
 
+def remove_from_ivf_index(spark, path: str, ids) -> None:
+    """Logical vector delete (the maintenance twin of
+    ``append_ivf_index``): ids append to a tombstone table under the
+    index root — cost ∝ delta — and ``read_ivf_index`` anti-joins
+    them out of the inverted lists. Centroid geometry is FROZEN
+    through deletes (same contract as appends: assignments never
+    move), so surviving vectors score identically and deleted ids
+    simply stop appearing; a drift-heavy corpus refits via
+    ``write_ivf_index`` compaction, which drops the tombstones with
+    the rewrite. Replay-idempotent."""
+    from rag_database_spark.sources.tables import append_tombstones
+
+    append_tombstones(spark, path, ids, "id")
+
+
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(centroids, lists) from a ``write_ivf_index`` directory."""
-    return (
-        spark.read.parquet(f"{path}/centroids"),
-        spark.read.parquet(f"{path}/lists"),
-    )
+    """(centroids, lists) from a ``write_ivf_index`` directory, with
+    any ``remove_from_ivf_index`` tombstones anti-joined out of the
+    lists (the anti-join composes with the probe's partition pruning:
+    only probed lists are read, then filtered)."""
+    from rag_database_spark.sources.tables import read_tombstones
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    dead = read_tombstones(spark, path, "id")
+    if dead is not None:
+        lists = lists.join(dead, "id", "left_anti")
+    return centroids, lists
 
 
 def assign_centroids(

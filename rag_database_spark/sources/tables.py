@@ -153,3 +153,32 @@ def write_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def append_tombstones(spark, root: str, ids, id_col: str = "doc_id") -> None:
+    """Shared logical-delete primitive for persisted index artifacts
+    (BM25 postings, IVF lists, IVF-PQ coded lists): append the ids to
+    a tombstone table under the artifact root — cost ∝ delta, never
+    a rewrite; the matching reader anti-joins them out
+    (merge-on-read, the ``sources/acid.py`` contract). Idempotent
+    under replay: duplicate tombstone rows change nothing."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    ids.select(F.col(ids.columns[0]).alias(id_col)).write.mode(
+        "append"
+    ).parquet(f"{root}/tombstones")
+
+
+def read_tombstones(spark, root: str, id_col: str = "doc_id"):
+    """Distinct tombstoned ids under an artifact root, or None when no
+    delete has ever run. Existence goes through the root's Hadoop
+    FileSystem so ``hdfs://`` / object-store artifacts behave like
+    local ones."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/tombstones")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    tomb = spark.read.parquet(f"{root}/tombstones")
+    return tomb.select(F.col(tomb.columns[0]).alias(id_col)).distinct()

@@ -441,3 +441,83 @@ def test_remove_from_index_equals_rebuild(spark, tmp_path):
     bm25_ops.write_index(docs, path2)
     p3, _ = bm25_ops.read_index(spark, path2)
     assert p3.count() == bm25_ops.build_postings(docs).count()
+
+
+def test_remove_from_ivf_index_frozen_geometry(spark, tmp_path):
+    """Vector deletes under frozen centroids: deleted ids stop
+    appearing, surviving rows score exactly as before the delete, and
+    replaying the delete is a no-op."""
+    import numpy as np
+
+    from rag_database_spark.operators.similarity import (
+        ivf_topk_indexed,
+        read_ivf_index,
+        remove_from_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 12)) * 5
+    rows = [
+        (i, (centers[i % 4] + rng.normal(scale=0.3, size=12)).tolist())
+        for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    queries = spark.createDataFrame(
+        [(qi, rows[qi][1]) for qi in range(4)],
+        "query_id long, qvec array<double>",
+    )
+    path = str(tmp_path / "ivf_del")
+    write_ivf_index(corpus, path, n_centroids=4)
+
+    cents, lists = read_ivf_index(spark, path)
+    before = {(r["query_id"], r["id"]): r["score"]
+              for r in ivf_topk_indexed(queries, cents, lists, 10,
+                                        n_probe=2).collect()}
+    dead = {0, 5, 17}
+    remove_from_ivf_index(spark, path, sorted(dead))
+    cents2, lists2 = read_ivf_index(spark, path)
+    after = {(r["query_id"], r["id"]): r["score"]
+             for r in ivf_topk_indexed(queries, cents2, lists2, 10,
+                                       n_probe=2).collect()}
+    assert not any(i in dead for (_, i) in after)
+    # survivors that were in the old top-k keep their exact score
+    for key, s in after.items():
+        if key in before:
+            assert before[key] == s
+    # replay: same tombstones again, identical result
+    remove_from_ivf_index(spark, path, sorted(dead))
+    _, lists3 = read_ivf_index(spark, path)
+    assert lists3.count() == lists2.count()
+
+
+def test_remove_from_ivfpq_index_drops_only_dead_codes(spark, tmp_path):
+    """IVF-PQ deletes: tombstoned ids vanish from the coded lists,
+    codebooks/centroids are untouched, survivors' ADC ranks hold."""
+    import numpy as np
+
+    from rag_database_spark.operators.pq import (
+        ivfpq_topk,
+        read_ivfpq_index,
+        remove_from_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(37)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    queries = spark.createDataFrame(
+        [(0, rows[7][1])], "query_id long, qvec array<double>"
+    )
+    path = str(tmp_path / "ivfpq_del")
+    write_ivfpq_index(corpus, path, dim=16)
+
+    c1, cb1, l1 = read_ivfpq_index(spark, path)
+    n_lists = l1.count()
+    remove_from_ivfpq_index(spark, path, [7, 8])
+    c2, cb2, l2 = read_ivfpq_index(spark, path)
+    assert l2.count() == n_lists - 2
+    assert sorted(map(tuple, cb2.collect())) == sorted(map(tuple, cb1.collect()))
+    got = ivfpq_topk(queries, c2, cb2, l2, 5, dim=16,
+                     n_probe=c2.count()).collect()
+    assert got and all(r["id"] not in (7, 8) for r in got)
