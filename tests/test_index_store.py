@@ -521,3 +521,57 @@ def test_remove_from_ivfpq_index_drops_only_dead_codes(spark, tmp_path):
     got = ivfpq_topk(queries, c2, cb2, l2, 5, dim=16,
                      n_probe=c2.count()).collect()
     assert got and all(r["id"] not in (7, 8) for r in got)
+
+
+def test_delete_cascade_reaches_persisted_indexes(spark, tmp_path):
+    """The reference's S13 delete removes a document from ALL three
+    stores (ES + Qdrant + Postgres). The engine's composition:
+    delete_document_cascade anti-joins the tables, and the same id
+    list tombstones the persisted BM25 and IVF artifacts — after
+    which a BM25 query and an indexed ANN probe both exclude the
+    document with no rebuild."""
+    from rag_database_spark.operators import lifecycle
+    from rag_database_spark.operators.similarity import (
+        ivf_topk_indexed,
+        read_ivf_index,
+        remove_from_ivf_index,
+        write_ivf_index,
+    )
+    from rag_database_spark.workload import queries_df
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(3)],
+        "id long, vec array<double>",
+    )
+    dead = spark.createDataFrame([(0,)], ["doc_id"])
+
+    # tables: one anti-join each
+    out = lifecycle.delete_document_cascade(
+        {"documents": docs, "embeddings": vecs},
+        dead,
+        {"documents": "doc_id", "embeddings": "id"},
+    )
+    assert out["documents"].filter(F.col("doc_id") == 0).count() == 0
+    assert out["embeddings"].filter(F.col("id") == 0).count() == 0
+
+    # BM25 artifact: tombstone, then query — doc 0 gone from results
+    bpath = str(tmp_path / "bm25_del")
+    bm25_ops.write_index(docs, bpath)
+    bm25_ops.remove_from_index(spark, bpath, [0])
+    postings, doclens = bm25_ops.read_index(spark, bpath)
+    hits = bm25_ops.score_queries(
+        queries_df(spark), postings, doclens
+    ).collect()
+    assert all(r["doc_id"] != 0 for r in hits)
+
+    # IVF artifact: tombstone, then probe — vector 0 unservable
+    vpath = str(tmp_path / "ivf_cascade")
+    write_ivf_index(vecs, vpath, n_centroids=2)
+    remove_from_ivf_index(spark, vpath, [0])
+    cents, lists = read_ivf_index(spark, vpath)
+    q = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7)], "query_id long, qvec array<double>"
+    )
+    got = ivf_topk_indexed(q, cents, lists, 3, n_probe=2).collect()
+    assert got and all(r["id"] != 0 for r in got)
