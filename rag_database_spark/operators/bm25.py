@@ -304,6 +304,73 @@ def remove_from_index(
     append_tombstones(spark, path, doc_ids, id_col)
 
 
+def heal_index(spark, path: str) -> None:
+    """Heal an index root left half-swapped by a crash inside
+    ``compact_index`` (the ``dedup.heal_slices`` recovery contract):
+    root present → clear residue staging/old; root missing + complete
+    staging (both subdir _SUCCESS markers) → roll FORWARD; root
+    missing + only old → roll BACK. All through the root's Hadoop
+    FileSystem."""
+    from rag_database_spark.operators.dedup import _rename_or_raise
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    path = path.rstrip("/")
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root, staging, old = (
+        jpath(path), jpath(path + "__staging"), jpath(path + "__old")
+    )
+    if fs.exists(root):
+        for residue in (staging, old):
+            if fs.exists(residue):
+                fs.delete(residue, True)
+        return
+    complete = all(
+        fs.exists(jpath(f"{path}__staging/{sub}/_SUCCESS"))
+        for sub in ("postings", "doclens")
+    )
+    if fs.exists(staging) and complete:
+        _rename_or_raise(fs, staging, root)
+        if fs.exists(old):
+            fs.delete(old, True)
+        return
+    if fs.exists(old):
+        _rename_or_raise(fs, old, root)
+        if fs.exists(staging):
+            fs.delete(staging, True)
+
+
+def compact_index(spark, path: str) -> None:
+    """Apply accumulated ``remove_from_index`` tombstones physically:
+    rewrite the tombstone-filtered postings/doclens to a staging root
+    and two-rename it in (crash between the renames heals forward or
+    back on the next ``heal_index``/``compact_index`` call — the
+    ``dedup.compact_slices`` swap contract). After the swap the
+    tombstone dir is gone with the old root, so reads drop the
+    anti-join until the next delete. Run when the tombstone set has
+    grown enough that the merge-on-read filter is worth reclaiming —
+    the same policy call as ACID-table compaction."""
+    from rag_database_spark.operators.dedup import _rename_or_raise
+
+    heal_index(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    path = path.rstrip("/")
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath(path)):
+        return
+    postings, doclens = read_index(spark, path)
+    staging = jpath(path + "__staging")
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    postings.write.mode("overwrite").parquet(f"{path}__staging/postings")
+    doclens.write.mode("overwrite").parquet(f"{path}__staging/doclens")
+    old = jpath(path + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    _rename_or_raise(fs, jpath(path), old)
+    _rename_or_raise(fs, staging, jpath(path))
+    fs.delete(old, True)
+
+
 def read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(postings, doclens) from a ``write_index`` directory, with any
     ``remove_from_index`` tombstones anti-joined out of both tables

@@ -575,3 +575,37 @@ def test_delete_cascade_reaches_persisted_indexes(spark, tmp_path):
     )
     got = ivf_topk_indexed(q, cents, lists, 3, n_probe=2).collect()
     assert got and all(r["id"] != 0 for r in got)
+
+
+def test_compact_index_applies_tombstones_and_heals(spark, tmp_path):
+    """Physical reclamation: compact_index rewrites the filtered
+    tables (tombstone dir gone, same rows as the merge-on-read view),
+    and a crash between the two swap renames heals forward from a
+    complete staging root."""
+    import os
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx_compact")
+    bm25_ops.write_index(docs, path)
+    bm25_ops.remove_from_index(spark, path, [2])
+    before = sorted(map(tuple, bm25_ops.read_index(spark, path)[0].collect()))
+
+    bm25_ops.compact_index(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    after_p, after_d = bm25_ops.read_index(spark, path)
+    assert sorted(map(tuple, after_p.collect())) == before
+    assert after_d.filter(F.col("doc_id") == 2).count() == 0
+
+    # simulate a crash AFTER root->old but BEFORE staging->root:
+    # build a complete staging, move root away — heal must roll forward
+    bm25_ops.remove_from_index(spark, path, [1])
+    p2, d2 = bm25_ops.read_index(spark, path)
+    p2.write.mode("overwrite").parquet(f"{path}__staging/postings")
+    d2.write.mode("overwrite").parquet(f"{path}__staging/doclens")
+    os.rename(path, f"{path}__old")
+    bm25_ops.heal_index(spark, path)
+    assert os.path.exists(f"{path}/postings") and not os.path.exists(
+        f"{path}__staging"
+    )
+    healed_p, _ = bm25_ops.read_index(spark, path)
+    assert healed_p.filter(F.col("doc_id") == 1).count() == 0
