@@ -298,8 +298,16 @@ cv AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 pre AS (
+  -- zero-norm guard: the engine's GEMM (stage 1) and fold cosine
+  -- (stage 2) both emit 0.0 for a zero vector, while DuckDB's
+  -- list_cosine_similarity returns -1.0 — a 16-dim PREFIX can be
+  -- all-zero even when the full embedding isn't, so the CASE is
+  -- load-bearing here, not defensive
   SELECT qv.query_id, cv.id,
-         round(list_cosine_similarity(qv.v[1:{pd_}], cv.v[1:{pd_}]),
+         round(CASE WHEN list_dot_product(qv.v[1:{pd_}], qv.v[1:{pd_}]) > 0
+                     AND list_dot_product(cv.v[1:{pd_}], cv.v[1:{pd_}]) > 0
+               THEN list_cosine_similarity(qv.v[1:{pd_}], cv.v[1:{pd_}])
+               ELSE 0.0 END,
                {PREFETCH_ROUND_DP}) AS pscore
   FROM qv CROSS JOIN cv
 ),
@@ -311,7 +319,10 @@ short AS (
 ),
 resc AS (
   SELECT s.query_id, s.id,
-         round(list_cosine_similarity(qv.v, cv.v), 6) AS score
+         round(CASE WHEN list_dot_product(qv.v, qv.v) > 0
+                     AND list_dot_product(cv.v, cv.v) > 0
+               THEN list_cosine_similarity(qv.v, cv.v)
+               ELSE 0.0 END, 6) AS score
   FROM short s
   JOIN cv ON cv.id = s.id
   JOIN qv ON qv.query_id = s.query_id
@@ -5234,7 +5245,10 @@ def _mmr_parts(
             parts.append(f"""r{t} AS MATERIALIZED (
   SELECT r.query_id, r.id, r.rel, r.v,
          greatest(r.max_sim,
-                  round(list_cosine_similarity(r.v, s.v), 6)) AS max_sim
+                  round(CASE WHEN list_dot_product(r.v, r.v) > 0
+                              AND list_dot_product(s.v, s.v) > 0
+                        THEN list_cosine_similarity(r.v, s.v)
+                        ELSE 0.0 END, 6)) AS max_sim
   FROM r{t - 1} r JOIN sel{t} s ON s.query_id = r.query_id
   WHERE r.id <> s.id
 )""")
