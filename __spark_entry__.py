@@ -2146,6 +2146,31 @@ def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.c4_rules(text_analytics.c4_fixtures_df(spark))
 
 
+def _ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (evaluation.ir_metrics): MRR / recall@10 /
+    nDCG@10 of the dense leg against a deterministic modular qrels
+    fixture ((vec_id + 3*query_id) % 9 == 0 — expressed as an
+    EQUI-join on the residue so the relevance probe is keyed, not a
+    cross join). Gains/IDCG are Python-computed literals on both
+    engines; DCG is an ordered running sum, never a float groupBy."""
+    from rag_database_spark.operators import evaluation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    results = _dense_topk(spark, sf_dir)
+    qrels = emb.select(
+        F.col("vec_id").alias("id"),
+        (F.col("vec_id") % 9).alias("m"),
+    ).join(
+        queries.select(
+            "query_id",
+            ((9 - (F.col("query_id") * 3) % 9) % 9).alias("m"),
+        ),
+        "m",
+    ).select("query_id", "id")
+    return evaluation.ir_metrics(results, qrels, evaluation.IR_K)
+
+
 def _flagged_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist-word filter (C4 §2.2 any-hit + Dolma ratio rule) over
     the documents table: one codegen scan, no shuffle — the bad-word
@@ -2852,7 +2877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11 AND r12; the bigram-LM machinery stays repped in-window
         # by contrastive_select, which trains and serves two of them)
         "rag_context_pack": _rag_context_pack,
-        "c4_rules": _c4_rules,
+        # new in r13 (second batch, cont.): retrieval evaluation takes
+        # c4_rules' window row (driver-green r11 AND r12; web-cleaning
+        # stays repped in-window by flagged_words — the C4 §2.2
+        # bad-word member — with strip_markup/gopher replica-kept)
+        "ir_metrics": _ir_metrics,
         "decontam": _decontam,
         "ingest_pairs": _ingest_pairs,
         # new in r13: product-quantization ADC top-k + the composed
@@ -2931,6 +2960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted in r13 for rag_context_pack (driver-green r11 AND
         # r12; LM machinery repped in-window by contrastive_select)
         "lm_perplexity": _lm_perplexity,
+        # demoted in r13 for ir_metrics (driver-green r11 AND r12;
+        # web-cleaning repped in-window by flagged_words)
+        "c4_rules": _c4_rules,
         # demoted in r13 for the upgraded chunker pair (driver-green
         # r12; media stays repped in-window by image/audio near-dup)
         "media_resize": _media_resize,
@@ -3294,6 +3326,7 @@ def oracle_sql() -> dict[str, str]:
         "route_and_chunk": oracles.route_and_chunk_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
         "c4_rules": oracles.c4_rules_sql(),
+        "ir_metrics": oracles.ir_metrics_sql(),
         "repetition_signals": oracles.repetition_signals_sql(),
         "asof_attribution": oracles.asof_attribution_sql(),
         "quantize_embeddings": oracles.quantize_embeddings_sql(),

@@ -335,6 +335,70 @@ QUALIFY rank <= {limit}
 """
 
 
+def ir_metrics_sql(k: int | None = None) -> str:
+    """Twin of ``evaluation.ir_metrics`` over the dense leg and the
+    modular qrels fixture: the SAME Python-computed literal gain /
+    IDCG doubles are embedded on both engines (no engine libm log2),
+    DCG is an explicit-ROWS ordered running sum finished with max()
+    (left fold both sides, no reassociating float aggregate), and
+    MRR/recall are single integer divisions."""
+    from rag_database_spark.operators.evaluation import (
+        IR_K, dcg_gains, idcg_table,
+    )
+
+    if k is None:
+        k = IR_K
+    gains = dcg_gains(k)
+    idcg = idcg_table(k)
+    gain_case = " ".join(
+        f"WHEN {r} THEN {g!r}" for r, g in enumerate(gains, start=1)
+    )
+    idcg_case = (
+        "CASE least(coalesce(t.total_rel, 0), " + str(k) + ") "
+        + " ".join(f"WHEN {m} THEN {v!r}" for m, v in enumerate(idcg))
+        + " END"
+    )
+    return f"""
+WITH {_dense_ctes(k)},
+res AS (
+  SELECT query_id, id, rank FROM dense_ranked WHERE rank <= {k}
+),
+qr AS (
+  SELECT q.query_id, e.vec_id AS id
+  FROM {queries_values_sql()}, embeddings e
+  WHERE (e.vec_id + q.query_id * 3) % 9 = 0
+),
+fl AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN qr.id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM res r LEFT JOIN qr ON qr.query_id = r.query_id AND qr.id = r.id
+),
+cum AS (
+  SELECT query_id, rank, rel,
+         sum(CASE WHEN rel = 1
+                  THEN (CASE rank {gain_case} ELSE 0.0 END)
+                  ELSE 0.0 END)
+           OVER (PARTITION BY query_id ORDER BY rank
+                 ROWS UNBOUNDED PRECEDING) AS dcg_cum
+  FROM fl
+),
+pq AS (
+  SELECT query_id, max(dcg_cum) AS dcg, sum(rel)::BIGINT AS hits,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+  FROM cum GROUP BY 1
+),
+tot AS (SELECT query_id, count(*)::BIGINT AS total_rel FROM qr GROUP BY 1)
+SELECT p.query_id, coalesce(t.total_rel, 0)::BIGINT AS total_rel, p.hits,
+       round(CASE WHEN p.first_rel IS NOT NULL
+                  THEN 1.0 / p.first_rel ELSE 0.0 END, 6) AS mrr,
+       round(CASE WHEN coalesce(t.total_rel, 0) > 0
+                  THEN p.hits / t.total_rel ELSE 0.0 END, 6) AS recall_at_k,
+       round(CASE WHEN ({idcg_case}) > 0
+                  THEN p.dcg / ({idcg_case}) ELSE 0.0 END, 6) AS ndcg_at_k
+FROM pq p LEFT JOIN tot t USING (query_id)
+"""
+
+
 def shuffle_export_sql(
     n_shards: int | None = None, seed: int | None = None
 ) -> str:

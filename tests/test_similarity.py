@@ -517,3 +517,47 @@ def test_matryoshka_prefix_col_matches_inline_slice(spark):
         queries, with_prefix, 5, prefix_col="vec16"
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, pruned))
+
+
+def test_ir_metrics_hand_case(spark):
+    """MRR / recall@k / nDCG@k against hand-computed values: two of
+    three relevant docs retrieved at ranks 2 and 4, one relevant doc
+    never retrieved, a second query with zero relevant docs, and a
+    third query absent from qrels entirely."""
+    from rag_database_spark.operators.evaluation import ir_metrics
+
+    results = spark.createDataFrame(
+        [(1, 10 + r, r) for r in range(1, 6)]
+        + [(2, 20 + r, r) for r in range(1, 4)],
+        "query_id long, id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 12), (1, 14), (1, 99)], "query_id long, id long"
+    )
+    rows = {r["query_id"]: r
+            for r in ir_metrics(results, qrels, k=10).collect()}
+    r1 = rows[1]
+    assert r1["total_rel"] == 3 and r1["hits"] == 2
+    assert r1["mrr"] == 0.5
+    assert r1["recall_at_k"] == 0.666667
+    assert r1["ndcg_at_k"] == 0.498189
+    r2 = rows[2]
+    assert r2["total_rel"] == 0 and r2["hits"] == 0
+    assert r2["mrr"] == 0.0 and r2["recall_at_k"] == 0.0
+    assert r2["ndcg_at_k"] == 0.0
+
+
+def test_ir_metrics_perfect_ranking_is_one(spark):
+    """A ranking whose top-m results are exactly the m relevant docs
+    scores nDCG 1.0, MRR 1.0, recall 1.0."""
+    from rag_database_spark.operators.evaluation import ir_metrics
+
+    results = spark.createDataFrame(
+        [(1, r, r) for r in range(1, 11)], "query_id long, id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [(1, i) for i in (1, 2, 3)], "query_id long, id long"
+    )
+    r = ir_metrics(results, qrels, k=10).collect()[0]
+    assert r["mrr"] == 1.0 and r["recall_at_k"] == 1.0
+    assert r["ndcg_at_k"] == 1.0
