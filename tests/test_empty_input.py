@@ -296,3 +296,22 @@ def test_r13_soft_dedup_and_quota_sample_tolerate_empty_input(spark):
     assert set(qs.columns) == {
         "id", "cluster_id", "pick_key", "pick_rank", "cluster_n", "keep",
     }
+
+
+def test_ir_metrics_tolerates_empty_inputs(spark):
+    from rag_database_spark.operators.evaluation import ir_metrics
+
+    empty_results = spark.createDataFrame(
+        [], "query_id long, id long, rank long"
+    )
+    empty_qrels = spark.createDataFrame([], "query_id long, id long")
+    some_results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, id long, rank long"
+    )
+    assert ir_metrics(empty_results, empty_qrels).count() == 0
+    rows = ir_metrics(some_results, empty_qrels).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["total_rel"] == 0 and r["hits"] == 0
+    assert r["mrr"] == 0.0 and r["recall_at_k"] == 0.0
+    assert r["ndcg_at_k"] == 0.0
