@@ -2146,19 +2146,13 @@ def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analytics.c4_rules(text_analytics.c4_fixtures_df(spark))
 
 
-def _ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval evaluation (evaluation.ir_metrics): MRR / recall@10 /
-    nDCG@10 of the dense leg against a deterministic modular qrels
-    fixture ((vec_id + 3*query_id) % 9 == 0 — expressed as an
-    EQUI-join on the residue so the relevance probe is keyed, not a
-    cross join). Gains/IDCG are Python-computed literals on both
-    engines; DCG is an ordered running sum, never a float groupBy."""
-    from rag_database_spark.operators import evaluation
-
+def _qrels_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic modular relevance set ((vec_id + 3*query_id) % 9
+    == 0), expressed as an EQUI-join on the residue so the probe is
+    keyed, not a cross join."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = workload.queries_df(spark)
-    results = _dense_topk(spark, sf_dir)
-    qrels = emb.select(
+    return emb.select(
         F.col("vec_id").alias("id"),
         (F.col("vec_id") % 9).alias("m"),
     ).join(
@@ -2168,7 +2162,33 @@ def _ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "m",
     ).select("query_id", "id")
-    return evaluation.ir_metrics(results, qrels, evaluation.IR_K)
+
+
+def _ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (evaluation.ir_metrics): MRR / recall@10 /
+    nDCG@10 of the dense leg against the modular qrels fixture.
+    Gains/IDCG are Python-computed literals on both engines; DCG is
+    an ordered running sum, never a float groupBy."""
+    from rag_database_spark.operators import evaluation
+
+    return evaluation.ir_metrics(
+        _dense_topk(spark, sf_dir),
+        _qrels_fixture(spark, sf_dir),
+        evaluation.IR_K,
+    )
+
+
+def _eval_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B retrieval comparison (evaluation.eval_delta): exact dense
+    leg vs the matryoshka prefix cascade, both scored by ir_metrics
+    against the same qrels, per-query metric deltas — the regression
+    scoreboard an index/serving change must pass before rollout."""
+    from rag_database_spark.operators import evaluation
+
+    qrels = _qrels_fixture(spark, sf_dir)
+    a = evaluation.ir_metrics(_dense_topk(spark, sf_dir), qrels)
+    b = evaluation.ir_metrics(_matryoshka_topk(spark, sf_dir), qrels)
+    return evaluation.eval_delta(a, b)
 
 
 def _flagged_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2883,7 +2903,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bad-word member — with strip_markup/gopher replica-kept)
         "ir_metrics": _ir_metrics,
         "decontam": _decontam,
-        "ingest_pairs": _ingest_pairs,
+        # new in r13 (second batch, cont.): the A/B evaluation delta
+        # takes ingest_pairs' window row (driver-green r11 AND r12;
+        # incremental admission stays repped in-window by
+        # vector_ingest_gate + the bloom gates, and the replica keeps
+        # the pair-index delta green in the tail)
+        "eval_delta": _eval_delta,
         # new in r13: product-quantization ADC top-k + the composed
         # IVF-PQ serving layout (quantize_embeddings and
         # dense_filtered_topk demoted to the tail — vector compression
@@ -2963,6 +2988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted in r13 for ir_metrics (driver-green r11 AND r12;
         # web-cleaning repped in-window by flagged_words)
         "c4_rules": _c4_rules,
+        # demoted in r13 for eval_delta (driver-green r11 AND r12;
+        # admission family repped in-window by vector_ingest_gate +
+        # bloom gates)
+        "ingest_pairs": _ingest_pairs,
         # demoted in r13 for the upgraded chunker pair (driver-green
         # r12; media stays repped in-window by image/audio near-dup)
         "media_resize": _media_resize,
@@ -3327,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": oracles.gopher_rules_sql(),
         "c4_rules": oracles.c4_rules_sql(),
         "ir_metrics": oracles.ir_metrics_sql(),
+        "eval_delta": oracles.eval_delta_sql(),
         "repetition_signals": oracles.repetition_signals_sql(),
         "asof_attribution": oracles.asof_attribution_sql(),
         "quantize_embeddings": oracles.quantize_embeddings_sql(),

@@ -158,3 +158,41 @@ def ir_metrics(
             6,
         ).alias("ndcg_at_k"),
     )
+
+
+def eval_delta(
+    metrics_a: DataFrame,
+    metrics_b: DataFrame,
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Paired A/B comparison of two ``ir_metrics`` outputs — the
+    question every index/serving change must answer ("did the cheaper
+    configuration hurt recall?") asked per query, not as a single
+    averaged number that hides per-query regressions:
+
+    Output per query: each side's mrr/recall/ndcg plus their deltas
+    (a − b, re-rounded at 6dp). Positive delta = side A better.
+
+    Determinism: both inputs carry 6dp-rounded doubles that are
+    hash-identical across engines, and a subtraction of identical
+    doubles is identical — no new float hazard enters here. The join
+    is a full outer on query_id so a query missing from one side
+    surfaces as NULL metrics instead of silently dropping."""
+    a = metrics_a.select(
+        F.col(query_col).alias("query_id"),
+        F.col("mrr").alias("mrr_a"),
+        F.col("recall_at_k").alias("recall_a"),
+        F.col("ndcg_at_k").alias("ndcg_a"),
+    )
+    b = metrics_b.select(
+        F.col(query_col).alias("query_id"),
+        F.col("mrr").alias("mrr_b"),
+        F.col("recall_at_k").alias("recall_b"),
+        F.col("ndcg_at_k").alias("ndcg_b"),
+    )
+    out = a.join(b, "query_id", "full_outer")
+    for m in ("mrr", "recall", "ndcg"):
+        out = out.withColumn(
+            f"d_{m}", F.round(F.col(f"{m}_a") - F.col(f"{m}_b"), 6)
+        )
+    return out

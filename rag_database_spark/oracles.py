@@ -335,19 +335,16 @@ QUALIFY rank <= {limit}
 """
 
 
-def ir_metrics_sql(k: int | None = None) -> str:
-    """Twin of ``evaluation.ir_metrics`` over the dense leg and the
-    modular qrels fixture: the SAME Python-computed literal gain /
-    IDCG doubles are embedded on both engines (no engine libm log2),
-    DCG is an explicit-ROWS ordered running sum finished with max()
-    (left fold both sides, no reassociating float aggregate), and
-    MRR/recall are single integer divisions."""
+def _ir_metric_chain(tag: str, res: str, k: int) -> str:
+    """Shared metric CTE chain (fl/cum/pq/met) over a named ranked
+    results CTE — instantiated once by ``ir_metrics_sql`` and twice
+    (side a / side b) by ``eval_delta_sql``. Requires ``qr`` and
+    ``tot`` CTEs in scope. Float discipline as documented on
+    ``evaluation.ir_metrics``."""
     from rag_database_spark.operators.evaluation import (
-        IR_K, dcg_gains, idcg_table,
+        dcg_gains, idcg_table,
     )
 
-    if k is None:
-        k = IR_K
     gains = dcg_gains(k)
     idcg = idcg_table(k)
     gain_case = " ".join(
@@ -358,44 +355,143 @@ def ir_metrics_sql(k: int | None = None) -> str:
         + " ".join(f"WHEN {m} THEN {v!r}" for m, v in enumerate(idcg))
         + " END"
     )
-    return f"""
-WITH {_dense_ctes(k)},
-res AS (
-  SELECT query_id, id, rank FROM dense_ranked WHERE rank <= {k}
-),
-qr AS (
-  SELECT q.query_id, e.vec_id AS id
-  FROM {queries_values_sql()}, embeddings e
-  WHERE (e.vec_id + q.query_id * 3) % 9 = 0
-),
-fl AS (
+    return f"""fl{tag} AS (
   SELECT r.query_id, r.rank,
          CASE WHEN qr.id IS NOT NULL THEN 1 ELSE 0 END AS rel
-  FROM res r LEFT JOIN qr ON qr.query_id = r.query_id AND qr.id = r.id
+  FROM {res} r LEFT JOIN qr ON qr.query_id = r.query_id AND qr.id = r.id
 ),
-cum AS (
+cum{tag} AS (
   SELECT query_id, rank, rel,
          sum(CASE WHEN rel = 1
                   THEN (CASE rank {gain_case} ELSE 0.0 END)
                   ELSE 0.0 END)
            OVER (PARTITION BY query_id ORDER BY rank
                  ROWS UNBOUNDED PRECEDING) AS dcg_cum
-  FROM fl
+  FROM fl{tag}
 ),
-pq AS (
+pq{tag} AS (
   SELECT query_id, max(dcg_cum) AS dcg, sum(rel)::BIGINT AS hits,
          min(CASE WHEN rel = 1 THEN rank END) AS first_rel
-  FROM cum GROUP BY 1
+  FROM cum{tag} GROUP BY 1
 ),
-tot AS (SELECT query_id, count(*)::BIGINT AS total_rel FROM qr GROUP BY 1)
-SELECT p.query_id, coalesce(t.total_rel, 0)::BIGINT AS total_rel, p.hits,
-       round(CASE WHEN p.first_rel IS NOT NULL
-                  THEN 1.0 / p.first_rel ELSE 0.0 END, 6) AS mrr,
-       round(CASE WHEN coalesce(t.total_rel, 0) > 0
-                  THEN p.hits / t.total_rel ELSE 0.0 END, 6) AS recall_at_k,
-       round(CASE WHEN ({idcg_case}) > 0
-                  THEN p.dcg / ({idcg_case}) ELSE 0.0 END, 6) AS ndcg_at_k
-FROM pq p LEFT JOIN tot t USING (query_id)
+met{tag} AS (
+  SELECT p.query_id, coalesce(t.total_rel, 0)::BIGINT AS total_rel, p.hits,
+         round(CASE WHEN p.first_rel IS NOT NULL
+                    THEN 1.0 / p.first_rel ELSE 0.0 END, 6) AS mrr,
+         round(CASE WHEN coalesce(t.total_rel, 0) > 0
+                    THEN p.hits / t.total_rel ELSE 0.0 END, 6) AS recall_at_k,
+         round(CASE WHEN ({idcg_case}) > 0
+                    THEN p.dcg / ({idcg_case}) ELSE 0.0 END, 6) AS ndcg_at_k
+  FROM pq{tag} p LEFT JOIN tot t USING (query_id)
+)"""
+
+
+_QRELS_CTES = """qr AS (
+  SELECT q.query_id, e.vec_id AS id
+  FROM {qv}, embeddings e
+  WHERE (e.vec_id + q.query_id * 3) % 9 = 0
+),
+tot AS (SELECT query_id, count(*)::BIGINT AS total_rel FROM qr GROUP BY 1)"""
+
+
+def ir_metrics_sql(k: int | None = None) -> str:
+    """Twin of ``evaluation.ir_metrics`` over the dense leg and the
+    modular qrels fixture: the SAME Python-computed literal gain /
+    IDCG doubles are embedded on both engines (no engine libm log2),
+    DCG is an explicit-ROWS ordered running sum finished with max()
+    (left fold both sides, no reassociating float aggregate), and
+    MRR/recall are single integer divisions."""
+    from rag_database_spark.operators.evaluation import IR_K
+
+    if k is None:
+        k = IR_K
+    return f"""
+WITH {_dense_ctes(k)},
+res AS (
+  SELECT query_id, id, rank FROM dense_ranked WHERE rank <= {k}
+),
+{_QRELS_CTES.format(qv=queries_values_sql())},
+{_ir_metric_chain("", "res", k)}
+SELECT query_id, total_rel, hits, mrr, recall_at_k, ndcg_at_k FROM met
+"""
+
+
+def eval_delta_sql(
+    k: int | None = None,
+    prefix_dims: int | None = None,
+    shortlist_mult: int | None = None,
+) -> str:
+    """Twin of the eval_delta entry: side A = the exact dense leg,
+    side B = the matryoshka prefix cascade, both scored by the shared
+    ``_ir_metric_chain`` against the same qrels, joined per query
+    with 6dp deltas (identical doubles on both engines in, identical
+    subtraction out)."""
+    from rag_database_spark.operators.evaluation import IR_K
+    from rag_database_spark.operators.similarity import (
+        MRL_PREFIX_DIMS,
+        MRL_SHORTLIST_MULT,
+        PREFETCH_ROUND_DP,
+    )
+
+    if k is None:
+        k = IR_K
+    pd_ = prefix_dims or MRL_PREFIX_DIMS
+    fetch = k * (shortlist_mult or MRL_SHORTLIST_MULT)
+    return f"""
+WITH {_dense_ctes(k)},
+res_a AS (
+  SELECT query_id, id, rank FROM dense_ranked WHERE rank <= {k}
+),
+mqv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS v
+  FROM {queries_values_sql()}
+  JOIN embeddings e ON e.vec_id = q.query_vec_id
+),
+mcv AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+mpre AS (
+  SELECT mqv.query_id, mcv.id,
+         round(CASE WHEN list_dot_product(mqv.v[1:{pd_}], mqv.v[1:{pd_}]) > 0
+                     AND list_dot_product(mcv.v[1:{pd_}], mcv.v[1:{pd_}]) > 0
+               THEN list_cosine_similarity(mqv.v[1:{pd_}], mcv.v[1:{pd_}])
+               ELSE 0.0 END,
+               {PREFETCH_ROUND_DP}) AS pscore
+  FROM mqv CROSS JOIN mcv
+),
+mshort AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pscore DESC, id) AS prank
+  FROM mpre QUALIFY prank <= {fetch}
+),
+mresc AS (
+  SELECT s.query_id, s.id,
+         round(CASE WHEN list_dot_product(mqv.v, mqv.v) > 0
+                     AND list_dot_product(mcv.v, mcv.v) > 0
+               THEN list_cosine_similarity(mqv.v, mcv.v)
+               ELSE 0.0 END, 6) AS score
+  FROM mshort s
+  JOIN mcv ON mcv.id = s.id
+  JOIN mqv ON mqv.query_id = s.query_id
+),
+res_b AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id) AS rank
+  FROM mresc
+  QUALIFY rank <= {k}
+),
+{_QRELS_CTES.format(qv=queries_values_sql())},
+{_ir_metric_chain("_a", "res_a", k)},
+{_ir_metric_chain("_b", "res_b", k)}
+SELECT query_id,
+       a.mrr AS mrr_a, a.recall_at_k AS recall_a, a.ndcg_at_k AS ndcg_a,
+       b.mrr AS mrr_b, b.recall_at_k AS recall_b, b.ndcg_at_k AS ndcg_b,
+       round(a.mrr - b.mrr, 6) AS d_mrr,
+       round(a.recall_at_k - b.recall_at_k, 6) AS d_recall,
+       round(a.ndcg_at_k - b.ndcg_at_k, 6) AS d_ndcg
+FROM met_a a FULL OUTER JOIN met_b b USING (query_id)
 """
 
 

@@ -561,3 +561,41 @@ def test_ir_metrics_perfect_ranking_is_one(spark):
     r = ir_metrics(results, qrels, k=10).collect()[0]
     assert r["mrr"] == 1.0 and r["recall_at_k"] == 1.0
     assert r["ndcg_at_k"] == 1.0
+
+
+def test_eval_delta_hand_case(spark):
+    """Paired A/B deltas: identical sides zero out, a degraded side B
+    shows positive deltas for A, and a query absent from one side
+    surfaces with NULLs instead of dropping."""
+    from rag_database_spark.operators.evaluation import (
+        eval_delta,
+        ir_metrics,
+    )
+
+    results_a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id long, id long, rank long",
+    )
+    results_b = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2)],  # q1 degraded, q2 missing
+        "query_id long, id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (2, 20)], "query_id long, id long"
+    )
+    a = ir_metrics(results_a, qrels, k=10)
+    b = ir_metrics(results_b, qrels, k=10)
+
+    same = {r["query_id"]: r for r in eval_delta(a, a).collect()}
+    assert all(
+        same[q]["d_mrr"] == 0.0 and same[q]["d_ndcg"] == 0.0 for q in same
+    )
+
+    rows = {r["query_id"]: r for r in eval_delta(a, b).collect()}
+    r1 = rows[1]
+    assert r1["mrr_a"] == 1.0 and r1["mrr_b"] == 0.5
+    assert r1["d_mrr"] == 0.5 and r1["d_recall"] == 0.0
+    assert r1["d_ndcg"] > 0
+    r2 = rows[2]
+    assert r2["mrr_a"] == 1.0 and r2["mrr_b"] is None
+    assert r2["d_mrr"] is None
