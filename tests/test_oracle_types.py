@@ -112,3 +112,25 @@ def test_driver_window_composition_is_pinned():
     )
     in_head = (rows_only & set(head)) - certifying_rows_only
     assert not in_head, f"rows-only entries occupying verified slots: {in_head}"
+
+
+def test_embedding_corpus_has_no_zero_norm_vectors():
+    """Data contract behind the unguarded full-vector cosines in the
+    oracle SQL: the engine maps a zero-norm vector to score 0.0 while
+    DuckDB's list_cosine_similarity returns -1.0, so the twins agree
+    only while no corpus embedding has zero norm. Real encoders
+    normalize at encode time (reference dense_embedder.py:59-65) and
+    the hash-projection fixture embeds a nonzero component by
+    construction; this pins the assumption at every driver sf. The
+    one place a zero norm IS reachable — a 16-dim PREFIX slice of a
+    nonzero vector — carries explicit CASE guards
+    (oracles.matryoshka_topk_sql / eval_delta_sql / _mmr_parts)."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/embeddings.parquet' "
+            "WHERE list_dot_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[]) <= 0"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} zero-norm embeddings"
