@@ -134,3 +134,23 @@ def test_embedding_corpus_has_no_zero_norm_vectors():
             "embedding::DOUBLE[]) <= 0"
         ).fetchone()[0]
         assert n == 0, f"sf{sf}: {n} zero-norm embeddings"
+
+
+def test_id_columns_are_nonnegative():
+    """Data contract behind every modular shard/bucket key (shuffle
+    export, quota sampling, bloom probes, gate batch splits): Spark
+    and DuckDB both give `%` the dividend's sign, so a NEGATIVE id
+    would make `key % n` negative on both engines — breaking the
+    shard ranges the operators document ([0, n)) even though the
+    twins would still agree. Driver ids are nonnegative by
+    construction; pin it."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        for table, col in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                           ("events", "event_id")):
+            lo = duckdb.sql(
+                f"SELECT min({col}) FROM "
+                f"'/root/testdata/sf{sf}/{table}.parquet'"
+            ).fetchone()[0]
+            assert lo is not None and lo >= 0, (sf, table, lo)
