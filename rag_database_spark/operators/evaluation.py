@@ -103,9 +103,11 @@ def ir_metrics(
         )
         .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
     )
+    # (rank, id) order: tied ranks from a generic caller would
+    # otherwise make the running DCG partition-order-dependent
     w_cum = (
         Window.partitionBy("query_id")
-        .orderBy("rank")
+        .orderBy("rank", "id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = rel_marked.withColumn(

@@ -231,9 +231,12 @@ def pack_context(
         F.col(id_col).alias("id"),
         F.col(rank_col).cast("long").alias("rank"),
     ).join(tok, "id")
+    # (rank, id) order: ranks are unique per query in every ranked
+    # producer here, but a generic caller with tied ranks would
+    # otherwise get partition-order-dependent prefix sums
     w = (
         Window.partitionBy("query_id")
-        .orderBy("rank")
+        .orderBy("rank", "id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return seq.select(

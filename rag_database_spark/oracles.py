@@ -356,7 +356,7 @@ def _ir_metric_chain(tag: str, res: str, k: int) -> str:
         + " END"
     )
     return f"""fl{tag} AS (
-  SELECT r.query_id, r.rank,
+  SELECT r.query_id, r.id, r.rank,
          CASE WHEN qr.id IS NOT NULL THEN 1 ELSE 0 END AS rel
   FROM {res} r LEFT JOIN qr ON qr.query_id = r.query_id AND qr.id = r.id
 ),
@@ -365,7 +365,7 @@ cum{tag} AS (
          sum(CASE WHEN rel = 1
                   THEN (CASE rank {gain_case} ELSE 0.0 END)
                   ELSE 0.0 END)
-           OVER (PARTITION BY query_id ORDER BY rank
+           OVER (PARTITION BY query_id ORDER BY rank, id
                  ROWS UNBOUNDED PRECEDING) AS dcg_cum
   FROM fl{tag}
 ),
@@ -5465,7 +5465,7 @@ tok AS (
 seq AS (
   SELECT m.query_id, m.id, m.rank, t.n_tokens,
          sum(t.n_tokens) OVER (
-           PARTITION BY m.query_id ORDER BY m.rank
+           PARTITION BY m.query_id ORDER BY m.rank, m.id
            ROWS UNBOUNDED PRECEDING
          )::BIGINT AS cum_tokens
   FROM mm m JOIN tok t USING (id)
