@@ -132,6 +132,8 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _bm25_index(spark, sf_dir)
     _shingle_index(spark, sf_dir)
     _ivf_index(spark, sf_dir)
+    _pq_index(spark, sf_dir)
+    _ivfpq_index(spark, sf_dir)
     _jaccard_pairs(spark, sf_dir).count()
     _cluster_labels(spark, sf_dir).count()
     _bpe_artifacts(spark, sf_dir)
@@ -146,6 +148,8 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _perceptron_weights(spark, sf_dir)
     _bloom_filter_words(spark, sf_dir)
     _bloom_paras_filter_words(spark, sf_dir)
+    _semantic_pagerank_scores(spark, sf_dir)
+    _time_travel(spark, sf_dir)  # builds the fingerprint-keyed tt_table
 
 
 # --------------------------------------------------------------------------
@@ -301,6 +305,15 @@ def _mmr_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried) through diversify.mmr_rerank — consumed by both the
     mmr_rerank entry and the rag_context_pack composition."""
     from rag_database_spark.operators import diversify
+
+    # the oracle twins (mmr_rerank_sql / rag_context_pack_sql) derive
+    # their k / shortlist size from diversify.MMR_K defaults while this
+    # side passes workload.HYBRID_LIMIT — pin the assumed equality so a
+    # constant edit on either side fails loudly instead of as a silent
+    # hash mismatch
+    assert diversify.MMR_K == workload.HYBRID_LIMIT, (
+        diversify.MMR_K, workload.HYBRID_LIMIT,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = workload.queries_df(spark)
@@ -2185,6 +2198,12 @@ def _eval_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoreboard an index/serving change must pass before rollout."""
     from rag_database_spark.operators import evaluation
 
+    # eval_delta_sql derives both legs' depth from evaluation.IR_K
+    # while the dense/matryoshka legs here fetch workload.HYBRID_LIMIT
+    # — pin the assumed equality (same guard as _mmr_results)
+    assert evaluation.IR_K == workload.HYBRID_LIMIT, (
+        evaluation.IR_K, workload.HYBRID_LIMIT,
+    )
     qrels = _qrels_fixture(spark, sf_dir)
     a = evaluation.ir_metrics(_dense_topk(spark, sf_dir), qrels)
     b = evaluation.ir_metrics(_matryoshka_topk(spark, sf_dir), qrels)

@@ -310,7 +310,16 @@ def heal_index(spark, path: str) -> None:
     root present → clear residue staging/old; root missing + complete
     staging (both subdir _SUCCESS markers) → roll FORWARD; root
     missing + only old → roll BACK. All through the root's Hadoop
-    FileSystem."""
+    FileSystem.
+
+    Completeness is judged by the committer's ``_SUCCESS`` markers:
+    a deployment that sets
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` makes
+    every staging root look incomplete, so recovery always rolls BACK
+    — safe (old root restored, tombstones intact; the next
+    ``compact_index`` redoes the work) but it discards completed
+    staging writes. Keep the marker enabled wherever compaction
+    runs."""
     from rag_database_spark.operators.dedup import _rename_or_raise
 
     jpath = spark._jvm.org.apache.hadoop.fs.Path
@@ -348,7 +357,10 @@ def compact_index(spark, path: str) -> None:
     tombstone dir is gone with the old root, so reads drop the
     anti-join until the next delete. Run when the tombstone set has
     grown enough that the merge-on-read filter is worth reclaiming —
-    the same policy call as ACID-table compaction."""
+    the same policy call as ACID-table compaction. Roll-forward after
+    a crash requires the committer's ``_SUCCESS`` markers (see
+    ``heal_index``): with ``marksuccessfuljobs=false`` a crash between
+    the renames always recovers by rolling back and redoing."""
     from rag_database_spark.operators.dedup import _rename_or_raise
 
     heal_index(spark, path)

@@ -82,7 +82,10 @@ def mmr_rerank(
 ) -> DataFrame:
     """Greedy MMR over a bounded per-query candidate frame carrying
     (query_col, id_col, rel_col ALREADY 6dp-rounded, vec_col) →
-    (query_id, id, rel, mmr, rank). Round t's pick maximizes
+    (query_id, id, rel, mmr, rank). Candidate ids must be UNIQUE per
+    query (any top-k retriever satisfies this; the local impl raises
+    on violation, the loop impl would keep both rows). Round t's pick
+    maximizes
     λ·rel − (1−λ)·max_sim with ties → lowest id; every remaining
     candidate's ``max_sim`` then folds in its 6dp cosine to the pick
     via a 2-ary greatest. Fewer candidates than k → fewer rows, the
@@ -184,6 +187,15 @@ def _mmr_rerank_local(
         rem: dict[int, tuple[float, list[float], float]] = {}
         for i, r, v in zip(pdf["id"], pdf["rel"], pdf["v"]):
             rem[int(i)] = (float(r), [float(x) for x in v], 0.0)
+        # candidate ids must be unique per query: a dup would silently
+        # collapse to its last row here while impl='loop' keeps both —
+        # surface the contract violation instead of diverging
+        if len(rem) != len(pdf):
+            raise ValueError(
+                "mmr_rerank: duplicate candidate ids within query "
+                f"{int(pdf['query_id'].iloc[0])} "
+                f"({len(pdf)} rows, {len(rem)} distinct ids)"
+            )
         qid = int(pdf["query_id"].iloc[0]) if len(pdf) else 0
         out = {"query_id": [], "id": [], "rel": [], "mmr": [], "rank": []}
         for t in range(1, k + 1):

@@ -315,7 +315,17 @@ def shortest_chains(
     shuffles are an inherently serial chain, so at any scale latency
     tracks radius, while the meet join is one extra keyed shuffle.
     Unreachable-within-``max_depth`` pairs keep a NULL ``chain_len``,
-    the relational form of the reference's ``None`` return."""
+    the relational form of the reference's ``None`` return.
+
+    The meet is restricted to the REQUESTED pairs before the two
+    reach sides ever touch: joining fwd×bwd on the meeting node alone
+    generates |reach_src(m)| × |reach_dst(m)| rows per meeting node —
+    on a hub-heavy graph one high-degree hub reached by every seed
+    turns that into |seeds|² rows on a single key, the classic skew
+    point at 100×. Joining ``pairs → fwd`` first (reach set of each
+    pair's src, keyed on src) and then ``bwd`` on the unique
+    (dst, m) key bounds the intermediate at Σ_pairs |reach(src)|,
+    which is linear in the request size regardless of hub degree."""
     radius = (max_depth + 1) // 2
     src_ids = pairs.select(F.col("src").alias("start_id"))
     dst_ids = pairs.select(F.col("dst").alias("start_id"))
@@ -341,7 +351,10 @@ def shortest_chains(
         F.col("depth").alias("d_dst"),
     )
     met = (
-        fwd.join(bwd, "m")
+        pairs.select("src", "dst")
+        .distinct()
+        .join(fwd, "src")
+        .join(bwd, ["dst", "m"])
         .groupBy("src", "dst")
         .agg(F.min(F.col("d_src") + F.col("d_dst")).alias("chain_len"))
         .filter(

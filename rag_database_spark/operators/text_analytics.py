@@ -1537,49 +1537,61 @@ def contrastive_score(docs: DataFrame, in_docs: DataFrame,
     fraction under the in-domain model) is emitted alongside, itself a
     strong domain signal. Both columns are exact and DuckDB-twinned.
 
-    Scale: the corpus bigram stream forms once (array-side, shared
-    front end with ``lm_score``); each model join is one keyed join +
-    doc_id rollup; persisted models (``in_model``/``base_model`` read
-    back from per-corpus artifacts) skip training entirely — the
-    same artifact discipline as ``lm_perplexity``."""
+    Scale: the corpus bigram stream forms ONCE (array-side, shared
+    front end with ``lm_score``) and is traversed ONCE — both model
+    lookups are left joins on the (w1, w2) key folded into a single
+    doc_id rollup (one aggregation exchange, not one per model plus a
+    totals pass); per-doc sums add the identical multiset of addends
+    as the per-model rollup form, so the 6dp-rounded outputs are
+    unchanged. Persisted models (``in_model``/``base_model`` read back
+    from per-corpus artifacts) skip training entirely — the same
+    artifact discipline as ``lm_perplexity``."""
     if base_model is None:
         base_model = train_lm(docs, alpha, id_col, text_col)
     if in_model is None:
         in_model = train_lm(in_docs, alpha, id_col, text_col)
     base, per = _lm_doc_bigrams(docs, id_col, text_col)
 
-    def _rolled(model: DataFrame, tag: str) -> DataFrame:
-        return (
-            per.join(model, ["w1", "w2"])
-            .select("doc_id", "m", (F.col("m") * F.col("lp")).alias("mlp"))
-            .groupBy("doc_id")
-            .agg(
-                F.sum("m").cast("bigint").alias(f"n_{tag}"),
-                F.round(F.sum("mlp") / F.sum("m"), 6).alias(f"avg_logp_{tag}"),
-            )
+    scored = (
+        per.join(
+            in_model.select("w1", "w2", F.col("lp").alias("lp_in")),
+            ["w1", "w2"], "left",
         )
-
-    totals = per.groupBy("doc_id").agg(
-        F.sum("m").cast("bigint").alias("n_bigrams")
+        .join(
+            base_model.select("w1", "w2", F.col("lp").alias("lp_base")),
+            ["w1", "w2"], "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("lp_in").isNotNull(), F.col("m")))
+            .alias("m_in"),
+            F.sum(F.col("m") * F.col("lp_in")).alias("s_in"),
+            F.sum(F.when(F.col("lp_base").isNotNull(), F.col("m")))
+            .alias("m_base"),
+            F.sum(F.col("m") * F.col("lp_base")).alias("s_base"),
+        )
     )
     docs = fan_out(docs)
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(totals, "doc_id", "left")
-        .join(_rolled(in_model, "in"), "doc_id", "left")
-        .join(_rolled(base_model, "base"), "doc_id", "left")
+        .join(scored, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
             F.round(
-                F.coalesce("n_in", F.lit(0))
+                F.coalesce(F.col("m_in").cast("bigint"), F.lit(0))
                 / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
                 6,
             ).alias("in_coverage"),
-            F.col("avg_logp_in"),
-            F.col("avg_logp_base"),
+            F.round(F.col("s_in") / F.col("m_in"), 6).alias("avg_logp_in"),
+            F.round(F.col("s_base") / F.col("m_base"), 6).alias(
+                "avg_logp_base"
+            ),
             F.round(
-                F.col("avg_logp_in") - F.col("avg_logp_base"), 6
+                F.round(F.col("s_in") / F.col("m_in"), 6)
+                - F.round(F.col("s_base") / F.col("m_base"), 6),
+                6,
             ).alias("ml_score"),
         )
     )

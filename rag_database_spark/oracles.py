@@ -387,7 +387,11 @@ met{tag} AS (
 
 
 _QRELS_CTES = """qr AS (
-  SELECT q.query_id, e.vec_id AS id
+  -- DISTINCT mirrors the Spark side's .distinct() on qrels: the
+  -- fixture is unique by construction, but both twins must state the
+  -- same contract or duplicate qrels rows would double-count
+  -- hits/DCG here only
+  SELECT DISTINCT q.query_id, e.vec_id AS id
   FROM {qv}, embeddings e
   WHERE (e.vec_id + q.query_id * 3) % 9 = 0
 ),

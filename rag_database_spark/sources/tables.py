@@ -161,12 +161,26 @@ def append_tombstones(spark, root: str, ids, id_col: str = "doc_id") -> None:
     a tombstone table under the artifact root — cost ∝ delta, never
     a rewrite; the matching reader anti-joins them out
     (merge-on-read, the ``sources/acid.py`` contract). Idempotent
-    under replay: duplicate tombstone rows change nothing."""
+    under replay: duplicate tombstone rows change nothing.
+
+    A DataFrame argument must either carry ``id_col`` or be a single
+    column (taken as the ids whatever its name); a multi-column frame
+    without ``id_col`` raises — silently tombstoning whichever column
+    happened to be first would delete the wrong rows with no error."""
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
             [(int(i),) for i in ids], f"{id_col} long"
         )
-    ids.select(F.col(ids.columns[0]).alias(id_col)).write.mode(
+    if id_col in ids.columns:
+        src = id_col
+    elif len(ids.columns) == 1:
+        src = ids.columns[0]
+    else:
+        raise ValueError(
+            f"append_tombstones: no column {id_col!r} in {ids.columns}; "
+            "pass the id column explicitly or a single-column frame"
+        )
+    ids.select(F.col(src).alias(id_col)).write.mode(
         "append"
     ).parquet(f"{root}/tombstones")
 

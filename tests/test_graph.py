@@ -83,6 +83,29 @@ def test_shortest_chain(chain_edges):
     assert g.shortest_chain(chain_edges, 1, 99) is None
 
 
+def test_shortest_chains_hub_skew(spark):
+    """Star graph: one hub (0) connected to every leaf — the meeting
+    node every seed reaches at depth 1. The pair-first meet bounds the
+    intermediate at Σ_pairs |reach(src)| (linear in the request size)
+    instead of |seeds|² rows on the hub key; correctness: every
+    leaf↔leaf pair is distance 2 via the hub, leaf↔hub is 1, and a
+    node outside the component stays NULL."""
+    n = 60
+    edges = spark.createDataFrame(
+        [(0, i, "r", 0.9) for i in range(1, n + 1)]
+        + [(100, 101, "r", 0.9)],  # disconnected component
+        "src long, dst long, relation_type string, confidence double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 40), (5, 0), (1, 100)], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["chain_len"]
+        for r in g.shortest_chains(edges, pairs, max_depth=4).collect()
+    }
+    assert got == {(1, 2): 2, (3, 40): 2, (5, 0): 1, (1, 100): None}
+
+
 def test_augment_results(spark, chain_edges):
     results = spark.createDataFrame(
         [(1, 2, 1)], "query_id long, id long, rank long"

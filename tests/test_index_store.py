@@ -609,3 +609,34 @@ def test_compact_index_applies_tombstones_and_heals(spark, tmp_path):
     )
     healed_p, _ = bm25_ops.read_index(spark, path)
     assert healed_p.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_append_tombstones_column_contract(spark, tmp_path):
+    """A DataFrame argument selects by id_col when present (any column
+    order), accepts a single differently-named column, and REFUSES a
+    multi-column frame without id_col — tombstoning whichever column
+    happened to be first would delete the wrong rows silently."""
+    from rag_database_spark.sources.tables import (
+        append_tombstones,
+        read_tombstones,
+    )
+
+    root = str(tmp_path / "idx")
+    # id_col present but NOT first: must pick doc_id, not score
+    df = spark.createDataFrame(
+        [(9.5, 1), (3.5, 2)], "score double, doc_id long"
+    )
+    append_tombstones(spark, root, df)
+    got = {r["doc_id"] for r in read_tombstones(spark, root).collect()}
+    assert got == {1, 2}
+
+    # single-column frame under another name: taken as the ids
+    one = spark.createDataFrame([(7,)], "vec_id long")
+    append_tombstones(spark, root, one)
+    got = {r["doc_id"] for r in read_tombstones(spark, root).collect()}
+    assert got == {1, 2, 7}
+
+    # multi-column frame without id_col: loud failure
+    bad = spark.createDataFrame([(1.0, 5)], "score double, other long")
+    with pytest.raises(ValueError, match="doc_id"):
+        append_tombstones(spark, root, bad)
