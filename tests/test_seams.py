@@ -553,3 +553,74 @@ def test_lang_id_auto_falls_back_to_heuristic(spark):
     assert [f.name for f in ta.lang_id_auto(df).schema.fields] == [
         "doc_id", "lang_pred", "confidence",
     ]
+
+
+def test_real_model_smoke_harness(spark, monkeypatch, tmp_path):
+    """Drive tools/real_model_smoke.py's check list against injected
+    fakes: the three driver-capturable seams (embed / rerank /
+    lang-id ship their model class by value into the workers) run
+    end-to-end and must report OK-grade details, and the inline
+    fixtures the worker-side seams depend on (PNG / WAV / PDF bytes)
+    are structurally valid so a real decoder won't reject them."""
+    import struct
+    import zlib
+
+    from tools import real_model_smoke as rms
+
+    # --- fixture validity (the risky part of the worker-side checks)
+    png = rms.minimal_png()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (8, 8)
+    idat = png[png.index(b"IDAT") + 4:png.rindex(b"IEND") - 4]
+    assert len(zlib.decompress(idat)) == h * (1 + w)  # filter byte + row
+
+    wav = rms.minimal_wav()
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    n_data = struct.unpack("<I", wav[40:44])[0]
+    assert n_data == len(wav) - 44 and n_data == 1600 * 2
+
+    assert rms.MINIMAL_PDF.startswith(b"%PDF") and b"%%EOF" in rms.MINIMAL_PDF
+
+    # --- driver-capturable seams end-to-end against fakes
+    fake_st = types.ModuleType("sentence_transformers")
+
+    class FakeST:
+        def __init__(self, name):
+            pass
+
+        def encode(self, texts, batch_size=64, normalize_embeddings=True):
+            return [[1.0, 0.0, 0.0] for _ in texts]  # unit vectors
+
+    class FakeCE:
+        def __init__(self, name):
+            pass
+
+        def predict(self, pairs, batch_size=64):
+            return [float(len(d)) for _, d in pairs]
+
+    fake_st.SentenceTransformer = FakeST
+    fake_st.CrossEncoder = FakeCE
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake_st)
+
+    fake_ft = types.ModuleType("fasttext")
+
+    class FakeFT:
+        def predict(self, texts, k=1):
+            return (
+                [("__label__en",) for _ in texts],
+                [(0.99,) for _ in texts],
+            )
+
+    fake_ft.load_model = lambda path: FakeFT()
+    monkeypatch.setitem(sys.modules, "fasttext", fake_ft)
+    model_file = tmp_path / "lid.176.bin"
+    model_file.write_bytes(b"fake")
+
+    checks = {
+        seam: fn
+        for seam, _lib, fn in rms.build_checks(spark, str(model_file))
+    }
+    assert checks["sentence-embed (M1)"]().startswith("dim=3")
+    assert checks["cross-encoder (M8)"]().startswith("top1=")
+    assert "en" in checks["fasttext lang-id"]()
