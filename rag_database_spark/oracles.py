@@ -1347,7 +1347,7 @@ toks AS (
            x -> length(x) > 0) AS t
   FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN len(t) >= {k}
               THEN list_distinct([array_to_string(t[i:i+{k - 1}], ' ')
@@ -1355,8 +1355,8 @@ sh AS (
               ELSE [array_to_string(t, ' ')] END AS sg
   FROM toks WHERE len(t) > 0
 ),
-ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
-sz AS (SELECT doc_id, len(sg) AS n FROM sh)"""
+ex AS MATERIALIZED (SELECT doc_id, unnest(sg) AS s FROM sh),
+sz AS MATERIALIZED (SELECT doc_id, len(sg) AS n FROM sh)"""
 
 
 def near_dup_pairs_sql(threshold: float, k: int) -> str:
@@ -1618,7 +1618,7 @@ seq AS (
          lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nxt
   FROM documents
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_id AS src, nxt AS dst, 'sequence' AS relation_type,
          round(0.5 + (doc_id % 5) * 0.1, 6) AS confidence
   FROM seq WHERE nxt IS NOT NULL
@@ -1641,7 +1641,7 @@ def graph_expand_sql(jaccard_threshold: float, k: int, seed_max: int,
                      max_depth: int, min_confidence: float) -> str:
     return f"""
 WITH RECURSIVE {_edges_ctes(jaccard_threshold, k)},
-und AS (
+und AS MATERIALIZED (
   SELECT src AS me, dst AS other FROM edges WHERE confidence >= {min_confidence}
   UNION ALL
   SELECT dst, src FROM edges WHERE confidence >= {min_confidence}
@@ -3364,7 +3364,7 @@ def shortest_chains_sql(
 ) -> str:
     return f"""
 WITH RECURSIVE {_edges_ctes(jaccard_threshold, k)},
-und AS (
+und AS MATERIALIZED (
   SELECT src AS me, dst AS other FROM edges
   WHERE confidence >= {min_confidence}
   UNION ALL
@@ -3934,18 +3934,18 @@ inter AS (
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT ia AS a, ib AS b
   FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
   WHERE round(c / (x.n + y.n - c), 6) >= {threshold}
 ),
-und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+und AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
 reach(a, b) AS (
   SELECT a, b FROM und
   UNION
   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
 ),
-cl AS (
+cl AS MATERIALIZED (
   SELECT d.doc_id,
          least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
   FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
@@ -5841,19 +5841,19 @@ def semantic_components_sql(threshold: float) -> str:
     cosine threshold as embedding_near_dup_sql), component label =
     component-min vec_id, plus the component size."""
     return f"""
-WITH RECURSIVE e0 AS (
+WITH RECURSIVE e0 AS MATERIALIZED (
   SELECT a.vec_id AS a, b.vec_id AS b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                b.embedding::DOUBLE[]) >= {threshold}
 ),
-und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+und AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
 reach(a, b) AS (
   SELECT a, b FROM und
   UNION
   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
 ),
-cl AS (
+cl AS MATERIALIZED (
   SELECT e.vec_id,
          least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS cluster_id
   FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
