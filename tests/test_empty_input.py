@@ -315,3 +315,27 @@ def test_ir_metrics_tolerates_empty_inputs(spark):
     assert r["total_rel"] == 0 and r["hits"] == 0
     assert r["mrr"] == 0.0 and r["recall_at_k"] == 0.0
     assert r["ndcg_at_k"] == 0.0
+
+
+def test_shortest_chains_tolerates_empty_inputs(spark):
+    """The pair-first meet join: empty pairs yields an empty frame
+    with the (src, dst, chain_len) schema; empty edges yields every
+    requested pair with a NULL chain_len (nothing is reachable)."""
+    from rag_database_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2, "r", 0.9)],
+        "src long, dst long, relation_type string, confidence double",
+    )
+    empty_edges = edges.limit(0)
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+
+    no_pairs = g.shortest_chains(edges, pairs.limit(0))
+    assert no_pairs.count() == 0
+    assert [f.name for f in no_pairs.schema.fields] == [
+        "src", "dst", "chain_len"
+    ]
+
+    no_edges = g.shortest_chains(empty_edges, pairs).collect()
+    assert len(no_edges) == 1
+    assert no_edges[0]["chain_len"] is None
