@@ -2817,10 +2817,17 @@ _PURE_LAZY = frozenset({
     "repetition_signals", "asof_attribution", "quantize_embeddings",
     "quantized_topk", "ann_ivf_topk", "ann_lsh_topk", "pq_topk",
     "ivfpq_topk",
-    # mmr_rerank stays OUT: its greedy rounds localCheckpoint eagerly
-    # inside the builder — exactly what the prepared-plan contract
-    # excludes
     "pack_sequences", "pack_rows", "decontam", "stratified_sample",
+    # r14: the r13 entries join now that their lazy shape is settled.
+    # mmr_rerank/rag_context_pack qualify because diversify.mmr_rerank
+    # defaults to impl='local' (one applyInPandas batch per query —
+    # pure lazy); the unrolled impl='loop' localCheckpoints per round
+    # and would NOT qualify. soft_dedup stays OUT: it runs the
+    # connected-components rounds (localCheckpoint per round) inside
+    # the builder — exactly what the prepared-plan contract excludes.
+    "mmr_rerank", "rag_context_pack", "ir_metrics", "eval_delta",
+    "matryoshka_topk", "flagged_words", "shuffle_export",
+    "cluster_quota_sample",
 })
 
 
