@@ -717,6 +717,15 @@ def _dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split (dedup.leakage_safe_split):
+    whole components land on one side via an md5-of-cluster_id 60-bit
+    integer threshold, so the eval slice can never hold a near-dup of
+    a training doc. One projection over the persisted cluster-label
+    artifact — no join, no shuffle."""
+    return dedup.leakage_safe_split(_cluster_labels(spark, sf_dir))
+
+
 def _fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: best shingle-Jaccard eval-set match per
     corpus doc (eval slice broadcast; exact inverted-index candidates;
@@ -2828,6 +2837,8 @@ _PURE_LAZY = frozenset({
     "mmr_rerank", "rag_context_pack", "ir_metrics", "eval_delta",
     "matryoshka_topk", "flagged_words", "shuffle_export",
     "cluster_quota_sample",
+    # r14 addition: one projection over the persisted label artifact
+    "leakage_split",
 })
 
 
@@ -2904,6 +2915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green twice, r11 AND r12; the pagerank family stays
         # repped in-window by ppr_topk + semantic_pagerank)
         "soft_dedup": _soft_dedup,
+        # new in r14: cluster-atomic train/eval split over the same
+        # persisted label artifact
+        "leakage_split": _leakage_split,
         "cluster_quota_sample": _cluster_quota_sample,
         "ppr_topk": _ppr_topk,
         "graph_triangles": _graph_triangles,
@@ -3130,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the CORRECTNESS_r* union). Tail entries keep their previous relative
 # order and stay green via tests/test_entry_oracle.py.
 _WINDOW_R14: tuple[str, ...] = (
+    "leakage_split",  # new in r14 — certifies in-window the same round
     "contrastive_select", "ir_metrics", "eval_delta", "mmr_rerank",
     "rag_context_pack", "shortest_chains",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
@@ -3145,7 +3160,7 @@ _WINDOW_R14: tuple[str, ...] = (
     "dup_ngram_fraction", "domain_cap", "media_stats",
     "dedup_regions", "events_profile", "dedup_clusters_cc",
     "dedup_keep", "fuzzy_decontam", "frequent_ngrams",
-    "quality_filter", "vocab_oov", "cut_dup_spans", "ingest_gate",
+    "quality_filter", "vocab_oov", "cut_dup_spans",
 )
 
 
@@ -3184,6 +3199,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_keep": oracles.dedup_keep_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K
+        ),
+        "leakage_split": oracles.leakage_split_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K,
+            dedup.LEAKAGE_EVAL_FRACTION, dedup.LEAKAGE_SPLIT_SEED,
         ),
         "dedup_clusters_cc": oracles.dedup_clusters_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

@@ -972,6 +972,55 @@ def keep_representatives(
     )
 
 
+LEAKAGE_EVAL_FRACTION = 0.1
+LEAKAGE_SPLIT_SEED = 42
+
+
+def leakage_safe_split(
+    labels: DataFrame,
+    eval_fraction: float = LEAKAGE_EVAL_FRACTION,
+    seed: int = LEAKAGE_SPLIT_SEED,
+) -> DataFrame:
+    """Near-dup-aware train/eval split: every document lands on the
+    side its whole near-dup COMPONENT is assigned to, so a held-out
+    eval set can never contain a near-duplicate of a training document
+    (the train/test contamination that plain per-doc random splits
+    leak — the same failure mode ``decontam`` removes after the fact,
+    prevented at split time instead).
+
+    ``labels`` is the (doc_id, cluster_id) component frame
+    (``dedup_clusters`` output or its persisted artifact); the split
+    hashes the CLUSTER id, not the doc id, with the same md5-derived
+    60-bit integer threshold as the deterministic samplers
+    (``stratified_sample``) — a pure function of the component label,
+    stable across partitioning, engines, and reruns, and exactly
+    reproducible by the DuckDB twin in integer space.
+
+    Scale: one projection over the label frame — no join, no shuffle;
+    the component structure was already paid for by the dedup pass
+    that produced ``labels``."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(f"split{seed}"),
+                    F.col("cluster_id").cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    thr = int(eval_fraction * (1 << 60))
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < F.lit(thr), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def soft_dedup(
     pairs: DataFrame,
     docs: DataFrame,

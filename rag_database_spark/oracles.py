@@ -3960,6 +3960,23 @@ SELECT doc_id, cluster_id FROM cl
 """
 
 
+def leakage_split_sql(threshold: float, k: int,
+                      eval_fraction: float, seed: int) -> str:
+    """Twin of ``dedup.leakage_safe_split`` over the recursive
+    component CTEs: the same md5-of-cluster_id 60-bit integer
+    threshold assigns whole components to one side."""
+    thr = int(eval_fraction * (1 << 60))
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold, k)}
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5('split{seed}:' ||
+                                     cluster_id::VARCHAR), 1, 15))::BIGINT
+                 < {thr}
+            THEN 'eval' ELSE 'train' END AS split
+FROM cl
+"""
+
+
 def dedup_keep_sql(threshold: float, k: int) -> str:
     """Deduplicated-corpus materialization: the component-min document
     of every near-dup cluster plus the duplicate count it absorbs."""

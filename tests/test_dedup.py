@@ -545,3 +545,37 @@ def test_soft_dedup_weights(spark):
         assert rows[d]["weight"] == 0.5
     # total gradient mass ≈ number of distinct components
     assert abs(sum(r["weight"] for r in rows.values()) - 3.0) < 1e-5
+
+
+def test_leakage_safe_split_is_cluster_atomic_and_deterministic(spark):
+    """Every near-dup component lands wholly on one side (the property
+    that prevents train/eval contamination), the assignment is a pure
+    function of (seed, cluster_id), and eval_fraction brackets the
+    eval share over many singleton clusters."""
+    labels = spark.createDataFrame(
+        [(d, c) for c in range(200) for d in (c * 10, c * 10 + 1)],
+        "doc_id long, cluster_id long",
+    )
+    out = dedup.leakage_safe_split(labels, eval_fraction=0.25, seed=7)
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values()), "split broke a cluster"
+
+    # deterministic: a second run (different partitioning) is identical
+    again = dedup.leakage_safe_split(
+        labels.repartition(7), eval_fraction=0.25, seed=7
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # seed changes the assignment; fraction ~25% within loose bounds
+    other = {
+        (r["doc_id"], r["split"])
+        for r in dedup.leakage_safe_split(
+            labels, eval_fraction=0.25, seed=8
+        ).collect()
+    }
+    assert other != {(r["doc_id"], r["split"]) for r in rows}
+    frac = sum(1 for s in by_cluster.values() if s == {"eval"}) / 200
+    assert 0.12 < frac < 0.40, frac
