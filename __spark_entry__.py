@@ -726,6 +726,28 @@ def _leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.leakage_safe_split(_cluster_labels(spark, sf_dir))
 
 
+def _split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (dedup.split_leakage_audit): near-dup pairs
+    crossing the train/eval boundary under the NAIVE per-doc split vs
+    the cluster-atomic split — the (train, eval) row under 'per_doc'
+    is the contamination count, and 'cluster' provably has none. Two
+    keyed joins of the persisted pair artifact per scheme + one
+    bounded rollup."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    naive = dedup.split_leakage_audit(
+        pairs, dedup.per_doc_split(load_table(spark, sf_dir, "documents"))
+    ).withColumn("scheme", F.lit("per_doc"))
+    atomic = dedup.split_leakage_audit(
+        pairs,
+        dedup.leakage_safe_split(_cluster_labels(spark, sf_dir)).select(
+            "doc_id", "split"
+        ),
+    ).withColumn("scheme", F.lit("cluster"))
+    return naive.unionByName(atomic).select(
+        "scheme", "split_a", "split_b", "n_pairs"
+    )
+
+
 def _fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: best shingle-Jaccard eval-set match per
     corpus doc (eval slice broadcast; exact inverted-index candidates;
@@ -2837,8 +2859,8 @@ _PURE_LAZY = frozenset({
     "mmr_rerank", "rag_context_pack", "ir_metrics", "eval_delta",
     "matryoshka_topk", "flagged_words", "shuffle_export",
     "cluster_quota_sample",
-    # r14 addition: one projection over the persisted label artifact
-    "leakage_split",
+    # r14 additions: projections/joins over persisted dedup artifacts
+    "leakage_split", "split_audit",
 })
 
 
@@ -2918,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r14: cluster-atomic train/eval split over the same
         # persisted label artifact
         "leakage_split": _leakage_split,
+        "split_audit": _split_audit,
         "cluster_quota_sample": _cluster_quota_sample,
         "ppr_topk": _ppr_topk,
         "graph_triangles": _graph_triangles,
@@ -3144,7 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the CORRECTNESS_r* union). Tail entries keep their previous relative
 # order and stay green via tests/test_entry_oracle.py.
 _WINDOW_R14: tuple[str, ...] = (
-    "leakage_split",  # new in r14 — certifies in-window the same round
+    "leakage_split", "split_audit",  # new in r14 — certify in-window
     "contrastive_select", "ir_metrics", "eval_delta", "mmr_rerank",
     "rag_context_pack", "shortest_chains",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
@@ -3160,7 +3183,7 @@ _WINDOW_R14: tuple[str, ...] = (
     "dup_ngram_fraction", "domain_cap", "media_stats",
     "dedup_regions", "events_profile", "dedup_clusters_cc",
     "dedup_keep", "fuzzy_decontam", "frequent_ngrams",
-    "quality_filter", "vocab_oov", "cut_dup_spans",
+    "quality_filter", "vocab_oov",
 )
 
 
@@ -3201,6 +3224,10 @@ def oracle_sql() -> dict[str, str]:
             JACCARD_THRESHOLD, dedup.SHINGLE_K
         ),
         "leakage_split": oracles.leakage_split_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K,
+            dedup.LEAKAGE_EVAL_FRACTION, dedup.LEAKAGE_SPLIT_SEED,
+        ),
+        "split_audit": oracles.split_audit_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K,
             dedup.LEAKAGE_EVAL_FRACTION, dedup.LEAKAGE_SPLIT_SEED,
         ),

@@ -1021,6 +1021,72 @@ def leakage_safe_split(
     )
 
 
+def split_leakage_audit(
+    pairs: DataFrame,
+    split: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Audit an EXISTING (doc_id, split) assignment against the
+    near-dup pair graph: how many pairs straddle the boundary — the
+    contamination count a per-doc random split silently ships, and the
+    zero a cluster-atomic split (``leakage_safe_split``) guarantees.
+    Returns (split_a, split_b, n_pairs) with the side labels
+    normalized (least/greatest) so a pair's orientation can't fork the
+    grouping; the (train, eval)-crossing row IS the leak.
+
+    Scale: two keyed joins of the pair set against the split frame
+    (both sides keyed on doc id — the same partitioning) + one rollup
+    on a ≤|splits|² key space. The pair set was already paid for by
+    the dedup pass; nothing here touches text."""
+    s1 = split.select(
+        F.col("doc_id").alias(src_col), F.col("split").alias("__sa")
+    )
+    s2 = split.select(
+        F.col("doc_id").alias(dst_col), F.col("split").alias("__sb")
+    )
+    return (
+        pairs.join(s1, src_col)
+        .join(s2, dst_col)
+        .groupBy(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def per_doc_split(
+    docs: DataFrame,
+    eval_fraction: float = LEAKAGE_EVAL_FRACTION,
+    seed: int = LEAKAGE_SPLIT_SEED,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The NAIVE per-document split (same md5 threshold construction
+    as ``leakage_safe_split`` but hashing the doc id): the baseline
+    whose ``split_leakage_audit`` crossing count motivates the
+    cluster-atomic form. (doc_id, split)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(f"split{seed}"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    thr = int(eval_fraction * (1 << 60))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(h < F.lit(thr), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def soft_dedup(
     pairs: DataFrame,
     docs: DataFrame,

@@ -3977,6 +3977,51 @@ FROM cl
 """
 
 
+def split_audit_sql(threshold: float, k: int,
+                    eval_fraction: float, seed: int) -> str:
+    """Twin of the split_audit entry: the shared component CTEs give
+    both the pair set (e0) and the cluster labels (cl); each scheme's
+    split replays the same md5 integer threshold, and the crossing
+    rollup normalizes side labels with least/greatest."""
+    thr = int(eval_fraction * (1 << 60))
+
+    def md5_split(expr: str) -> str:
+        return (
+            f"CASE WHEN ('0x' || substr(md5('split{seed}:' || "
+            f"{expr}::VARCHAR), 1, 15))::BIGINT < {thr} "
+            "THEN 'eval' ELSE 'train' END"
+        )
+
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold, k)},
+pd AS MATERIALIZED (
+  SELECT doc_id, {md5_split('doc_id')} AS split FROM documents
+),
+cs AS MATERIALIZED (
+  SELECT doc_id, {md5_split('cluster_id')} AS split FROM cl
+),
+naive AS (
+  SELECT 'per_doc' AS scheme,
+         least(x.split, y.split) AS split_a,
+         greatest(x.split, y.split) AS split_b,
+         count(*)::BIGINT AS n_pairs
+  FROM e0 JOIN pd x ON x.doc_id = e0.a JOIN pd y ON y.doc_id = e0.b
+  GROUP BY 1, 2, 3
+),
+atomic AS (
+  SELECT 'cluster' AS scheme,
+         least(x.split, y.split) AS split_a,
+         greatest(x.split, y.split) AS split_b,
+         count(*)::BIGINT AS n_pairs
+  FROM e0 JOIN cs x ON x.doc_id = e0.a JOIN cs y ON y.doc_id = e0.b
+  GROUP BY 1, 2, 3
+)
+SELECT scheme, split_a, split_b, n_pairs FROM naive
+UNION ALL
+SELECT scheme, split_a, split_b, n_pairs FROM atomic
+"""
+
+
 def dedup_keep_sql(threshold: float, k: int) -> str:
     """Deduplicated-corpus materialization: the component-min document
     of every near-dup cluster plus the duplicate count it absorbs."""

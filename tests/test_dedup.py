@@ -579,3 +579,35 @@ def test_leakage_safe_split_is_cluster_atomic_and_deterministic(spark):
     assert other != {(r["doc_id"], r["split"]) for r in rows}
     frac = sum(1 for s in by_cluster.values() if s == {"eval"}) / 200
     assert 0.12 < frac < 0.40, frac
+
+
+def test_split_leakage_audit_counts_crossings(spark):
+    """Planted case: pair (1,2) crosses a hand-made split, pair (3,4)
+    does not — the audit reports exactly one crossing row with
+    normalized side labels, and a cluster-atomic split of the same
+    graph audits crossing-free."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8)], "id_a long, id_b long, jaccard double"
+    )
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "eval"), (3, "train"), (4, "train")],
+        "doc_id long, split string",
+    )
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in dedup.split_leakage_audit(pairs, split).collect()
+    }
+    assert got == {("eval", "train"): 1, ("train", "train"): 1}
+
+    # the cluster-atomic split over the same graph never crosses
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, cluster_id long"
+    )
+    atomic = dedup.leakage_safe_split(labels, eval_fraction=0.5, seed=3)
+    crossings = {
+        (r["split_a"], r["split_b"])
+        for r in dedup.split_leakage_audit(
+            pairs, atomic.select("doc_id", "split")
+        ).collect()
+    }
+    assert all(a == b for a, b in crossings), crossings
