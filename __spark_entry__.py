@@ -2241,6 +2241,30 @@ def _eval_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.eval_delta(a, b)
 
 
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (evaluation.hard_negatives): the dense
+    leg's 3x over-fetch minus the qrels positives, re-ranked by
+    retrieval order — the contrastive-training negatives a bi-encoder
+    recipe exports. One anti-join + one bounded per-query window on
+    top of the retrieval that was already paid for."""
+    from rag_database_spark.operators import evaluation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = workload.queries_df(spark)
+    qvecs = queries.join(
+        emb, queries["query_vec_id"] == emb["vec_id"]
+    ).select("query_id", F.col("embedding").alias("qvec"))
+    fetch = workload.HYBRID_LIMIT * FETCH_MULTIPLIER
+    results = similarity.cosine_topk(
+        qvecs, emb, fetch, id_col="vec_id", vec_col="embedding"
+    ).select(
+        "query_id", "id", F.round("score", 6).alias("score"), "rank"
+    )
+    return evaluation.hard_negatives(
+        results, _qrels_fixture(spark, sf_dir)
+    )
+
+
 def _flagged_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist-word filter (C4 §2.2 any-hit + Dolma ratio rule) over
     the documents table: one codegen scan, no shuffle — the bad-word
@@ -2860,7 +2884,8 @@ _PURE_LAZY = frozenset({
     "matryoshka_topk", "flagged_words", "shuffle_export",
     "cluster_quota_sample",
     # r14 additions: projections/joins over persisted dedup artifacts
-    "leakage_split", "split_audit",
+    # plus the anti-join negative miner over the dense leg
+    "leakage_split", "split_audit", "hard_negatives",
 })
 
 
@@ -2941,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # persisted label artifact
         "leakage_split": _leakage_split,
         "split_audit": _split_audit,
+        "hard_negatives": _hard_negatives,
         "cluster_quota_sample": _cluster_quota_sample,
         "ppr_topk": _ppr_topk,
         "graph_triangles": _graph_triangles,
@@ -3167,7 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the CORRECTNESS_r* union). Tail entries keep their previous relative
 # order and stay green via tests/test_entry_oracle.py.
 _WINDOW_R14: tuple[str, ...] = (
-    "leakage_split", "split_audit",  # new in r14 — certify in-window
+    "leakage_split", "split_audit", "hard_negatives",  # new in r14
     "contrastive_select", "ir_metrics", "eval_delta", "mmr_rerank",
     "rag_context_pack", "shortest_chains",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
@@ -3183,11 +3209,13 @@ _WINDOW_R14: tuple[str, ...] = (
     "dup_ngram_fraction", "domain_cap", "media_stats",
     "dedup_regions", "events_profile", "dedup_clusters_cc",
     "dedup_keep", "fuzzy_decontam", "frequent_ngrams",
-    "quality_filter", "vocab_oov",
+    "quality_filter",
 )
 
 
 def oracle_sql() -> dict[str, str]:
+    from rag_database_spark.operators import evaluation
+
     return {
         "bm25_topk": oracles.bm25_topk_sql(),
         "dense_topk": oracles.dense_topk_sql(),
@@ -3230,6 +3258,10 @@ def oracle_sql() -> dict[str, str]:
         "split_audit": oracles.split_audit_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K,
             dedup.LEAKAGE_EVAL_FRACTION, dedup.LEAKAGE_SPLIT_SEED,
+        ),
+        "hard_negatives": oracles.hard_negatives_sql(
+            workload.HYBRID_LIMIT * FETCH_MULTIPLIER,
+            evaluation.HARD_NEG_N,
         ),
         "dedup_clusters_cc": oracles.dedup_clusters_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

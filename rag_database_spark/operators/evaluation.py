@@ -162,6 +162,50 @@ def ir_metrics(
     )
 
 
+HARD_NEG_N = 10
+
+
+def hard_negatives(
+    results: DataFrame,
+    qrels: DataFrame,
+    n: int = HARD_NEG_N,
+    query_col: str = "query_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Hard-negative mining — the standard training-data op for
+    retrieval/embedding models (DPR, Contriever, every bi-encoder
+    recipe): the top-ranked retrieved documents that are NOT relevant
+    to the query are exactly the confusable examples contrastive
+    training needs. Given a ranked ``results`` frame (query_col,
+    id_col, score, rank — any retriever's over-fetched top-k) and the
+    positives in ``qrels`` (query_col, id_col), anti-join the
+    positives out and re-rank what remains by original retrieval
+    order; keep the best ``n`` per query.
+
+    Returns (query_id, id, score, neg_rank). Scale: one keyed
+    anti-join + one per-query window over the already-bounded
+    over-fetch — no corpus-sized state; the expensive part (retrieval)
+    was paid upstream and any retriever leg can feed this."""
+    neg = results.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        "score",
+        "rank",
+    ).join(
+        qrels.select(
+            F.col(query_col).alias("query_id"), F.col(id_col).alias("id")
+        ).distinct(),
+        ["query_id", "id"],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= n)
+        .select("query_id", "id", "score", "neg_rank")
+    )
+
+
 def eval_delta(
     metrics_a: DataFrame,
     metrics_b: DataFrame,

@@ -420,6 +420,27 @@ SELECT query_id, total_rel, hits, mrr, recall_at_k, ndcg_at_k FROM met
 """
 
 
+def hard_negatives_sql(fetch: int, n: int) -> str:
+    """Twin of the hard_negatives entry: the dense leg over-fetched to
+    ``fetch``, qrels positives anti-joined out, survivors re-ranked by
+    original retrieval rank (unique per query — deterministic), best
+    ``n`` kept."""
+    return f"""
+WITH {_dense_ctes(fetch)},
+{_QRELS_CTES.format(qv=queries_values_sql())},
+neg AS (
+  SELECT d.query_id, d.id, d.score,
+         row_number() OVER (PARTITION BY d.query_id ORDER BY d.rank)
+           AS neg_rank
+  FROM dense_ranked d
+  LEFT JOIN qr ON qr.query_id = d.query_id AND qr.id = d.id
+  WHERE d.rank <= {fetch} AND qr.id IS NULL
+)
+SELECT query_id, id, round(score, 6) AS score, neg_rank::BIGINT AS neg_rank
+FROM neg WHERE neg_rank <= {n}
+"""
+
+
 def eval_delta_sql(
     k: int | None = None,
     prefix_dims: int | None = None,

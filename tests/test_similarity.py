@@ -599,3 +599,24 @@ def test_eval_delta_hand_case(spark):
     r2 = rows[2]
     assert r2["mrr_a"] == 1.0 and r2["mrr_b"] is None
     assert r2["d_mrr"] is None
+
+
+def test_hard_negatives_hand_case(spark):
+    """Positives are anti-joined out (duplicate qrels rows included),
+    survivors re-rank densely by retrieval order, and n caps the
+    per-query output."""
+    from rag_database_spark.operators.evaluation import hard_negatives
+
+    results = spark.createDataFrame(
+        [(1, d, 1.0 - d / 10.0, d) for d in range(1, 7)],
+        "query_id long, id long, score double, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 5)], "query_id long, id long"
+    )
+    rows = hard_negatives(results, qrels, n=3).orderBy("neg_rank").collect()
+    # ranks 1,3,4 survive (2 and 5 are positives), capped at n=3
+    assert [(r["id"], r["neg_rank"]) for r in rows] == [
+        (1, 1), (3, 2), (4, 3)
+    ]
+    assert rows[0]["score"] == 0.9
