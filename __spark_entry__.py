@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import sys
 from collections.abc import Callable
+from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1000,23 +1001,13 @@ def _nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation pipeline — the composition the individual
-    operators exist for: exact dedup (keep md5-canonical docs) →
-    near-dup retention (keep component-min reps) → quality filter
-    (drop the bottom ⌊N·p⌋ of the SURVIVORS) → decontamination (drop
-    eval-overlapping docs and the eval slice itself). Output: the
-    final training corpus as (doc_id, q_score).
-
-    The quality stage is the EXACT discrete cutoff, but computed via
-    sketch-bracketed selection (``text_analytics.bottom_k_boundary``)
-    rather than an O(N) bottom-k relation: the boundary tuple comes
-    back as one row and the returned plan filters on LITERALS — no
-    TakeOrderedAndProject, no broadcast that grows with the corpus
-    (pinned by tests/test_plans.py). The scored survivor set is
-    localCheckpointed once so the dedup-join ancestry and the
-    19-regex quality scan run exactly once across the boundary jobs
-    and the final join."""
+def _curation_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The curation pipeline's per-stage survivor frames, shared by
+    the final-corpus entry (``curate_corpus``) and the funnel report
+    (``curation_funnel``): raw → exact-canonical → near-dup reps →
+    quality-kept → decontaminated."""
     docs = load_table(spark, sf_dir, "documents")
     exact_keep = (
         text_analytics.exact_dedup(docs)
@@ -1055,7 +1046,55 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("is_contaminated"))
         .select("doc_id")
     )
-    return qkept.join(clean, "doc_id")
+    return {
+        "raw": docs.select("doc_id"),
+        "exact_dedup": exact_keep,
+        "near_dup": survivors.select("doc_id"),
+        "quality": qkept.select("doc_id"),
+        "final": qkept.join(clean, "doc_id"),
+    }
+
+
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composition the individual
+    operators exist for: exact dedup (keep md5-canonical docs) →
+    near-dup retention (keep component-min reps) → quality filter
+    (drop the bottom ⌊N·p⌋ of the SURVIVORS) → decontamination (drop
+    eval-overlapping docs and the eval slice itself). Output: the
+    final training corpus as (doc_id, q_score).
+
+    The quality stage is the EXACT discrete cutoff, but computed via
+    sketch-bracketed selection (``text_analytics.bottom_k_boundary``)
+    rather than an O(N) bottom-k relation: the boundary tuple comes
+    back as one row and the returned plan filters on LITERALS — no
+    TakeOrderedAndProject, no broadcast that grows with the corpus
+    (pinned by tests/test_plans.py). The scored survivor set is
+    localCheckpointed once so the dedup-join ancestry and the
+    19-regex quality scan run exactly once across the boundary jobs
+    and the final join."""
+    return _curation_stage_frames(spark, sf_dir)["final"]
+
+
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: per-stage survivor counts through raw →
+    exact dedup → near-dup retention → quality cut → decontamination —
+    the attrition audit every curation run ships next to its output
+    corpus (which stage dropped how much is the first question asked
+    of any filtered dataset). Five one-row aggregates unioned; each
+    stage's frame is the same plan its corpus entry serves."""
+    frames = _curation_stage_frames(spark, sf_dir)
+    order = ["raw", "exact_dedup", "near_dup", "quality", "final"]
+    parts = [
+        frames[name]
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            F.lit(i + 1).cast("long").alias("stage_idx"),
+            F.lit("decontam" if name == "final" else name).alias("stage"),
+            "n_docs",
+        )
+        for i, name in enumerate(order)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 TIME_TRAVEL_DELETE_MOD = 10  # DELETE WHERE doc_id % 10 == 3
@@ -2967,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": _leakage_split,
         "split_audit": _split_audit,
         "hard_negatives": _hard_negatives,
+        "curation_funnel": _curation_funnel,
         "cluster_quota_sample": _cluster_quota_sample,
         "ppr_topk": _ppr_topk,
         "graph_triangles": _graph_triangles,
@@ -3193,7 +3233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the CORRECTNESS_r* union). Tail entries keep their previous relative
 # order and stay green via tests/test_entry_oracle.py.
 _WINDOW_R14: tuple[str, ...] = (
-    "leakage_split", "split_audit", "hard_negatives",  # new in r14
+    "leakage_split", "split_audit", "hard_negatives",
+    "curation_funnel",  # new in r14
     "contrastive_select", "ir_metrics", "eval_delta", "mmr_rerank",
     "rag_context_pack", "shortest_chains",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
@@ -3209,7 +3250,6 @@ _WINDOW_R14: tuple[str, ...] = (
     "dup_ngram_fraction", "domain_cap", "media_stats",
     "dedup_regions", "events_profile", "dedup_clusters_cc",
     "dedup_keep", "fuzzy_decontam", "frequent_ngrams",
-    "quality_filter",
 )
 
 
@@ -3262,6 +3302,10 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": oracles.hard_negatives_sql(
             workload.HYBRID_LIMIT * FETCH_MULTIPLIER,
             evaluation.HARD_NEG_N,
+        ),
+        "curation_funnel": oracles.curation_funnel_sql(
+            JACCARD_THRESHOLD, dedup.SHINGLE_K,
+            text_analytics.QUALITY_FILTER_P,
         ),
         "dedup_clusters_cc": oracles.dedup_clusters_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

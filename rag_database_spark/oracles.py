@@ -4625,6 +4625,48 @@ SELECT k.doc_id, k.q_score FROM qkept k JOIN clean USING (doc_id)
 """
 
 
+def curation_funnel_sql(jaccard_threshold: float, k: int, p: float) -> str:
+    """Twin of the curation_funnel entry: the same nested stage CTEs
+    as ``curate_corpus_sql``, finished with per-stage survivor counts
+    instead of the final corpus."""
+    return f"""
+WITH RECURSIVE {_cluster_ctes(jaccard_threshold, k)},
+exact AS MATERIALIZED (
+  SELECT doc_id FROM ({exact_dedup_sql()}) e
+  WHERE e.doc_id = e.canonical_id
+),
+survivors AS MATERIALIZED (
+  SELECT c.doc_id FROM cl c
+  JOIN exact USING (doc_id)
+  WHERE c.doc_id = c.cluster_id
+),
+q AS (
+  SELECT dq.doc_id, dq.q_score
+  FROM ({doc_quality_sql()}) dq JOIN survivors USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, q_score,
+         row_number() OVER (ORDER BY q_score, doc_id) AS rn,
+         count(*) OVER () AS nn
+  FROM q
+),
+qkept AS MATERIALIZED (
+  SELECT doc_id FROM ranked WHERE rn > floor(nn * {p})
+),
+clean AS (
+  SELECT doc_id FROM ({decontaminate_sql()}) dc
+  WHERE NOT dc.is_contaminated
+),
+fin AS (SELECT k2.doc_id FROM qkept k2 JOIN clean USING (doc_id))
+SELECT 1::BIGINT AS stage_idx, 'raw' AS stage,
+       count(*)::BIGINT AS n_docs FROM documents
+UNION ALL SELECT 2, 'exact_dedup', count(*) FROM exact
+UNION ALL SELECT 3, 'near_dup', count(*) FROM survivors
+UNION ALL SELECT 4, 'quality', count(*) FROM qkept
+UNION ALL SELECT 5, 'decontam', count(*) FROM fin
+"""
+
+
 def nfc_normalize_sql() -> str:
     """Twin of ``normalize_unicode`` over the ``decompose_fixture``
     corpus: chr(769)/chr(776) are the same combining marks the Spark
