@@ -600,3 +600,33 @@ def test_matryoshka_prefix_col_scan_prunes_full_vector(spark, tmp_path):
     for line in p.splitlines():
         if "ReadSchema" in line:
             assert not ("vec16" in line and "vec:array" in line), line
+
+
+def test_leakage_split_is_shuffle_free_projection(spark):
+    """The cluster-atomic split is ONE projection over the label frame
+    — no Exchange, no Join anywhere in the plan (the component
+    structure was already paid for by the dedup pass)."""
+    from rag_database_spark.operators import dedup
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    p = plan_of(dedup.leakage_safe_split(labels))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_split_leakage_audit_joins_are_keyed(spark):
+    """The audit is two equi-joins on the doc-id key + one bounded
+    rollup — no cross or nested-loop join can appear whatever the
+    split frame's size."""
+    from rag_database_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "eval")], "doc_id long, split string"
+    )
+    p = plan_of(dedup.split_leakage_audit(pairs, split))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
