@@ -1035,6 +1035,11 @@ def split_leakage_audit(
     normalized (least/greatest) so a pair's orientation can't fork the
     grouping; the (train, eval)-crossing row IS the leak.
 
+    The joins are INNER: a pair whose endpoint has no row in
+    ``split`` is not audited (it belongs to neither side). Callers
+    auditing a partial assignment should first complete it — an
+    absent doc silently shrinks the counts, it does not raise.
+
     Scale: two keyed joins of the pair set against the split frame
     (both sides keyed on doc id — the same partitioning) + one rollup
     on a ≤|splits|² key space. The pair set was already paid for by
