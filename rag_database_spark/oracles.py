@@ -4992,7 +4992,11 @@ def _kmeans_ctes(iters: int, dim: int, scale: int,
     mean = ", ".join(f"sum(x[{i}])/count(*)" for i in range(1, dim + 1))
 
     def assign(name: str, cent: str) -> str:
-        return f"""{name} AS (
+        # MATERIALIZED: every round CTE is referenced by the next
+        # assign AND the next centroid update — inlined, the unrolled
+        # chain re-plans everything below each reference (2^iters
+        # blowup, the BPE-twin lesson)
+        return f"""{name} AS MATERIALIZED (
   SELECT vec_id, x, cid FROM (
     SELECT vec_id, x, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -5002,7 +5006,7 @@ def _kmeans_ctes(iters: int, dim: int, scale: int,
 )"""
 
     parts = [
-        f"""xq AS (
+        f"""xq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[], v -> round(v*{scale})) AS x
   FROM embeddings
@@ -5015,7 +5019,7 @@ def _kmeans_ctes(iters: int, dim: int, scale: int,
          AS k
   FROM xq
 )""",
-        f"""c0 AS (
+        f"""c0 AS MATERIALIZED (
   SELECT rn - 1 AS cid, x AS c FROM (
     SELECT x, row_number() OVER (ORDER BY vec_id) AS rn FROM xq
   ) WHERE rn <= (SELECT k FROM kk)
@@ -5023,7 +5027,7 @@ def _kmeans_ctes(iters: int, dim: int, scale: int,
     ]
     for t in range(1, iters + 1):
         parts.append(assign(f"a{t}", f"c{t - 1}"))
-        parts.append(f"""c{t} AS (
+        parts.append(f"""c{t} AS MATERIALIZED (
   SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.c ELSE u.c END AS c
   FROM c{t - 1} p LEFT JOIN (
     SELECT cid, [{mean}] AS c FROM a{t} GROUP BY cid
