@@ -1271,6 +1271,17 @@ def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (bpe.lang_fertility): tokens
+    per word by language against the persisted per-corpus BPE encode
+    table — the multilingual tokenizer-bias audit. Rides the
+    bpe_tokens plan plus one doc-keyed join and a language rollup."""
+    _, encoded = _bpe_artifacts(spark, sf_dir)
+    return bpe_ops.lang_fertility(
+        load_table(spark, sf_dir, "documents"), encoded
+    )
+
+
 CONTRASTIVE_IN_LANG = "en"  # the in-domain slice for Moore-Lewis
 
 
@@ -3007,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_audit": _split_audit,
         "hard_negatives": _hard_negatives,
         "curation_funnel": _curation_funnel,
+        "lang_fertility": _lang_fertility,
         "cluster_quota_sample": _cluster_quota_sample,
         "ppr_topk": _ppr_topk,
         "graph_triangles": _graph_triangles,
@@ -3234,7 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # order and stay green via tests/test_entry_oracle.py.
 _WINDOW_R14: tuple[str, ...] = (
     "leakage_split", "split_audit", "hard_negatives",
-    "curation_funnel",  # new in r14
+    "curation_funnel", "lang_fertility",  # new in r14
     "contrastive_select", "ir_metrics", "eval_delta", "mmr_rerank",
     "rag_context_pack", "shortest_chains",
     "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
@@ -3249,7 +3261,7 @@ _WINDOW_R14: tuple[str, ...] = (
     "chunking_stats", "lang_id", "dedup_clusters",
     "dup_ngram_fraction", "domain_cap", "media_stats",
     "dedup_regions", "events_profile", "dedup_clusters_cc",
-    "dedup_keep", "fuzzy_decontam", "frequent_ngrams",
+    "dedup_keep", "fuzzy_decontam",
 )
 
 
@@ -3306,6 +3318,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": oracles.curation_funnel_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K,
             text_analytics.QUALITY_FILTER_P,
+        ),
+        "lang_fertility": oracles.lang_fertility_sql(
+            bpe_ops.DEFAULT_MERGES, bpe_ops.DEFAULT_MIN_COUNT,
         ),
         "dedup_clusters_cc": oracles.dedup_clusters_sql(
             JACCARD_THRESHOLD, dedup.SHINGLE_K

@@ -222,3 +222,40 @@ def encode_docs(docs: DataFrame, encoded_words: DataFrame,
             ).alias("avg_tokens_per_word"),
         )
     )
+
+
+def lang_fertility(docs: DataFrame, encoded_words: DataFrame,
+                   id_col: str = "doc_id",
+                   text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer fertility — the multilingual tokenizer
+    audit (BLOOM/XLM-style): tokens-per-word by language exposes which
+    languages the trained vocabulary serves poorly (high fertility =
+    more tokens per word = that language pays more context budget and
+    compute per sentence). One rollup of ``encode_docs``'s per-doc
+    stats joined to the corpus language column:
+    (lang, n_docs, n_words, n_bpe_tokens, fertility).
+
+    Scale: everything heavy (the encode-table join, the per-doc word
+    rollup) is the already-paid ``encode_docs`` plan; this adds one
+    doc-keyed join and a rollup on the language key space. Documents
+    with no tokens contribute no row to ``encode_docs`` and are
+    excluded — fertility over zero words is undefined, not zero."""
+    per_doc = encode_docs(docs, encoded_words, id_col, text_col).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    langs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+    )

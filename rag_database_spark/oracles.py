@@ -4852,6 +4852,40 @@ GROUP BY p.doc_id
 """
 
 
+def lang_fertility_sql(num_merges: int, min_count: int) -> str:
+    """Twin of ``bpe.lang_fertility``: the ``bpe_tokens`` per-doc
+    chain rolled up by the corpus language column."""
+    tok = _TOKENIZE.format(text="text")
+    return f"""
+WITH {_bpe_train_ctes(num_merges, min_count)},
+n_tok AS (
+  SELECT word, count(*)::BIGINT AS n_tok
+  FROM w{num_merges} GROUP BY word
+),
+per_word AS (
+  SELECT doc_id, word, count(*)::BIGINT AS n FROM (
+    SELECT doc_id, {tok} AS word FROM documents
+  ) WHERE length(word) > 0
+  GROUP BY doc_id, word
+),
+per_doc AS (
+  SELECT p.doc_id,
+         sum(p.n)::BIGINT AS n_words,
+         sum(p.n * coalesce(t.n_tok, length(p.word) + 1))::BIGINT
+           AS n_bpe_tokens
+  FROM per_word p LEFT JOIN n_tok t USING (word)
+  GROUP BY p.doc_id
+)
+SELECT d.lang,
+       count(*)::BIGINT AS n_docs,
+       sum(pd.n_words)::BIGINT AS n_words,
+       sum(pd.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+       round(sum(pd.n_bpe_tokens) / sum(pd.n_words), 6) AS fertility
+FROM per_doc pd JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 def token_budget_select_sql(frac: float) -> str:
     """Twin of ``text_analytics.token_budget_select``: same 6dp-rounded
     quality score (``doc_quality_sql``), same whitespace token count as

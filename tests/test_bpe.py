@@ -185,3 +185,30 @@ def test_early_stop_below_min_count(spark):
         _docs(spark, ["ab", "cd", "ef"]), num_merges=10, min_count=2
     )
     assert m.count() == 0
+
+
+def test_lang_fertility_hand_case(spark):
+    """Per-lang rollup of the encode table: doc 1 (en) has 3 words at
+    2 tokens each; doc 2 (de) has 2 words, one via byte fallback
+    (len+1); token-less doc 3 contributes no row."""
+    from rag_database_spark.operators.bpe import lang_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa", "en"), (2, "cc zzzz", "de"), (3, "", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    enc = spark.createDataFrame(
+        [("aa", ["a", "a</w>"]), ("bb", ["b", "b</w>"]),
+         ("cc", ["cc</w>"])],
+        "word string, tokens array<string>",
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_bpe_tokens"],
+                    r["fertility"])
+        for r in lang_fertility(docs, enc).collect()
+    }
+    # en: 3 words x 2 tokens = 6; de: cc=1 token + zzzz fallback 4+1=5
+    assert got == {
+        "en": (1, 3, 6, 2.0),
+        "de": (1, 2, 6, 3.0),
+    }
