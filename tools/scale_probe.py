@@ -131,6 +131,10 @@ DEDUP_FAMILY = (
     # same words, so only the distinct corpus grows the word table
     # these plans aggregate/join on
     "bpe_pair_stats", "bpe_tokens", "token_budget_select",
+    # r14 split family: both consume the near-dup pair/label artifacts,
+    # so only the distinct corpus separates their join-plan scaling
+    # from pair-output growth
+    "leakage_split", "split_audit", "curation_funnel",
 )
 
 # Distinct-probe exponents explained by an algorithm-path switch at
