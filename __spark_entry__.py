@@ -311,10 +311,12 @@ def _mmr_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their k / shortlist size from diversify.MMR_K defaults while this
     # side passes workload.HYBRID_LIMIT — pin the assumed equality so a
     # constant edit on either side fails loudly instead of as a silent
-    # hash mismatch
-    assert diversify.MMR_K == workload.HYBRID_LIMIT, (
-        diversify.MMR_K, workload.HYBRID_LIMIT,
-    )
+    # hash mismatch (ValueError, not assert: must survive python -O)
+    if diversify.MMR_K != workload.HYBRID_LIMIT:
+        raise ValueError(
+            "diversify.MMR_K != workload.HYBRID_LIMIT: "
+            f"{diversify.MMR_K} vs {workload.HYBRID_LIMIT}"
+        )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = workload.queries_df(spark)
@@ -2281,10 +2283,13 @@ def _eval_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # eval_delta_sql derives both legs' depth from evaluation.IR_K
     # while the dense/matryoshka legs here fetch workload.HYBRID_LIMIT
-    # — pin the assumed equality (same guard as _mmr_results)
-    assert evaluation.IR_K == workload.HYBRID_LIMIT, (
-        evaluation.IR_K, workload.HYBRID_LIMIT,
-    )
+    # — pin the assumed equality (same guard as _mmr_results;
+    # ValueError, not assert: must survive python -O)
+    if evaluation.IR_K != workload.HYBRID_LIMIT:
+        raise ValueError(
+            "evaluation.IR_K != workload.HYBRID_LIMIT: "
+            f"{evaluation.IR_K} vs {workload.HYBRID_LIMIT}"
+        )
     qrels = _qrels_fixture(spark, sf_dir)
     a = evaluation.ir_metrics(_dense_topk(spark, sf_dir), qrels)
     b = evaluation.ir_metrics(_matryoshka_topk(spark, sf_dir), qrels)
@@ -3238,12 +3243,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-14 window rotation (VERDICT r13 item 5): every registry entry
 # is driver-certified somewhere in r1-r13, so the window now keeps
 # certifications FRESH instead of chasing never-certified entries. The
-# 50 in-window names = the 6 entries whose engine or oracle changed in
-# r14 (contrastive single-pass rollup, pair-first shortest-chains meet,
-# qrels-DISTINCT oracle twins + their MMR/context-pack siblings)
-# followed by the 44 stalest certifications (last green r3/r6/r9 per
-# the CORRECTNESS_r* union). Tail entries keep their previous relative
-# order and stay green via tests/test_entry_oracle.py.
+# 50 in-window names = 5 new r14 entries + the 6 entries whose engine
+# or oracle changed in r14 (contrastive single-pass rollup, pair-first
+# shortest-chains meet, qrels-DISTINCT oracle twins + their
+# MMR/context-pack siblings) followed by the 39 stalest certifications
+# (last green r3/r6/r9 per the CORRECTNESS_r* union). Tail entries
+# keep their previous relative order and stay green via
+# tests/test_entry_oracle.py.
 _WINDOW_R14: tuple[str, ...] = (
     "leakage_split", "split_audit", "hard_negatives",
     "curation_funnel", "lang_fertility",  # new in r14

@@ -308,19 +308,22 @@ def heal_index(spark, path: str) -> None:
     """Heal an index root left half-swapped by a crash inside
     ``compact_index`` (the ``dedup.heal_slices`` recovery contract):
     root present → clear residue staging/old; root missing + complete
-    staging (both subdir _SUCCESS markers) → roll FORWARD; root
-    missing + only old → roll BACK. All through the root's Hadoop
-    FileSystem.
+    staging → roll FORWARD; root missing + only old → roll BACK. All
+    through the root's Hadoop FileSystem.
 
-    Completeness is judged by the committer's ``_SUCCESS`` markers:
-    a deployment that sets
-    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` makes
-    every staging root look incomplete, so recovery always rolls BACK
-    — safe (old root restored, tombstones intact; the next
-    ``compact_index`` redoes the work) but it discards completed
-    staging writes. Keep the marker enabled wherever compaction
-    runs."""
-    from rag_database_spark.operators.dedup import _rename_or_raise
+    Completeness is judged by the compactor's explicit
+    ``dedup.STAGING_SENTINEL`` file (written after BOTH staging
+    writes return), falling back to the committer's per-subdir
+    ``_SUCCESS`` markers for pre-sentinel staging residue — so a
+    deployment that sets
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` still
+    rolls completed compactions FORWARD instead of silently redoing
+    them (r13 ADVICE #5)."""
+    from rag_database_spark.operators.dedup import (
+        STAGING_SENTINEL,
+        _drop_staging_sentinel,
+        _rename_or_raise,
+    )
 
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     path = path.rstrip("/")
@@ -333,7 +336,9 @@ def heal_index(spark, path: str) -> None:
             if fs.exists(residue):
                 fs.delete(residue, True)
         return
-    complete = all(
+    complete = fs.exists(
+        jpath(f"{path}__staging/{STAGING_SENTINEL}")
+    ) or all(
         fs.exists(jpath(f"{path}__staging/{sub}/_SUCCESS"))
         for sub in ("postings", "doclens")
     )
@@ -341,6 +346,7 @@ def heal_index(spark, path: str) -> None:
         _rename_or_raise(fs, staging, root)
         if fs.exists(old):
             fs.delete(old, True)
+        _drop_staging_sentinel(fs, jpath, path)
         return
     if fs.exists(old):
         _rename_or_raise(fs, old, root)
@@ -358,10 +364,14 @@ def compact_index(spark, path: str) -> None:
     anti-join until the next delete. Run when the tombstone set has
     grown enough that the merge-on-read filter is worth reclaiming —
     the same policy call as ACID-table compaction. Roll-forward after
-    a crash requires the committer's ``_SUCCESS`` markers (see
-    ``heal_index``): with ``marksuccessfuljobs=false`` a crash between
-    the renames always recovers by rolling back and redoing."""
-    from rag_database_spark.operators.dedup import _rename_or_raise
+    a crash is proven by the explicit ``dedup.STAGING_SENTINEL`` file
+    written after both staging writes (see ``heal_index``) — it does
+    not depend on the committer's ``marksuccessfuljobs`` setting."""
+    from rag_database_spark.operators.dedup import (
+        _drop_staging_sentinel,
+        _rename_or_raise,
+        _write_staging_sentinel,
+    )
 
     heal_index(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
@@ -375,12 +385,16 @@ def compact_index(spark, path: str) -> None:
         fs.delete(staging, True)
     postings.write.mode("overwrite").parquet(f"{path}__staging/postings")
     doclens.write.mode("overwrite").parquet(f"{path}__staging/doclens")
+    # completeness proof for heal_index, independent of the
+    # committer's _SUCCESS markers — written only after both writes
+    _write_staging_sentinel(fs, jpath, path + "__staging")
     old = jpath(path + "__old")
     if fs.exists(old):
         fs.delete(old, True)
     _rename_or_raise(fs, jpath(path), old)
     _rename_or_raise(fs, staging, jpath(path))
     fs.delete(old, True)
+    _drop_staging_sentinel(fs, jpath, path)
 
 
 def read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:

@@ -205,13 +205,42 @@ def _rename_or_raise(fs, src, dst) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+#: Explicit staging-complete sentinel written by the compactors AFTER
+#: every staging write finishes. The healers treat a staging root as
+#: roll-forward-safe when EITHER this sentinel or the committer's
+#: ``_SUCCESS`` markers are present, so deployments that set
+#: ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` no
+#: longer silently roll back completed compactions (r13 ADVICE #5 /
+#: r14 VERDICT item 6).
+STAGING_SENTINEL = "_STAGING_COMPLETE"
+
+
+def _write_staging_sentinel(fs, jpath, staging_path: str) -> None:
+    """Create the empty ``STAGING_SENTINEL`` file under a staging
+    root. Must be called only after ALL staging writes have returned —
+    its existence is the healer's roll-forward proof."""
+    fs.create(jpath(f"{staging_path}/{STAGING_SENTINEL}"), True).close()
+
+
+def _drop_staging_sentinel(fs, jpath, root_path: str) -> None:
+    """Remove the sentinel a completed swap carried into the live
+    root (the staging dir BECOMES the root on rename). Purely
+    cosmetic — parquet readers ignore underscore files — and safe to
+    crash before: the root-present heal branch needs no sentinel."""
+    p = jpath(f"{root_path}/{STAGING_SENTINEL}")
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
 def heal_slices(path: str, spark=None) -> None:
     """Heal a slice root left half-swapped by a crash inside
     ``compact_slices`` (same recovery contract as the ACID table's
     ``_recover``, sources/acid.py):
 
     - root present → clear residue staging/old dirs,
-    - root missing + complete staging (_SUCCESS) → roll FORWARD,
+    - root missing + complete staging (our ``STAGING_SENTINEL``, or
+      the committer's ``_SUCCESS`` for pre-sentinel staging residue)
+      → roll FORWARD,
     - root missing + only old → roll BACK.
 
     All existence checks / renames / deletes go through the Hadoop
@@ -227,10 +256,14 @@ def heal_slices(path: str, spark=None) -> None:
             if fs.exists(residue):
                 fs.delete(residue, True)
         return
-    if fs.exists(staging) and fs.exists(jpath(path + "__staging/_SUCCESS")):
+    if fs.exists(staging) and (
+        fs.exists(jpath(f"{path}__staging/{STAGING_SENTINEL}"))
+        or fs.exists(jpath(path + "__staging/_SUCCESS"))
+    ):
         _rename_or_raise(fs, staging, root)
         if fs.exists(old):
             fs.delete(old, True)
+        _drop_staging_sentinel(fs, jpath, path)
         return
     if fs.exists(old):
         _rename_or_raise(fs, old, root)
@@ -308,12 +341,17 @@ def compact_slices(spark, path: str, cluster_col: str | None = None) -> None:
         keep.write.mode("append").partitionBy("ingest_batch").parquet(
             path + "__staging"
         )
+    # explicit completeness proof, independent of the committer's
+    # marksuccessfuljobs setting — written only after every staging
+    # write above has returned
+    _write_staging_sentinel(fs, jpath, path + "__staging")
     old = jpath(path + "__old")
     if fs.exists(old):
         fs.delete(old, True)
     _rename_or_raise(fs, root, old)
     _rename_or_raise(fs, staging, root)
     fs.delete(old, True)
+    _drop_staging_sentinel(fs, jpath, path)
 
 
 def read_shingle_index(
@@ -996,6 +1034,13 @@ def leakage_safe_split(
     stable across partitioning, engines, and reruns, and exactly
     reproducible by the DuckDB twin in integer space.
 
+    NULL keys: a NULL cluster_id is coalesced to '' before hashing so
+    the Spark expression and the DuckDB twin (whose ``||`` would
+    otherwise propagate NULL into a fixed 'train' fallback) assign the
+    SAME side; cluster labels are non-null by construction, so the
+    sentinel only guards the twin contract (an empty-string id would
+    collide with it — also impossible by construction).
+
     Scale: one projection over the label frame — no join, no shuffle;
     the component structure was already paid for by the dedup pass
     that produced ``labels``."""
@@ -1004,7 +1049,9 @@ def leakage_safe_split(
             F.md5(
                 F.concat_ws(
                     ":", F.lit(f"split{seed}"),
-                    F.col("cluster_id").cast("string"),
+                    F.coalesce(
+                        F.col("cluster_id").cast("string"), F.lit("")
+                    ),
                 )
             ),
             1, 15,
@@ -1070,13 +1117,14 @@ def per_doc_split(
     """The NAIVE per-document split (same md5 threshold construction
     as ``leakage_safe_split`` but hashing the doc id): the baseline
     whose ``split_leakage_audit`` crossing count motivates the
-    cluster-atomic form. (doc_id, split)."""
+    cluster-atomic form. (doc_id, split). NULL ids coalesce to ''
+    before hashing — same twin contract as ``leakage_safe_split``."""
     h = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(
                     ":", F.lit(f"split{seed}"),
-                    F.col(id_col).cast("string"),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("")),
                 )
             ),
             1, 15,

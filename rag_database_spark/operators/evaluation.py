@@ -198,7 +198,10 @@ def hard_negatives(
         ["query_id", "id"],
         "left_anti",
     )
-    w = Window.partitionBy("query_id").orderBy("rank")
+    # id is a deterministic tiebreaker: the shipped entries feed
+    # unique row_number ranks, but a caller with duplicate ranks per
+    # query must not get a nondeterministic neg_rank / survivor cut
+    w = Window.partitionBy("query_id").orderBy("rank", "id")
     return (
         neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= n)

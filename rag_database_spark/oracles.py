@@ -423,14 +423,14 @@ SELECT query_id, total_rel, hits, mrr, recall_at_k, ndcg_at_k FROM met
 def hard_negatives_sql(fetch: int, n: int) -> str:
     """Twin of the hard_negatives entry: the dense leg over-fetched to
     ``fetch``, qrels positives anti-joined out, survivors re-ranked by
-    original retrieval rank (unique per query — deterministic), best
-    ``n`` kept."""
+    original retrieval rank with id as tiebreaker (deterministic even
+    under duplicate ranks), best ``n`` kept."""
     return f"""
 WITH {_dense_ctes(fetch)},
 {_QRELS_CTES.format(qv=queries_values_sql())},
 neg AS (
   SELECT d.query_id, d.id, d.score,
-         row_number() OVER (PARTITION BY d.query_id ORDER BY d.rank)
+         row_number() OVER (PARTITION BY d.query_id ORDER BY d.rank, d.id)
            AS neg_rank
   FROM dense_ranked d
   LEFT JOIN qr ON qr.query_id = d.query_id AND qr.id = d.id
@@ -3985,13 +3985,16 @@ def leakage_split_sql(threshold: float, k: int,
                       eval_fraction: float, seed: int) -> str:
     """Twin of ``dedup.leakage_safe_split`` over the recursive
     component CTEs: the same md5-of-cluster_id 60-bit integer
-    threshold assigns whole components to one side."""
+    threshold assigns whole components to one side. NULL cluster ids
+    coalesce to '' before hashing, matching the Spark side's
+    coalesce sentinel (labels are non-null by construction)."""
     thr = int(eval_fraction * (1 << 60))
     return f"""
 WITH RECURSIVE {_cluster_ctes(threshold, k)}
 SELECT doc_id, cluster_id,
        CASE WHEN ('0x' || substr(md5('split{seed}:' ||
-                                     cluster_id::VARCHAR), 1, 15))::BIGINT
+                                     coalesce(cluster_id::VARCHAR, '')),
+                  1, 15))::BIGINT
                  < {thr}
             THEN 'eval' ELSE 'train' END AS split
 FROM cl
@@ -4007,9 +4010,10 @@ def split_audit_sql(threshold: float, k: int,
     thr = int(eval_fraction * (1 << 60))
 
     def md5_split(expr: str) -> str:
+        # coalesce to '' matches the Spark side's NULL sentinel
         return (
             f"CASE WHEN ('0x' || substr(md5('split{seed}:' || "
-            f"{expr}::VARCHAR), 1, 15))::BIGINT < {thr} "
+            f"coalesce({expr}::VARCHAR, '')), 1, 15))::BIGINT < {thr} "
             "THEN 'eval' ELSE 'train' END"
         )
 

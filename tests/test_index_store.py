@@ -640,3 +640,86 @@ def test_append_tombstones_column_contract(spark, tmp_path):
     bad = spark.createDataFrame([(1.0, 5)], "score double, other long")
     with pytest.raises(ValueError, match="doc_id"):
         append_tombstones(spark, root, bad)
+
+
+def test_heal_index_sentinel_forward_without_success(spark, tmp_path):
+    """marksuccessfuljobs=false simulation (r13 ADVICE #5): a staging
+    root stripped of every committer ``_SUCCESS`` marker but carrying
+    the compactor's explicit ``STAGING_SENTINEL`` must heal FORWARD —
+    the completed compaction is not silently rolled back and redone."""
+    import os
+
+    from rag_database_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx_nosuccess")
+    bm25_ops.write_index(docs, path)
+    bm25_ops.remove_from_index(spark, path, [2])
+    p2, d2 = bm25_ops.read_index(spark, path)
+    p2.write.mode("overwrite").parquet(f"{path}__staging/postings")
+    d2.write.mode("overwrite").parquet(f"{path}__staging/doclens")
+    # the disabled committer: no _SUCCESS anywhere under staging
+    for sub in ("postings", "doclens"):
+        os.remove(f"{path}__staging/{sub}/_SUCCESS")
+    # what compact_index writes after both staging writes return
+    open(f"{path}__staging/{dd.STAGING_SENTINEL}", "w").close()
+    os.rename(path, f"{path}__old")
+
+    bm25_ops.heal_index(spark, path)
+    assert os.path.exists(f"{path}/postings")
+    assert not os.path.exists(f"{path}__staging")
+    assert not os.path.exists(f"{path}__old")
+    # the swap must not leak the sentinel into the live root
+    assert not os.path.exists(f"{path}/{dd.STAGING_SENTINEL}")
+    healed_p, _ = bm25_ops.read_index(spark, path)
+    assert healed_p.filter(F.col("doc_id") == 2).count() == 0
+
+    # same staging WITHOUT the sentinel and without _SUCCESS: still
+    # rolls BACK (incomplete staging is never trusted)
+    bm25_ops.remove_from_index(spark, path, [1])
+    p3, d3 = bm25_ops.read_index(spark, path)
+    p3.write.mode("overwrite").parquet(f"{path}__staging/postings")
+    d3.write.mode("overwrite").parquet(f"{path}__staging/doclens")
+    for sub in ("postings", "doclens"):
+        os.remove(f"{path}__staging/{sub}/_SUCCESS")
+    os.rename(path, f"{path}__old")
+    bm25_ops.heal_index(spark, path)
+    assert os.path.exists(f"{path}/postings")
+    assert not os.path.exists(f"{path}__staging")
+    # rolled back to old: doc 1 still served (tombstone dir intact)
+    rolled_p, _ = bm25_ops.read_index(spark, path)
+    assert rolled_p.filter(F.col("doc_id") == 1).count() == 0  # tombstoned
+    assert os.path.exists(f"{path}/tombstones")
+
+
+def test_heal_slices_sentinel_forward_without_success(spark, tmp_path):
+    """Slice-store twin of the sentinel test: heal_slices rolls a
+    sentinel-complete staging forward even when the committer marker
+    is disabled, and compact_slices leaves no sentinel in the root."""
+    import os
+    from pathlib import Path
+
+    from rag_database_spark.operators import dedup as dd
+
+    index, want = _gate_two_batches(spark, tmp_path)
+    root = Path(index)
+    staging = root.parent / (root.name + "__staging")
+    old = root.parent / (root.name + "__old")
+
+    rows = dd._read_slices(spark, index)
+    rows.write.mode("overwrite").parquet(str(staging))
+    os.remove(staging / "_SUCCESS")  # marksuccessfuljobs=false
+    open(staging / dd.STAGING_SENTINEL, "w").close()
+    root.rename(old)
+
+    dd.heal_slices(index)
+    assert root.exists() and not staging.exists() and not old.exists()
+    assert not (root / dd.STAGING_SENTINEL).exists()
+    got = {r["vec_id"] for r in dd._read_slices(spark, index).collect()}
+    assert got == want
+
+    # the real compactor writes AND cleans up the sentinel itself
+    dd.compact_slices(spark, index)
+    assert not (root / dd.STAGING_SENTINEL).exists()
+    got = {r["vec_id"] for r in dd._read_slices(spark, index).collect()}
+    assert got == want
