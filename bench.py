@@ -7,11 +7,24 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is materialized via the `noop` sink — full computation of
 every column, no driver-side collect bottleneck in the measurement.
 
-Per-query variance on this box is ±2-4x, so each query runs
-$SPARK_GRAFT_BENCH_RUNS times (default 3): ``queries`` carries the
-MEDIAN, ``queries_min`` the best run, and ``value`` is the sum of
-medians — round-over-round regressions are detectable instead of
-drowned in single-run noise.
+Per-query variance on this box is ±2-4x, so each query runs in
+$SPARK_GRAFT_BENCH_RUNS interleaved passes (default 3): ``queries``
+carries the MEDIAN, ``queries_min`` the best run, and ``value`` is the
+sum of medians — round-over-round regressions are detectable instead
+of drowned in single-run noise.
+
+Contention robustness (r14 VERDICT item 1): the r14 driver medians
+read +14 % while every uncontended signal showed −16 %, purely from
+co-tenant host load. Each pass is therefore BRACKETED by a fixed
+trivial sentinel job; a pass whose leading or trailing sentinel runs
+> $SPARK_GRAFT_BENCH_SENTINEL_FACTOR (default 2.0) × the session-best
+sentinel is marked CONTENDED and a replacement pass runs (bounded:
+at most $SPARK_GRAFT_BENCH_MAX_EXTRA extra passes, default 3).
+Medians are computed over clean passes when ≥2 exist; otherwise the
+2nd-lowest across all runs is reported (robust to one-sided
+inflation). Sentinel timings and the clean/total pass counts land in
+BENCH_DETAIL.json so a contended session is adjudicable after the
+fact.
 """
 
 from __future__ import annotations
@@ -30,6 +43,47 @@ from rag_database_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+# contention guard knobs (see module docstring)
+MAX_EXTRA_PASSES = max(
+    0, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "3"))
+)
+SENTINEL_FACTOR = float(
+    os.environ.get("SPARK_GRAFT_BENCH_SENTINEL_FACTOR", "2.0")
+)
+
+
+def sentinel_seconds(spark) -> float:
+    """One fixed trivial job — a 8M-row modulo groupBy through the
+    noop sink — timed as a pure host-load probe. Constant work, no
+    data dependence, small enough (~0.3-1 s warm) that bracketing
+    every pass costs ~1 % of a pass."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(8_000_000)
+        .select((F.col("id") % 97).alias("k"))
+        .groupBy("k")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.time() - t0
+
+
+def classify_passes(
+    sentinels: list[float], brackets: list[tuple[int, int]],
+    factor: float,
+) -> list[bool]:
+    """True per pass iff BOTH bracketing sentinels are within
+    ``factor`` × the session-best sentinel — i.e. the host was quiet
+    when the pass started and when it ended."""
+    best = min(sentinels)
+    return [
+        sentinels[lo] <= factor * best and sentinels[hi] <= factor * best
+        for lo, hi in brackets
+    ]
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -112,17 +166,51 @@ def main() -> int:
     # measure query paths, not one-time index construction
     entrymod.prepare(spark, SF_DIR)
     qs = entrymod.queries()
-    runs: dict[str, list[float]] = {name: [] for name in qs}
+    names = sorted(qs)
+    # warm the sentinel's own codegen path once, then open the
+    # sentinel series — its running MIN is the session-quiet baseline
+    sentinel_seconds(spark)
+    sentinels = [sentinel_seconds(spark)]
     # interleave whole passes (not per-query repeats) so run i of every
-    # query sees the same JVM/cache warmth profile
-    for _ in range(N_RUNS):
-        for name, fn in sorted(qs.items()):
+    # query sees the same JVM/cache warmth profile; each pass is
+    # bracketed by sentinels (trailing sentinel i == leading i+1)
+    pass_times: list[dict[str, float]] = []
+    brackets: list[tuple[int, int]] = []
+    while True:
+        lead = len(sentinels) - 1
+        times: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs[name].append(time.time() - t0)
-    medians = {
-        name: round(statistics.median(ts), 3) for name, ts in runs.items()
+            times[name] = time.time() - t0
+        sentinels.append(sentinel_seconds(spark))
+        pass_times.append(times)
+        brackets.append((lead, len(sentinels) - 1))
+        clean = classify_passes(sentinels, brackets, SENTINEL_FACTOR)
+        if sum(clean) >= N_RUNS or len(pass_times) >= N_RUNS + MAX_EXTRA_PASSES:
+            break
+    clean = classify_passes(sentinels, brackets, SENTINEL_FACTOR)
+    runs = {n: [p[n] for p in pass_times] for n in names}
+    clean_runs = {
+        n: [p[n] for p, ok in zip(pass_times, clean) if ok] for n in names
     }
+    n_clean = sum(clean)
+    if n_clean >= min(2, N_RUNS):
+        stat = "median_of_clean_passes"
+        medians = {
+            n: round(statistics.median(ts), 3)
+            for n, ts in clean_runs.items()
+        }
+    else:
+        # the whole session was loaded (or a single clean pass):
+        # 2nd-lowest across every run resists one-sided inflation
+        # without degenerating to best-case-only
+        stat = "second_lowest_of_all_runs"
+        medians = {
+            n: round(sorted(ts)[1 if len(ts) > 1 else 0], 3)
+            for n, ts in runs.items()
+        }
     mins = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(medians.values()), 3)
     sf = _sf_from_dir(SF_DIR)
@@ -139,6 +227,15 @@ def main() -> int:
         "queries_min": mins,
         "n_runs": N_RUNS,
         "sf": sf,
+        # contention adjudication record (r14 VERDICT item 1)
+        "stat": stat,
+        "sentinels": [round(s, 3) for s in sentinels],
+        "sentinel_factor": SENTINEL_FACTOR,
+        "clean_passes": n_clean,
+        "total_passes": len(pass_times),
+        "queries_all_runs": {
+            n: [round(t, 3) for t in ts] for n, ts in runs.items()
+        },
     }
     # embed the latest scale-probe results (tools/scale_probe.py) so
     # the per-round detail carries per-query scaling exponents
@@ -150,7 +247,7 @@ def main() -> int:
             pass
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
-    print(render_stdout_line(medians, total, sf, N_RUNS), flush=True)
+    print(render_stdout_line(medians, total, sf, len(pass_times)), flush=True)
     return 0
 
 

@@ -50,3 +50,26 @@ def test_pathological_names_fall_back_to_headline_only():
     blob = _check(render_stdout_line(medians, 5.0, 0.01, 1), 5)
     assert blob["queries"] == {}
     assert blob["queries_omitted"] == 5
+
+
+def test_classify_passes_brackets_contention():
+    """A pass is clean only when BOTH bracketing sentinels are within
+    factor × the session best — contention arriving mid-pass (slow
+    trailing sentinel) or pre-pass (slow leading) marks it."""
+    from bench import classify_passes
+
+    # sentinels: s0 quiet (best), s1 quiet, s2 loaded, s3 quiet
+    sentinels = [0.5, 0.6, 2.0, 0.55]
+    brackets = [(0, 1), (1, 2), (2, 3)]
+    clean = classify_passes(sentinels, brackets, 2.0)
+    # pass 0: 0.5/0.6 both <= 1.0 -> clean
+    # pass 1: trailing 2.0 > 1.0 -> contended
+    # pass 2: leading 2.0 > 1.0 -> contended
+    assert clean == [True, False, False]
+
+    # a uniformly loaded session self-normalizes: best is itself slow,
+    # every pass reads clean (nothing to discard against)
+    assert classify_passes([5.0, 5.5, 5.2], [(0, 1), (1, 2)], 2.0) == [
+        True,
+        True,
+    ]
