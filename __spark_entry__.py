@@ -151,6 +151,7 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _bloom_paras_filter_words(spark, sf_dir)
     _semantic_pagerank_scores(spark, sf_dir)
     _time_travel(spark, sf_dir)  # builds the fingerprint-keyed tt_table
+    _curation_artifact(spark, sf_dir)  # per-doc curation stage flags
 
 
 # --------------------------------------------------------------------------
@@ -1003,58 +1004,109 @@ def _nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_stage_frames(
-    spark: SparkSession, sf_dir: str
-) -> dict[str, DataFrame]:
-    """The curation pipeline's per-stage survivor frames, shared by
-    the final-corpus entry (``curate_corpus``) and the funnel report
-    (``curation_funnel``): raw → exact-canonical → near-dup reps →
-    quality-kept → decontaminated."""
-    docs = load_table(spark, sf_dir, "documents")
-    exact_keep = (
-        text_analytics.exact_dedup(docs)
-        .filter(~F.col("is_dupe"))
-        .select("doc_id")
-    )
-    nd_keep = (
-        _cluster_labels(spark, sf_dir)
-        .filter(F.col("doc_id") == F.col("cluster_id"))
-        .select("doc_id")
-    )
-    survivors = docs.join(exact_keep, "doc_id").join(nd_keep, "doc_id")
-    scored = (
-        text_analytics.doc_quality(survivors)
-        .select("doc_id", "q_score")
-        .localCheckpoint()
-    )
-    import math
+_CURATION_CACHE: dict[str, DataFrame] = {}
 
-    n = scored.count()  # post-checkpoint: a cached-partition count
-    k = math.floor(n * text_analytics.QUALITY_FILTER_P)
-    boundary = text_analytics.bottom_k_boundary(scored, k, n)
-    if boundary is None:
-        qkept = scored
-    else:
-        bq, bid = boundary
-        qkept = scored.filter(
-            (F.col("q_score") > F.lit(bq))
-            | (
-                (F.col("q_score") == F.lit(bq))
-                & (F.col("doc_id") > F.lit(bid))
+
+def _curation_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-document curation stage-membership frame — ONE
+    row per raw document with the stage flags and the quality score:
+
+        (doc_id, f_exact, f_near, f_quality, f_final, q_score)
+
+    f_exact = survives exact dedup (md5-canonical); f_near = f_exact ∧
+    near-dup component representative; f_quality = survives the exact
+    bottom-⌊N·p⌋ quality cut of the survivors (sketch-bracketed
+    boundary, computed ONCE at build); f_final = f_quality ∧
+    decontaminated. q_score is the quality score for dedup survivors
+    (NULL otherwise).
+
+    Built once per corpus fingerprint (r14 VERDICT item 4: the
+    curate_corpus / curation_funnel pair previously re-ran the full
+    dedup + 19-regex quality ancestry on every call, ~7.5 s combined
+    at sf0.1) with the same ``.cache`` discipline as the BM25/IVF/
+    k-means artifacts; the cache key carries the dedup + quality
+    constants so a parameter edit can never serve a stale frame.
+    Serving both entries becomes a doc-count-sized parquet scan —
+    at 100× the build amortizes across every downstream read and the
+    flags frame stays one narrow row per document."""
+    fp = (
+        f"{_source_fingerprint(sf_dir)}-s{dedup.SHINGLE_K}"
+        f"-j{JACCARD_THRESHOLD}-p{text_analytics.QUALITY_FILTER_P}"
+    )
+    hit = _CURATION_CACHE.get(fp)
+    if hit is not None:
+        return hit
+    cache_dir = Path(__file__).resolve().parent / ".cache" / "curation" / fp
+    if not (cache_dir / "_SUCCESS").exists():
+        import math
+
+        docs = load_table(spark, sf_dir, "documents")
+        exact_keep = (
+            text_analytics.exact_dedup(docs)
+            .filter(~F.col("is_dupe"))
+            .select("doc_id")
+        )
+        nd_keep = (
+            _cluster_labels(spark, sf_dir)
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id")
+        )
+        survivors = docs.join(exact_keep, "doc_id").join(nd_keep, "doc_id")
+        scored = (
+            text_analytics.doc_quality(survivors)
+            .select("doc_id", "q_score")
+            .localCheckpoint()
+        )
+        n = scored.count()  # post-checkpoint: a cached-partition count
+        k = math.floor(n * text_analytics.QUALITY_FILTER_P)
+        boundary = text_analytics.bottom_k_boundary(scored, k, n)
+        if boundary is None:
+            qkept = scored
+        else:
+            bq, bid = boundary
+            qkept = scored.filter(
+                (F.col("q_score") > F.lit(bq))
+                | (
+                    (F.col("q_score") == F.lit(bq))
+                    & (F.col("doc_id") > F.lit(bid))
+                )
+            )
+        clean = (
+            text_analytics.decontaminate(docs)
+            .filter(~F.col("is_contaminated"))
+            .select("doc_id")
+        )
+
+        def _flag(frame: DataFrame, name: str) -> DataFrame:
+            return frame.withColumn(name, F.lit(True))
+
+        false = F.lit(False)
+        art = (
+            docs.select("doc_id")
+            .join(_flag(exact_keep, "__exact"), "doc_id", "left")
+            .join(_flag(nd_keep, "__nd"), "doc_id", "left")
+            .join(scored, "doc_id", "left")
+            .join(_flag(qkept.select("doc_id"), "__q"), "doc_id", "left")
+            .join(_flag(clean, "__clean"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("__exact", false).alias("f_exact"),
+                (
+                    F.coalesce("__exact", false)
+                    & F.coalesce("__nd", false)
+                ).alias("f_near"),
+                F.coalesce("__q", false).alias("f_quality"),
+                (
+                    F.coalesce("__q", false)
+                    & F.coalesce("__clean", false)
+                ).alias("f_final"),
+                "q_score",
             )
         )
-    clean = (
-        text_analytics.decontaminate(docs)
-        .filter(~F.col("is_contaminated"))
-        .select("doc_id")
-    )
-    return {
-        "raw": docs.select("doc_id"),
-        "exact_dedup": exact_keep,
-        "near_dup": survivors.select("doc_id"),
-        "quality": qkept.select("doc_id"),
-        "final": qkept.join(clean, "doc_id"),
-    }
+        art.write.mode("overwrite").parquet(str(cache_dir))
+    df = spark.read.parquet(str(cache_dir))
+    _CURATION_CACHE[fp] = df
+    return df
 
 
 def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,13 +1120,16 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quality stage is the EXACT discrete cutoff, but computed via
     sketch-bracketed selection (``text_analytics.bottom_k_boundary``)
     rather than an O(N) bottom-k relation: the boundary tuple comes
-    back as one row and the returned plan filters on LITERALS — no
+    back as one row and the plan filters on LITERALS — no
     TakeOrderedAndProject, no broadcast that grows with the corpus
-    (pinned by tests/test_plans.py). The scored survivor set is
-    localCheckpointed once so the dedup-join ancestry and the
-    19-regex quality scan run exactly once across the boundary jobs
-    and the final join."""
-    return _curation_stage_frames(spark, sf_dir)["final"]
+    (pinned by tests/test_plans.py). The whole ancestry runs ONCE at
+    artifact build (``_curation_artifact``); serving is a flag filter
+    over the persisted per-doc stage frame."""
+    return (
+        _curation_artifact(spark, sf_dir)
+        .filter(F.col("f_final"))
+        .select("doc_id", "q_score")
+    )
 
 
 def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,21 +1137,26 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup → near-dup retention → quality cut → decontamination —
     the attrition audit every curation run ships next to its output
     corpus (which stage dropped how much is the first question asked
-    of any filtered dataset). Five one-row aggregates unioned; each
-    stage's frame is the same plan its corpus entry serves."""
-    frames = _curation_stage_frames(spark, sf_dir)
-    order = ["raw", "exact_dedup", "near_dup", "quality", "final"]
-    parts = [
-        frames[name]
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .select(
-            F.lit(i + 1).cast("long").alias("stage_idx"),
-            F.lit("decontam" if name == "final" else name).alias("stage"),
-            "n_docs",
-        )
-        for i, name in enumerate(order)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    of any filtered dataset). ONE conditional-count aggregate over the
+    persisted per-doc stage frame (``_curation_artifact``), stacked to
+    the five report rows — a single scan instead of five plans over
+    the full ancestry."""
+    agg = _curation_artifact(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("raw"),
+        F.count_if("f_exact").alias("exact_dedup"),
+        F.count_if("f_near").alias("near_dup"),
+        F.count_if("f_quality").alias("quality"),
+        F.count_if("f_final").alias("decontam"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "1L, 'raw', raw, "
+        "2L, 'exact_dedup', exact_dedup, "
+        "3L, 'near_dup', near_dup, "
+        "4L, 'quality', quality, "
+        "5L, 'decontam', decontam"
+        ") as (stage_idx, stage, n_docs)"
+    )
 
 
 TIME_TRAVEL_DELETE_MOD = 10  # DELETE WHERE doc_id % 10 == 3
@@ -2941,6 +3001,12 @@ _PURE_LAZY = frozenset({
     # r14 additions: projections/joins over persisted dedup artifacts
     # plus the anti-join negative miner over the dense leg
     "leakage_split", "split_audit", "hard_negatives",
+    # r15: both curation entries became flag filters / one stacked
+    # aggregate over the persisted per-doc stage artifact — the eager
+    # ancestry (localCheckpoint + boundary count) moved into the
+    # disk-cache-guarded _curation_artifact builder that prepare()
+    # warms, so the served plans are pure lazy
+    "curate_corpus", "curation_funnel",
 })
 
 
@@ -3232,7 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "minhash_sigs": _minhash_sigs,
     }
-    ordered = {n: base[n] for n in _WINDOW_R14}
+    ordered = {n: base[n] for n in _WINDOW_R15}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -3240,34 +3306,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-14 window rotation (VERDICT r13 item 5): every registry entry
-# is driver-certified somewhere in r1-r13, so the window now keeps
-# certifications FRESH instead of chasing never-certified entries. The
-# 50 in-window names = 5 new r14 entries + the 6 entries whose engine
-# or oracle changed in r14 (contrastive single-pass rollup, pair-first
-# shortest-chains meet, qrels-DISTINCT oracle twins + their
-# MMR/context-pack siblings) followed by the 39 stalest certifications
-# (last green r3/r6/r9 per the CORRECTNESS_r* union). Tail entries
-# keep their previous relative order and stay green via
+# Round-15 window rotation (VERDICT r14 item 3): keep certifications
+# fresh — no entry's last driver-green row should age past ~5 rounds.
+# The 50 in-window names = the 7 entries whose engine or oracle
+# changed in r15 (curation-artifact rewrite of curation_funnel;
+# NULL-coalesce twin contract in leakage_split/split_audit; (rank,id)
+# tiebreaker in hard_negatives; integer-exact avg_score in
+# search_analytics — the sf0.1 sweep's boundary-ulp find; assert→
+# ValueError guards in mmr_rerank/rag_context_pack/eval_delta) + all
+# 26 r9-stale certifications (curate_corpus is both changed and
+# r9-stale) + the 5 r11-stale + the 11 alphabetically-first of the 17
+# r12-stale (lm_perplexity, media_resize, pagerank_weighted,
+# quantize_embeddings, temperature_mix, video_near_dup wait for r16).
+# Tail entries keep their previous relative order and stay green via
 # tests/test_entry_oracle.py.
-_WINDOW_R14: tuple[str, ...] = (
-    "leakage_split", "split_audit", "hard_negatives",
-    "curation_funnel", "lang_fertility",  # new in r14
-    "contrastive_select", "ir_metrics", "eval_delta", "mmr_rerank",
-    "rag_context_pack", "shortest_chains",
-    "dense_topk", "hybrid_rrf", "hybrid_adaptive", "pricing_summary",
-    "token_stats", "doc_quality", "doc_edges", "events_hourly",
-    "user_sessions", "conversions",
-    "colpali_lite_topk", "search_terms", "rerank_topk",
-    "delete_document_cascade", "bm25_index_stats", "customer_overview",
-    "org_stats", "list_documents_page", "events_json_filter",
-    "sentence_chunks", "detect_sections", "chunk_payloads",
-    "winnow_fp", "simhash_fp", "table_texts",
-    "exact_dedup", "near_dup_pairs", "search_analytics",
-    "chunking_stats", "lang_id", "dedup_clusters",
-    "dup_ngram_fraction", "domain_cap", "media_stats",
-    "dedup_regions", "events_profile", "dedup_clusters_cc",
-    "dedup_keep", "fuzzy_decontam",
+_WINDOW_R15: tuple[str, ...] = (
+    "curation_funnel", "leakage_split", "split_audit", "hard_negatives",
+    "search_analytics",
+    "mmr_rerank", "rag_context_pack", "eval_delta",  # changed in r15
+    "curate_corpus", "augment_results", "chunk_documents",
+    "cut_dup_spans", "db_stats", "embedding_near_dup",
+    "enhanced_search", "extract_metadata", "extract_relationships",
+    "frequent_ngrams", "graph_expand", "graph_stats", "ingest_gate",
+    "minhash_sigs", "nfc_normalize", "quality_filter", "quality_report",
+    "quantized_topk", "resolve_references", "source_mix",
+    "stratified_sample", "table_cells", "time_travel", "vector_upsert",
+    "visual_search", "vocab_oov",  # r9-stale
+    "event_funnel_windowed", "events_cube", "pack_rows",
+    "repetition_signals", "strip_markup",  # r11-stale
+    "bpe_pair_stats", "c4_rules", "cohort_retention",
+    "dense_filtered_topk", "doc_keywords", "doc_pagerank", "dup_spans",
+    "event_funnel", "events_window_join", "gopher_rules",
+    "ingest_pairs",  # r12-stale (first 11 of 17)
 )
 
 

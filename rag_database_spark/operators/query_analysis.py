@@ -476,10 +476,21 @@ def enhanced_search(
 def search_analytics(results: DataFrame,
                      score_col: str = "final_score") -> DataFrame:
     """A6 (enhanced_hybrid_search.py:144-197): per-query failure
-    signals — result count, score moments, source mix."""
+    signals — result count, score moments, source mix.
+
+    ``avg_score`` averages the 1e-6-QUANTIZED scores via an exact
+    integer sum: a plain float ``avg`` is summation-order-dependent at
+    the last ulp, and when the true mean lands within an ulp of the
+    6dp rounding boundary the two engines' different reduction orders
+    flip the rounded digit (first seen at sf0.1 — sf0.01 never hits
+    the boundary). Scores in this pipeline are already 6dp-rounded
+    upstream, so the quantization is lossless here; callers feeding
+    unrounded scores get a deterministic 1e-6-quantized mean."""
+    n = F.count(F.lit(1))
+    int_sum = F.sum(F.round(F.col(score_col) * 1e6).cast("long"))
     return results.groupBy("query_id").agg(
-        F.count("*").alias("n_results"),
-        F.round(F.avg(score_col), 6).alias("avg_score"),
+        n.alias("n_results"),
+        F.round(int_sum / (n * F.lit(1_000_000.0)), 6).alias("avg_score"),
         F.round(F.max(score_col), 6).alias("max_score"),
         F.countDistinct("id").alias("n_distinct_docs"),
         F.sort_array(F.collect_set("source")).alias("sources"),

@@ -2339,7 +2339,11 @@ def search_analytics_sql(limit: int = HYBRID_LIMIT) -> str:
     return f"""
 WITH {_enhanced_ctes(limit)}
 SELECT query_id, count(*) AS n_results,
-       round(avg(final_score), 6) AS avg_score,
+       -- integer-exact mean of the 6dp-rounded scores: float avg is
+       -- summation-order-dependent at the last ulp (engine-divergent
+       -- exactly at the rounding boundary; surfaced at sf0.1)
+       round(sum(CAST(round(final_score * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS avg_score,
        round(max(final_score), 6) AS max_score,
        count(DISTINCT id) AS n_distinct_docs,
        coalesce(array_to_string(list_sort(list(DISTINCT source)), '|'), '')
