@@ -49,6 +49,16 @@ from pyspark.sql import functions as F
 
 COMMIT_COL = "_commit"
 
+#: Explicit staging-complete proof written by ``compact()`` after the
+#: staging write RETURNS (same contract as
+#: ``operators.dedup.STAGING_SENTINEL`` — kept in sync by name). The
+#: committer's ``_SUCCESS`` stays accepted as a fallback for
+#: pre-sentinel residue, but "any parquet file exists" alone is NOT
+#: completeness: a crash mid-job-commit leaves some part-files, and a
+#: roll-forward on that evidence would permanently serve a partial
+#: base.
+STAGING_SENTINEL = "_STAGING_COMPLETE"
+
 
 class TombstoneTable:
     """A keyed, append+delete Parquet table with merge-on-read."""
@@ -86,10 +96,12 @@ class TombstoneTable:
         the renames leaves no ``base/`` at all. Single-writer, so the
         residue dirs unambiguously identify the interrupted step:
 
-        - base missing + staging complete → roll FORWARD (finish the
-          swap; the staging dir was fully written before any rename).
-        - base missing + only base_old → roll BACK to the old base
-          (staging never made it; tombstones still apply).
+        - base missing + COMPLETE staging (``STAGING_SENTINEL``, or
+          the committer's ``_SUCCESS`` for pre-sentinel residue) →
+          roll FORWARD (finish the swap).
+        - base missing + only base_old (or an INCOMPLETE staging —
+          part-files without a completeness proof) → roll BACK to the
+          old base (tombstones still apply) and clear the residue.
         - base present + base_old left over → finish cleanup.
 
         Folded-away tombstones are cleared on roll-forward; they would
@@ -97,11 +109,15 @@ class TombstoneTable:
         compaction epoch, above every tombstone's ``up_to``)."""
         staging = self.root / "base_staging"
         old = self.root / "base_old"
+        complete = (staging / STAGING_SENTINEL).exists() or (
+            staging / "_SUCCESS"
+        ).exists()
         if not self._has(self.base_dir):
-            if self._has(staging):
+            if self._has(staging) and complete:
                 if self.base_dir.exists():
                     shutil.rmtree(self.base_dir)
                 staging.rename(self.base_dir)
+                (self.base_dir / STAGING_SENTINEL).unlink(missing_ok=True)
                 if old.exists():
                     shutil.rmtree(old)
                 if self.tomb_dir.exists():
@@ -110,6 +126,8 @@ class TombstoneTable:
                 if self.base_dir.exists():
                     shutil.rmtree(self.base_dir)
                 old.rename(self.base_dir)
+                if staging.exists():
+                    shutil.rmtree(staging)
         elif old.exists():
             shutil.rmtree(old)
 
@@ -247,11 +265,16 @@ class TombstoneTable:
         if staging.exists():
             shutil.rmtree(staging)
         survivors.write.mode("overwrite").parquet(str(staging))
+        # completeness proof for _recover(), independent of the
+        # committer's marksuccessfuljobs setting — written only after
+        # the staging write returned
+        (staging / STAGING_SENTINEL).touch()
         old = self.root / "base_old"
         if old.exists():
             shutil.rmtree(old)
         self.base_dir.rename(old)
         staging.rename(self.base_dir)
         shutil.rmtree(old)
+        (self.base_dir / STAGING_SENTINEL).unlink(missing_ok=True)
         if self.tomb_dir.exists():
             shutil.rmtree(self.tomb_dir)

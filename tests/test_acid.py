@@ -254,3 +254,63 @@ def test_retention_sweep_tombstone_time_travel_end_to_end(spark, tmp_path):
     t.compact()
     assert sorted(r["doc_id"] for r in t.read().collect()) == [2, 3, 4]
     assert t.tombstone_count() == 0
+
+
+def test_recover_rolls_back_on_incomplete_staging(spark, tmp_path):
+    """A staging dir holding part-files but NO completeness proof
+    (neither _SUCCESS nor the compactor's sentinel — the signature of
+    a crash mid-job-commit) must NOT roll forward: a partial base
+    would be served permanently. Roll back to base_old and clear the
+    residue."""
+    import shutil
+
+    from rag_database_spark.sources.acid import STAGING_SENTINEL
+
+    root = tmp_path / "crashy3"
+    t = TombstoneTable(spark, str(root), key_col="id")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(8)], "id long, body string"
+        )
+    )
+    t.delete_where("id = 7")
+    expected = _ids(t.read())
+
+    # fabricate an INCOMPLETE staging: real part-files, proofs removed
+    staging = root / "base_staging"
+    survivors = t.read().withColumn("_commit", F.lit(99))
+    survivors.limit(3).write.mode("overwrite").parquet(str(staging))
+    (staging / "_SUCCESS").unlink()
+    assert not (staging / STAGING_SENTINEL).exists()
+    (root / "base").rename(root / "base_old")
+
+    reopened = TombstoneTable(spark, str(root), key_col="id")
+    assert _ids(reopened.read()) == expected  # old base, not 3 rows
+    assert not (root / "base_staging").exists()
+    assert not (root / "base_old").exists()  # renamed back to base
+
+    # same crash point but WITH the sentinel (marksuccessfuljobs=false
+    # deployment): roll FORWARD
+    root2 = tmp_path / "crashy4"
+    t2 = TombstoneTable(spark, str(root2), key_col="id")
+    t2.append(
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(5)], "id long, body string"
+        )
+    )
+    t2.delete_where("id = 0")
+    expected2 = _ids(t2.read())
+    epoch = t2._bump_epoch()
+    staging2 = root2 / "base_staging"
+    t2.read().withColumn("_commit", F.lit(epoch)).write.mode(
+        "overwrite"
+    ).parquet(str(staging2))
+    (staging2 / "_SUCCESS").unlink()  # disabled committer marker
+    (staging2 / STAGING_SENTINEL).touch()  # what compact() writes
+    (root2 / "base").rename(root2 / "base_old")
+    shutil.rmtree(root2 / "tombstones")
+
+    reopened2 = TombstoneTable(spark, str(root2), key_col="id")
+    assert _ids(reopened2.read()) == expected2
+    assert not (root2 / "base_staging").exists()
+    assert not (root2 / "base" / STAGING_SENTINEL).exists()
