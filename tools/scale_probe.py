@@ -66,7 +66,10 @@ AUDIT_NOTES = {
     "dedup_clusters_cc": "consumes the quadratically-grown pair set",
     "soft_dedup": "consumes the quadratically-grown pair set",
     "dedup_keep": "consumes the quadratically-grown pair set",
-    "curate_corpus": "consumes the quadratically-grown pair set",
+    "curate_corpus": "the ARTIFACT BUILD consumes the quadratically-"
+    "grown pair set (charged to prepare(), once per corpus); the "
+    "served plan is a pushed-filter scan of the persisted stage frame "
+    "(r15 exponent ~0)",
     "embedding_near_dup": "replicated embeddings are exact dups → "
     "cosine-pair output grows ~quadratically; LSH bucketing keeps "
     "candidate generation keyed, work tracks output size",
