@@ -47,6 +47,7 @@ from rag_database_spark.operators.hybrid import (
     hybrid_search3,
     hybrid_search3_adaptive,
 )
+from rag_database_spark.functions.exact import exact_avg, exact_sum
 from rag_database_spark.sources.tables import fan_out, load_table, load_tables
 
 
@@ -518,7 +519,7 @@ def _events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(exact_avg("value"), 6).alias("avg_value"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -790,7 +791,7 @@ def _events_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = relational.interval_join(ev, windows, band=wlen + 1)
     return j.groupBy("window_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        F.round(exact_sum("value"), 6).alias("total_value"),
     )
 
 
@@ -3312,32 +3313,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed in r15 (curation-artifact rewrite of curation_funnel;
 # NULL-coalesce twin contract in leakage_split/split_audit; (rank,id)
 # tiebreaker in hard_negatives; integer-exact avg_score in
-# search_analytics — the sf0.1 sweep's boundary-ulp find; assert→
-# ValueError guards in mmr_rerank/rag_context_pack/eval_delta) + all
-# 26 r9-stale certifications (curate_corpus is both changed and
-# r9-stale) + the 5 r11-stale + the 11 alphabetically-first of the 17
-# r12-stale (lm_perplexity, media_resize, pagerank_weighted,
-# quantize_embeddings, temperature_mix, video_near_dup wait for r16).
-# Tail entries keep their previous relative order and stay green via
-# tests/test_entry_oracle.py.
+# search_analytics — the sf0.1 sweep's boundary-ulp find; the
+# exact-decimal aggregate sweep over fixed-decimal data columns
+# (functions/exact.py: events value, o_totalprice, lineitem prices,
+# 6dp edge confidences) covering the events/relational/graph rollups;
+# assert→ValueError guards in mmr_rerank/rag_context_pack/eval_delta)
+# + the 23 remaining r9-stale certifications + 4 r11-stale + the 4
+# alphabetically-first r12-stale. Still waiting (r16): doc_keywords,
+# doc_pagerank, dup_spans, event_funnel, gopher_rules, ingest_pairs,
+# lm_perplexity, media_resize, quantize_embeddings, temperature_mix,
+# video_near_dup. Tail entries keep their previous relative order and
+# stay green via tests/test_entry_oracle.py.
 _WINDOW_R15: tuple[str, ...] = (
-    "curation_funnel", "leakage_split", "split_audit", "hard_negatives",
-    "search_analytics",
-    "mmr_rerank", "rag_context_pack", "eval_delta",  # changed in r15
-    "curate_corpus", "augment_results", "chunk_documents",
+    "curation_funnel", "curate_corpus", "leakage_split", "split_audit",
+    "hard_negatives", "search_analytics",
+    "mmr_rerank", "rag_context_pack", "eval_delta",
+    "org_stats", "events_json_filter", "pagerank_weighted",
+    "graph_stats", "events_hourly", "events_cube", "user_sessions",
+    "events_window_join", "augment_results",
+    "pricing_summary",  # changed in r15
+    "chunk_documents",
     "cut_dup_spans", "db_stats", "embedding_near_dup",
     "enhanced_search", "extract_metadata", "extract_relationships",
-    "frequent_ngrams", "graph_expand", "graph_stats", "ingest_gate",
+    "frequent_ngrams", "graph_expand", "ingest_gate",
     "minhash_sigs", "nfc_normalize", "quality_filter", "quality_report",
     "quantized_topk", "resolve_references", "source_mix",
     "stratified_sample", "table_cells", "time_travel", "vector_upsert",
     "visual_search", "vocab_oov",  # r9-stale
-    "event_funnel_windowed", "events_cube", "pack_rows",
+    "event_funnel_windowed", "pack_rows",
     "repetition_signals", "strip_markup",  # r11-stale
     "bpe_pair_stats", "c4_rules", "cohort_retention",
-    "dense_filtered_topk", "doc_keywords", "doc_pagerank", "dup_spans",
-    "event_funnel", "events_window_join", "gopher_rules",
-    "ingest_pairs",  # r12-stale (first 11 of 17)
+    "dense_filtered_topk",  # r12-stale (first 4 of 17)
 )
 
 

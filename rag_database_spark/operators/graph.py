@@ -19,6 +19,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rag_database_spark.functions.exact import exact_avg, exact_sum
+
 MIN_CONFIDENCE = 0.5  # document_graph.py:357 default
 
 # F19 pattern banks (document_graph.py:86-123, IGNORECASE via (?i));
@@ -388,7 +390,7 @@ def augment_results(
     related = (
         top.join(adj, top["doc_id"] == adj["me"])
         .groupBy("query_id", F.col("other").alias("id"))
-        .agg(F.round(F.avg("confidence"), 6).alias("graph_score"))
+        .agg(F.round(exact_avg("confidence", scale=6), 6).alias("graph_score"))
     )
     new = related.join(
         results.select("query_id", "id"), ["query_id", "id"], "left_anti"
@@ -430,7 +432,7 @@ def pagerank_edges(edges: DataFrame, weighted: bool = False) -> DataFrame:
             .agg(F.max("confidence").alias("w"))
             .filter(F.col("w") > 0)
         )
-        deg = und.groupBy("me").agg(F.round(F.sum("w"), 6).alias("deg"))
+        deg = und.groupBy("me").agg(F.round(exact_sum("w", scale=6), 6).alias("deg"))
     else:
         und = sym.select("me", "other").distinct()
         deg = und.groupBy("me").agg(
@@ -671,7 +673,7 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     avg confidence, distinct endpoint counts."""
     return edges.groupBy("relation_type").agg(
         F.count("*").alias("n_edges"),
-        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        F.round(exact_avg("confidence", scale=6), 6).alias("avg_confidence"),
         F.countDistinct("src").alias("n_sources"),
         F.countDistinct("dst").alias("n_targets"),
     )

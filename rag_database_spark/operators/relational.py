@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rag_database_spark.functions.exact import exact_sum
+
 
 def db_stats(tables: dict[str, DataFrame]) -> DataFrame:
     """A5 (metadata_store.py:1245-1291): one long-format frame of
@@ -118,7 +120,7 @@ def org_stats(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_order_value"),
+            F.round(exact_sum("o_totalprice"), 2).alias("total_order_value"),
         )
     )
     return (
@@ -150,8 +152,11 @@ def pricing_summary(spark, lineitem: DataFrame,
     return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4)
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                          AS DOUBLE), 4)
                  AS sum_disc_price,
                round(avg(l_quantity), 6) AS avg_qty,
                count(*) AS count_order
@@ -216,7 +221,7 @@ def events_cube(events: DataFrame) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(exact_sum("value"), 6).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )

@@ -222,7 +222,8 @@ w AS (
 )
 SELECT w.window_id,
        count(*)::BIGINT AS n_events,
-       round(sum(e.value), 6) AS total_value
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS total_value
 FROM ev e JOIN w ON e.es BETWEEN w.w_start_s AND w.w_end_s
 GROUP BY w.window_id
 """
@@ -651,7 +652,8 @@ supp AS (
 ),
 ords AS (
   SELECT c_nationkey, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS total_order_value
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_order_value
   FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
 )
 SELECT n_nationkey, n_name,
@@ -718,7 +720,8 @@ WITH e AS (
   FROM events
 )
 SELECT event_type, count(*) AS n_events,
-       round(avg(value), 6) AS avg_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_value,
        min(k) AS min_k, max(k) AS max_k
 FROM e WHERE k >= {lo} AND k <= {hi}
 GROUP BY event_type
@@ -1752,7 +1755,9 @@ und AS MATERIALIZED (
   HAVING max(confidence) > 0
 ),
 deg AS MATERIALIZED (
-  SELECT me, round(sum(w), 6) AS deg FROM und GROUP BY me
+  SELECT me,
+         round(CAST(sum(CAST(w AS DECIMAL(16,6))) AS DOUBLE), 6) AS deg
+  FROM und GROUP BY me
 )"""
         contrib_expr = "sum(p.r * u.w / g.deg)"
     else:
@@ -1868,7 +1873,8 @@ def graph_stats_sql(jaccard_threshold: float, k: int) -> str:
     return f"""
 WITH {_edges_ctes(jaccard_threshold, k)}
 SELECT relation_type, count(*) AS n_edges,
-       round(avg(confidence), 6) AS avg_confidence,
+       round(CAST(sum(CAST(confidence AS DECIMAL(16,6))) AS DOUBLE)
+             / count(*), 6) AS avg_confidence,
        count(DISTINCT src) AS n_sources,
        count(DISTINCT dst) AS n_targets
 FROM edges GROUP BY relation_type
@@ -2356,7 +2362,8 @@ def events_hourly_sql() -> str:
     return """
 SELECT date_trunc('hour', ts) AS bucket_start, event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """
@@ -2430,7 +2437,8 @@ SELECT event_type,
        date_trunc('hour', ts) AS bucket_start,
        GROUPING(event_type, date_trunc('hour', ts))::BIGINT AS gid,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY CUBE (event_type, date_trunc('hour', ts))
@@ -3060,7 +3068,9 @@ sess AS (
 )
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS total_value
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS total_value
 FROM sess GROUP BY user_id, session_id
 """
 
@@ -3071,8 +3081,11 @@ def pricing_summary_sql() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+         AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -3442,7 +3455,8 @@ top AS (
 ),
 related AS (
   SELECT t.query_id, u.other AS id,
-         round(avg(u.confidence), 6) AS graph_score
+         round(CAST(sum(CAST(u.confidence AS DECIMAL(16,6))) AS DOUBLE)
+             / count(*), 6) AS graph_score
   FROM top t JOIN und u ON u.me = t.doc_id
   GROUP BY t.query_id, u.other
 ),

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rag_database_spark.functions.exact import exact_sum
+
 EVENT_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
@@ -54,7 +56,9 @@ def hourly_event_agg(events: DataFrame, exact_users: bool = True) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # exact decimal sum: order-independent across engines (value is
+            # 2dp data; see functions/exact.py)
+            F.round(exact_sum("value"), 6).alias("sum_value"),
             users.alias("n_users"),
         )
         .select(
@@ -213,7 +217,7 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        F.round(exact_sum("value"), 6).alias("total_value"),
     )
 
 
@@ -419,7 +423,7 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(exact_sum("value"), 6).alias("total_value"),
         )
         .select(
             "user_id",

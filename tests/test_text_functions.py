@@ -92,3 +92,26 @@ def test_winnow_fingerprints_overlap_guarantee(spark):
     overlap_13 = len(fps[1] & fps[3]) / max(len(fps[1]), 1)
     assert overlap_13 < 0.3
     assert fps[4] == set()
+
+
+def test_exact_sum_is_summation_order_independent(spark):
+    """functions/exact.py: the decimal-exact sum is IDENTICAL under any
+    partitioning (the float sum is not — that last-ulp drift is what
+    flips a 6dp-rounded digit at the boundary and breaks the DuckDB
+    twin contract at scale), and the exact mean divides the exact
+    total once in double."""
+    from pyspark.sql import functions as F
+
+    from rag_database_spark.functions.exact import exact_avg, exact_sum
+
+    df = spark.range(100_000).select(F.lit(0.1).alias("v"))
+    e1 = df.repartition(1).agg(exact_sum("v", scale=1).alias("s"))
+    e32 = df.repartition(32).agg(exact_sum("v", scale=1).alias("s"))
+    assert e1.first()["s"] == 10000.0
+    assert e32.first()["s"] == 10000.0
+    # the float path drifts off the exact decimal total (positive
+    # accumulation of 0.1's representation error) — the divergence
+    # exact_sum exists to remove
+    naive = df.agg(F.sum("v").alias("s")).first()["s"]
+    assert naive != 10000.0
+    assert df.agg(exact_avg("v", scale=1).alias("a")).first()["a"] == 0.1
