@@ -3317,9 +3317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # exact-decimal aggregate sweep over fixed-decimal data columns
 # (functions/exact.py: events value, o_totalprice, lineitem prices,
 # 6dp edge confidences) covering the events/relational/graph rollups;
-# assert→ValueError guards in mmr_rerank/rag_context_pack/eval_delta)
-# + the 23 remaining r9-stale certifications + 4 r11-stale + the 4
-# alphabetically-first r12-stale. Still waiting (r16): doc_keywords,
+# exact integer var_pop in table_summary; assert→ValueError guards in
+# mmr_rerank/rag_context_pack/eval_delta) + the 23 remaining r9-stale
+# certifications + 4 r11-stale + the 3 alphabetically-first r12-stale.
+# Still waiting (r16): dense_filtered_topk, doc_keywords,
 # doc_pagerank, dup_spans, event_funnel, gopher_rules, ingest_pairs,
 # lm_perplexity, media_resize, quantize_embeddings, temperature_mix,
 # video_near_dup. Tail entries keep their previous relative order and
@@ -3331,7 +3332,7 @@ _WINDOW_R15: tuple[str, ...] = (
     "org_stats", "events_json_filter", "pagerank_weighted",
     "graph_stats", "events_hourly", "events_cube", "user_sessions",
     "events_window_join", "augment_results",
-    "pricing_summary",  # changed in r15
+    "pricing_summary", "table_summary",  # changed in r15
     "chunk_documents",
     "cut_dup_spans", "db_stats", "embedding_near_dup",
     "enhanced_search", "extract_metadata", "extract_relationships",
@@ -3342,8 +3343,8 @@ _WINDOW_R15: tuple[str, ...] = (
     "visual_search", "vocab_oov",  # r9-stale
     "event_funnel_windowed", "pack_rows",
     "repetition_signals", "strip_markup",  # r11-stale
-    "bpe_pair_stats", "c4_rules", "cohort_retention",
-    "dense_filtered_topk",  # r12-stale (first 4 of 17)
+    "bpe_pair_stats", "c4_rules",
+    "cohort_retention",  # r12-stale (first 3 of 17)
 )
 
 

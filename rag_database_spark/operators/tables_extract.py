@@ -114,8 +114,31 @@ def table_summary(
     per_row_cols = cells.groupBy("table_id", "row_idx").agg(
         F.count("*").alias("ncols")
     )
-    variance = per_row_cols.groupBy("table_id").agg(
-        F.round(F.var_pop("ncols"), 6).alias("col_count_variance")
+    # var_pop via the exact closed form (n·Σx² − (Σx)²)/n² with exact
+    # integer sums: the engines' Welford-merge orders differ at the
+    # last ulp, and ncols is integral, so the integer form is both
+    # exact and order-independent (same hazard class as
+    # functions/exact.py; the DuckDB twin mirrors the expression)
+    variance = (
+        per_row_cols.groupBy("table_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("ncols").cast("long")).alias("__s"),
+            F.sum(
+                (F.col("ncols") * F.col("ncols")).cast("long")
+            ).alias("__ss"),
+        )
+        .select(
+            "table_id",
+            F.round(
+                (
+                    F.col("__n") * F.col("__ss")
+                    - F.col("__s") * F.col("__s")
+                ).cast("double")
+                / (F.col("__n") * F.col("__n")).cast("double"),
+                6,
+            ).alias("col_count_variance"),
+        )
     )
     headers = (
         cells.filter(F.col("is_header"))

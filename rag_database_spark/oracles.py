@@ -2762,7 +2762,13 @@ ratios AS (
   FROM data GROUP BY table_id
 ),
 variance AS (
-  SELECT table_id, round(var_pop(ncols), 6) AS col_count_variance
+  -- exact integer var_pop (n*SSq - S*S)/n^2, order-independent —
+  -- mirrors the Spark side (Welford merges differ at the last ulp)
+  SELECT table_id,
+         round(CAST(count(*) * sum(ncols * ncols)
+                    - sum(ncols) * sum(ncols) AS DOUBLE)
+               / CAST(count(*) * count(*) AS DOUBLE), 6)
+           AS col_count_variance
   FROM (
     SELECT table_id, row_idx, count(*) AS ncols
     FROM typed GROUP BY table_id, row_idx
