@@ -62,10 +62,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # every BM25-consuming entry so queries measure query time, not indexing.
 # --------------------------------------------------------------------------
 
-_INDEX_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
-_IVF_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
-_PQ_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
-_IVFPQ_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
+# Every in-memory artifact memo stores (session, value) and verifies
+# `is spark` on hit: a cached DataFrame is bound to the session that
+# read it, so after a stop/restart in the same process a bare
+# fingerprint hit would hand back a frame on a dead session.
+_INDEX_CACHE: dict[str, tuple[SparkSession, tuple[DataFrame, DataFrame]]] = {}
+_IVF_CACHE: dict[str, tuple[SparkSession, tuple[DataFrame, DataFrame]]] = {}
+_PQ_CACHE: dict[str, tuple[SparkSession, tuple[DataFrame, DataFrame]]] = {}
+_IVFPQ_CACHE: dict[
+    str, tuple[SparkSession, tuple[DataFrame, DataFrame, DataFrame]]
+] = {}
 
 # Prepared-query plans: the search entries are parameterized templates
 # over a fixed workload, and for the composite ones (three-leg hybrid,
@@ -109,8 +115,9 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     # keyed by the SOURCE FINGERPRINT (not sf_dir) so the in-memory and
     # on-disk layers invalidate together when the corpus is regenerated
     fp = _source_fingerprint(sf_dir)
-    if fp in _INDEX_CACHE:
-        return _INDEX_CACHE[fp]
+    hit = _INDEX_CACHE.get(fp)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     cache_dir = (
         Path(__file__).resolve().parent / ".cache" / "bm25_index" / fp
     )
@@ -119,7 +126,7 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             load_table(spark, sf_dir, "documents"), str(cache_dir)
         )
     pair = bm25_ops.read_index(spark, str(cache_dir))
-    _INDEX_CACHE[fp] = pair
+    _INDEX_CACHE[fp] = (spark, pair)
     return pair
 
 
@@ -206,8 +213,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         f"{_source_fingerprint(sf_dir, table='embeddings')}-det-ka{k}"
         f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
     )
-    if fp in _IVF_CACHE:
-        return _IVF_CACHE[fp]
+    hit = _IVF_CACHE.get(fp)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     cache_dir = Path(__file__).resolve().parent / ".cache" / "ivf_index" / fp
     if not (cache_dir / "centroids" / "_SUCCESS").exists():
         similarity.write_ivf_index(
@@ -218,7 +226,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             vec_col="embedding",
         )
     pair = similarity.read_ivf_index(spark, str(cache_dir))
-    _IVF_CACHE[fp] = pair
+    _IVF_CACHE[fp] = (spark, pair)
     return pair
 
 
@@ -256,8 +264,9 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         f"-m{pq_ops.PQ_M}-k{pq_ops.PQ_K}"
         f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
     )
-    if fp in _PQ_CACHE:
-        return _PQ_CACHE[fp]
+    hit = _PQ_CACHE.get(fp)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     cache_dir = Path(__file__).resolve().parent / ".cache" / "pq_index" / fp
     if not (cache_dir / "codes" / "_SUCCESS").exists():
         pq_ops.write_pq_index(
@@ -268,7 +277,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             vec_col="embedding",
         )
     pair = pq_ops.read_pq_index(spark, str(cache_dir))
-    _PQ_CACHE[fp] = pair
+    _PQ_CACHE[fp] = (spark, pair)
     return pair
 
 
@@ -373,8 +382,9 @@ def _ivfpq_index(
         f"-kc{kc}-m{pq_ops.PQ_M}-k{pq_ops.PQ_K}"
         f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
     )
-    if fp in _IVFPQ_CACHE:
-        return _IVFPQ_CACHE[fp]
+    hit = _IVFPQ_CACHE.get(fp)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     cache_dir = Path(__file__).resolve().parent / ".cache" / "ivfpq" / fp
     if not (cache_dir / "lists" / "_SUCCESS").exists():
         pq_ops.write_ivfpq_index(
@@ -386,7 +396,7 @@ def _ivfpq_index(
             vec_col="embedding",
         )
     triple = pq_ops.read_ivfpq_index(spark, str(cache_dir))
-    _IVFPQ_CACHE[fp] = triple
+    _IVFPQ_CACHE[fp] = (spark, triple)
     return triple
 
 
@@ -1005,7 +1015,34 @@ def _nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURATION_CACHE: dict[str, DataFrame] = {}
+_CURATION_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+_CURATION_LOGIC_VERSION: str | None = None
+
+
+def _curation_logic_version() -> str:
+    """Content hash of the source modules whose LOGIC determines the
+    curation artifact (quality regex banks + score formula, dedup
+    shingling/clustering, decontamination n-gram rules) — folded into
+    the cache key so an edit to any of them invalidates the persisted
+    flags frame, not just an edit to the three numeric constants the
+    key names explicitly. Hashing the module files is coarser than
+    hashing the exact closure but strictly safe: false invalidation
+    costs one rebuild, a stale hit costs silent wrong results."""
+    global _CURATION_LOGIC_VERSION
+    if _CURATION_LOGIC_VERSION is None:
+        import hashlib
+
+        from rag_database_spark.functions import text as _text_mod
+        from rag_database_spark.operators import (
+            text_analytics as _ta_mod,
+        )
+
+        h = hashlib.md5()
+        for mod in (_ta_mod, _text_mod, dedup):
+            h.update(Path(mod.__file__).read_bytes())
+        _CURATION_LOGIC_VERSION = h.hexdigest()[:10]
+    return _CURATION_LOGIC_VERSION
 
 
 def _curation_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,17 +1063,20 @@ def _curation_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup + 19-regex quality ancestry on every call, ~7.5 s combined
     at sf0.1) with the same ``.cache`` discipline as the BM25/IVF/
     k-means artifacts; the cache key carries the dedup + quality
-    constants so a parameter edit can never serve a stale frame.
+    constants AND a content hash of the defining modules
+    (``_curation_logic_version``) so neither a parameter edit nor a
+    logic/regex-bank edit can ever serve a stale frame.
     Serving both entries becomes a doc-count-sized parquet scan —
     at 100× the build amortizes across every downstream read and the
     flags frame stays one narrow row per document."""
     fp = (
         f"{_source_fingerprint(sf_dir)}-s{dedup.SHINGLE_K}"
         f"-j{JACCARD_THRESHOLD}-p{text_analytics.QUALITY_FILTER_P}"
+        f"-v{_curation_logic_version()}"
     )
     hit = _CURATION_CACHE.get(fp)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     cache_dir = Path(__file__).resolve().parent / ".cache" / "curation" / fp
     if not (cache_dir / "_SUCCESS").exists():
         import math
@@ -1106,7 +1146,7 @@ def _curation_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         art.write.mode("overwrite").parquet(str(cache_dir))
     df = spark.read.parquet(str(cache_dir))
-    _CURATION_CACHE[fp] = df
+    _CURATION_CACHE[fp] = (spark, df)
     return df
 
 

@@ -170,6 +170,16 @@ def main() -> int:
     # warm the sentinel's own codegen path once, then open the
     # sentinel series — its running MIN is the session-quiet baseline
     sentinel_seconds(spark)
+    # untimed per-entry warmup pass: execute every query once before
+    # any timed run so codegen/JIT compilation and broadcast/shuffle
+    # warmup land here, not in timed pass 1 — without it, clean-pass
+    # med/min spreads of 2-3× persisted on first-execution-heavy
+    # entries (hybrid_adaptive, fuzzy_decontam; r15 VERDICT item 3),
+    # which three timed runs cannot average away
+    for name in names:
+        qs[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
     sentinels = [sentinel_seconds(spark)]
     # interleave whole passes (not per-query repeats) so run i of every
     # query sees the same JVM/cache warmth profile; each pass is
@@ -187,10 +197,17 @@ def main() -> int:
         sentinels.append(sentinel_seconds(spark))
         pass_times.append(times)
         brackets.append((lead, len(sentinels) - 1))
+        # classify against ALL sentinels so far: a later, faster
+        # sentinel lowers the session-best baseline and retroactively
+        # reclassifies earlier passes — sum(clean) here is always the
+        # CURRENT count, and it is the value used everywhere below (no
+        # post-loop recompute, so the break condition and the reported
+        # clean_passes can never disagree). clean_passes may still end
+        # < N_RUNS when the MAX_EXTRA_PASSES cap trips first; the
+        # stat-selection fallback below handles that explicitly.
         clean = classify_passes(sentinels, brackets, SENTINEL_FACTOR)
         if sum(clean) >= N_RUNS or len(pass_times) >= N_RUNS + MAX_EXTRA_PASSES:
             break
-    clean = classify_passes(sentinels, brackets, SENTINEL_FACTOR)
     runs = {n: [p[n] for p in pass_times] for n in names}
     clean_runs = {
         n: [p[n] for p, ok in zip(pass_times, clean) if ok] for n in names
@@ -229,6 +246,9 @@ def main() -> int:
         "sf": sf,
         # contention adjudication record (r14 VERDICT item 1)
         "stat": stat,
+        # r16: one untimed per-entry warmup pass precedes the timed
+        # passes — medians measure warm serving, not codegen warmup
+        "warmup_pass": True,
         "sentinels": [round(s, 3) for s in sentinels],
         "sentinel_factor": SENTINEL_FACTOR,
         "clean_passes": n_clean,

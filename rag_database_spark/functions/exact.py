@@ -11,8 +11,11 @@ sf0.1, r15).
 
 For DATA columns that are fixed-decimal by construction (the
 generated ``events.value`` / ``orders.o_totalprice`` /
-``lineitem.l_extendedprice`` / ``l_discount`` carry 2 decimals,
-relationship ``confidence`` carries 1), the fix is lossless: cast
+``lineitem.l_extendedprice`` / ``l_discount`` carry 2 decimals;
+relationship ``confidence`` is NOMINALLY 1dp but float-COMPUTED —
+e.g. 0.7 - 0.2 = 0.49999999999999994 — so its call sites use
+scale=6, wide enough to absorb the float representation error
+identically on both engines), the fix is lossless: cast
 each value to DECIMAL before aggregating — both engines then compute
 the IDENTICAL exact decimal total in any order — and cast the exact
 total back to double for the usual 6dp-rounded output. The
@@ -24,7 +27,7 @@ DuckDB twin idiom (mirror in oracles.py wherever these are used)::
 
     round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
     round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-          / count(*), 6)                      -- exact_avg
+          / count(value), 6)                  -- exact_avg
 
 Computed-double aggregates (RRF sums, log-likelihood totals) stay
 float: their inputs are not fixed-decimal, groups are small/bounded,
@@ -65,5 +68,11 @@ def exact_avg(
     """Exact-sum-based mean: one exact decimal total cast to double,
     ONE double division by the group count — deterministic on both
     engines (identical dividend and divisor in, identical double
-    out)."""
-    return exact_sum(col, scale, precision) / F.count(F.lit(1))
+    out).
+
+    The divisor is the NON-NULL count of ``col`` — the same
+    denominator ``F.avg`` uses — so a nullable input yields the mean
+    of its present values, not a silently-diluted all-rows mean.
+    DuckDB twins must divide by ``count(col)`` to match."""
+    c = _col(col)
+    return exact_sum(c, scale, precision) / F.count(c)

@@ -721,7 +721,7 @@ WITH e AS (
 )
 SELECT event_type, count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-             / count(*), 6) AS avg_value,
+             / count(value), 6) AS avg_value,
        min(k) AS min_k, max(k) AS max_k
 FROM e WHERE k >= {lo} AND k <= {hi}
 GROUP BY event_type
@@ -1874,7 +1874,7 @@ def graph_stats_sql(jaccard_threshold: float, k: int) -> str:
 WITH {_edges_ctes(jaccard_threshold, k)}
 SELECT relation_type, count(*) AS n_edges,
        round(CAST(sum(CAST(confidence AS DECIMAL(16,6))) AS DOUBLE)
-             / count(*), 6) AS avg_confidence,
+             / count(confidence), 6) AS avg_confidence,
        count(DISTINCT src) AS n_sources,
        count(DISTINCT dst) AS n_targets
 FROM edges GROUP BY relation_type
@@ -3462,7 +3462,7 @@ top AS (
 related AS (
   SELECT t.query_id, u.other AS id,
          round(CAST(sum(CAST(u.confidence AS DECIMAL(16,6))) AS DOUBLE)
-             / count(*), 6) AS graph_score
+             / count(u.confidence), 6) AS graph_score
   FROM top t JOIN und u ON u.me = t.doc_id
   GROUP BY t.query_id, u.other
 ),
