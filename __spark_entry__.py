@@ -3339,7 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "minhash_sigs": _minhash_sigs,
     }
-    ordered = {n: base[n] for n in _WINDOW_R15}
+    ordered = {n: base[n] for n in _WINDOW_R16}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -3347,44 +3347,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-15 window rotation (VERDICT r14 item 3): keep certifications
-# fresh — no entry's last driver-green row should age past ~5 rounds.
-# The 50 in-window names = the 7 entries whose engine or oracle
-# changed in r15 (curation-artifact rewrite of curation_funnel;
-# NULL-coalesce twin contract in leakage_split/split_audit; (rank,id)
-# tiebreaker in hard_negatives; integer-exact avg_score in
-# search_analytics — the sf0.1 sweep's boundary-ulp find; the
-# exact-decimal aggregate sweep over fixed-decimal data columns
-# (functions/exact.py: events value, o_totalprice, lineitem prices,
-# 6dp edge confidences) covering the events/relational/graph rollups;
-# exact integer var_pop in table_summary; assert→ValueError guards in
-# mmr_rerank/rag_context_pack/eval_delta) + the 23 remaining r9-stale
-# certifications + 4 r11-stale + the 3 alphabetically-first r12-stale.
-# Still waiting (r16): dense_filtered_topk, doc_keywords,
-# doc_pagerank, dup_spans, event_funnel, gopher_rules, ingest_pairs,
-# lm_perplexity, media_resize, quantize_embeddings, temperature_mix,
-# video_near_dup. Tail entries keep their previous relative order and
-# stay green via tests/test_entry_oracle.py.
-_WINDOW_R15: tuple[str, ...] = (
-    "curation_funnel", "curate_corpus", "leakage_split", "split_audit",
-    "hard_negatives", "search_analytics",
-    "mmr_rerank", "rag_context_pack", "eval_delta",
-    "org_stats", "events_json_filter", "pagerank_weighted",
-    "graph_stats", "events_hourly", "events_cube", "user_sessions",
-    "events_window_join", "augment_results",
-    "pricing_summary", "table_summary",  # changed in r15
-    "chunk_documents",
-    "cut_dup_spans", "db_stats", "embedding_near_dup",
-    "enhanced_search", "extract_metadata", "extract_relationships",
-    "frequent_ngrams", "graph_expand", "ingest_gate",
-    "minhash_sigs", "nfc_normalize", "quality_filter", "quality_report",
-    "quantized_topk", "resolve_references", "source_mix",
-    "stratified_sample", "table_cells", "time_travel", "vector_upsert",
-    "visual_search", "vocab_oov",  # r9-stale
-    "event_funnel_windowed", "pack_rows",
-    "repetition_signals", "strip_markup",  # r11-stale
-    "bpe_pair_stats", "c4_rules",
-    "cohort_retention",  # r12-stale (first 3 of 17)
+# Round-16 window rotation (VERDICT r15 item 4): keep certifications
+# fresh — rotate toward the stalest last-driver-green rows in the
+# CORRECTNESS_r01-r15 union. The 50 in-window names = the 3 entries
+# whose engine AND oracle changed in r16 (exact_avg divides by the
+# non-NULL count on both engines: events_json_filter avg_value,
+# graph_stats avg_confidence, augment_results graph_score) + all 12
+# r12-stale certifications + the 35 alphabetically-first of the 44
+# r13-stale. Still waiting (r17, the 9 remaining r13-stale):
+# semantic_components, semantic_pagerank, semdedup, shuffle_export,
+# soft_dedup, tenant_scoped_search, text_embed_topk,
+# token_budget_select, vector_ingest_gate. Staleness floor after this
+# window lands: r13. Tail entries keep their previous relative order
+# and stay green via tests/test_entry_oracle.py.
+_WINDOW_R16: tuple[str, ...] = (
+    "events_json_filter", "graph_stats", "augment_results",  # r16 change
+    "dense_filtered_topk", "doc_keywords", "doc_pagerank", "dup_spans",
+    "event_funnel", "gopher_rules", "ingest_pairs", "lm_perplexity",
+    "media_resize", "quantize_embeddings", "temperature_mix",
+    "video_near_dup",  # r12-stale (all 12)
+    "ann_ivf_topk", "ann_lsh_topk", "asof_attribution",
+    "audio_near_dup", "bloom_gate", "bloom_gate_paras", "bm25_topk",
+    "bpe_tokens", "bpe_vocab", "cluster_quota_sample", "decontam",
+    "dsir_resample", "dsir_select", "embed_kmeans", "flagged_words",
+    "graph_triangles", "hybrid_rrf3", "image_near_dup", "ivfpq_topk",
+    "kmeans_outliers", "knn_graph", "knn_graph_lsh", "matryoshka_topk",
+    "maxsim_topk", "pack_sequences", "perceptron_select", "ppr_topk",
+    "pq_topk", "query_analysis", "redact_pii", "related_ids",
+    "retention_sweep", "route_and_chunk", "route_stats",
+    "semantic_chunks",  # r13-stale (35 of 44)
 )
 
 
