@@ -39,3 +39,33 @@ def test_stale_session_invalidates(spark):
     rebuilt = qs[name](spark, SF_DIR)
     assert rebuilt is not df
     assert entrymod._PREPARED[key][0] is spark
+
+
+def test_index_cache_stale_session_invalidates(spark):
+    """r15 ADVICE: the artifact memos (_INDEX_CACHE et al.) carry the
+    same (session, value) identity guard as _PREPARED — a hit owned by
+    a stopped/replaced session must rebuild, never serve the dead
+    frame."""
+    pair = entrymod._bm25_index(spark, SF_DIR)
+    fp = entrymod._source_fingerprint(SF_DIR)
+    assert entrymod._INDEX_CACHE[fp] == (spark, pair)
+    sentinel = ("dead", "frames")
+    entrymod._INDEX_CACHE[fp] = (object(), sentinel)
+    rebuilt = entrymod._bm25_index(spark, SF_DIR)
+    assert rebuilt is not sentinel
+    assert entrymod._INDEX_CACHE[fp][0] is spark
+
+
+def test_curation_cache_stale_session_invalidates(spark):
+    art = entrymod._curation_artifact(spark, SF_DIR)
+    assert art.count() > 0
+    (fp,) = [
+        k for k, v in entrymod._CURATION_CACHE.items() if v[1] is art
+    ]
+    # the key must carry the logic-version hash (regex-bank edits
+    # invalidate, not just the numeric constants)
+    assert fp.endswith(f"-v{entrymod._curation_logic_version()}")
+    entrymod._CURATION_CACHE[fp] = (object(), art)
+    rebuilt = entrymod._curation_artifact(spark, SF_DIR)
+    assert rebuilt is not art
+    assert entrymod._CURATION_CACHE[fp][0] is spark

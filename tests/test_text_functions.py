@@ -115,3 +115,21 @@ def test_exact_sum_is_summation_order_independent(spark):
     naive = df.agg(F.sum("v").alias("s")).first()["s"]
     assert naive != 10000.0
     assert df.agg(exact_avg("v", scale=1).alias("a")).first()["a"] == 0.1
+
+
+def test_exact_avg_null_semantics(spark):
+    """exact_avg divides by the NON-NULL count (F.avg semantics, r15
+    ADVICE): a nullable column yields the mean of its present values,
+    not an all-rows-diluted mean."""
+    from pyspark.sql import functions as F
+
+    from rag_database_spark.functions.exact import exact_avg
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 4.0), (3, None), (4, None)], "id int, v double"
+    )
+    got = df.agg(
+        exact_avg("v", scale=1).alias("e"), F.avg("v").alias("f")
+    ).first()
+    assert got["e"] == 3.0  # (2+4)/2, not (2+4)/4
+    assert got["e"] == got["f"]
