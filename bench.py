@@ -50,6 +50,17 @@ MAX_EXTRA_PASSES = max(
 SENTINEL_FACTOR = float(
     os.environ.get("SPARK_GRAFT_BENCH_SENTINEL_FACTOR", "2.0")
 )
+# whole-pass self-sentinel (r16): a pass whose TOTAL runtime exceeds
+# this factor × the best pass's total is contended even when its
+# bracketing sentinels read clean — the CPU-only sentinel job is blind
+# to I/O/page-cache contention (observed: an I/O storm inflated a
+# pass's total 1.5× — shortest_chains alone 1.9 → 26.9 s — while all
+# four sentinels stayed within 1.25× of the session best). The
+# workload itself is the only probe that touches the artifact files,
+# so its own sum is the I/O sentinel.
+PASS_SUM_FACTOR = float(
+    os.environ.get("SPARK_GRAFT_BENCH_PASS_SUM_FACTOR", "1.4")
+)
 
 
 def sentinel_seconds(spark) -> float:
@@ -75,15 +86,27 @@ def sentinel_seconds(spark) -> float:
 def classify_passes(
     sentinels: list[float], brackets: list[tuple[int, int]],
     factor: float,
+    pass_sums: list[float] | None = None,
+    sum_factor: float | None = None,
 ) -> list[bool]:
     """True per pass iff BOTH bracketing sentinels are within
     ``factor`` × the session-best sentinel — i.e. the host was quiet
-    when the pass started and when it ended."""
+    when the pass started and when it ended — AND (when ``pass_sums``
+    is given) the pass's total runtime is within ``sum_factor`` × the
+    best pass's total (the whole-pass self-sentinel: catches I/O and
+    page-cache contention the CPU sentinel job never touches)."""
     best = min(sentinels)
-    return [
+    clean = [
         sentinels[lo] <= factor * best and sentinels[hi] <= factor * best
         for lo, hi in brackets
     ]
+    if pass_sums:
+        best_sum = min(pass_sums)
+        clean = [
+            ok and s <= (sum_factor or PASS_SUM_FACTOR) * best_sum
+            for ok, s in zip(clean, pass_sums)
+        ]
+    return clean
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -197,15 +220,19 @@ def main() -> int:
         sentinels.append(sentinel_seconds(spark))
         pass_times.append(times)
         brackets.append((lead, len(sentinels) - 1))
-        # classify against ALL sentinels so far: a later, faster
-        # sentinel lowers the session-best baseline and retroactively
-        # reclassifies earlier passes — sum(clean) here is always the
-        # CURRENT count, and it is the value used everywhere below (no
-        # post-loop recompute, so the break condition and the reported
-        # clean_passes can never disagree). clean_passes may still end
-        # < N_RUNS when the MAX_EXTRA_PASSES cap trips first; the
-        # stat-selection fallback below handles that explicitly.
-        clean = classify_passes(sentinels, brackets, SENTINEL_FACTOR)
+        # classify against ALL sentinels (and pass totals) so far: a
+        # later, faster sentinel/pass lowers the session-best baseline
+        # and retroactively reclassifies earlier passes — sum(clean)
+        # here is always the CURRENT count, and it is the value used
+        # everywhere below (no post-loop recompute, so the break
+        # condition and the reported clean_passes can never disagree).
+        # clean_passes may still end < N_RUNS when the
+        # MAX_EXTRA_PASSES cap trips first; the stat-selection
+        # fallback below handles that explicitly.
+        pass_sums = [sum(p.values()) for p in pass_times]
+        clean = classify_passes(
+            sentinels, brackets, SENTINEL_FACTOR, pass_sums
+        )
         if sum(clean) >= N_RUNS or len(pass_times) >= N_RUNS + MAX_EXTRA_PASSES:
             break
     runs = {n: [p[n] for p in pass_times] for n in names}
@@ -250,6 +277,8 @@ def main() -> int:
         # passes — medians measure warm serving, not codegen warmup
         "warmup_pass": True,
         "sentinels": [round(s, 3) for s in sentinels],
+        "pass_sums": [round(s, 3) for s in pass_sums],
+        "pass_sum_factor": PASS_SUM_FACTOR,
         "sentinel_factor": SENTINEL_FACTOR,
         "clean_passes": n_clean,
         "total_passes": len(pass_times),

@@ -73,3 +73,30 @@ def test_classify_passes_brackets_contention():
         True,
         True,
     ]
+
+
+def test_classify_passes_whole_pass_self_sentinel():
+    """r16: a pass whose TOTAL runtime blows past sum_factor x the
+    best pass is contended even when its bracketing sentinels are
+    clean — the CPU sentinel is blind to I/O/page-cache contention,
+    so the workload's own sum is the I/O probe."""
+    from bench import classify_passes
+
+    sentinels = [0.5, 0.55, 0.6, 0.5]
+    brackets = [(0, 1), (1, 2), (2, 3)]
+    # sentinels all clean; pass 0 took 1.6x the best pass
+    clean = classify_passes(
+        sentinels, brackets, 2.0, pass_sums=[160.0, 110.0, 100.0],
+        sum_factor=1.4,
+    )
+    assert clean == [False, True, True]
+    # uniformly slow passes self-normalize (best is itself slow)
+    assert classify_passes(
+        sentinels, brackets, 2.0, pass_sums=[150.0, 155.0, 149.0],
+        sum_factor=1.4,
+    ) == [True, True, True]
+    # and a sentinel-contended pass stays contended regardless of sums
+    assert classify_passes(
+        [0.5, 2.0, 0.5, 0.5], brackets, 2.0,
+        pass_sums=[100.0, 100.0, 100.0], sum_factor=1.4,
+    ) == [False, False, True]
