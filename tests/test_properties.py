@@ -185,3 +185,51 @@ def test_fold_cosine_matches_jvm_expression_batch(spark):
         "i", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
     for i, a, b in rows:
         assert got[i] == _fold_cosine(a, b), (i, got[i], _fold_cosine(a, b))
+
+
+def test_exact_sum_order_free_and_matches_duckdb_batch(spark):
+    """functions/exact.py contract on a seeded adversarial batch of
+    2dp values: exact_sum is identical across partitionings (1/7/32),
+    equals Python's Decimal total exactly, and equals DuckDB's
+    DECIMAL-cast sum — the order-independence the 6dp twin rounding
+    relies on at 100 TB group sizes. exact_avg = exact total / the
+    NON-NULL count on both engines (r16 divisor contract)."""
+    import random
+    from decimal import Decimal
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from rag_database_spark.functions.exact import exact_avg, exact_sum
+
+    rng = random.Random(16)
+    # adversarial: many x.x5 boundary values + magnitudes spanning 6
+    # orders, all exactly 2dp; a few NULLs exercise the avg divisor
+    vals = [round(rng.uniform(-1e4, 1e4), 2) for _ in range(5000)]
+    vals += [0.05, -0.05, 123.45, -123.45, 0.01, -0.01, 1e6 - 0.01]
+    rows = [(i, v) for i, v in enumerate(vals)] + [
+        (len(vals), None), (len(vals) + 1, None)
+    ]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {}
+    for parts in (1, 7, 32):
+        row = (
+            df.repartition(parts)
+            .agg(exact_sum("v").alias("s"), exact_avg("v").alias("a"))
+            .first()
+        )
+        got[parts] = (row["s"], row["a"])
+    assert got[1] == got[7] == got[32]
+    py_total = sum(
+        (Decimal(str(v)) for v in vals), start=Decimal("0")
+    )
+    assert got[1][0] == float(py_total)
+    assert got[1][1] == float(py_total) / len(vals)  # non-null count
+    duck = duckdb.sql(
+        "SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+        "CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v) AS a "
+        "FROM (SELECT unnest(?) AS v)",
+        params=[vals + [None, None]],
+    ).fetchone()
+    assert duck[0] == got[1][0]
+    assert duck[1] == got[1][1]
