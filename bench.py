@@ -57,7 +57,11 @@ SENTINEL_FACTOR = float(
 # pass's total 1.5× — shortest_chains alone 1.9 → 26.9 s — while all
 # four sentinels stayed within 1.25× of the session best). The
 # workload itself is the only probe that touches the artifact files,
-# so its own sum is the I/O sentinel.
+# so its own sum is the I/O sentinel. Calibration: clean sf0.1 passes
+# sit within ~1.1× of each other and the observed storm was 1.6-2×;
+# at sf0.01 the NATURAL pass-1 decay measured 1.38× (fixed overhead
+# dominates tiny scales), so when benching below sf0.1 raise this via
+# SPARK_GRAFT_BENCH_PASS_SUM_FACTOR or expect a few replaced passes.
 PASS_SUM_FACTOR = float(
     os.environ.get("SPARK_GRAFT_BENCH_PASS_SUM_FACTOR", "1.4")
 )
