@@ -111,6 +111,52 @@ def _source_fingerprint(sf_dir: str, table: str = "documents") -> str:
     return f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
 
 
+_LOGIC_VERSIONS: dict[tuple, str] = {}
+
+
+def _logic_version(*mods, with_entry: bool = True) -> str:
+    """Content hash of the given modules' source files — folded into a
+    derived-artifact cache key so a LOGIC edit to any module in the
+    artifact's defining closure rebuilds the artifact instead of
+    serving a stale frame (the r12/r16/r17 ADVICE staleness class:
+    constant edits already ride the keys explicitly, but the code that
+    consumes those constants did not). ``with_entry=True`` (default)
+    also hashes THIS entry file, covering builder wiring that lives
+    here (join/flag composition, edge construction, workload
+    constants like JACCARD_THRESHOLD) — pass ``with_entry=False``
+    only for artifacts whose builder is a thin call into the hashed
+    modules with every entry-side constant already in the key, where
+    a per-round whole-file rebuild of an expensive artifact buys no
+    extra safety. Hashing files is coarser than hashing the exact
+    closure but strictly safe: false invalidation costs one rebuild
+    (absorbed untimed in prepare()/warmup), a stale hit costs silent
+    wrong results."""
+    key = tuple(sorted(m.__name__ for m in mods)) + (with_entry,)
+    v = _LOGIC_VERSIONS.get(key)
+    if v is None:
+        import hashlib
+
+        h = hashlib.md5()
+        if with_entry:
+            h.update(Path(__file__).read_bytes())
+        for mod in sorted(mods, key=lambda m: m.__name__):
+            h.update(Path(mod.__file__).read_bytes())
+        v = h.hexdigest()[:10]
+        _LOGIC_VERSIONS[key] = v
+    return v
+
+
+def _graph_logic_version() -> str:
+    """Version hash for the doc-graph artifact family (pagerank edge
+    list, pagerank/PPR scores, adjacency): covers graph.py (iteration
+    /edge-prep logic), dedup.py (shingle pairs feeding near_dup
+    edges), and the entry file itself (_doc_edge_table's confidence
+    grid, JACCARD_THRESHOLD, seed constants) — r17 ADVICE: the
+    fingerprint-only pagerank_edges key let an edge-parameter edit
+    serve stale PPR scores."""
+    return _logic_version(graph_ops, dedup)
+
+
 def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # keyed by the SOURCE FINGERPRINT (not sf_dir) so the in-memory and
     # on-disk layers invalidate together when the corpus is regenerated
@@ -600,11 +646,20 @@ _JACCARD_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every constant the artifact bakes in rides the cache key —
     # changing SHINGLE_K must rebuild, not serve stale shingles
-    # (the ADVICE r12 staleness class, swept repo-wide in r13)
+    # (the ADVICE r12 staleness class, swept repo-wide in r13). r17:
+    # the dedup-module hash rides too (a shingling LOGIC edit with
+    # unchanged constants previously served stale shingles into every
+    # downstream pair/graph artifact). with_entry=False: the builder
+    # is a thin call into dedup.py and the entry-side constant is in
+    # the key — a per-round rebuild of the most expensive artifact
+    # family would buy no extra safety.
     cache_dir = (
         Path(__file__).resolve().parent
         / ".cache" / "shingle_index"
-        / f"{_source_fingerprint(sf_dir)}-s{dedup.SHINGLE_K}"
+        / (
+            f"{_source_fingerprint(sf_dir)}-s{dedup.SHINGLE_K}"
+            f"-v{_logic_version(dedup, with_entry=False)}"
+        )
     )
     if not (cache_dir / "_SUCCESS").exists():
         dedup.write_shingle_index(
@@ -623,6 +678,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         f"{_source_fingerprint(sf_dir)}"
         f"-s{dedup.SHINGLE_K}-j{JACCARD_THRESHOLD}"
+        f"-v{_logic_version(dedup, with_entry=False)}"
     )
     hit = _JACCARD_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
@@ -1022,27 +1078,24 @@ _CURATION_LOGIC_VERSION: str | None = None
 
 
 def _curation_logic_version() -> str:
-    """Content hash of the source modules whose LOGIC determines the
-    curation artifact (quality regex banks + score formula, dedup
-    shingling/clustering, decontamination n-gram rules) — folded into
-    the cache key so an edit to any of them invalidates the persisted
-    flags frame, not just an edit to the three numeric constants the
-    key names explicitly. Hashing the module files is coarser than
-    hashing the exact closure but strictly safe: false invalidation
-    costs one rebuild, a stale hit costs silent wrong results."""
+    """Content hash of the sources whose LOGIC determines the curation
+    artifact: quality regex banks + score formula
+    (text_analytics/functions.text), dedup shingling/clustering and
+    decontamination n-gram rules (dedup), AND this entry file itself —
+    _curation_artifact's join/flag composition and _cluster_labels
+    wiring live here, so an entry-side edit must rebuild too (r17
+    ADVICE: the module-only hash left the builder's own source
+    uncovered). Folded into the cache key so neither a parameter edit
+    nor a logic edit anywhere in the defining closure can serve a
+    stale flags frame."""
     global _CURATION_LOGIC_VERSION
     if _CURATION_LOGIC_VERSION is None:
-        import hashlib
-
         from rag_database_spark.functions import text as _text_mod
         from rag_database_spark.operators import (
             text_analytics as _ta_mod,
         )
 
-        h = hashlib.md5()
-        for mod in (_ta_mod, _text_mod, dedup):
-            h.update(Path(mod.__file__).read_bytes())
-        _CURATION_LOGIC_VERSION = h.hexdigest()[:10]
+        _CURATION_LOGIC_VERSION = _logic_version(_ta_mod, _text_mod, dedup)
     return _CURATION_LOGIC_VERSION
 
 
@@ -1988,13 +2041,17 @@ _ADJ_CACHE: dict[tuple[str, float], tuple[SparkSession, DataFrame]] = {}
 
 
 def _adjacency(spark: SparkSession, sf_dir: str, min_conf: float) -> DataFrame:
-    key = (_source_fingerprint(sf_dir), min_conf)
+    # fingerprint + cutoff + graph-logic version (same r17 ADVICE
+    # staleness class as the pagerank keys: the adjacency bakes in
+    # _doc_edge_table's construction)
+    fp = f"{_source_fingerprint(sf_dir)}-v{_graph_logic_version()}"
+    key = (fp, min_conf)
     hit = _ADJ_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
     cache_dir = (
         Path(__file__).resolve().parent
-        / ".cache" / "adjacency" / f"{key[0]}_c{int(min_conf * 100)}"
+        / ".cache" / "adjacency" / f"{fp}_c{int(min_conf * 100)}"
     )
     if not (cache_dir / "_SUCCESS").exists():
         graph_ops.write_adjacency(
@@ -2052,7 +2109,12 @@ _PAGERANK_OUT_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _pagerank_out(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = _source_fingerprint(sf_dir)
+    # graph-logic version rides the key (r17 ADVICE): the edge table's
+    # construction constants (JACCARD_THRESHOLD's near_dup arm, the
+    # sequence confidence grid) and graph.py's edge prep are baked
+    # into this artifact but were previously invisible to the
+    # fingerprint-only key
+    fp = f"{_source_fingerprint(sf_dir)}-v{_graph_logic_version()}"
     hit = _PAGERANK_OUT_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
         return hit[1]
@@ -2071,10 +2133,13 @@ def _pagerank_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_scores(
     spark: SparkSession, sf_dir: str, weighted: bool = False
 ) -> DataFrame:
-    # iteration count and damping are baked into the persisted scores
+    # iteration count, damping, and the graph-logic version (edge
+    # construction + iteration code, r17 ADVICE) are baked into the
+    # persisted scores
     fp = (
         f"{_source_fingerprint(sf_dir)}"
         f"-i{graph_ops.PAGERANK_ITERATIONS}-d{graph_ops.PAGERANK_DAMPING}"
+        f"-v{_graph_logic_version()}"
     )
     key = fp + ("_w" if weighted else "")
     hit = _PAGERANK_CACHE.get(key)
@@ -2153,13 +2218,16 @@ def _ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration previously re-ran per call, 4.3 s at sf0.1 vs ~0.05 s
     served — same artifact treatment doc_pagerank/pagerank_weighted
     have had since r11). The iteration count, damping, and seed bound
-    are baked into the key. A caller with DYNAMIC seeds runs
+    are baked into the key, as is the graph-logic version hash (r17
+    ADVICE: the edge-construction constants shape _doc_edge_table,
+    consumed via _pagerank_out — without the version an edge-parameter
+    edit served stale PPR scores). A caller with DYNAMIC seeds runs
     ``graph_ops.pagerank(seeds=...)`` live — the loop this artifact's
     build (and the pagerank units) exercises."""
     fp = (
         f"{_source_fingerprint(sf_dir)}"
         f"-i{graph_ops.PAGERANK_ITERATIONS}-d{graph_ops.PAGERANK_DAMPING}"
-        f"-s{PPR_SEED_MAX}"
+        f"-s{PPR_SEED_MAX}-v{_graph_logic_version()}"
     )
     hit = _PPR_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
@@ -2867,8 +2935,14 @@ def _semantic_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # knn_graph's rank to PREFETCH_ROUND_DP, which can flip edges at
     # rank-k tie boundaries — a pre-change artifact served against the
     # post-change oracle would diverge with no rebuild trigger (same
-    # staleness class the kmeans "-k" suffix guards)
-    fp = f"{_source_fingerprint(sf_dir, table='embeddings')}-q12"
+    # staleness class the kmeans "-k" suffix guards). r17 generalizes
+    # that one-off suffix: the logic-version hash of the defining
+    # modules (knn edge construction + iteration) plus this entry
+    # file's wiring rides the key too.
+    fp = (
+        f"{_source_fingerprint(sf_dir, table='embeddings')}-q12"
+        f"-v{_logic_version(graph_ops, similarity)}"
+    )
     key = f"sempr:{fp}"
     hit = _PAGERANK_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -3379,7 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "minhash_sigs": _minhash_sigs,
     }
-    ordered = {n: base[n] for n in _WINDOW_R16}
+    ordered = {n: base[n] for n in _WINDOW_R17}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return {
         n: (_wrap_prepared(n, f) if n in _PURE_LAZY else f)
@@ -3387,37 +3461,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-16 window rotation (VERDICT r15 item 4): keep certifications
+# Round-17 window rotation (VERDICT r16 item 1): keep certifications
 # fresh — rotate toward the stalest last-driver-green rows in the
-# CORRECTNESS_r01-r15 union. The 50 in-window names = the 3 entries
-# whose engine AND oracle changed in r16 (exact_avg divides by the
-# non-NULL count on both engines: events_json_filter avg_value,
-# graph_stats avg_confidence, augment_results graph_score; ppr_topk
-# also changed — artifact-served scores — and sits in the r13-stale
-# block below) + all 12
-# r12-stale certifications + the 35 alphabetically-first of the 44
-# r13-stale. Still waiting (r17, the 9 remaining r13-stale):
-# semantic_components, semantic_pagerank, semdedup, shuffle_export,
-# soft_dedup, tenant_scoped_search, text_embed_topk,
-# token_budget_select, vector_ingest_gate. Staleness floor after this
-# window lands: r13. Tail entries keep their previous relative order
-# and stay green via tests/test_entry_oracle.py.
-_WINDOW_R16: tuple[str, ...] = (
-    "events_json_filter", "graph_stats", "augment_results",  # r16 change
-    "dense_filtered_topk", "doc_keywords", "doc_pagerank", "dup_spans",
-    "event_funnel", "gopher_rules", "ingest_pairs", "lm_perplexity",
-    "media_resize", "quantize_embeddings", "temperature_mix",
-    "video_near_dup",  # r12-stale (all 12)
-    "ann_ivf_topk", "ann_lsh_topk", "asof_attribution",
-    "audio_near_dup", "bloom_gate", "bloom_gate_paras", "bm25_topk",
-    "bpe_tokens", "bpe_vocab", "cluster_quota_sample", "decontam",
-    "dsir_resample", "dsir_select", "embed_kmeans", "flagged_words",
-    "graph_triangles", "hybrid_rrf3", "image_near_dup", "ivfpq_topk",
-    "kmeans_outliers", "knn_graph", "knn_graph_lsh", "matryoshka_topk",
-    "maxsim_topk", "pack_sequences", "perceptron_select", "ppr_topk",
-    "pq_topk", "query_analysis", "redact_pii", "related_ids",
-    "retention_sweep", "route_and_chunk", "route_stats",
-    "semantic_chunks",  # r13-stale (35 of 44)
+# CORRECTNESS_r01-r16 union. The 50 in-window names = the 9 remaining
+# r13-stale certifications (named since r16's window comment) + ALL
+# 37 r14-stale + the 4 alphabetically-first of the 47 r15-stale
+# (bpe_pair_stats, c4_rules, chunk_documents, cohort_retention). No
+# entry's RESULT changed in r17 (the graph/curation artifact
+# cache-key fixes rebuild artifacts under versioned keys with
+# unchanged logic, so values are identical); the graph-family entries
+# that consume the rebuilt artifacts (shortest_chains, doc_pagerank
+# consumers' r14 rows) are in-window anyway via staleness. Staleness
+# floor after this window lands: r14 (43 r15-stale entries remain for
+# r18: curate_corpus, curation_funnel, cut_dup_spans, db_stats,
+# embedding_near_dup, enhanced_search, eval_delta,
+# event_funnel_windowed, events_cube, events_hourly,
+# events_window_join, extract_metadata, extract_relationships,
+# frequent_ngrams, graph_expand, hard_negatives, ingest_gate,
+# leakage_split, minhash_sigs, mmr_rerank, nfc_normalize, org_stats,
+# pack_rows, pagerank_weighted, pricing_summary, quality_filter,
+# quality_report, quantized_topk, rag_context_pack,
+# repetition_signals, resolve_references, search_analytics,
+# source_mix, split_audit, stratified_sample, strip_markup,
+# table_cells, table_summary, time_travel, user_sessions,
+# vector_upsert, visual_search, vocab_oov). Tail entries keep their
+# previous relative order and stay green via
+# tests/test_entry_oracle.py.
+_WINDOW_R17: tuple[str, ...] = (
+    "semantic_components", "semantic_pagerank", "semdedup",
+    "shuffle_export", "soft_dedup", "tenant_scoped_search",
+    "text_embed_topk", "token_budget_select",
+    "vector_ingest_gate",  # r13-stale (the final 9)
+    "bm25_index_stats", "chunk_payloads", "chunking_stats",
+    "colpali_lite_topk", "contrastive_select", "conversions",
+    "customer_overview", "dedup_clusters", "dedup_clusters_cc",
+    "dedup_keep", "dedup_regions", "delete_document_cascade",
+    "dense_topk", "detect_sections", "doc_edges", "doc_quality",
+    "domain_cap", "dup_ngram_fraction", "events_profile",
+    "exact_dedup", "fuzzy_decontam", "hybrid_adaptive", "hybrid_rrf",
+    "ir_metrics", "lang_fertility", "lang_id", "list_documents_page",
+    "media_stats", "near_dup_pairs", "rerank_topk", "search_terms",
+    "sentence_chunks", "shortest_chains", "simhash_fp", "table_texts",
+    "token_stats", "winnow_fp",  # r14-stale (all 37)
+    "bpe_pair_stats", "c4_rules", "chunk_documents",
+    "cohort_retention",  # r15-stale (4 of 47, alphabetical)
 )
 
 

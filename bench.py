@@ -57,13 +57,38 @@ SENTINEL_FACTOR = float(
 # pass's total 1.5× — shortest_chains alone 1.9 → 26.9 s — while all
 # four sentinels stayed within 1.25× of the session best). The
 # workload itself is the only probe that touches the artifact files,
-# so its own sum is the I/O sentinel. Calibration: clean sf0.1 passes
-# sit within ~1.1× of each other and the observed storm was 1.6-2×;
-# at sf0.01 the NATURAL pass-1 decay measured 1.38× (fixed overhead
-# dominates tiny scales), so when benching below sf0.1 raise this via
-# SPARK_GRAFT_BENCH_PASS_SUM_FACTOR or expect a few replaced passes.
-PASS_SUM_FACTOR = float(
-    os.environ.get("SPARK_GRAFT_BENCH_PASS_SUM_FACTOR", "1.4")
+# so its own sum is the I/O sentinel.
+#
+# Calibration (r17, acting on the r16 note + VERDICT item 2): at
+# sf ≥ 0.1 clean passes reproduce within ~1.1× of each other (two
+# independent clean runs agreed to 0.7 %), yet r16's 1.4 gate
+# admitted a 1.31× contended pass that moved the driver total ~5 %
+# off the clean run — so the sf ≥ 0.1 default tightens to 1.25.
+# Below sf0.1 fixed overhead dominates and the NATURAL pass-over-pass
+# decay measured 1.38× at sf0.01, so the small-scale default stays
+# wide (1.6) — a tight gate there would routinely reject legitimate
+# passes, burn MAX_EXTRA_PASSES, and silently degrade the stat to
+# second_lowest_of_all_runs. Override either with
+# SPARK_GRAFT_BENCH_PASS_SUM_FACTOR.
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. sf0.1
+    try:
+        return float(name.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def _default_pass_sum_factor(sf: float) -> float:
+    return 1.25 if sf >= 0.1 else 1.6
+
+
+_PASS_SUM_ENV = os.environ.get("SPARK_GRAFT_BENCH_PASS_SUM_FACTOR")
+PASS_SUM_FACTOR = (
+    float(_PASS_SUM_ENV)
+    if _PASS_SUM_ENV is not None
+    else _default_pass_sum_factor(_sf_from_dir(SF_DIR))
 )
 
 
@@ -105,20 +130,29 @@ def classify_passes(
         for lo, hi in brackets
     ]
     if pass_sums:
+        # explicit None check: `or` would silently swap an explicit
+        # sum_factor of 0/0.0 for the module default (r17 ADVICE)
+        sf_eff = PASS_SUM_FACTOR if sum_factor is None else sum_factor
         best_sum = min(pass_sums)
-        clean = [
-            ok and s <= (sum_factor or PASS_SUM_FACTOR) * best_sum
-            for ok, s in zip(clean, pass_sums)
-        ]
+        out = []
+        for i, (ok, s) in enumerate(zip(clean, pass_sums)):
+            sum_ok = s <= sf_eff * best_sum
+            if ok and not sum_ok:
+                # sentinel-clean but sum-rejected: at small scales the
+                # natural pass-1 decay (~1.38× at sf0.01) can trip a
+                # tight factor, so make the sum-only rejection visible
+                # for post-hoc adjudication instead of silently
+                # burning a replacement pass
+                print(
+                    f"bench: pass {i + 1} rejected by whole-pass "
+                    f"self-sentinel alone (sum {s:.1f}s = "
+                    f"{s / best_sum:.2f}x best {best_sum:.1f}s, "
+                    f"factor {sf_eff})",
+                    file=sys.stderr,
+                )
+            out.append(ok and sum_ok)
+        clean = out
     return clean
-
-
-def _sf_from_dir(sf_dir: str) -> float:
-    name = Path(sf_dir).name  # e.g. sf0.1
-    try:
-        return float(name.removeprefix("sf"))
-    except ValueError:
-        return -1.0
 
 
 STDOUT_BUDGET = 1950  # driver keeps the LAST 2000 chars; newline margin

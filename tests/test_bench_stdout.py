@@ -100,3 +100,55 @@ def test_classify_passes_whole_pass_self_sentinel():
         [0.5, 2.0, 0.5, 0.5], brackets, 2.0,
         pass_sums=[100.0, 100.0, 100.0], sum_factor=1.4,
     ) == [False, False, True]
+
+
+def test_classify_passes_explicit_zero_sum_factor_applied(capsys):
+    """r17 ADVICE: an explicit sum_factor of 0.0 must be APPLIED (it
+    rejects every pass, sums being positive), not silently swapped
+    for the module default by an `or`-falsy fallback."""
+    from bench import classify_passes
+
+    sentinels = [0.5, 0.55, 0.6, 0.5]
+    brackets = [(0, 1), (1, 2), (2, 3)]
+    assert classify_passes(
+        sentinels, brackets, 2.0, pass_sums=[100.0, 101.0, 99.0],
+        sum_factor=0.0,
+    ) == [False, False, False]
+
+
+def test_classify_passes_sum_only_rejection_noted(capsys):
+    """A sentinel-clean pass rejected solely by the whole-pass
+    self-sentinel emits a stderr note (small scales have a natural
+    pass-1 decay that can trip a tight factor; the rejection must be
+    adjudicable, not silent)."""
+    from bench import classify_passes
+
+    sentinels = [0.5, 0.55, 0.6, 0.5]
+    brackets = [(0, 1), (1, 2), (2, 3)]
+    clean = classify_passes(
+        sentinels, brackets, 2.0, pass_sums=[160.0, 110.0, 100.0],
+        sum_factor=1.4,
+    )
+    assert clean == [False, True, True]
+    err = capsys.readouterr().err
+    assert "whole-pass self-sentinel" in err and "1.60x" in err
+    # sentinel-contended passes are NOT re-noted by the sum check
+    classify_passes(
+        [0.5, 2.0, 0.5, 0.5], brackets, 2.0,
+        pass_sums=[100.0, 100.0, 100.0], sum_factor=1.4,
+    )
+    assert "self-sentinel alone" not in capsys.readouterr().err
+
+
+def test_default_pass_sum_factor_scales_with_sf():
+    """r17 calibration (VERDICT r16 item 2): tight 1.25 gate at
+    sf >= 0.1 (clean passes reproduce within ~1.1x there; r16's 1.4
+    admitted a 1.31x contended pass), wide 1.6 below (natural pass
+    decay measured 1.38x at sf0.01)."""
+    from bench import _default_pass_sum_factor
+
+    assert _default_pass_sum_factor(0.1) == 1.25
+    assert _default_pass_sum_factor(1.0) == 1.25
+    assert _default_pass_sum_factor(0.01) == 1.6
+    assert _default_pass_sum_factor(0.001) == 1.6
+    assert _default_pass_sum_factor(-1.0) == 1.6

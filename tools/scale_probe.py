@@ -323,9 +323,58 @@ def run_lsh_probe() -> dict:
     return blob
 
 
+def run_ivf_probe() -> dict:
+    """Direct sf0.1 → distinct-doc-sf1 probe of the composed ANN
+    SERVING paths (r16 VERDICT item 5): the ``ann_ivf_topk`` and
+    ``ivfpq_topk`` registry entries, timed with their persisted index
+    artifacts pre-built at each scale (prepare() inside time_all) so
+    the exponent measures the partition-pruned serve — centroid
+    assignment + nprobe-partition scan + top-k — not index training.
+    Distinct corpus: embeddings rotate positions per replica, so IVF
+    list occupancy grows like organically distinct data instead of
+    10×-multiplicity exact dups. Complements ``lsh_fallback_probe``
+    (the two LSH fallbacks measured 0.38/0.20 in r16); results merge
+    into SCALING.json under ``ivf_serving_probe``."""
+    sf1_dir = str(build(distinct=True))
+    spark = get_spark("scale_probe_ivf")
+    only = {"ann_ivf_topk", "ivfpq_topk", "pq_topk"}
+    time_all(spark, SF_SMALL, only)  # warm (artifacts + codegen)
+    t_small = time_all(spark, SF_SMALL, only)
+    time_all(spark, sf1_dir, only)  # warm sf1 artifacts untimed
+    t_big = time_all(spark, sf1_dir, only)
+    out = {}
+    for name in sorted(only):
+        ts, tb = t_small[name], t_big.get(name, float("nan"))
+        exp = (
+            round(math.log(tb / ts) / math.log(10), 2)
+            if ts and ts > 0 and tb == tb and tb > 0
+            else None
+        )
+        out[name] = {"t_sf0.1": ts, "t_sf1": tb, "exponent": exp}
+    path = REPO / "SCALING.json"
+    blob = json.loads(path.read_text()) if path.exists() else {}
+    blob["ivf_serving_probe"] = {
+        "probe": "sf0.1 -> distinct-doc sf1, registry serving paths "
+        "with indexes pre-built per scale (partition-pruned probe "
+        "scan + top-k; training charged to prepare(), untimed)",
+        "queries": out,
+        "superlinear": sorted(
+            n for n, s in out.items()
+            if s["exponent"] is not None and s["exponent"] > ALARM_EXPONENT
+            and s["t_sf1"] > 1.0
+        ),
+    }
+    path.write_text(json.dumps(blob, indent=1) + "\n")
+    print(json.dumps({"ivf_serving": out}))
+    return blob
+
+
 def main() -> int:
     if "--distinct" in sys.argv:
         run_distinct_probe()
+        return 0
+    if "--ivf" in sys.argv:
+        run_ivf_probe()
         return 0
     if "--events" in sys.argv:
         run_events_probe()
