@@ -1624,6 +1624,24 @@ def _events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.events_profile(load_table(spark, sf_dir, "events"))
 
 
+def _events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of events_profile as its own bench-visible entry
+    (r16 VERDICT stretch 7): HLL++ distinct users +
+    ``percentile_approx`` quantile summaries — constant state per
+    group, no distinct shuffle, the form the exact entry's docstring
+    names as the 100 TB drop-in. Rows-only driver check BY DESIGN:
+    sketch estimates are engine-implementation-defined (Spark's HLL++
+    /QuantileSummaries vs DuckDB's HLL produce different — individually
+    correct — estimates from identical data), so no cross-engine value
+    hash can exist; the accuracy contract is pinned against the exact
+    forms in tests/test_sketches.py, and this entry's job is a tracked
+    LATENCY row so the sketch plan's scaling stays measured beside the
+    exact path's."""
+    return relational.events_profile_approx(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def _conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution: purchase ⋈ latest same-user
     click within the 1-hour window; the stream-stream interval-join
@@ -3125,6 +3143,7 @@ _PURE_LAZY = frozenset({
     "bloom_gate_paras",
     "domain_cap", "media_stats", "image_near_dup", "media_resize",
     "audio_near_dup", "video_near_dup", "dedup_regions", "events_profile",
+    "events_profile_approx",
     "graph_stats", "graph_triangles", "doc_pagerank", "pagerank_weighted",
     "augment_results",
     "resolve_references",
@@ -3382,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _media_stats,
         "dedup_regions": _dedup_regions,
         "events_profile": _events_profile,
+        "events_profile_approx": _events_profile_approx,
         "dedup_clusters_cc": _dedup_clusters_cc,
         "dedup_keep": _dedup_keep,
         "fuzzy_decontam": _fuzzy_decontam,
@@ -3463,17 +3483,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Round-17 window rotation (VERDICT r16 item 1): keep certifications
 # fresh — rotate toward the stalest last-driver-green rows in the
-# CORRECTNESS_r01-r16 union. The 50 in-window names = the 9 remaining
+# CORRECTNESS_r01-r16 union. The 50 in-window names = the 1 NEW r17
+# entry (events_profile_approx, rows-only by design — sketch
+# estimates are engine-implementation-defined) + the 9 remaining
 # r13-stale certifications (named since r16's window comment) + ALL
-# 37 r14-stale + the 4 alphabetically-first of the 47 r15-stale
-# (bpe_pair_stats, c4_rules, chunk_documents, cohort_retention). No
-# entry's RESULT changed in r17 (the graph/curation artifact
-# cache-key fixes rebuild artifacts under versioned keys with
-# unchanged logic, so values are identical); the graph-family entries
-# that consume the rebuilt artifacts (shortest_chains, doc_pagerank
-# consumers' r14 rows) are in-window anyway via staleness. Staleness
-# floor after this window lands: r14 (43 r15-stale entries remain for
-# r18: curate_corpus, curation_funnel, cut_dup_spans, db_stats,
+# 37 r14-stale + the 3 alphabetically-first of the 47 r15-stale
+# (bpe_pair_stats, c4_rules, chunk_documents). No existing entry's
+# RESULT changed in r17 (the graph/curation artifact cache-key fixes
+# rebuild artifacts under versioned keys with unchanged logic, so
+# values are identical); the graph-family entries that consume the
+# rebuilt artifacts (shortest_chains, doc_pagerank consumers' r14
+# rows) are in-window anyway via staleness. Staleness floor after
+# this window lands: r14 (44 r15-stale entries remain for r18:
+# cohort_retention, curate_corpus, curation_funnel, cut_dup_spans, db_stats,
 # embedding_near_dup, enhanced_search, eval_delta,
 # event_funnel_windowed, events_cube, events_hourly,
 # events_window_join, extract_metadata, extract_relationships,
@@ -3488,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # previous relative order and stay green via
 # tests/test_entry_oracle.py.
 _WINDOW_R17: tuple[str, ...] = (
+    "events_profile_approx",  # NEW in r17 (rows-only: sketch entry)
     "semantic_components", "semantic_pagerank", "semdedup",
     "shuffle_export", "soft_dedup", "tenant_scoped_search",
     "text_embed_topk", "token_budget_select",
@@ -3503,8 +3526,8 @@ _WINDOW_R17: tuple[str, ...] = (
     "media_stats", "near_dup_pairs", "rerank_topk", "search_terms",
     "sentence_chunks", "shortest_chains", "simhash_fp", "table_texts",
     "token_stats", "winnow_fp",  # r14-stale (all 37)
-    "bpe_pair_stats", "c4_rules", "chunk_documents",
-    "cohort_retention",  # r15-stale (4 of 47, alphabetical)
+    "bpe_pair_stats", "c4_rules",
+    "chunk_documents",  # r15-stale (3 of 47, alphabetical)
 )
 
 

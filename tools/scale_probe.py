@@ -160,7 +160,8 @@ DISTINCT_AUDIT_NOTES = {
 EVENTS_FAMILY = (
     "event_funnel", "event_funnel_windowed", "cohort_retention",
     "events_cube", "user_sessions", "conversions", "events_hourly",
-    "events_window_join", "events_profile", "asof_attribution",
+    "events_window_join", "events_profile", "events_profile_approx",
+    "asof_attribution",
 )
 
 
