@@ -80,6 +80,10 @@ HEADLINE = (
     # r14: the pair-first meet join (bounded by the request size, not
     # hub degree) is worth auditing alongside the other graph walks
     "shortest_chains",
+    # r17: the sketch twin of events_profile — the plan to audit is
+    # ObjectHashAggregate over HLL++/quantile-summary buffers (one
+    # exchange, no distinct shuffle) vs the exact entry's expand
+    "events_profile_approx",
     # r14 additions: the split/audit/negative-mining/funnel/fertility
     # family — shuffle-free projection, keyed pair joins, anti-join +
     # bounded window, five-stage recount, bpe-chain rollup
