@@ -25,6 +25,8 @@ from rag_database_spark import oracles, workload
 from rag_database_spark.operators import bm25 as bm25_ops
 from rag_database_spark.operators import bpe as bpe_ops
 from rag_database_spark.functions import quality
+from rag_database_spark.functions import text as text_fns
+from rag_database_spark.functions import vector as vector_fns
 from rag_database_spark.operators import chunking
 from rag_database_spark.operators import clustering
 from rag_database_spark.operators import dedup
@@ -153,14 +155,21 @@ def _graph_logic_version() -> str:
     edges), and the entry file itself (_doc_edge_table's confidence
     grid, JACCARD_THRESHOLD, seed constants) — r17 ADVICE: the
     fingerprint-only pagerank_edges key let an edge-parameter edit
-    serve stale PPR scores."""
-    return _logic_version(graph_ops, dedup)
+    serve stale PPR scores. text_fns rides too: shingling (and hence
+    the near_dup edge set) derives from the tokenizer layer."""
+    return _logic_version(graph_ops, dedup, text_fns)
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # keyed by the SOURCE FINGERPRINT (not sf_dir) so the in-memory and
-    # on-disk layers invalidate together when the corpus is regenerated
-    fp = _source_fingerprint(sf_dir)
+    # on-disk layers invalidate together when the corpus is regenerated,
+    # plus the logic version of the modules the postings bake in (r17
+    # sweep: a tokenizer edit must rebuild the index, not serve stale
+    # postings against a rebuilt oracle)
+    fp = (
+        f"{_source_fingerprint(sf_dir)}"
+        f"-v{_logic_version(bm25_ops, text_fns, with_entry=False)}"
+    )
     hit = _INDEX_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
         return hit[1]
@@ -259,6 +268,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     fp = (
         f"{_source_fingerprint(sf_dir, table='embeddings')}-det-ka{k}"
         f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
+        f"-v{_logic_version(similarity, clustering, vector_fns, with_entry=False)}"
     )
     hit = _IVF_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
@@ -310,6 +320,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         f"{_source_fingerprint(sf_dir, table='embeddings')}"
         f"-m{pq_ops.PQ_M}-k{pq_ops.PQ_K}"
         f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
+        f"-v{_logic_version(pq_ops, clustering, vector_fns, with_entry=False)}"
     )
     hit = _PQ_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
@@ -428,6 +439,7 @@ def _ivfpq_index(
         f"{_source_fingerprint(sf_dir, table='embeddings')}"
         f"-kc{kc}-m{pq_ops.PQ_M}-k{pq_ops.PQ_K}"
         f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
+        f"-v{_logic_version(pq_ops, similarity, clustering, vector_fns, with_entry=False)}"
     )
     hit = _IVFPQ_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
@@ -647,18 +659,18 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every constant the artifact bakes in rides the cache key —
     # changing SHINGLE_K must rebuild, not serve stale shingles
     # (the ADVICE r12 staleness class, swept repo-wide in r13). r17:
-    # the dedup-module hash rides too (a shingling LOGIC edit with
-    # unchanged constants previously served stale shingles into every
-    # downstream pair/graph artifact). with_entry=False: the builder
-    # is a thin call into dedup.py and the entry-side constant is in
-    # the key — a per-round rebuild of the most expensive artifact
-    # family would buy no extra safety.
+    # the dedup + tokenizer module hashes ride too (a shingling or
+    # tokenize LOGIC edit with unchanged constants previously served
+    # stale shingles into every downstream pair/graph artifact).
+    # with_entry=False: the builder is a thin call into dedup.py and
+    # the entry-side constant is in the key — a per-round rebuild of
+    # the most expensive artifact family would buy no extra safety.
     cache_dir = (
         Path(__file__).resolve().parent
         / ".cache" / "shingle_index"
         / (
             f"{_source_fingerprint(sf_dir)}-s{dedup.SHINGLE_K}"
-            f"-v{_logic_version(dedup, with_entry=False)}"
+            f"-v{_logic_version(dedup, text_fns, with_entry=False)}"
         )
     )
     if not (cache_dir / "_SUCCESS").exists():
@@ -678,7 +690,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         f"{_source_fingerprint(sf_dir)}"
         f"-s{dedup.SHINGLE_K}-j{JACCARD_THRESHOLD}"
-        f"-v{_logic_version(dedup, with_entry=False)}"
+        f"-v{_logic_version(dedup, text_fns, with_entry=False)}"
     )
     hit = _JACCARD_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
@@ -714,10 +726,12 @@ _LABEL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # labels derive from the pair set → same constant suffix
+    # labels derive from the pair set → same constant + logic-version
+    # suffix (r17 sweep)
     fp = (
         f"{_source_fingerprint(sf_dir)}"
         f"-s{dedup.SHINGLE_K}-j{JACCARD_THRESHOLD}"
+        f"-v{_logic_version(dedup, text_fns, with_entry=False)}"
     )
     hit = _LABEL_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
@@ -972,6 +986,7 @@ def _bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         f"{_source_fingerprint(sf_dir)}-m{BLOOM_FIXTURE_M_BITS}"
         f"-k{dedup.BLOOM_K}-g{INGEST_GATE_MOD}"
+        f"-v{_logic_version(dedup, text_fns, with_entry=False)}"
     )
     cache_dir = Path(__file__).resolve().parent / ".cache" / "bloom" / fp
     if not (cache_dir / "_SUCCESS").exists():
@@ -1007,6 +1022,7 @@ def _bloom_paras_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         f"{_source_fingerprint(sf_dir)}-m{BLOOM_FIXTURE_M_BITS}"
         f"-k{dedup.BLOOM_K}-g{INGEST_GATE_MOD}"
+        f"-v{_logic_version(dedup, text_fns, with_entry=False)}"
     )
     cache_dir = Path(__file__).resolve().parent / ".cache" / "bloom_paras" / fp
     if not (cache_dir / "_SUCCESS").exists():
@@ -1269,7 +1285,10 @@ def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = (
         Path(__file__).resolve().parent
         / ".cache" / "tt_table"
-        / f"{_source_fingerprint(sf_dir)}-d{TIME_TRAVEL_DELETE_MOD}"
+        / (
+            f"{_source_fingerprint(sf_dir)}-d{TIME_TRAVEL_DELETE_MOD}"
+            f"-v{_logic_version(acid, with_entry=False)}"
+        )
     )
     tbl = acid.TombstoneTable(spark, str(root), key_col="doc_id")
     if tbl._current_epoch() < 2:  # epoch 1 = append, epoch 2 = delete
@@ -1331,8 +1350,12 @@ def _lm_artifact(spark: SparkSession, sf_dir: str, subdir: str,
     cache-probe / _SUCCESS-check / train-write / read-back sequence
     serves both the whole-corpus and in-domain models."""
     # LM_ALPHA is baked into the persisted log-probs → it versions
-    # the key (ADVICE r12 staleness class)
-    fp = f"{_source_fingerprint(sf_dir)}-a{text_analytics.LM_ALPHA}"
+    # the key (ADVICE r12 staleness class), as does the training
+    # logic version (r17 sweep)
+    fp = (
+        f"{_source_fingerprint(sf_dir)}-a{text_analytics.LM_ALPHA}"
+        f"-v{_logic_version(text_analytics, text_fns, with_entry=False)}"
+    )
     key = f"{subdir}:{fp}"
     hit = _LM_MODEL_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -1379,6 +1402,7 @@ def _bpe_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     fp = (
         f"{_source_fingerprint(sf_dir)}"
         f"-n{bpe_ops.DEFAULT_MERGES}-c{bpe_ops.DEFAULT_MIN_COUNT}"
+        f"-v{_logic_version(bpe_ops, text_fns, with_entry=False)}"
     )
     hit = _BPE_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
@@ -2764,6 +2788,7 @@ def _kmeans_cache_dirs(
     fp = (
         f"{_source_fingerprint(sf_dir, table='embeddings')}-ka{k}"
         f"-i{clustering.KMEANS_ITERS}-q{clustering.KMEANS_SCALE}"
+        f"-v{_logic_version(clustering, vector_fns, with_entry=False)}"
     )
     base = Path(__file__).resolve().parent / ".cache"
     return fp, base / "kmeans" / fp, base / "kmeans_cent" / fp
@@ -2850,7 +2875,10 @@ def _perceptron_weights(spark: SparkSession, sf_dir: str) -> list[int]:
     exact-integer feature scan), stored as a 1-row parquet so a
     restarted session scores without retraining (same artifact
     discipline as the LM/DSIR/k-means models)."""
-    fp = f"{_source_fingerprint(sf_dir)}-r{classifier.PERCEPTRON_ROUNDS}"
+    fp = (
+        f"{_source_fingerprint(sf_dir)}-r{classifier.PERCEPTRON_ROUNDS}"
+        f"-v{_logic_version(classifier, text_fns, with_entry=False)}"
+    )
     key = f"perceptron:{fp}"
     hit = _LM_MODEL_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -2894,6 +2922,7 @@ def _dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         f"{_source_fingerprint(sf_dir)}-b{text_analytics.DSIR_BUCKETS}"
         f"-a{text_analytics.DSIR_ALPHA}-l{CONTRASTIVE_IN_LANG}"
+        f"-v{_logic_version(text_analytics, text_fns, with_entry=False)}"
     )
     key = f"dsir_model:{fp}"
     hit = _LM_MODEL_CACHE.get(key)
@@ -2959,7 +2988,7 @@ def _semantic_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file's wiring rides the key too.
     fp = (
         f"{_source_fingerprint(sf_dir, table='embeddings')}-q12"
-        f"-v{_logic_version(graph_ops, similarity)}"
+        f"-v{_logic_version(graph_ops, similarity, vector_fns)}"
     )
     key = f"sempr:{fp}"
     hit = _PAGERANK_CACHE.get(key)
@@ -3110,7 +3139,11 @@ def _dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # route_and_chunk (the sequential centroid walk replays as ONE
 # recursive CTE under the deterministic hash embedder —
 # oracles.semantic_chunks_sql; the model seam stays injection-tested).
-ROWS_ONLY_ENTRIES: tuple[str, ...] = ()
+# events_profile_approx is rows-only BY DESIGN: sketch estimates
+# (HLL++/quantile summaries) are engine-implementation-defined, so no
+# cross-engine value hash can exist; accuracy is pinned against the
+# exact twin in tests/test_sketches.py.
+ROWS_ONLY_ENTRIES: tuple[str, ...] = ("events_profile_approx",)
 
 
 # Entries eligible for the prepared-plan cache: pure lazy templates

@@ -96,11 +96,14 @@ def test_driver_window_composition_is_pinned():
     oracled = set(entrymod.oracle_sql())
     rows_only = set(entrymod.ROWS_ONLY_ENTRIES)
 
-    # No certifying-rows-only exception remains: r12 rotated the
-    # rows-only tail out of the window after CORRECTNESS_r11 recorded
-    # them, and r13 upgraded ann_ivf_topk / bpe_vocab / bpe_tokens to
-    # full hash oracles — every window slot must now be oracle-backed.
-    certifying_rows_only: set[str] = set()
+    # Certifying-rows-only exception (r12 precedent: a NEW rows-only
+    # entry sits in-window for ONE round so the driver records its
+    # rows check, then rotates to the tail): r17 certifies the sketch
+    # entry events_profile_approx (rows-only by design — sketch
+    # estimates are engine-implementation-defined; accuracy is pinned
+    # vs the exact twin in tests/test_sketches.py). Rotate it out in
+    # r18 and empty this set again.
+    certifying_rows_only: set[str] = {"events_profile_approx"}
 
     not_oracled = [
         k for k in head
