@@ -117,13 +117,19 @@ def classify_passes(
     factor: float,
     pass_sums: list[float] | None = None,
     sum_factor: float | None = None,
+    noted: set[int] | None = None,
 ) -> list[bool]:
     """True per pass iff BOTH bracketing sentinels are within
     ``factor`` × the session-best sentinel — i.e. the host was quiet
     when the pass started and when it ended — AND (when ``pass_sums``
     is given) the pass's total runtime is within ``sum_factor`` × the
     best pass's total (the whole-pass self-sentinel: catches I/O and
-    page-cache contention the CPU sentinel job never touches)."""
+    page-cache contention the CPU sentinel job never touches).
+
+    ``noted``: optional caller-held set of pass indexes whose sum-only
+    rejection was already reported — the bench loop reclassifies after
+    every pass, and without it the same rejection prints once per
+    remaining loop iteration."""
     best = min(sentinels)
     clean = [
         sentinels[lo] <= factor * best and sentinels[hi] <= factor * best
@@ -137,7 +143,9 @@ def classify_passes(
         out = []
         for i, (ok, s) in enumerate(zip(clean, pass_sums)):
             sum_ok = s <= sf_eff * best_sum
-            if ok and not sum_ok:
+            if ok and not sum_ok and (noted is None or i not in noted):
+                if noted is not None:
+                    noted.add(i)
                 # sentinel-clean but sum-rejected: at small scales the
                 # natural pass-1 decay (~1.38× at sf0.01) can trip a
                 # tight factor, so make the sum-only rejection visible
@@ -246,6 +254,7 @@ def main() -> int:
     # query sees the same JVM/cache warmth profile; each pass is
     # bracketed by sentinels (trailing sentinel i == leading i+1)
     pass_times: list[dict[str, float]] = []
+    sum_reject_noted: set[int] = set()  # one stderr note per pass
     brackets: list[tuple[int, int]] = []
     while True:
         lead = len(sentinels) - 1
@@ -269,7 +278,8 @@ def main() -> int:
         # fallback below handles that explicitly.
         pass_sums = [sum(p.values()) for p in pass_times]
         clean = classify_passes(
-            sentinels, brackets, SENTINEL_FACTOR, pass_sums
+            sentinels, brackets, SENTINEL_FACTOR, pass_sums,
+            noted=sum_reject_noted,
         )
         if sum(clean) >= N_RUNS or len(pass_times) >= N_RUNS + MAX_EXTRA_PASSES:
             break

@@ -152,3 +152,21 @@ def test_default_pass_sum_factor_scales_with_sf():
     assert _default_pass_sum_factor(0.01) == 1.6
     assert _default_pass_sum_factor(0.001) == 1.6
     assert _default_pass_sum_factor(-1.0) == 1.6
+
+
+def test_classify_passes_noted_set_dedupes_rejection_notes(capsys):
+    """The bench loop reclassifies after every pass; with a caller-held
+    ``noted`` set the same pass's sum-only rejection prints once, not
+    once per remaining iteration."""
+    from bench import classify_passes
+
+    sentinels = [0.5, 0.55, 0.6, 0.5]
+    brackets = [(0, 1), (1, 2), (2, 3)]
+    noted: set[int] = set()
+    for _ in range(3):
+        classify_passes(
+            sentinels, brackets, 2.0, pass_sums=[160.0, 110.0, 100.0],
+            sum_factor=1.4, noted=noted,
+        )
+    assert capsys.readouterr().err.count("rejected") == 1
+    assert noted == {0}
