@@ -160,16 +160,21 @@ def _graph_logic_version() -> str:
     return _logic_version(graph_ops, dedup, text_fns)
 
 
-def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    # keyed by the SOURCE FINGERPRINT (not sf_dir) so the in-memory and
-    # on-disk layers invalidate together when the corpus is regenerated,
-    # plus the logic version of the modules the postings bake in (r17
-    # sweep: a tokenizer edit must rebuild the index, not serve stale
-    # postings against a rebuilt oracle)
-    fp = (
+def _bm25_index_key(sf_dir: str) -> str:
+    """Cache key for the persisted BM25 index: the SOURCE FINGERPRINT
+    (not sf_dir) so the in-memory and on-disk layers invalidate
+    together when the corpus is regenerated, plus the logic version of
+    the modules the postings bake in (r17 sweep: a tokenizer edit must
+    rebuild the index, not serve stale postings against a rebuilt
+    oracle)."""
+    return (
         f"{_source_fingerprint(sf_dir)}"
         f"-v{_logic_version(bm25_ops, text_fns, with_entry=False)}"
     )
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    fp = _bm25_index_key(sf_dir)
     hit = _INDEX_CACHE.get(fp)
     if hit is not None and hit[0] is spark:
         return hit[1]

@@ -47,7 +47,7 @@ def test_index_cache_stale_session_invalidates(spark):
     a stopped/replaced session must rebuild, never serve the dead
     frame."""
     pair = entrymod._bm25_index(spark, SF_DIR)
-    fp = entrymod._source_fingerprint(SF_DIR)
+    fp = entrymod._bm25_index_key(SF_DIR)
     assert entrymod._INDEX_CACHE[fp] == (spark, pair)
     sentinel = ("dead", "frames")
     entrymod._INDEX_CACHE[fp] = (object(), sentinel)
