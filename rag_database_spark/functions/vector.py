@@ -17,6 +17,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def let(col: Column, f) -> Column:
+    """Let-binding for column expressions: evaluate ``col`` ONCE per
+    row and pass the result to ``f`` as a bound lambda variable.
+
+    The Python DSL splices a sub-expression's whole tree into every
+    use site, so an O(d) array aggregate referenced inside a
+    per-element ``transform`` lambda becomes O(d²) per row (each
+    element re-scans the array). Wrapping the value in a one-element
+    array and binding it through ``transform``'s lambda variable makes
+    Catalyst evaluate the sub-tree once per row: a ``NamedLambdaVariable``
+    is a cached value reference, never a re-evaluated expression.
+    Same float ops in the same order — results are bit-identical."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -32,9 +47,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def l2_normalize(a: Column) -> Column:
-    """Mirror of dense_embedder.py:59-65 (normalize_embeddings=True)."""
-    n = l2_norm(a)
-    return F.when(n > 0, F.transform(a, lambda v: v / n)).otherwise(a)
+    """Mirror of dense_embedder.py:59-65 (normalize_embeddings=True).
+
+    The norm is let-bound so each element divides by a cached value —
+    inlining it into the lambda would re-fold the whole array per
+    element (O(d²) per row)."""
+    return let(
+        l2_norm(a),
+        lambda n: F.when(n > 0, F.transform(a, lambda v: v / n)).otherwise(a),
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -29,7 +29,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rag_database_spark.functions.vector import cosine, dot, to_double_array
+from rag_database_spark.functions.vector import (
+    cosine,
+    dot,
+    let as vec_let,
+    to_double_array,
+)
 
 
 # Decimal places used to quantize PREFETCH scores before ranking.
@@ -1014,10 +1019,19 @@ def quantize_embeddings(
     v = to_double_array(F.col(vec_col))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
-    q = F.when(
-        mx > 0,
-        F.transform(v, lambda x: F.round(x / scale).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    # let-bind the max so the per-element divide sees a cached value:
+    # splicing `scale` into the lambda re-folds the whole array per
+    # element — O(d²) per row, ruinous at production dims (guide §1.2
+    # per-task work). Same ops, same order: q is bit-identical.
+    q = vec_let(
+        mx,
+        lambda m: F.when(
+            m > 0,
+            F.transform(
+                v, lambda x: F.round(x / (m / F.lit(127.0))).cast("int")
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0))),
+    )
     return corpus.select(
         F.col(id_col).alias("id"),
         scale.alias("scale"),
@@ -1055,20 +1069,29 @@ def quantized_topk(
     def quant(df, idc, vc, out_id):
         v = to_double_array(F.col(vc))
         mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-        scale = mx / F.lit(127.0)
-        q = F.when(
-            mx > 0,
-            F.transform(
-                v, lambda x: F.round(x / scale).cast("long")
-            ),
-        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+        # let-bind the max (see quantize_embeddings): inlining it into
+        # the per-element lambda is O(d²) per row. Bit-identical.
+        q = vec_let(
+            mx,
+            lambda m: F.when(
+                m > 0,
+                F.transform(
+                    v, lambda x: F.round(x / (m / F.lit(127.0))).cast("long")
+                ),
+            ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long"))),
+        )
         return df.select(F.col(idc).alias(out_id), q.alias("__q")).select(
             out_id,
             "__q",
-            F.aggregate(
-                F.zip_with("__q", "__q", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            # bound reference: zip_with("__q","__q") would splice the
+            # full quantization tree in twice more
+            vec_let(
+                F.col("__q"),
+                lambda qv: F.aggregate(
+                    F.zip_with(qv, qv, lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
             ).alias("__n2"),
         )
 

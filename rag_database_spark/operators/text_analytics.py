@@ -1490,7 +1490,8 @@ def lm_score(docs: DataFrame, alpha: float = LM_ALPHA,
     if model is None:
         model = train_lm(docs, alpha, id_col, text_col)
     base, per = _lm_doc_bigrams(docs, id_col, text_col)
-    docs = fan_out(docs)
+    # no fan_out on the docs side: pruned to doc_id for a join that
+    # shuffles anyway — the round-robin exchange was pure cost (r17)
     rolled = (
         per.join(model, ["w1", "w2"])
         .select("doc_id", "m", (F.col("m") * F.col("lp")).alias("mlp"))
@@ -1572,7 +1573,8 @@ def contrastive_score(docs: DataFrame, in_docs: DataFrame,
             F.sum(F.col("m") * F.col("lp_base")).alias("s_base"),
         )
     )
-    docs = fan_out(docs)
+    # no fan_out: docs is pruned to doc_id for a join that shuffles
+    # anyway — the round-robin exchange was pure cost (r17)
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(scored, "doc_id", "left")
@@ -1835,13 +1837,44 @@ DSIR_BUCKETS = 1024  # hashed-feature dimensionality
 DSIR_ALPHA = 1.0     # Laplace smoothing mass per bucket
 
 
-def _dsir_bucket(n_buckets: int = DSIR_BUCKETS) -> F.Column:
-    """(w1, w2) → 60-bit md5 bucket — the same engine-portable hash
-    family as the MinHash/sampling machinery (dedup.hash60), so the
-    DuckDB twin reproduces feature hashing bit-for-bit."""
+def _dsir_bucket_stream(docs: DataFrame, n_buckets: int,
+                        id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, bucket) — one row per bigram OCCURRENCE, with the
+    hashed-bucket id computed directly on the array-side bigram string
+    (r17): the DSIR paths only ever consume bigrams through their
+    bucket, so the (doc, w1, w2) multiplicity rollup that
+    `_lm_doc_bigrams` feeds the LM/Moore-Lewis joins with is a wasted
+    aggregation+exchange here — counting straight into (doc, bucket)
+    halves the agg chain
+    and narrows the shuffle key from two token strings to one int
+    (guide §2.3/§2.4). Σ-equivalent: integer occurrence counts roll up
+    to the same per-bucket totals bit-for-bit."""
     from rag_database_spark.operators.dedup import hash60
 
-    return hash60(F.concat_ws(" ", "w1", "w2")) % F.lit(n_buckets)
+    docs = fan_out(docs)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t)-1),"
+                    " (x, i) -> concat(x, ' ', element_at(t, i+2)))"
+                )
+            ).alias("bg"),
+        )
+        # same bytes as concat_ws(' ', w1, w2) on the struct form —
+        # bigram tokens are non-empty and non-null by construction
+        .select(
+            "doc_id",
+            (hash60(F.col("bg")) % F.lit(n_buckets)).alias("bucket"),
+        )
+    )
 
 
 def train_dsir(docs: DataFrame, target_docs: DataFrame,
@@ -1871,16 +1904,15 @@ def train_dsir(docs: DataFrame, target_docs: DataFrame,
     Scale: two corpus passes (bigram → bucket rollups with map-side
     partials), a B-row join, and two scalar totals on a broadcast
     cross join. B rows out."""
-    _, per_raw = _lm_doc_bigrams(docs, id_col, text_col)
-    _, per_tgt = _lm_doc_bigrams(target_docs, id_col, text_col)
-    bucket = _dsir_bucket(n_buckets)
     raw_b = (
-        per_raw.select(bucket.alias("bucket"), "m")
-        .groupBy("bucket").agg(F.sum("m").alias("r"))
+        _dsir_bucket_stream(docs, n_buckets, id_col, text_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("r"))
     )
     tgt_b = (
-        per_tgt.select(bucket.alias("bucket"), "m")
-        .groupBy("bucket").agg(F.sum("m").alias("t"))
+        _dsir_bucket_stream(target_docs, n_buckets, id_col, text_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
     )
     joined = (
         raw_b.join(tgt_b, "bucket", "full")
@@ -1948,10 +1980,11 @@ def dsir_score(docs: DataFrame, model: DataFrame,
             "train_dsir artifact"
         )
     n_buckets = int(default_row["n_buckets"])
-    _, per = _lm_doc_bigrams(docs, id_col, text_col)
     perb = (
-        per.select("doc_id", _dsir_bucket(n_buckets).alias("bucket"), "m")
-        .groupBy("doc_id", "bucket").agg(F.sum("m").alias("m"))
+        _dsir_bucket_stream(docs, id_col=id_col, text_col=text_col,
+                            n_buckets=n_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("m"))
     )
     default = model.filter(F.col("bucket") == -1).select(
         F.col("w").alias("w_def")
@@ -1970,7 +2003,8 @@ def dsir_score(docs: DataFrame, model: DataFrame,
             F.round(F.sum("mw") / F.sum("m"), 6).alias("avg_llr"),
         )
     )
-    docs = fan_out(docs)
+    # no fan_out on the docs side: it is pruned to doc_id for a join
+    # that shuffles anyway — the round-robin exchange was pure cost
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(rolled, "doc_id", "left")
@@ -2024,10 +2058,11 @@ def dsir_resample_keys(docs: DataFrame, model: DataFrame,
             "not a train_dsir artifact"
         )
     n_buckets = int(default_row["n_buckets"])
-    _, per = _lm_doc_bigrams(docs, id_col, text_col)
     perb = (
-        per.select("doc_id", _dsir_bucket(n_buckets).alias("bucket"), "m")
-        .groupBy("doc_id", "bucket").agg(F.sum("m").alias("m"))
+        _dsir_bucket_stream(docs, id_col=id_col, text_col=text_col,
+                            n_buckets=n_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("m"))
     )
     default = model.filter(F.col("bucket") == -1).select(
         F.col("w").alias("w_def")
@@ -2056,7 +2091,8 @@ def dsir_resample_keys(docs: DataFrame, model: DataFrame,
         + F.lit(0.5)
     ) / F.lit(DSIR_GUMBEL_DENOM)
     gumbel = -F.log(-F.log(u))
-    docs = fan_out(docs)
+    # no fan_out on the docs side: it is pruned to doc_id for a join
+    # that shuffles anyway — the round-robin exchange was pure cost
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(rolled, "doc_id", "left")

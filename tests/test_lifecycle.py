@@ -64,3 +64,32 @@ def test_rerank_scores_overlap(spark):
     assert rows[0]["id"] == 10
     assert rows[0]["rerank_score"] == pytest.approx(0.75)  # 3 / 4
     assert rows[1]["rerank_score"] == 0.0
+
+
+def test_rerank_candidates_materialized_once(spark):
+    """r17 optimization: the candidate pair list feeds both the
+    broadcast id filter and the streamed join side; it is folded into
+    one eager localCheckpoint so the upstream candidate pipeline (BM25
+    scoring + top-k in rerank_topk) executes once, not twice. The
+    physical plan must therefore read the candidates from a
+    checkpointed RDD scan, and the un-checkpointed candidate lineage
+    must not appear."""
+    queries = spark.createDataFrame(
+        [(1, "fast hash join")], "query_id long, query_text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "fast hash join algorithms"), (20, "slow nested loops only")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 10), (1, 20)], "query_id long, id long"
+    ).filter("id >= 0")  # a marker transformation that would show up
+    out = lifecycle.lexical_overlap_rerank(
+        cands, queries, docs, limit=2, id_col="doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both consumers read the checkpoint (ExistingRDD scan)
+    assert "ExistingRDD" in plan
+    # values unchanged by the fold
+    rows = out.orderBy("rank").collect()
+    assert [r["id"] for r in rows] == [10, 20]
