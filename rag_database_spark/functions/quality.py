@@ -193,6 +193,15 @@ def quality_report(
         F.regexp_replace(t, rf"^[{WS_CLASS}]+", ""), rf"[{WS_CLASS}]+$", ""
     )
     short = t.isNull() | (F.length(stripped) < 50)
+    # Two-step projection (r17): each guarded subscore feeds its own
+    # output column AND the weighted overall AND the tier, so building
+    # everything in one select spliced every regex/fold bank into ~3
+    # use sites — measured 1.24 s vs 0.27 s for the five banks
+    # evaluated once at sf0.1 (interpreted higher-order folds defeat
+    # subexpression elimination). Step 1 evaluates each bank once;
+    # step 2 only references the produced columns, and CollapseProject
+    # keeps the boundary because the aliases are non-cheap and
+    # multiply-referenced. Identical expressions → identical values.
     subs = {
         "text_score": text_extraction_score(t),
         "ocr_score": ocr_quality_score(t),
@@ -200,20 +209,22 @@ def quality_report(
         "structure_score": structure_score(t),
         "coherence_score": coherence_score(t),
     }
-    guarded = {
-        k: F.when(short, 0.0).otherwise(v) for k, v in subs.items()
-    }
-    overall = (
-        QUALITY_WEIGHTS["text"] * guarded["text_score"]
-        + QUALITY_WEIGHTS["ocr"] * guarded["ocr_score"]
-        + QUALITY_WEIGHTS["format"] * guarded["format_score"]
-        + QUALITY_WEIGHTS["structure"] * guarded["structure_score"]
-        + QUALITY_WEIGHTS["coherence"] * guarded["coherence_score"]
-    )
-    overall = F.when(short, 0.0).otherwise(overall)
-    return docs.select(
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        *[F.round(v, 6).alias(k) for k, v in guarded.items()],
+        *[F.when(short, 0.0).otherwise(v).alias(k) for k, v in subs.items()],
+        short.alias("__short"),
+    )
+    overall = (
+        QUALITY_WEIGHTS["text"] * F.col("text_score")
+        + QUALITY_WEIGHTS["ocr"] * F.col("ocr_score")
+        + QUALITY_WEIGHTS["format"] * F.col("format_score")
+        + QUALITY_WEIGHTS["structure"] * F.col("structure_score")
+        + QUALITY_WEIGHTS["coherence"] * F.col("coherence_score")
+    )
+    overall = F.when(F.col("__short"), 0.0).otherwise(overall)
+    return staged.select(
+        "doc_id",
+        *[F.round(F.col(k), 6).alias(k) for k in subs],
         F.round(overall, 6).alias("overall_score"),
         quality_tier(overall).alias("tier"),
     )

@@ -82,18 +82,31 @@ def token_count_bpe_ish(text_col: Column) -> Column:
 
 def stopword_ratio(text_col: Column) -> Column:
     """Fraction of raw tokens that are stopwords (document_quality.py:346-353
-    common-word coherence ratio)."""
-    toks = raw_tokens(text_col)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    common-word coherence ratio). The token array is let-bound so the
+    split regex runs once per row, not once per reference (r17)."""
+    from rag_database_spark.functions.vector import let
+
+    return let(
+        raw_tokens(text_col),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def unique_token_ratio(text_col: Column) -> Column:
-    """distinct/total raw tokens (document_quality.py:181-190 word-diversity)."""
-    toks = raw_tokens(text_col)
-    return F.when(
-        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
-    ).otherwise(F.lit(0.0))
+    """distinct/total raw tokens (document_quality.py:181-190 word-diversity).
+    Token array let-bound — one split per row (r17)."""
+    from rag_database_spark.functions.vector import let
+
+    return let(
+        raw_tokens(text_col),
+        lambda toks: F.when(
+            F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def digit_ratio(text_col: Column) -> Column:
@@ -115,9 +128,16 @@ def special_char_ratio(text_col: Column) -> Column:
 
 
 def avg_word_length(text_col: Column) -> Column:
-    toks = raw_tokens(text_col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    from rag_database_spark.functions.vector import let
+
+    return let(
+        raw_tokens(text_col),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def quality_score(text_col: Column) -> Column:
@@ -131,13 +151,34 @@ def quality_score(text_col: Column) -> Column:
         0.25 * diversity_score   (unique-token ratio)
         0.20 * clean_score       (1 - special-char ratio)
     """
+    from rag_database_spark.functions.vector import let
+
     length_score = F.least(F.length(text_col) / F.lit(200.0), F.lit(1.0))
-    stop_score = F.least(stopword_ratio(text_col) * 4.0, F.lit(1.0))
-    diversity = unique_token_ratio(text_col)
     clean = F.lit(1.0) - special_char_ratio(text_col)
-    return (
-        0.30 * length_score + 0.25 * stop_score + 0.25 * diversity + 0.20 * clean
-    )
+
+    # one let-bound token array shared by the stopword and diversity
+    # terms (r17): the unbound form split the text twice per row. The
+    # ratio formulas and the weighted chain are reproduced verbatim,
+    # so the score is bit-identical.
+    def _score(toks: Column) -> Column:
+        nz = F.size(toks) > 0
+        stop_ratio = F.when(
+            nz,
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0))
+        stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+        diversity = F.when(
+            nz, F.size(F.array_distinct(toks)) / F.size(toks)
+        ).otherwise(F.lit(0.0))
+        return (
+            0.30 * length_score
+            + 0.25 * stop_score
+            + 0.25 * diversity
+            + 0.20 * clean
+        )
+
+    return let(raw_tokens(text_col), _score)
 
 
 def quality_tier(score_col: Column) -> Column:

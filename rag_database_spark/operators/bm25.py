@@ -96,8 +96,21 @@ def score_queries(
     qtf multiplier (rank_bm25 iterates duplicate query tokens,
     bm25_store.py:217). The queries side is broadcast — postings never
     shuffles for the join, only for the final (query_id, doc_id) rollup.
+
+    The three multiply-referenced intermediates are folded into eager
+    localCheckpoints (r17, same discipline as the rerank candidate
+    fold): ``qterms`` feeds the term-set filter AND the qtf join (the
+    query tokenize+rollup subtree ran 3×), ``stats`` feeds n_docs AND
+    avgdl (the doclens aggregate ran 2×), and ``matched_postings``
+    feeds the df/idf stats AND the scoring join — without the fold the
+    postings table was SCANNED TWICE per query batch, the single
+    biggest redundant I/O in every BM25-legged entry at 100 TB. Each
+    checkpoint is query-batch-bounded (terms, 1 row, matched posting
+    lists), recomputed per invocation, and preserves the scan
+    partitioning, so partial-sum grouping — and therefore every last
+    float ulp of the scores — is unchanged.
     """
-    stats = corpus_stats(doclens)
+    stats = corpus_stats(doclens).localCheckpoint()
 
     qterms = (
         queries.select(
@@ -106,6 +119,7 @@ def score_queries(
         )
         .groupBy("query_id", "term")
         .agg(F.count("*").alias("qtf"))
+        .localCheckpoint()
     )
 
     # Semi-join postings down to query terms FIRST (broadcast the tiny
@@ -114,7 +128,9 @@ def score_queries(
     # vocabulary is 10^8+ terms, but a query workload touches a few
     # hundred, so termstats here is a few hundred rows.
     qterm_set = qterms.select("term").distinct()
-    matched_postings = postings.join(F.broadcast(qterm_set), "term")
+    matched_postings = postings.join(
+        F.broadcast(qterm_set), "term"
+    ).localCheckpoint()
     termstats = build_termstats(matched_postings, stats.select("n_docs"))
 
     matched = (

@@ -222,17 +222,29 @@ def semdedup(
     expected cluster size is bounded (SemDeDup's own contract; the
     paper runs k in the tens of thousands at web scale, which is the
     MLlib-KMeans + ``similarity.assign_centroids`` regime)."""
+    from rag_database_spark.functions.vector import dot, l2_norm
+
+    # per-row norm in the projection (r17): the per-pair cosine
+    # re-folded both norms per cluster-mate pair — 3 interpreted O(d)
+    # aggregates per pair → 1. Same subtree, same multiply order
+    # (‖a‖·‖b‖), so the rounded cs is bit-identical.
     e = df.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
-    ).join(assignments, "id")
+    ).withColumn("n", l2_norm(F.col("v"))).join(assignments, "id")
     a, b = e.alias("a"), e.alias("b")
+    denom = F.col("a.n") * F.col("b.n")
     pairs = a.join(
         b,
         (F.col("a.cluster_id") == F.col("b.cluster_id"))
         & (F.col("a.id") > F.col("b.id")),
     ).select(
         F.col("a.id").alias("id"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cs"),
+        F.round(
+            F.when(
+                denom > 0, dot(F.col("a.v"), F.col("b.v")) / denom
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("cs"),
     )
     best = pairs.groupBy("id").agg(F.max("cs").alias("max_sim_lower"))
     return (

@@ -869,11 +869,16 @@ def embedding_near_dupes_lsh(
     it candidate volume per row — stays constant as the corpus grows."""
     if n_planes is None:
         n_planes = adaptive_n_planes(corpus.count())
-    from rag_database_spark.functions.vector import cosine, to_double_array
+    from rag_database_spark.functions.vector import (
+        dot, l2_norm, to_double_array,
+    )
 
+    # eager localCheckpoint (r17): the bucket self-join evaluates both
+    # sides, so the sign-bit projection ran twice (same fold as
+    # similarity.knn_graph_lsh); narrow rows, recomputed per call.
     blocks = rp_blocks(
         corpus, dim, n_tables, n_planes, seed, id_col, vec_col
-    )
+    ).localCheckpoint()
     a = blocks.select(F.col("id").alias("id_a"), "table_idx", "bucket")
     b = blocks.select(F.col("id").alias("id_b"), "table_idx", "bucket")
     cands = (
@@ -882,18 +887,27 @@ def embedding_near_dupes_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
+    # per-row norms in the vector projections (r17): the per-pair
+    # cosine re-folded both norms per candidate — 3 interpreted O(d)
+    # aggregates per pair → 1. Same subtree, same multiply order
+    # (‖a‖·‖b‖), bit-identical to cosine(vec_a, vec_b).
     va = corpus.select(
-        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("vec_a")
-    )
+        F.col(id_col).alias("id_a"),
+        to_double_array(F.col(vec_col)).alias("vec_a"),
+    ).withColumn("n_a", l2_norm(F.col("vec_a")))
     vb = corpus.select(
-        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vec_b")
-    )
+        F.col(id_col).alias("id_b"),
+        to_double_array(F.col(vec_col)).alias("vec_b"),
+    ).withColumn("n_b", l2_norm(F.col("vec_b")))
+    denom = F.col("n_a") * F.col("n_b")
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+            F.when(
+                denom > 0, dot(F.col("vec_a"), F.col("vec_b")) / denom
+            ).otherwise(F.lit(0.0)).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -113,6 +113,11 @@ def colpali_leg(
     from rag_database_spark.operators.similarity import maxsim_scores_pruned
 
     pages_scored = maxsim_scores_pruned(query_patches, page_patches, fetch)
+    # eager localCheckpoint (r17): propagate_page_scores_batch reads
+    # page_topk twice (doc-max rollup + page-grain side), which
+    # re-evaluated the whole MaxSim scoring subtree (ArrowEvalPython
+    # GEMM) per reference. The checkpoint is fetch-bounded rows/query,
+    # recomputed per invocation.
     page_topk = bm25_ops.topk(
         pages_scored, fetch, id_col="page_id"
     ).select(
@@ -120,7 +125,7 @@ def colpali_leg(
         F.floor(F.col("page_id") / doc_pages).cast("long").alias("document_id"),
         F.col("page_id").alias("page_number"),
         "score",
-    )
+    ).localCheckpoint()
     prop = propagate_page_scores_batch(chunk_pages, page_topk)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("propagated_score"), F.asc("id")
@@ -241,9 +246,13 @@ def hybrid_search3_adaptive(
         query_patches, page_patches, chunk_pages, fetch, doc_pages
     )
 
+    # eager localCheckpoint (r17): the F8 signal expression bank is a
+    # very large tree (keyword-count chains); materializing the tiny
+    # per-query weight frame keeps it out of the fusion plan that AQE
+    # re-optimizes at every stage boundary. Recomputed per invocation.
     qw = queries.select(
         "query_id", suggested_weights(F.col("query_text")).alias("w")
-    )
+    ).localCheckpoint()
     legs = (
         bm25_ranked.unionByName(dense_ranked)
         .unionByName(colpali_ranked)

@@ -1336,10 +1336,14 @@ def knn_graph_lsh(
 
     if n_planes is None:
         n_planes = adaptive_n_planes(corpus.count())
+    # eager localCheckpoint (r17): the self-join evaluates both sides,
+    # so the sign-bit bucket projection (n_tables × n_planes dot
+    # products per row) ran TWICE; the checkpoint is one narrow
+    # (table, bucket, id) row per (row, table), recomputed per call.
     cb = rp_blocks(
         corpus, dim, n_tables, n_planes, seed, id_col, vec_col,
         max_planes=LSH_MAX_PLANES,
-    )
+    ).localCheckpoint()
     a, b = cb.alias("a"), cb.alias("b")
     cands = (
         a.join(
@@ -1351,20 +1355,32 @@ def knn_graph_lsh(
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
         .distinct()
     )
+    # per-row norms computed ONCE in the vector projection: the
+    # per-pair cosine otherwise re-folds both norms for every
+    # candidate pair (3 interpreted O(d) aggregates per pair → 1).
+    # Same expression subtree, same multiply order (‖a‖·‖b‖), so the
+    # scores are bit-identical to cosine(sv, v).
+    from rag_database_spark.functions.vector import l2_norm
+
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         to_double_array(F.col(vec_col)).alias("v"),
-    )
+    ).withColumn("n", l2_norm(F.col("v")))
+    denom = F.col("sn") * F.col("n")
     scored = (
         cands.join(vecs.withColumnRenamed("vid", "src"), "src")
         .withColumnRenamed("v", "sv")
+        .withColumnRenamed("n", "sn")
         .join(vecs.withColumnRenamed("vid", "dst"), "dst")
         .select(
             "src", "dst",
             # 12dp-quantized BEFORE the rank window — same cross-engine
             # boundary discipline as knn_graph (see PREFETCH_ROUND_DP)
             F.round(
-                cosine(F.col("sv"), F.col("v")), PREFETCH_ROUND_DP
+                F.when(
+                    denom > 0, dot(F.col("sv"), F.col("v")) / denom
+                ).otherwise(F.lit(0.0)),
+                PREFETCH_ROUND_DP,
             ).alias("score"),
         )
     )

@@ -169,13 +169,38 @@ def doc_quality(docs: DataFrame, id_col: str = "doc_id",
     thresholds .8/.5/.2, document_quality.py:356-365)."""
     docs = fan_out(docs)
     t = F.col(text_col)
-    score = quality_score(t)
-    return docs.select(
+    # Two-step projection (r17): the raw ratios each feed an output
+    # column AND the composite score (which itself feeds q_score AND
+    # the tier), so the single-select form re-split the text ~7× per
+    # row. Stage 1 evaluates each signal once; stage 2 rebuilds the
+    # score from the staged columns with the exact formula/ordering of
+    # functions.text.quality_score (0.30·len + 0.25·stop + 0.25·uniq
+    # + 0.20·clean — same sub-expressions, same chain), so every value
+    # is bit-identical. CollapseProject keeps the boundary: the
+    # staged aliases are non-cheap and multiply-referenced.
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(unique_token_ratio(t), 6).alias("unique_ratio"),
-        F.round(digit_ratio(t), 6).alias("digit_ratio"),
-        F.round(special_char_ratio(t), 6).alias("special_ratio"),
+        stopword_ratio(t).alias("__stop"),
+        unique_token_ratio(t).alias("__uniq"),
+        digit_ratio(t).alias("__digit"),
+        special_char_ratio(t).alias("__special"),
+        F.length(t).alias("__len"),
+    )
+    length_score = F.least(F.col("__len") / F.lit(200.0), F.lit(1.0))
+    stop_score = F.least(F.col("__stop") * 4.0, F.lit(1.0))
+    clean = F.lit(1.0) - F.col("__special")
+    score = (
+        0.30 * length_score
+        + 0.25 * stop_score
+        + 0.25 * F.col("__uniq")
+        + 0.20 * clean
+    )
+    return staged.select(
+        "doc_id",
+        F.round(F.col("__stop"), 6).alias("stopword_ratio"),
+        F.round(F.col("__uniq"), 6).alias("unique_ratio"),
+        F.round(F.col("__digit"), 6).alias("digit_ratio"),
+        F.round(F.col("__special"), 6).alias("special_ratio"),
         F.round(score, 6).alias("q_score"),
         quality_tier(score).alias("tier"),
     )
