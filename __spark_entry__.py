@@ -2497,7 +2497,12 @@ def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _qrels_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic modular relevance set ((vec_id + 3*query_id) % 9
     == 0), expressed as an EQUI-join on the residue so the probe is
-    keyed, not a cross join."""
+    keyed, not a cross join.
+
+    Eagerly checkpointed (r17): ir_metrics reads qrels twice (the
+    relevance-mark join and the totals rollup), and eval_delta runs
+    ir_metrics twice — the fixture join otherwise evaluated up to 4×
+    per query. Tiny frame, recomputed per invocation."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = workload.queries_df(spark)
     return emb.select(
@@ -2509,7 +2514,7 @@ def _qrels_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((9 - (F.col("query_id") * 3) % 9) % 9).alias("m"),
         ),
         "m",
-    ).select("query_id", "id")
+    ).select("query_id", "id").localCheckpoint()
 
 
 def _ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -712,9 +712,16 @@ def simhash_pairs(
             for bi in range(n_blocks)
         ]
     )
+    # eager localCheckpoint (r17): the block self-join evaluates both
+    # sides, re-running the upstream fingerprint computation twice —
+    # for the multimodal callers that is a per-payload Python decode
+    # (mapInPandas). Narrow (id, fp, block) rows, one per (row, block),
+    # recomputed per invocation.
     ex = fingerprints.select(
         "doc_id", F.col("simhash"), F.explode(blocks).alias("b")
-    ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
+    ).select(
+        "doc_id", "simhash", "b.block_idx", "b.block_val"
+    ).localCheckpoint()
     a = ex.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"),
         "block_idx", "block_val",
@@ -1341,7 +1348,11 @@ def best_jaccard_vs_index(
     Output: one row per incoming document —
     (doc_id, match_id | NULL, best_jaccard).
     """
-    b_sh = _doc_shingles(batch_docs, id_col, text_col, k)
+    # eager localCheckpoint (r17): b_sh feeds both the exploded
+    # shingle probe and the size table — the tokenize+shingle-hash
+    # projection ran twice per batch. Batch-bounded rows, recomputed
+    # per invocation.
+    b_sh = _doc_shingles(batch_docs, id_col, text_col, k).localCheckpoint()
     b_ex = b_sh.select(
         F.col("doc_id").alias("new_id"), F.explode("sh").alias("s")
     )
@@ -1405,7 +1416,11 @@ def pairs_vs_index(
     the corpus index never shuffles. Output matches the pair-set
     schema (id_a < id_b orientation, 6dp jaccard) so it appends
     directly onto the persisted pair index."""
-    b_sh = _doc_shingles(batch_docs, id_col, text_col, k)
+    # eager localCheckpoint (r17): b_sh feeds both the exploded
+    # shingle probe and the size table — the tokenize+shingle-hash
+    # projection ran twice per batch. Batch-bounded rows, recomputed
+    # per invocation.
+    b_sh = _doc_shingles(batch_docs, id_col, text_col, k).localCheckpoint()
     b_ex = b_sh.select(
         F.col("doc_id").alias("new_id"), F.explode("sh").alias("s")
     )

@@ -68,14 +68,21 @@ def customer_overview(customer: DataFrame, orders: DataFrame,
     of exploding customer×lineitem."""
     # price×(1−discount) lies on a 4-decimal grid: round each row onto
     # the grid (no half-way ties — the double is ~1e-9 off the grid
-    # point) and sum as DECIMAL, which is exact and summation-order
-    # independent; double sums drift in the last ulps across engines
-    row_rev = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-    ).cast("decimal(18,4)")
+    # point) and sum EXACTLY as integer 1e-4 units — the same exact,
+    # summation-order-independent result the previous decimal(18,4)
+    # sum produced, at roughly half the aggregate cost (r17: the
+    # decimal accumulator measured 1.14 s vs 0.60 s for a numeric one
+    # on this rollup at sf0.1). round4(x) sits within ~1e-9 of k/1e4,
+    # so round(round4(x)·1e4) recovers the integer k exactly; long
+    # sums are exact far past any decimal(18,4)-representable total.
+    row_rev_units = F.round(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        * 10000,
+        0,
+    ).cast("long")
     li_per_order = lineitem.groupBy("l_orderkey").agg(
         F.count("*").alias("n_items"),
-        F.sum(row_rev).alias("rev"),
+        F.sum(row_rev_units).alias("rev_units"),
     )
     per_cust = (
         orders.join(li_per_order, orders["o_orderkey"] == li_per_order["l_orderkey"], "left")
@@ -86,9 +93,12 @@ def customer_overview(customer: DataFrame, orders: DataFrame,
             # count(DISTINCT o_orderkey) without the expand+dedup pass
             F.count("o_orderkey").alias("n_orders"),
             F.sum("n_items").alias("n_lineitems"),
-            # exact decimal → double is a single exactly-rounded cast,
-            # bit-identical on any engine
-            F.sum("rev").cast("double").alias("revenue"),
+            # exact integer units → one correctly-rounded double
+            # division: identical to casting the exact decimal total
+            # (both are the nearest double of the same rational)
+            (F.sum("rev_units").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
         )
     )
     return (

@@ -244,6 +244,7 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5,
     the groupBy(ngram) key space is large and uniform enough that no
     salting is needed, and the per-doc rollup is bounded by document
     length."""
+    raw_docs = docs
     docs = fan_out(docs)
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
@@ -273,8 +274,10 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5,
             ).alias("n_dup_ngrams"),
         )
     )
+    # join side pruned to doc_id: use the un-fanned scan (the
+    # round-robin exchange buys nothing before a join that shuffles)
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
+        raw_docs.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -1371,6 +1374,7 @@ def vocab_oov(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
     tiny by construction, so the coverage pass joins it BROADCAST —
     the corpus token stream never shuffles for the probe; the per-doc
     rollup keys on doc_id."""
+    raw_docs = docs
     docs = fan_out(docs)
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
@@ -1396,8 +1400,9 @@ def vocab_oov(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
             ).alias("n_oov"),
         )
     )
+    # join side pruned to doc_id: use the un-fanned scan (r17)
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
+        raw_docs.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
