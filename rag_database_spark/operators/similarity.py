@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from rag_database_spark.functions.vector import (
     cosine,
     dot,
+    l2_norm,
     let as vec_let,
     to_double_array,
 )
@@ -259,24 +260,32 @@ def embedding_near_dupes(
                     id_col=id_col, vec_col=vec_col,
                 )
         return _near_dupes_gemm(corpus, threshold, id_col, vec_col)
+    # per-row norms computed pre-join (r17): each row appears in many
+    # pairs, and the per-pair cosine re-folded both norms per pair.
+    # Same subtree, same multiply order — cos_sim is bit-identical.
+    from rag_database_spark.functions.vector import dot, l2_norm
+
     a = corpus.select(
         F.col(id_col).alias("id_a"),
         to_double_array(F.col(vec_col)).alias("vec_a"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).withColumn("n_a", l2_norm(F.col("vec_a")))
     b = corpus.select(
         F.col(id_col).alias("id_b"),
         to_double_array(F.col(vec_col)).alias("vec_b"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).withColumn("n_b", l2_norm(F.col("vec_b")))
     join_cond = F.col("id_a") < F.col("id_b")
     pairs = a.join(b, on=(["blk"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
+    denom = F.col("n_a") * F.col("n_b")
     return (
         pairs.filter(join_cond)
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+            F.when(
+                denom > 0, dot(F.col("vec_a"), F.col("vec_b")) / denom
+            ).otherwise(F.lit(0.0)).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -870,16 +879,27 @@ def ivf_topk_indexed(
     cands = (
         # static partition filter first → pruned scan; the broadcast
         # join then fans each list row out to the queries probing it
+        # list-row norms computed BEFORE the per-query fan-out and
+        # query norms once per query (r17): the per-candidate cosine
+        # re-folded both norms per (query, row) pair. Same subtree,
+        # same multiply order - scores bit-identical.
         lists.filter(F.col("centroid_id").isin(probed_cids))
+        .withColumn("cn", l2_norm(to_double_array(F.col("vec"))))
         .join(F.broadcast(probe_df), "centroid_id")
-        .select("query_id", "id", "vec")
+        .select("query_id", "id", "vec", "cn")
     )
     qv_df = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(query_vec_col)).alias("qvec"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qvec")))
+    _denom = F.col("qn") * F.col("cn")
     scored = cands.join(F.broadcast(qv_df), "query_id").select(
-        "query_id", "id", cosine(F.col("qvec"), F.col("vec")).alias("score")
+        "query_id",
+        "id",
+        F.when(
+            _denom > 0,
+            dot(F.col("qvec"), to_double_array(F.col("vec"))) / _denom,
+        ).otherwise(F.lit(0.0)).alias("score"),
     )
     return _ranked(scored, k)
 
@@ -976,21 +996,30 @@ def lsh_topk(
         .select("query_id", "id")
         .distinct()
     )
+    # per-row norms in the vector projections (r17): the per-candidate
+    # cosine re-folded both norms per pair — 3 interpreted O(d)
+    # aggregates per candidate → 1. Same subtree, same multiply order
+    # (‖q‖·‖c‖), bit-identical to cosine(qvec, cvec).
+    from rag_database_spark.functions.vector import l2_norm
+
     qv_df = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(query_vec_col)).alias("qvec"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qvec")))
     cv_df = corpus.select(
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("cvec"),
-    )
+    ).withColumn("cn", l2_norm(F.col("cvec")))
+    denom = F.col("qn") * F.col("cn")
     scored = (
         cands.join(F.broadcast(qv_df), "query_id")
         .join(cv_df, "id")
         .select(
             "query_id",
             "id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            F.when(
+                denom > 0, dot(F.col("qvec"), F.col("cvec")) / denom
+            ).otherwise(F.lit(0.0)).alias("score"),
         )
     )
     return _ranked(scored, k)
@@ -1179,13 +1208,25 @@ def matryoshka_topk(
         qpre, cpre, k * shortlist_mult,
         id_col="id", vec_col="vec", round_dp=PREFETCH_ROUND_DP,
     ).select("query_id", "id")
+    # query norm once per query on the broadcast side (r17): the
+    # per-pair cosine re-folded it per shortlist row. The corpus-side
+    # norm stays per-pair (computing it pre-join would norm EVERY
+    # corpus row for a shortlist-bounded rescore). Same subtree, same
+    # multiply order (‖q‖·‖v‖) — bit-identical.
+    qn_df = q.withColumn("qn", l2_norm(F.col("qvec")))
+    _denom = F.col("qn") * l2_norm(F.col("vec"))
     rescored = (
         c.join(F.broadcast(short), "id")
-        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(qn_df), "query_id")
         .select(
             "query_id",
             "id",
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("score"),
+            F.round(
+                F.when(
+                    _denom > 0, dot(F.col("qvec"), F.col("vec")) / _denom
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
         )
     )
     return _ranked(rescored, k)

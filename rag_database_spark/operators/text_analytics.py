@@ -541,6 +541,10 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
             ),
         ).otherwise(F.array().cast("array<string>"))
 
+    # eager localCheckpoint (r17): base feeds the 2-gram explode, the
+    # 5-gram explode, and the final line-signal join — the tokenize +
+    # line-dedup projection otherwise evaluated 3× per run. Recomputed
+    # per invocation.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(lines).alias("n_lines"),
@@ -548,7 +552,7 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
         chars_of(lines).alias("line_chars"),
         chars_of(dlines).alias("dline_chars"),
         toks.alias("__toks"),
-    ).withColumn("tok_chars", chars_of(F.col("__toks")))
+    ).withColumn("tok_chars", chars_of(F.col("__toks"))).localCheckpoint()
     gram_rows = lambda n: base.select(
         "doc_id", F.lit(n).alias("n"), F.explode(grams(n)).alias("g")
     )
