@@ -1609,6 +1609,10 @@ def dedup_clusters_star(
 
     sig = _signature(edges)
     for _ in range(max_rounds):
+        # (r17 note: checkpointing between the stars was measured
+        # SLOWER at sf0.1 — the duplicated _large_star subtree runs as
+        # parallel stages inside one job, while an inter-star
+        # materialization adds a serial job per round)
         edges = _small_star(_large_star(edges)).localCheckpoint()
         new_sig = _signature(edges)
         if new_sig == sig:

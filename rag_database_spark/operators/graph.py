@@ -613,12 +613,17 @@ def triangles(edges: DataFrame) -> DataFrame:
     division, identical cross-engine.
 
     Returns (node, degree, n_triangles, clustering)."""
+    # eager localCheckpoints (r17): und feeds the degree rollup AND
+    # the canonical edge list (each re-evaluating the full edge-table
+    # lineage), deg is referenced three times, and the oriented edge
+    # list o self-joins for wedges — without the folds the upstream
+    # edge derivation ran up to 5x per call. All are edge-bounded.
     und = (
         undirected(edges)
         .filter(F.col("me") != F.col("other"))
         .select("me", "other")
         .distinct()
-    )
+    ).localCheckpoint()
     deg = und.groupBy("me").agg(F.count("*").alias("d"))
     ce = und.filter(F.col("me") < F.col("other")).select(
         F.col("me").alias("a"), F.col("other").alias("b")
@@ -633,7 +638,7 @@ def triangles(edges: DataFrame) -> DataFrame:
     o = withdeg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint()
     x = o.select(F.col("u"), F.col("v").alias("v1"))
     y = o.select(F.col("u"), F.col("v").alias("v2"))
     wedges = x.join(y, "u").filter(F.col("v1") < F.col("v2"))

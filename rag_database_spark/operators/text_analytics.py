@@ -686,6 +686,7 @@ def decontaminate(
     Output: (doc_id, n_ngrams, n_hits, contam_frac, is_contaminated)
     for every probed document.
     """
+    raw_docs = docs  # keep-side join is pruned to doc_id — no fan_out
     docs = fan_out(docs)
 
     def _gram_rows(df: DataFrame, df_id_col: str) -> DataFrame:
@@ -708,11 +709,11 @@ def decontaminate(
     if bench_docs is not None:
         bench_src = _gram_rows(bench_docs, id_col)
         corpus = ng_rows
-        keep = docs.select(F.col(id_col).alias("doc_id"))
+        keep = raw_docs.select(F.col(id_col).alias("doc_id"))
     else:
         bench_src = ng_rows.filter(F.col("doc_id") < bench_max)
         corpus = ng_rows.filter(F.col("doc_id") >= bench_max)
-        keep = docs.select(F.col(id_col).alias("doc_id")).filter(
+        keep = raw_docs.select(F.col(id_col).alias("doc_id")).filter(
             F.col("doc_id") >= bench_max
         )
     bench_grams = (

@@ -95,7 +95,12 @@ def multivector_pages(embeddings: DataFrame) -> DataFrame:
     grouped = embeddings.withColumn(
         "page_id", F.floor(F.col("vec_id") / PAGE_GROUP).cast("long")
     )
-    return _collect_patches(grouped, "page_id")
+    # eager localCheckpoint (r17): consumers (maxsim prefetch + exact
+    # rescore join) reference the page table twice, re-running the
+    # collect_list aggregation per reference. Fixture-sized, rebuilt
+    # per call. A production multi-vector table is a stored table, so
+    # this fold lives in the workload glue, not the operator.
+    return _collect_patches(grouped, "page_id").localCheckpoint()
 
 
 def query_patches_df(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
@@ -108,7 +113,9 @@ def query_patches_df(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
         (embeddings["vec_id"] >= q["query_vec_id"])
         & (embeddings["vec_id"] < q["query_vec_id"] + QUERY_TOKENS),
     ).select("query_id", "vec_id", "embedding")
-    return _collect_patches(joined, "query_id")
+    # same fold as multivector_pages: referenced by the pooled
+    # prefetch AND the collected rescore side
+    return _collect_patches(joined, "query_id").localCheckpoint()
 
 
 def chunk_page_map(embeddings: DataFrame) -> DataFrame:
