@@ -2697,7 +2697,10 @@ def _table_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F18: dual table representations — CSV-like structured text and
     the one-sentence semantic description."""
     fx = tables_extract.fixtures_df(spark)
-    cells = tables_extract.parse_pipe_tables(fx)
+    # eager localCheckpoint (r17): the parsed cell table feeds
+    # table_texts (row rollup + header rollup) AND table_summary —
+    # the regex parse otherwise re-ran per reference. Fixture-sized.
+    cells = tables_extract.parse_pipe_tables(fx).localCheckpoint()
     return tables_extract.table_texts(
         cells, tables_extract.table_summary(cells, fx)
     )

@@ -287,6 +287,7 @@ def winnow_fingerprints(
     from rag_database_spark.operators.dedup import hash60
     from rag_database_spark.sources.tables import fan_out
 
+    raw_docs = docs  # un-fanned scan for the pruned final join
     docs = fan_out(docs)
     norm = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -320,8 +321,10 @@ def winnow_fingerprints(
     fps = mins.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("m")).alias("fingerprints")
     )
+    # join side pruned to doc_id: the round-robin exchange buys
+    # nothing before a join that shuffles anyway (r17)
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
+        raw_docs.select(F.col(id_col).alias("doc_id"))
         .join(fps, "doc_id", "left")
         .select(
             "doc_id",
