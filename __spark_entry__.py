@@ -91,6 +91,22 @@ _IVFPQ_CACHE: dict[
 _PREPARED: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _has_materialized_leaf(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan contains a ``LogicalRDD``
+    leaf — the footprint of an eager ``localCheckpoint()`` (or any
+    RDD materialization) inside the builder. Such plans must never
+    enter ``_PREPARED``: the cached DataFrame would serve the
+    already-materialized RDD blocks to every later invocation, so
+    repeated executions would skip the checkpointed subtree's real
+    compute — result caching, not plan caching (r18 gate item; the
+    r17 folds accidentally created exactly this channel)."""
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    for i in range(leaves.size()):
+        if leaves.apply(i).nodeName() == "LogicalRDD":
+            return True
+    return False
+
+
 def _prepared(name, spark, sf_dir, build):
     key = (name, _source_fingerprint(sf_dir))
     hit = _PREPARED.get(key)
@@ -99,6 +115,12 @@ def _prepared(name, spark, sf_dir, build):
     # miss, or the plan belongs to a stopped/replaced session (a cached
     # DataFrame is session-bound) — rebuild against the live session
     df = build()
+    # self-enforcing purity guard: a builder that materialized an RDD
+    # (localCheckpoint) is not pure lazy whatever _PURE_LAZY says —
+    # serve the frame for THIS call only and rebuild on the next, so
+    # every invocation re-runs the checkpointed subtree
+    if _has_materialized_leaf(df):
+        return df
     _PREPARED[key] = (spark, df)
     return df
 
@@ -3163,7 +3185,13 @@ ROWS_ONLY_ENTRIES: tuple[str, ...] = ("events_profile_approx",)
 # (no stream trigger, no table write, no eager BFS/label-propagation
 # materialization inside the builder), so reusing the analyzed
 # DataFrame skips only re-compilation — every execution still computes
-# the full result. Anything eager or effectful stays out.
+# the full result. Anything eager or effectful stays out. This list is
+# an OPT-IN HINT, not the enforcement: _prepared itself refuses to
+# cache any built plan carrying a LogicalRDD leaf
+# (_has_materialized_leaf), so an entry listed here whose builder
+# localCheckpoints simply rebuilds per call (r18 gate fix — in r17 the
+# list alone let ~29 checkpoint-bearing entries serve
+# warmup-materialized blocks to every timed bench pass).
 _PURE_LAZY = frozenset({
     "bm25_topk", "text_embed_topk", "hybrid_rrf3", "maxsim_topk",
     "visual_search", "colpali_lite_topk", "enhanced_search",

@@ -344,6 +344,16 @@ def main() -> int:
             pass
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    # r17 VERDICT item 2: the driver benches at several core counts and
+    # each run overwrote BENCH_DETAIL.json (the c8 detail clobbered the
+    # c32 one) — persist a per-core-count copy under a distinct name so
+    # every run's detail survives. The stdout contract is unchanged
+    # (same line, same "detail" pointer).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    if cpus:
+        (detail_path.parent / f"BENCH_DETAIL_c{cpus}.json").write_text(
+            json.dumps(detail, indent=1) + "\n"
+        )
     print(render_stdout_line(medians, total, sf, len(pass_times)), flush=True)
     return 0
 

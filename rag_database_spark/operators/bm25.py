@@ -106,9 +106,18 @@ def score_queries(
     postings table was SCANNED TWICE per query batch, the single
     biggest redundant I/O in every BM25-legged entry at 100 TB. Each
     checkpoint is query-batch-bounded (terms, 1 row, matched posting
-    lists), recomputed per invocation, and preserves the scan
-    partitioning, so partial-sum grouping — and therefore every last
-    float ulp of the scores — is unchanged.
+    lists) and preserves the scan partitioning, so partial-sum
+    grouping — and therefore every last float ulp of the scores — is
+    unchanged.
+
+    Recompute-per-invocation is ENFORCED, not assumed (r18): in r17
+    the entry-level prepared-plan cache (``__spark_entry__._PREPARED``)
+    returned the same built DataFrame on every call, so these
+    checkpoints executed once per session and later invocations served
+    the materialized blocks — result caching across bench passes.
+    ``_prepared`` now refuses to cache any plan with a ``LogicalRDD``
+    leaf (``_has_materialized_leaf``), so every invocation rebuilds
+    and re-runs the checkpointed subtrees.
     """
     stats = corpus_stats(doclens).localCheckpoint()
 

@@ -92,9 +92,14 @@ def lexical_overlap_rerank(
     8): it feeds both the broadcast id filter and the streamed side,
     and without the fold the whole upstream candidate pipeline (BM25
     scoring + window top-k in `rerank_topk`) executed twice per run.
-    The checkpoint is tiny (top-k-bounded pairs), recomputed on every
-    invocation (no cross-run caching), and truncates the lineage the
-    two consumers would otherwise duplicate."""
+    The checkpoint is tiny (top-k-bounded pairs) and truncates the
+    lineage the two consumers would otherwise duplicate. Per-invocation
+    recompute is ENFORCED by the caller-side prepared-plan cache
+    refusing to memoize any plan with a ``LogicalRDD`` leaf
+    (``__spark_entry__._has_materialized_leaf``, r18): in r17 the
+    cache returned the same built DataFrame per session, so this
+    checkpoint ran once untimed and later calls served materialized
+    blocks."""
     q = queries.select(
         "query_id",
         F.array_distinct(tokenize(F.col(query_text_col))).alias("q_toks"),

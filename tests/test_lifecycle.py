@@ -90,6 +90,24 @@ def test_rerank_candidates_materialized_once(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # both consumers read the checkpoint (ExistingRDD scan)
     assert "ExistingRDD" in plan
+    # r17 ADVICE: assert the DEDUP, not just that a checkpoint exists —
+    # the marker filter on the candidate lineage must be hidden behind
+    # the checkpoint (zero occurrences in the executed plan; it renders
+    # as `(id#NL >= 0)`); if the candidates were re-derived for either
+    # consumer it would reappear. An inferred `doc_id >= 0` on the
+    # DOCUMENTS side is fine (LogicalRDD preserves constraints and the
+    # join propagates them) — only the candidate column counts.
+    assert not any(
+        ">= 0" in line and "(id#" in line for line in plan.splitlines()
+    )
+    # and both consumers scan the checkpointed candidates (the queries
+    # fixture is also an ExistingRDD, so match the candidate schema)
+    cand_scans = [
+        line
+        for line in plan.splitlines()
+        if "Scan ExistingRDD[query_id#" in line and ",id#" in line
+    ]
+    assert len(cand_scans) == 2
     # values unchanged by the fold
     rows = out.orderBy("rank").collect()
     assert [r["id"] for r in rows] == [10, 20]

@@ -27,6 +27,38 @@ def test_eager_entry_not_cached(spark):
     assert a is not b
 
 
+def test_checkpoint_bearing_entries_rebuild_per_call(spark):
+    """r18 gate fix (r17 VERDICT item 1): entries listed in _PURE_LAZY
+    whose builders eager-localCheckpoint a subtree must NOT be served
+    from _PREPARED — the cached frame would hand every later invocation
+    the warmup-materialized RDD blocks (result caching across bench
+    passes). One representative per affected family: bm25_topk (bm25
+    qterms/stats/postings folds), rerank_topk (lexical_overlap_rerank
+    candidate fold), maxsim_topk (multi-vector patch-table fold)."""
+    qs = entrymod.queries()
+    for name in ("bm25_topk", "rerank_topk", "maxsim_topk"):
+        a = qs[name](spark, SF_DIR)
+        b = qs[name](spark, SF_DIR)
+        assert a is not b, name
+        # the guard fires on the plan shape, not the name list
+        assert entrymod._has_materialized_leaf(a), name
+        key = (name, entrymod._source_fingerprint(SF_DIR))
+        assert key not in entrymod._PREPARED, name
+
+
+def test_prepared_cache_serves_only_pure_lazy_plans(spark):
+    """Invariant form of the guard: nothing in _PREPARED may carry a
+    LogicalRDD leaf, whatever future folds get added."""
+    qs = entrymod.queries()
+    # build a known pure-lazy entry so the cache is non-trivially
+    # populated even when this test runs alone
+    qs["db_stats"](spark, SF_DIR)
+    for (name, _), (owner, df) in entrymod._PREPARED.items():
+        if owner is not spark:
+            continue
+        assert not entrymod._has_materialized_leaf(df), name
+
+
 def test_stale_session_invalidates(spark):
     key_fn = entrymod._source_fingerprint
     name = "db_stats"

@@ -1,12 +1,15 @@
 """Dump .explain('formatted') for the given entries into per-query
-files under plans/r17/<entry>_<suffix>.txt (judge-auditable evidence of
-plan-shape claims in OPTIMIZATION_r17.md).
+files under plans/<round>/<entry>_<suffix>.txt (judge-auditable
+evidence of plan-shape claims in the round's OPTIMIZATION report).
 
 Usage: python tools/dump_plan_files.py <suffix> [entry ...]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_PLAN_ROUND (default r18).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -16,8 +19,9 @@ sys.path.insert(0, str(REPO))
 import __spark_entry__ as entrymod  # noqa: E402
 from rag_database_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.1"
-OUT = REPO / "plans" / "r17"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROUND = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18")
+OUT = REPO / "plans" / ROUND
 
 
 def main(argv: list[str]) -> int:
@@ -33,7 +37,7 @@ def main(argv: list[str]) -> int:
             df._jdf.queryExecution(), "formatted"
         )
         (OUT / f"{n}_{suffix}.txt").write_text(txt)
-        print(f"wrote plans/r17/{n}_{suffix}.txt ({len(txt)} chars)")
+        print(f"wrote plans/{ROUND}/{n}_{suffix}.txt ({len(txt)} chars)")
     return 0
 
 
