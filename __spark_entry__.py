@@ -93,17 +93,30 @@ _PREPARED: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 def _has_materialized_leaf(df: DataFrame) -> bool:
     """True iff the analyzed logical plan contains a ``LogicalRDD``
-    leaf — the footprint of an eager ``localCheckpoint()`` (or any
-    RDD materialization) inside the builder. Such plans must never
-    enter ``_PREPARED``: the cached DataFrame would serve the
-    already-materialized RDD blocks to every later invocation, so
-    repeated executions would skip the checkpointed subtree's real
-    compute — result caching, not plan caching (r18 gate item; the
-    r17 folds accidentally created exactly this channel)."""
+    leaf backed by a CHECKPOINTED RDD — the footprint of an eager
+    ``localCheckpoint()``/``checkpoint()`` inside the builder. Such
+    plans must never enter ``_PREPARED``: the cached DataFrame would
+    serve the already-materialized RDD blocks to every later
+    invocation, so repeated executions would skip the checkpointed
+    subtree's real compute — result caching, not plan caching (r18
+    gate item; the r17 folds accidentally created exactly this
+    channel).
+
+    The checkpoint flag is the precise criterion: a ``LogicalRDD``
+    from an Arrow ``createDataFrame`` fixture (tiny local input
+    literals — the query workload tables) is NOT materialized state,
+    it is input data, and re-serving its plan skips no compute; an
+    un-checkpointed RDD lineage recomputes on every action anyway.
+    Flagging all LogicalRDD leaves over-evicted 45 entries (16 of
+    them fixture-only) and cost those entries the legitimate
+    plan-compilation amortization."""
     leaves = df._jdf.queryExecution().analyzed().collectLeaves()
     for i in range(leaves.size()):
-        if leaves.apply(i).nodeName() == "LogicalRDD":
-            return True
+        node = leaves.apply(i)
+        if node.nodeName() == "LogicalRDD":
+            rdd = node.rdd()
+            if rdd.isCheckpointed() or rdd.isLocallyCheckpointed():
+                return True
     return False
 
 
