@@ -1258,39 +1258,56 @@ def fuzzy_decontam(
         # index-driven fixture mode: both sides are slices of the
         # persisted exploded index — no tokenization in the plan.
         # (Only valid when the eval set IS the doc_id < bench_max
-        # slice of the indexed corpus.)
+        # slice of the indexed corpus.) Set sizes are aggregated from
+        # the index (they are not a per-row column here), so this
+        # branch keeps the size joins.
         c_ex = shingle_index.filter(F.col("doc_id") >= bench_max)
         c_sz = c_ex.groupBy("doc_id").agg(F.count("*").alias("n_a"))
         b_rows = shingle_index.filter(F.col("doc_id") < bench_max)
         b_ex = b_rows.select(F.col("doc_id").alias("bench_id"), "s")
         b_sz = b_ex.groupBy("bench_id").agg(F.count("*").alias("n_b"))
+        inter = (
+            c_ex.join(F.broadcast(b_ex), "s")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = (
+            inter.join(F.broadcast(b_sz), "bench_id")
+            .join(c_sz, "doc_id")
+        )
     else:
+        # single-pass sides (r18, r17 VERDICT item 6): each side's set
+        # SIZE rides the exploded stream as a per-row column instead of
+        # a second projection over the shingle subtree — the r17 shape
+        # evaluated the corpus tokenize+shingle-hash projection TWICE
+        # (once for c_ex, once for c_sz) and joined the sizes back on
+        # doc_id. n_a/n_b are functionally determined by the ids, so
+        # grouping on (id, size) pairs yields the identical result with
+        # one corpus pass and zero size joins.
         c_sh = _doc_shingles(corpus, id_col, text_col, k)
         b_sh = _doc_shingles(bench_docs, id_col, text_col, k)
-        c_ex = c_sh.select("doc_id", F.explode("sh").alias("s"))
-        c_sz = c_sh.select("doc_id", F.size("sh").alias("n_a"))
+        c_ex = c_sh.select(
+            "doc_id",
+            F.size("sh").alias("n_a"),
+            F.explode("sh").alias("s"),
+        )
         b_ex = b_sh.select(
-            F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s")
+            F.col("doc_id").alias("bench_id"),
+            F.size("sh").alias("n_b"),
+            F.explode("sh").alias("s"),
         )
-        b_sz = b_sh.select(
-            F.col("doc_id").alias("bench_id"), F.size("sh").alias("n_b")
+        jac = (
+            c_ex.join(F.broadcast(b_ex), "s")
+            .groupBy("doc_id", "bench_id", "n_a", "n_b")
+            .agg(F.count("*").alias("inter"))
         )
-    inter = (
-        c_ex.join(F.broadcast(b_ex), "s")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = (
-        inter.join(F.broadcast(b_sz), "bench_id")
-        .join(c_sz, "doc_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-                6,
-            ),
-        )
+    jac = jac.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            6,
+        ),
     )
     # argmax by (jaccard desc, bench_id asc): lexicographic struct max
     # with the id negated — rounding BEFORE ranking keeps the winner

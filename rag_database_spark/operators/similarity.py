@@ -99,6 +99,14 @@ def cosine_topk(
             vec_col,
             round_dp=round_dp,
         )
+    # per-row norms in the projections (r18, r17 VERDICT item 6): the
+    # inline cosine() re-folded BOTH norms per (query, doc) pair — 3
+    # interpreted O(d) aggregates per pair → 1 dot per pair plus one
+    # norm per row. Same sub-expressions, same multiply order
+    # (‖q‖·‖c‖), same zero-denominator guard — bit-identical to
+    # cosine(qvec, vec).
+    from rag_database_spark.functions.vector import l2_norm
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(query_vec_col)).alias("qvec"),
@@ -106,11 +114,15 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("vec")
     )
-    sim = (
-        dot(F.col("qvec"), F.col("vec"))
-        if assume_normalized
-        else cosine(F.col("qvec"), F.col("vec"))
-    )
+    if assume_normalized:
+        sim = dot(F.col("qvec"), F.col("vec"))
+    else:
+        q = q.withColumn("__qn", l2_norm(F.col("qvec")))
+        c = c.withColumn("__cn", l2_norm(F.col("vec")))
+        denom = F.col("__qn") * F.col("__cn")
+        sim = F.when(
+            denom > 0, dot(F.col("qvec"), F.col("vec")) / denom
+        ).otherwise(F.lit(0.0))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = c.join(F.broadcast(q)).select(
@@ -991,10 +1003,17 @@ def lsh_topk(
         queries, dim, n_tables, n_planes, seed, query_id_col,
         query_vec_col, max_planes=LSH_MAX_PLANES,
     ).withColumnRenamed("id", "query_id")
-    cands = (
+    # aggregate-based dedup keyed on id (r18, was `.distinct()` on
+    # (query_id, id)): collect_set(query_id) per candidate id dedups
+    # the multi-table hits with ONE exchange that the corpus-vector
+    # join then reuses (groupBy(id) output is already hash-partitioned
+    # by id) — the distinct form exchanged the pair stream on
+    # (query_id, id) and then AGAIN on id for the join. The set is
+    # bounded by the query-batch size, never corpus-sized.
+    cand_sets = (
         cb.join(F.broadcast(qb), ["table_idx", "bucket"])
-        .select("query_id", "id")
-        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("query_id").alias("__qids"))
     )
     # per-row norms in the vector projections (r17): the per-candidate
     # cosine re-folded both norms per pair — 3 interpreted O(d)
@@ -1012,8 +1031,9 @@ def lsh_topk(
     ).withColumn("cn", l2_norm(F.col("cvec")))
     denom = F.col("qn") * F.col("cn")
     scored = (
-        cands.join(F.broadcast(qv_df), "query_id")
-        .join(cv_df, "id")
+        cand_sets.join(cv_df, "id")
+        .select("id", F.explode("__qids").alias("query_id"), "cvec", "cn")
+        .join(F.broadcast(qv_df), "query_id")
         .select(
             "query_id",
             "id",

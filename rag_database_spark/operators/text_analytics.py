@@ -164,9 +164,17 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
 
 
 def doc_quality(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                keep: tuple[str, ...] = ()) -> DataFrame:
     """A7 quality metrics + composite score + tier routing (F15
-    thresholds .8/.5/.2, document_quality.py:356-365)."""
+    thresholds .8/.5/.2, document_quality.py:356-365).
+
+    ``keep``: extra input columns passed through unchanged (r18) — lets
+    per-row consumers like ``domain_cap`` carry their grouping column
+    through the projection instead of joining the scores back to the
+    source on doc_id (which re-scanned the corpus and cost two
+    exchanges + a sort-merge join for a value computable in the same
+    pass)."""
     docs = fan_out(docs)
     t = F.col(text_col)
     # Two-step projection (r17): the raw ratios each feed an output
@@ -180,6 +188,7 @@ def doc_quality(docs: DataFrame, id_col: str = "doc_id",
     # staged aliases are non-cheap and multiply-referenced.
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep],
         stopword_ratio(t).alias("__stop"),
         unique_token_ratio(t).alias("__uniq"),
         digit_ratio(t).alias("__digit"),
@@ -197,6 +206,7 @@ def doc_quality(docs: DataFrame, id_col: str = "doc_id",
     )
     return staged.select(
         "doc_id",
+        *keep,
         F.round(F.col("__stop"), 6).alias("stopword_ratio"),
         F.round(F.col("__uniq"), 6).alias("unique_ratio"),
         F.round(F.col("__digit"), 6).alias("digit_ratio"),
@@ -236,14 +246,18 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5,
     cross-document contamination metric: the share of a document's
     word n-grams that also occur in at least one OTHER document.
 
-    Plan: one projection builds each doc's n-gram array in codegen
-    (sequence + slice, no Python), explode → groupBy(ngram) for the
-    distinct-doc frequency, join back on the SAME key (partitioning
-    reused, no extra exchange), then one rollup keyed doc_id. Hot
-    n-grams are absorbed by partial aggregation map-side; at 100 TB
-    the groupBy(ngram) key space is large and uniform enough that no
-    salting is needed, and the per-doc rollup is bounded by document
-    length."""
+    Plan (r18, single-pass): one codegen projection builds each doc's
+    n-gram array (sequence + slice, no Python), ONE explode, then a
+    window over ``ng`` computes min/max doc_id per gram —
+    ``min != max`` ⟺ the gram occurs in >1 distinct document — and a
+    rollup keyed doc_id. The r17 shape evaluated the gram stream TWICE
+    (groupBy(ng) for count_distinct + a sort-merge join back on ng):
+    two tokenize+explode scans and two exchanges of the corpus gram
+    stream; the window form is one scan and one gram-stream exchange.
+    Hot n-grams land in one window partition (WindowExec buffers and
+    spills) — the same rows the old plan funneled through one SMJ
+    partition, so the skew profile is unchanged. The per-doc rollup is
+    bounded by document length."""
     raw_docs = docs
     docs = fan_out(docs)
     toks = F.filter(
@@ -261,17 +275,16 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5,
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
         .select("doc_id", F.explode(ngrams).alias("ng"))
     )
-    freq = ng_rows.groupBy("ng").agg(
-        F.count_distinct("doc_id").alias("ndocs")
-    )
+    wng = Window.partitionBy("ng")
     per_doc = (
-        ng_rows.join(freq, "ng")
+        ng_rows.withColumn(
+            "__dup",
+            F.min("doc_id").over(wng) != F.max("doc_id").over(wng),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(
-                (F.col("ndocs") > 1).cast("long")
-            ).alias("n_dup_ngrams"),
+            F.sum(F.col("__dup").cast("long")).alias("n_dup_ngrams"),
         )
     )
     # join side pruned to doc_id: use the un-fanned scan (the
@@ -773,11 +786,16 @@ def domain_cap(docs: DataFrame, per_source: int = 10,
     the true source top-k is in its bucket's top-k, so phase 2's exact
     window runs over ≤ NSALTS × per_source rows per source: bounded
     regardless of source size. Exactness vs the single-window form is
-    pinned by unit test (tests/test_pipeline_text.py)."""
-    dq = doc_quality(docs, id_col, text_col).select("doc_id", "q_score")
-    joined = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
-    ).join(dq, "doc_id")
+    pinned by unit test (tests/test_pipeline_text.py).
+
+    r18: ``source`` rides THROUGH the doc_quality projection (a pure
+    per-row expression bank) instead of joining the scores back to a
+    second corpus scan on doc_id — the join cost two exchanges + a
+    sort-merge join and doubled the scan; now the plan is one scan
+    into the two ranking windows."""
+    joined = doc_quality(docs, id_col, text_col, keep=(source_col,)).select(
+        "doc_id", F.col(source_col).alias("source"), "q_score"
+    )
     salt = F.crc32(F.col("doc_id").cast("string")) % DOMAIN_CAP_SALTS
     w1 = Window.partitionBy("source", "salt").orderBy(
         F.desc("q_score"), F.asc("doc_id")
@@ -1004,14 +1022,18 @@ def _dup_span_islands(docs: DataFrame, n: int,
     into maximal islands (running-max-end window merge). Shared core
     of ``dup_spans`` (the audit) and ``cut_dup_spans`` (the rewrite).
 
-    Plan: one codegen projection builds (position, n-gram) pairs, one
-    groupBy(ngram) for the cross-doc document frequency, a join back
-    on the same key (partitioning reused), then the classic
-    running-max-end island merge per document: two windows and a
-    rollup, all keyed on doc_id. At 100 TB the ngram groupBy is the
-    only wide op over corpus-sized data (uniform key space, map-side
-    partials); the window partitions are single documents — bounded by
-    document length, never corpus-sized.
+    Plan (r18, single-pass): one codegen projection builds
+    (position, n-gram) pairs, ONE explode, then a window over ``ng``
+    computes min/max doc_id per gram — ``min != max`` ⟺ cross-document
+    duplicate — followed by the classic running-max-end island merge
+    per document (two windows and a rollup keyed doc_id). The r17
+    shape evaluated the gram stream twice (groupBy(ng) count_distinct
+    + sort-merge join back on ng): two tokenize scans, two gram-stream
+    exchanges; the window form is one of each. Hot n-grams buffer in
+    one window partition (spillable) — the same rows the old plan
+    funneled through one SMJ partition. The doc_id window partitions
+    are single documents — bounded by document length, never
+    corpus-sized.
     """
     docs = fan_out(docs)
     toks = F.filter(
@@ -1037,17 +1059,19 @@ def _dup_span_islands(docs: DataFrame, n: int,
         )
         .select("doc_id", "n_tokens", "g.pos", "g.ng")
     )
-    dup_ngs = (
-        rows.groupBy("ng")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") > 1)
-        .select("ng")
-    )
-    dup = rows.join(dup_ngs, "ng").select(
-        "doc_id",
-        "n_tokens",
-        F.col("pos").alias("s"),
-        (F.col("pos") + F.lit(n - 1)).alias("e"),
+    wng = Window.partitionBy("ng")
+    dup = (
+        rows.withColumn(
+            "__dup",
+            F.min("doc_id").over(wng) != F.max("doc_id").over(wng),
+        )
+        .filter(F.col("__dup"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(n - 1)).alias("e"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_max_end = F.max("e").over(
@@ -1645,30 +1669,68 @@ def cut_dup_spans(docs: DataFrame, n: int = DUP_SPAN_N,
     rewritten text so the result is hashable at any scale; the full
     text is one ``concat_ws`` away in the same plan.
 
-    Plan: covered positions explode from the merged spans (output
-    bounded by Σ span lengths ≤ corpus tokens), token positions come
-    from one posexplode scan, and the cut is a LEFT ANTI join keyed
-    (doc_id, pos) — partitioning shared with the final doc_id rollup.
-    Reassembly sorts each doc's kept (pos, token) pairs inside the
-    aggregate (array_sort over a collect_list bounded by document
-    length — never corpus-sized)."""
-    spans = _dup_span_islands(docs, n, id_col, text_col)
-    covered = spans.select(
-        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
-    )
+    Plan (r18, fused single stream): ONE projection emits per-token
+    structs (pos, tok, ng) — ng is the n-gram starting at pos, null
+    for the last n-1 positions — and ONE explode produces the whole
+    stream. A window over ng (min/max doc_id; tail rows get singleton
+    synthetic keys so no corpus-wide null partition exists) marks
+    cross-document dup STARTS, and a per-doc range-frame window marks
+    coverage: position p is covered ⟺ some dup gram starts in
+    [p-n+1, p] — exactly the union of the merged islands' [s, s+n-1]
+    intervals, so island merging is unnecessary for the cut. The r17
+    shape ran THREE corpus tokenize passes (gram stream ×2 inside
+    _dup_span_islands + one posexplode) plus a sequence-explode of
+    covered positions and a corpus-wide LEFT ANTI join; this is one
+    pass and two exchanges (gram key, doc_id — the final rollup reuses
+    the doc_id partitioning). Reassembly sorts each doc's kept
+    (pos, token) pairs inside the aggregate (array_sort over a
+    collect_list bounded by document length — never corpus-sized)."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), SPLIT_RE),
         lambda t: F.length(t) > 0,
     )
-    tokpos = (
+    entries = F.transform(
+        F.col("__toks"),
+        lambda t, i: F.struct(
+            (i + F.lit(1)).cast("int").alias("pos"),
+            t.alias("tok"),
+            F.when(
+                i < F.size("__toks") - (n - 1),
+                F.concat_ws(" ", F.slice("__toks", i + F.lit(1), n)),
+            ).alias("ng"),
+        ),
+    )
+    stream = (
         fan_out(docs)
         .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-        .select(
-            "doc_id", F.posexplode("__toks").alias("pos0", "tok")
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .select("doc_id", F.explode(entries).alias("g"))
+        .select("doc_id", "g.pos", "g.tok", "g.ng")
     )
-    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    # dup-start detection: same min!=max criterion as _dup_span_islands;
+    # tail rows (ng IS NULL) partition by a per-row synthetic key — the
+    # isNull flag column separates the namespaces, so a pathological
+    # token equal to "doc#pos" can never collide with a real gram
+    wng = Window.partitionBy(
+        F.col("ng").isNull(),
+        F.coalesce(
+            F.col("ng"),
+            F.concat_ws("#", F.col("doc_id"), F.col("pos")),
+        ),
+    )
+    flagged = stream.withColumn(
+        "__dup",
+        (
+            F.min("doc_id").over(wng) != F.max("doc_id").over(wng)
+        ).cast("int"),
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rangeBetween(-(n - 1), 0)
+    )
+    kept = flagged.withColumn(
+        "__covered", F.max("__dup").over(wdoc)
+    ).filter(F.col("__covered") == 0)
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept_tokens"),
         F.md5(

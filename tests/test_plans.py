@@ -243,13 +243,19 @@ def test_repetition_signals_partial_agg_and_single_gram_shuffle(spark):
 
 
 def test_fuzzy_decontam_broadcasts_eval_side(spark):
-    """The eval-set shingles and sizes must be the broadcast side —
-    the corpus never shuffles for candidate generation."""
+    """The eval-set shingles must be the broadcast side — the corpus
+    never shuffles for candidate generation. r18: set sizes ride the
+    exploded streams as per-row columns, so there are no size joins at
+    all and each side's tokenize+shingle projection appears exactly
+    once (the r17 shape evaluated it twice per side and re-joined the
+    sizes)."""
     from rag_database_spark.operators.dedup import fuzzy_decontam
 
     df = fuzzy_decontam(load_table(spark, SF_DIR, "documents"))
     p = plan_of(df, "simple")
-    assert p.count("BroadcastHashJoin") >= 2  # shingle join + size join
+    assert "BroadcastHashJoin" in p  # the shingle candidate join
+    # one tokenize per side (corpus + eval slice), not two
+    assert p.count("split(trim(lower(") <= 2
 
 
 def test_vocab_oov_coverage_join_broadcasts(spark):
@@ -347,14 +353,20 @@ def test_ingest_gate_broadcasts_batch_side(spark, tmp_path):
     assert plan_of(df, "simple").count("BroadcastHashJoin") >= 2
 
 
-def test_cut_dup_spans_cut_is_keyed_anti_join(spark):
-    """The span cut must be a (doc_id, pos)-keyed LEFT ANTI join — not
-    a nested-loop interval probe."""
+def test_cut_dup_spans_single_pass_window_cut(spark):
+    """r18: the cut is computed on ONE fused (pos, tok, ng) stream —
+    a gram-key window marks cross-doc dup starts and a per-doc
+    range-frame window marks coverage — so the plan has exactly one
+    corpus tokenize+explode, no interval anti-join, and no nested-loop
+    probe. (The r17 shape ran three tokenize passes and a corpus-wide
+    LEFT ANTI join on (doc_id, pos).)"""
     from rag_database_spark.operators.text_analytics import cut_dup_spans
 
     p = plan_of(cut_dup_spans(load_table(spark, SF_DIR, "documents")))
-    assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" not in p
+    assert p.count("split(trim(lower(") == 1
+    assert p.count("Window") >= 2
 
 
 def test_dense_filtered_topk_pushes_label_filter(spark):
