@@ -97,29 +97,26 @@ def score_queries(
     bm25_store.py:217). The queries side is broadcast — postings never
     shuffles for the join, only for the final (query_id, doc_id) rollup.
 
-    The three multiply-referenced intermediates are folded into eager
-    localCheckpoints (r17, same discipline as the rerank candidate
-    fold): ``qterms`` feeds the term-set filter AND the qtf join (the
-    query tokenize+rollup subtree ran 3×), ``stats`` feeds n_docs AND
-    avgdl (the doclens aggregate ran 2×), and ``matched_postings``
-    feeds the df/idf stats AND the scoring join — without the fold the
-    postings table was SCANNED TWICE per query batch, the single
-    biggest redundant I/O in every BM25-legged entry at 100 TB. Each
-    checkpoint is query-batch-bounded (terms, 1 row, matched posting
-    lists) and preserves the scan partitioning, so partial-sum
-    grouping — and therefore every last float ulp of the scores — is
-    unchanged.
+    Pure-lazy single-pass shape (r18; replaces the r17 eager
+    localCheckpoint folds): postings are scanned exactly ONCE — the
+    per-term document frequency that used to be a groupBy(term)
+    aggregate joined back onto a second postings scan (or a checkpoint
+    of the first) is now a ``count over (partition by term)`` window on
+    the matched stream, and idf is computed inline per row from it.
+    The 1-row corpus stats frame broadcasts once carrying BOTH n_docs
+    and avgdl (it fed two separate consumers before). The plan has no
+    eager jobs and no RDD leaves, so the entry-level prepared-plan
+    cache can legitimately memoize it — every action still recomputes
+    everything from the parquet inputs.
 
-    Recompute-per-invocation is ENFORCED, not assumed (r18): in r17
-    the entry-level prepared-plan cache (``__spark_entry__._PREPARED``)
-    returned the same built DataFrame on every call, so these
-    checkpoints executed once per session and later invocations served
-    the materialized blocks — result caching across bench passes.
-    ``_prepared`` now refuses to cache any plan with a ``LogicalRDD``
-    leaf (``_has_materialized_leaf``), so every invocation rebuilds
-    and re-runs the checkpointed subtrees.
+    The window exchanges only the MATCHED stream (query-term postings,
+    not the corpus-wide table) keyed on term; hot query terms buffer in
+    one spillable window partition — the same rows the old termstats
+    aggregate funneled through one partition. idf per row is the exact
+    expression ``build_termstats`` computed per term: same double
+    inputs, same double result.
     """
-    stats = corpus_stats(doclens).localCheckpoint()
+    stats = corpus_stats(doclens)
 
     qterms = (
         queries.select(
@@ -128,29 +125,32 @@ def score_queries(
         )
         .groupBy("query_id", "term")
         .agg(F.count("*").alias("qtf"))
-        .localCheckpoint()
     )
 
     # Semi-join postings down to query terms FIRST (broadcast the tiny
     # term set), then derive df/idf from the survivors only. The full
     # vocabulary is never aggregated or broadcast — at 100 TB the
     # vocabulary is 10^8+ terms, but a query workload touches a few
-    # hundred, so termstats here is a few hundred rows.
+    # hundred, so the matched stream is query-term-bounded.
     qterm_set = qterms.select("term").distinct()
-    matched_postings = postings.join(
-        F.broadcast(qterm_set), "term"
-    ).localCheckpoint()
-    termstats = build_termstats(matched_postings, stats.select("n_docs"))
+    matched_postings = postings.join(F.broadcast(qterm_set), "term")
 
+    wterm = Window.partitionBy("term")
     matched = (
-        matched_postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(termstats), "term")
+        matched_postings.withColumn(
+            "df", F.count(F.lit(1)).over(wterm)
+        )
+        .join(F.broadcast(qterms), "term")
         .join(doclens, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     term_score = (
         F.col("qtf")
-        * F.col("idf")
+        * idf
         * (F.col("tf") * (k1 + 1))
         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     )

@@ -1365,16 +1365,19 @@ def best_jaccard_vs_index(
     Output: one row per incoming document —
     (doc_id, match_id | NULL, best_jaccard).
     """
-    # eager localCheckpoint (r17): b_sh feeds both the exploded
-    # shingle probe and the size table — the tokenize+shingle-hash
-    # projection ran twice per batch. Batch-bounded rows, recomputed
-    # per invocation.
-    b_sh = _doc_shingles(batch_docs, id_col, text_col, k).localCheckpoint()
+    # single-pass batch side (r18, same shape as fuzzy_decontam): the
+    # batch's set SIZE rides the exploded shingle stream as a per-row
+    # column instead of a second projection over the shingle subtree —
+    # the r17 shape evaluated the tokenize+shingle-hash projection
+    # twice per batch (or checkpointed it). n_b is functionally
+    # determined by new_id, so grouping on (new_id, n_b) pairs yields
+    # the identical result with one batch pass and no size join; the
+    # plan stays pure-lazy.
+    b_sh = _doc_shingles(batch_docs, id_col, text_col, k)
     b_ex = b_sh.select(
-        F.col("doc_id").alias("new_id"), F.explode("sh").alias("s")
-    )
-    b_sz = b_sh.select(
-        F.col("doc_id").alias("new_id"), F.size("sh").alias("n_b")
+        F.col("doc_id").alias("new_id"),
+        F.size("sh").alias("n_b"),
+        F.explode("sh").alias("s"),
     )
     if index_sizes is None:
         index_sizes = shingle_index.groupBy("doc_id").agg(
@@ -1382,12 +1385,11 @@ def best_jaccard_vs_index(
         )
     inter = (
         shingle_index.join(F.broadcast(b_ex), "s")
-        .groupBy("new_id", "doc_id")
+        .groupBy("new_id", "n_b", "doc_id")
         .agg(F.count("*").alias("inter"))
     )
     jac = (
         inter.join(index_sizes, "doc_id")
-        .join(F.broadcast(b_sz), "new_id")
         .withColumn(
             "jaccard",
             F.round(

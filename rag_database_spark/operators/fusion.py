@@ -117,30 +117,33 @@ def propagate_page_scores_batch(
     score, the document's other pages get ``max(page score) × boost``
     (hybrid_search.py:307-394).
 
-    The doc-grain inner join both scopes the expansion to matched
-    documents and attaches query_id; both sides of the final join are
-    top-k-bounded → broadcast-sized."""
+    Single-consumption shape (r18): ONE doc-grain aggregate carries
+    both the doc-max score and a page→score map (pages per (query,
+    doc) are top-k-bounded, so the map is tiny), replacing the r17
+    two-consumer shape (doc-max rollup + page-grain left join) that
+    evaluated the ``page_scores`` lineage twice — for the colpali leg
+    that lineage is the MaxSim ArrowEvalPython GEMM, the single most
+    expensive subtree in the three-leg entries. The map lookup
+    (null when the chunk's page is absent) is exactly the old LEFT
+    join's semantics. The inner doc-grain join both scopes the
+    expansion to matched documents and attaches query_id; the join
+    side is top-k-bounded → broadcast-sized."""
     doc_side = page_scores.groupBy("query_id", "document_id").agg(
-        F.max("score").alias("doc_max_score")
-    )
-    page_side = page_scores.select(
-        "query_id", "document_id", "page_number",
-        F.col("score").alias("page_score"),
+        F.max("score").alias("doc_max_score"),
+        F.map_from_entries(
+            F.collect_list(F.struct("page_number", "score"))
+        ).alias("__page_scores"),
     )
     return (
         chunks.join(F.broadcast(doc_side), ["document_id"])
-        .join(
-            F.broadcast(page_side),
-            ["query_id", "document_id", "page_number"],
-            "left",
-        )
+        .withColumn("page_score", F.col("__page_scores")[F.col("page_number")])
         .withColumn(
             "propagated_score",
             F.coalesce(
                 F.col("page_score"), F.col("doc_max_score") * F.lit(boost)
             ),
         )
-        .drop("doc_max_score")
+        .drop("doc_max_score", "__page_scores")
     )
 
 

@@ -113,11 +113,10 @@ def colpali_leg(
     from rag_database_spark.operators.similarity import maxsim_scores_pruned
 
     pages_scored = maxsim_scores_pruned(query_patches, page_patches, fetch)
-    # eager localCheckpoint (r17): propagate_page_scores_batch reads
-    # page_topk twice (doc-max rollup + page-grain side), which
-    # re-evaluated the whole MaxSim scoring subtree (ArrowEvalPython
-    # GEMM) per reference. The checkpoint is fetch-bounded rows/query,
-    # recomputed per invocation.
+    # single consumption (r18): propagate_page_scores_batch now reads
+    # page_topk exactly once (doc-grain map aggregate), so the MaxSim
+    # scoring subtree (ArrowEvalPython GEMM) appears once in the plan —
+    # no eager fold needed, the leg stays pure-lazy.
     page_topk = bm25_ops.topk(
         pages_scored, fetch, id_col="page_id"
     ).select(
@@ -125,7 +124,7 @@ def colpali_leg(
         F.floor(F.col("page_id") / doc_pages).cast("long").alias("document_id"),
         F.col("page_id").alias("page_number"),
         "score",
-    ).localCheckpoint()
+    )
     prop = propagate_page_scores_batch(chunk_pages, page_topk)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("propagated_score"), F.asc("id")
